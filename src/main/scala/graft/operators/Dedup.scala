@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact deduplication (`/root/reference/src/transformers/enrichers/
+  * deduplicator.py:137-170,212-233,314-346`).
+  *
+  * Group key = MD5 of the sorted (field,value) pairs over `matchFields`
+  * (default all columns) — reproduced as md5(to_json(struct(sorted fields)))
+  * so the key is deterministic and oracle-checkable. Survivor per group by
+  * `merge_strategy`:
+  *   keep_first        — lowest rowId (input order)
+  *   keep_last         — highest rowId
+  *   keep_best_quality — max _meta_quality_score (rowId tiebreak)
+  *
+  * Physical shape: ONE shuffle (hash partition on the md5 key) + in-partition
+  * window; no global sort. At 100 TB the key hash distributes uniformly, so
+  * no skew handling is needed unless match_fields are themselves skewed —
+  * in that case pre-aggregation via dropDuplicates on (key, rowId-min) would
+  * apply; documented, not needed for parity.
+  */
+object ExactDedup {
+  /** Deterministic row-content hash over the match fields (sorted by name,
+    * values stringified) — deduplicator.py:212-233. */
+  def matchKey(df: DataFrame, matchFields: Seq[String]): Column = {
+    val fields = (if (matchFields.nonEmpty) matchFields
+                  else df.columns.toSeq).sorted
+    md5(to_json(struct(fields.map(f => col(f).cast(StringType).as(f)): _*)))
+  }
+
+  def apply(df: DataFrame, matchFields: Seq[String] = Nil,
+      strategy: String = "keep_first", rowId: String = "_row_id",
+      qualityCol: String = "_meta_quality_score"): DataFrame = {
+    val withId = if (df.columns.contains(rowId)) df
+                 else Aggregator.withRowId(df, rowId)
+    val key = matchKey(withId, matchFields)
+    val w = strategy match {
+      case "keep_first" => Window.partitionBy(key).orderBy(col(rowId).asc)
+      case "keep_last"  => Window.partitionBy(key).orderBy(col(rowId).desc)
+      case "keep_best_quality" =>
+        Window.partitionBy(key).orderBy(col(qualityCol).desc_nulls_last, col(rowId).asc)
+      case other => throw new IllegalArgumentException(s"unknown strategy $other")
+    }
+    withId.withColumn("_dd_rn", row_number().over(w))
+      .filter(col("_dd_rn") === 1)
+      .drop("_dd_rn")
+  }
+}
+
+/** Scale-path near-duplicate detection for text — the Spark-native rebuild of
+  * the reference's fuzzy dedup (`deduplicator.py:172-312`), which embeds rows
+  * with a sentence-transformer and does a full O(N²) cosine matrix with
+  * greedy first-seen clustering. Neither survives 100 TB, and the pretrained
+  * model isn't on the JVM, so the engine provides the standard large-scale
+  * constructions instead (SURVEY §7.3):
+  *
+  *  - MinHash signatures over word shingles + LSH banding: candidate pairs
+  *    come from an equi-join on (band, bucket) — near-linear, shuffle on
+  *    bucket keys only, never N².
+  *  - Cluster id = connected components approximated by min-doc-id label
+  *    propagation over candidate pairs (deterministic, order-independent —
+  *    replaces the reference's input-order-dependent greedy scan; SURVEY
+  *    §7.3 documents the deviation).
+  *
+  * All column expressions — hashing via xxhash64, no UDFs.
+  */
+object MinHashDedup {
+  /** Word k-shingles of the lowercased text. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    // sliding k-grams via transform over index range
+    val n = size(words)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(n - k, lit(0))),
+          i => when(n >= k, array_join(slice(words, i + lit(1), lit(k)), " "))),
+        _.isNotNull))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * min over shingle hashes. Pure expressions → codegen, no shuffle. */
+  def signature(sh: Column, numHashes: Int = 64): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => xxhash64(s, lit(seed))))
+    }: _*)
+
+  /** Candidate pairs via LSH banding: signature split into `bands` bands of
+    * `rowsPerBand`; docs sharing any band bucket are candidates.
+    * Returns (band, bucket, id) — the caller self-joins on (band, bucket).
+    */
+  def bandBuckets(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCol = explode(
+      array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(array_join(
+            transform(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand),
+              _.cast(StringType)), ",")).as("bucket"))
+      }: _*))
+    df.select(col(idCol), bandCol.as("bb")).select(col(idCol),
+      col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** End-to-end: text table → (id, cluster) where cluster = min id among
+    * connected candidates (single label-propagation round over the candidate
+    * graph — exact for clique-ish duplicate groups that LSH produces).
+    *
+    * Physical shape: explode shingles → ONE hash-aggregate computing all 64
+    * per-seed minima as separate columns (not a per-row 64-way expression
+    * tree — that shape re-evaluates the shingle pipeline per hash per band
+    * with no CSE and melts codegen). Then band buckets are cheap projections
+    * over the materialized min columns. Shuffles: one on id (signature agg),
+    * one on (band,bucket) (candidate window), one on id (label agg) — all on
+    * small keys, linear at any scale. */
+  def clusters(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val ex = df.select(col(idCol),
+      explode_outer(shingles(col(textCol), k)).as("_sh"))
+    val minCols = (0 until numHashes).map(seed =>
+      min(xxhash64(col("_sh"), lit(seed))).as(s"_h$seed"))
+    val sig = ex.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val parts = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"_h$i").cast(StringType))
+      struct(lit(b).as("band"),
+        // docs with no shingles (< k words) keep their own singleton bucket
+        when(col("_h0").isNull, xxhash64(lit("empty:"), col(idCol).cast(StringType)))
+          .otherwise(xxhash64(concat_ws(",", parts: _*))).as("bucket"))
+    }
+    val bb = sig.select(col(idCol), explode(array(bandCols: _*)).as("_bb"))
+      .select(col(idCol), col("_bb.band").as("band"), col("_bb.bucket").as("bucket"))
+    // min id per (band,bucket), then min of those per id = cluster label
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    bb.withColumn("_bmin", min(col(idCol)).over(w))
+      .groupBy(col(idCol))
+      .agg(min(col("_bmin")).as("cluster"))
+  }
+}
+
+/** SimHash fingerprint: 64-bit signature where bit i is the sign of the sum
+  * of per-feature hash-bit contributions. Near-duplicates differ in few bits
+  * → group by signature (exact) or by rotated prefixes (hamming ≤ d). */
+object SimHash {
+  /** Per-row expression form — fine for short shingle arrays / tests. For
+    * tables, prefer [[simhashTable]]: this form nests the shingle pipeline
+    * under every bit and codegen cannot CSE it. */
+  def simhash(sh: Column, bits: Int = 64): Column = {
+    val hashes = transform(sh, s => xxhash64(s))
+    (0 until bits).map { b =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Scale form: explode shingles, hash once per shingle in a projection,
+    * then ONE aggregate with 64 per-bit vote sums → combine. Linear, single
+    * shuffle on id. Returns (idCol, simhash). */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, bits: Int = 64): DataFrame = {
+    val ex = df
+      .select(col(idCol), explode_outer(MinHashDedup.shingles(col(textCol), k)).as("_sh"))
+      .withColumn("_h", xxhash64(col("_sh"))) // hashed once, reused by all bits
+    val votes = (0 until bits).map { b =>
+      sum(when(col("_h").isNull, -1L)
+        .when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"_v$b")
+    }
+    val agged = ex.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sig = (0 until bits)
+      .map(b => when(col(s"_v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    agged.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}
+
+/** N-gram Jaccard similarity between documents; candidate generation must be
+  * blocked (here: by a caller-supplied key) — full cross-join is the anti-
+  * pattern at scale. */
+object NgramJaccard {
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val uni = size(array_union(a, b))
+    when(uni === 0, 0.0).otherwise(inter.cast(DoubleType) / uni.cast(DoubleType))
+  }
+
+  /** Pairwise similarities within blocks: shuffle on blockKey only. */
+  def pairsWithinBlocks(df: DataFrame, idCol: String, textCol: String,
+      blockKey: Column, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val prepared = df.select(col(idCol).as("id"), blockKey.as("blk"),
+      MinHashDedup.shingles(col(textCol), k).as("sh"))
+    val l = prepared.select(col("id").as("id_a"), col("blk"), col("sh").as("sh_a"))
+    val r = prepared.select(col("id").as("id_b"), col("blk"), col("sh").as("sh_b"))
+    l.join(r, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

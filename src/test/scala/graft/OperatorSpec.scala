@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Semantics
+import graft.operators._
+
+/** Table-driven tests of the reference's documented micro-semantics
+  * (SURVEY §5.2 item 2). */
+class OperatorSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def people = Seq(
+    (1L, "alice", "a@x.com", 30, 50000.0),
+    (2L, "bob", "", 40, 60000.0),        // empty email = missing
+    (3L, null.asInstanceOf[String], "c@x.com", 25, 70000.0),
+    (4L, "dana", "d@x.com", 35, -100.0)  // negative salary
+  ).toDF("id", "name", "email", "age", "salary")
+
+  test("NullRemover drop: empty string counts as null") {
+    val out = NullRemover("drop")(people)
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+  }
+
+  test("NullRemover drop_all drops only fully-missing rows") {
+    val df = Seq((1L, "", null.asInstanceOf[String]), (2L, "x", null.asInstanceOf[String]))
+      .toDF("id", "a", "b")
+    val out = NullRemover("drop_all", Seq("a", "b"))(df)
+    assert(out.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("NullRemover fill replaces nulls and empty strings") {
+    val out = NullRemover("fill", Seq("name", "email"), fillValue = "?")(people)
+    val got = out.orderBy("id").select("name", "email").as[(String, String)].collect()
+    assert(got(1) == (("bob", "?")) && got(2) == (("?", "c@x.com")))
+  }
+
+  test("NullRemover remove_fields drops all-missing columns only") {
+    val df = Seq((1L, null.asInstanceOf[String], "x"), (2L, "", "y")).toDF("id", "dead", "live")
+    val out = NullRemover("remove_fields")(df)
+    assert(out.columns.toSeq == Seq("id", "live"))
+  }
+
+  test("ColumnRemover: names, prefix, regex, keep-overrides") {
+    val df = Seq((1, 2, 3, 4, 5)).toDF("a", "ab", "b", "keep_me", "xy")
+    val out = ColumnRemover(columns = Set("b"), prefix = Some("a"),
+      pattern = Some("keep.*|xy"), keep = Set("keep_me"))(df)
+    assert(out.columns.toSeq == Seq("keep_me"))
+  }
+
+  test("ExactDedup strategies: keep_first / keep_last / keep_best_quality") {
+    val df = Seq(
+      (1L, "k1", 0.5), (2L, "k1", 0.9), (3L, "k1", 0.7), (4L, "k2", 0.1)
+    ).toDF("_row_id", "key", "_meta_quality_score")
+    def ids(strategy: String) =
+      ExactDedup(df, Seq("key"), strategy).select("_row_id").as[Long].collect().sorted.toSeq
+    assert(ids("keep_first") == Seq(1L, 4L))
+    assert(ids("keep_last") == Seq(3L, 4L))
+    assert(ids("keep_best_quality") == Seq(2L, 4L))
+  }
+
+  test("Aggregator: count includes nulls, sum 0 when empty, min/max skip non-numeric") {
+    import Aggregator.AggSpec
+    val df = Seq(
+      (1L, "g1", "10"), (2L, "g1", "oops"), (3L, "g1", null.asInstanceOf[String]),
+      (4L, "g2", null.asInstanceOf[String])
+    ).toDF("_row_id", "g", "v")
+    val out = Aggregator.aggregate(df, Seq("g"), Seq(
+      AggSpec("s", "v", "sum"), AggSpec("a", "v", "avg"),
+      AggSpec("mn", "v", "min"), AggSpec("mx", "v", "max"),
+      AggSpec("c", "v", "count"), AggSpec("cd", "v", "count_distinct"),
+      AggSpec("f", "v", "first"), AggSpec("l", "v", "last"),
+      AggSpec("cc", "v", "concat"))).orderBy("g").collect()
+    val g1 = out(0); val g2 = out(1)
+    assert(g1.getAs[Double]("s") == 10.0)
+    assert(g1.getAs[Double]("a") == 10.0)    // avg over numeric only
+    assert(g1.getAs[Long]("c") == 3L)        // count includes nulls
+    assert(g1.getAs[Long]("cd") == 2L)       // distinct over non-null strings
+    assert(g1.getAs[String]("f") == "10")    // input order via _row_id
+    assert(g1.getAs[String]("l") == null)
+    assert(g1.getAs[String]("cc") == "10, oops")
+    assert(g2.getAs[Double]("s") == 0.0)     // sum() of nothing = 0
+    assert(g2.getAs[Any]("a") == null)       // avg of nothing = null
+  }
+
+  test("QualityScorer: weights, email rule, negative-amount rule") {
+    val df = Seq(
+      (1L, "a@x.com", 100.0),   // all good
+      (2L, "bad-email", 100.0), // validity hit: no @ / .
+      (3L, "c@x.com", -5.0)     // consistency hit: amount <= 0
+    ).toDF("customer_id", "email", "amount")
+    val out = QualityScorer(fields = Seq("customer_id", "email", "amount"))(df)
+      .orderBy("customer_id")
+      .select("_meta_quality_score").as[Double].collect()
+    assert(out(0) == 1.0)
+    assert(out(1) == 0.9)   // validity drops by 1/3 → 0.4 + 0.3*2/3 + 0.3
+    assert(out(2) == 0.9)   // consistency drops by 1/3
+  }
+
+  test("AnomalyDetector zscore uses population sigma; iqr uses linear-interp percentile") {
+    // spread base values: q1 != q3, else the reference semantics skip
+    // IQR=0 fields entirely (anomaly_detector.py:215-263)
+    val vals = (1 to 20).map(_.toDouble) :+ 1000.0
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val z = AnomalyDetector.zscore(df, Seq("v"), threshold = 3.0)
+      .filter(col("_meta_is_anomaly")).select("id").as[Long].collect()
+    assert(z.toSeq == Seq(20L))
+    val i = AnomalyDetector.iqr(df, Seq("v"), factor = 1.5)
+      .filter(col("_meta_is_anomaly")).select("id").as[Long].collect()
+    assert(i.toSeq == Seq(20L))
+  }
+
+  test("AnomalyDetector combined requires both methods to agree") {
+    val df = ((1 to 20).map(_.toDouble) :+ 1000.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = AnomalyDetector.combined(df, Seq("v"), 3.0, 1.5)
+      .filter(col("_meta_is_anomaly")).select("id").as[Long].collect()
+    assert(out.toSeq == Seq(20L))
+  }
+
+  test("AnomalySplitter routes flagged rows") {
+    val df = Seq((1L, false), (2L, true), (3L, false)).toDF("id", "_meta_is_anomaly")
+    val (clean, bad) = AnomalySplitter.split(df)
+    assert(clean.count() == 2 && bad.count() == 1)
+  }
+
+  test("SchemaInferrer detects patterns and types") {
+    val df = Seq(
+      ("a@x.com", "1", "2024-01-02"),
+      ("b@y.org", "2", "2024-02-03"),
+      ("c@z.net", "3", "2024-03-04")
+    ).toDF("email", "n", "d")
+    val prof = SchemaInferrer.profile(df, Seq("email", "n", "d"))
+      .orderBy("field").collect()
+    val byField = prof.map(r => r.getAs[String]("field") -> r).toMap
+    assert(byField("email").getAs[String]("detected_pattern") == "email")
+    assert(byField("n").getAs[String]("inferred_type") == "INTEGER")
+    assert(byField("d").getAs[String]("inferred_type") == "DATE")
+    assert(byField("d").getAs[String]("detected_pattern") == "date_iso")
+  }
+
+  test("dedup is idempotent (property)") {
+    val df = Tables(spark).orders.withColumn("_row_id", col("o_orderkey"))
+    val once = ExactDedup(df, Seq("o_custkey", "o_orderstatus"), "keep_first")
+    val twice = ExactDedup(once, Seq("o_custkey", "o_orderstatus"), "keep_first")
+    assert(once.count() == twice.count())
+  }
+
+  test("aggregation conserves row counts (property)") {
+    val orders = Tables(spark).orders
+    val grouped = orders.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    val total = grouped.agg(sum("n")).head().getLong(0)
+    assert(total == orders.count())
+  }
+
+  private case class Tables(s: org.apache.spark.sql.SparkSession) {
+    def orders = graft.core.Tables.table(s, sfDir, "orders")
+  }
+}

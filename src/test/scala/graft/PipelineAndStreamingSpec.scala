@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.pipeline.Pipeline
+
+class PipelineAndStreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("pipeline chains stages lazily and loads to parquet sink") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val result = Pipeline.fromParquet(s"$sfDir/customer.parquet")
+      .transform(QualityScorer(fields = Seq("c_custkey", "c_name", "c_acctbal")))
+      .transform(ColumnRemover(prefix = Some("_meta_"),
+        keep = Set("_meta_quality_score")))
+      .load(df => graft.io.Sinks.parquet(df, s"$out/gold"))
+      .run(spark)
+    assert(result.rowsLoaded == 150L)
+    val readBack = spark.read.parquet(s"$out/gold")
+    assert(readBack.columns.contains("_meta_quality_score"))
+  }
+
+  test("checkpointed pipeline resumes from stage boundary") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val p = Pipeline.fromParquet(s"$sfDir/nation.parquet")
+      .transform(NullRemover("drop"))
+      .checkpointed(dir)
+    val r1 = p.run(spark)
+    val r2 = p.resumeFrom(spark, dir, fromStage = 0)
+    assert(r1.rowsLoaded == r2.rowsLoaded)
+  }
+
+  test("streaming windowed counts over events match batch aggregation") {
+    // file stream source wants a directory — stage the single parquet file
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val eventsPath = stageDir.toString
+    // stream path (ts arrives as long nanos in this dataset — convert)
+    val got = graft.streaming.Streams.runToMemory(spark, eventsPath, "win_test",
+      df => graft.streaming.Streams.windowedCounts(
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)")), "1 hour"))
+    val batch = graft.core.Tables.table(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(got.agg(sum("n")).head().getLong(0) == 1000L)
+    assert(got.count() == batch.count())
+  }
+
+  test("stateful sessionize counts per-user events") {
+    import graft.streaming.Streams._
+    implicit val s = spark
+    val events = graft.core.Tables.table(spark, sfDir, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value")).as[Event]
+    val sessions = sessionize(events).collect()
+    assert(sessions.map(_.nEvents).sum == 1000L)
+  }
+
+  test("incremental state: second scan with same files yields no new rows") {
+    import graft.io.IncrementalState
+    val (df1, st1) = IncrementalState.scanNew(spark, s"$sfDir/region.parquet",
+      "parquet", IncrementalState.empty)
+    assert(df1.count() == 5)
+    val (df2, _) = IncrementalState.scanNew(spark, s"$sfDir/region.parquet",
+      "parquet", st1)
+    assert(df2.count() == 0)
+  }
+
+  test("json array source roundtrip with nested path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val path = s"$dir/data.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      """{"data": {"records": [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]}}""")
+    val df = graft.io.Sources.jsonArray(spark, path, Some("data.records"))
+    assert(df.count() == 2 && df.columns.sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("query service profile + filter-values on real table") {
+    val li = graft.core.Tables.table(spark, sfDir, "lineitem")
+    val prof = graft.query.QueryService.profileNumeric(li, Seq("l_quantity"))
+    val row = prof.head()
+    assert(row.getAs[Double]("min_value") >= 0.0)
+    val fv = graft.query.QueryService.filterValues(li, "l_returnflag")
+    assert(fv.count() <= 3)
+  }
+}

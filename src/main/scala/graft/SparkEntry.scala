@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.entry.{CoreQueries, DocQueries}
+import graft.entry.{CoreQueries, DocQueries, ExtraQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries live in `graft.entry.*` grouped by domain; this object is the
@@ -17,11 +17,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ DocQueries.queries
+    CoreQueries.queries ++ DocQueries.queries ++ ExtraQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Keys absent here get a rows-only check (used for
     * ops whose hashing primitives differ cross-engine, e.g. xxhash64 LSH). */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql ++ DocQueries.oracleSql
+    CoreQueries.oracleSql ++ DocQueries.oracleSql ++ ExtraQueries.oracleSql
 }

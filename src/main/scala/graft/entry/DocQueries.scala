@@ -41,9 +41,8 @@ object DocQueries {
         .orderBy(col("doc_id"))),
 
     "q_doc_langid" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"), col("lang"),
-        TF.langId(col("text")).as("lang_guess"))
+      TF.langIdTable(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("lang_guess"))
         .orderBy(col("doc_id"))),
 
     // fingerprint: xxhash64-based rolling hash — no DuckDB twin, rows-only

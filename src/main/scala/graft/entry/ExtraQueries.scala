@@ -1,0 +1,144 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Semantics, Tables}
+import graft.operators._
+
+/** Second-wave queries: custom aggregators, isolation forest, sliding
+  * windows, pairwise embedding near-dup, built-in pivot, viz/multimodal
+  * plumbing. */
+object ExtraQueries {
+  import Sql.{esum, eavg, sround}
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_udaf_geomean" -> ((s, dir) => {
+      graft.functions.CustomAggregators.registerBuiltins(s)
+      t(s, dir, "lineitem").createOrReplaceTempView("li_udaf")
+      s.sql("""SELECT l_returnflag,
+               geometric_mean(l_extendedprice) AS geo_price,
+               value_range(l_quantity) AS qty_range
+               FROM li_udaf GROUP BY l_returnflag""")
+        .withColumn("geo_price", Semantics.safeRound(col("geo_price"), 2))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // library-specific scores → rows-only check + property tests
+    "q_iforest" -> ((s, dir) => {
+      val flagged = IsolationForest.detect(t(s, dir, "events"),
+        Seq("value"), orderCol = "event_id", contamination = 0.05,
+        numTrees = 50)
+      flagged.filter(col("_meta_is_anomaly"))
+        .select(col("event_id"), col("value"),
+          round(col("_iforest_score"), 4).as("score"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_pivot_builtin" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("O", "F"))
+        .agg(Semantics.exactSum(col("l_quantity")))
+        .withColumnRenamed("O", "qty_o").withColumnRenamed("F", "qty_f")
+        .orderBy(col("l_returnflag"))),
+
+    "q_events_sliding" -> ((s, dir) =>
+      // 2h windows sliding by 1h: every event lands in exactly two windows
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Semantics.exactSum(col("value")).as("total_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    "q_embed_neardup" -> ((s, dir) => {
+      // exact pairwise cosine ≥ 0.35 within a fixed 300-vector slice:
+      // the brute-force oracle twin of the LSH path (decimal-exact sums)
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val e = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+        .withColumn("v", col("v").cast(DoubleType))
+      val norms = e.groupBy(col("vec_id")).agg(
+        sqrt(sum((col("v") * col("v")).cast(DecimalType(38, 18))).cast(DoubleType))
+          .as("nrm"))
+      val a = e.select(col("vec_id").as("id_a"), col("i"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("i"), col("v").as("vb"))
+      val dots = a.join(b, Seq("i")).filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(sum((col("va") * col("vb")).cast(DecimalType(38, 18)))
+          .cast(DoubleType).as("dot"))
+      dots
+        .join(norms.select(col("vec_id").as("id_a"), col("nrm").as("na")), "id_a")
+        .join(norms.select(col("vec_id").as("id_b"), col("nrm").as("nb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(col("dot") / (col("na") * col("nb")), 4).as("similarity"))
+        .filter(col("similarity") >= 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // driver-side pure functions over a stats pass — rows-only
+    "q_viz_charts" -> ((s, dir) => {
+      import s.implicits._
+      val profiles = graft.viz.Visualization.analyze(t(s, dir, "events"))
+      val charts = graft.viz.Visualization.selectCharts(profiles)
+      charts.map(c => (c.chartType, c.priority, c.x, c.y.getOrElse(""),
+        c.agg.getOrElse(""))).toDF("chart_type", "priority", "x", "y", "agg")
+        .orderBy(col("priority").desc, col("chart_type"), col("x"), col("y"))
+    }),
+
+    "q_multimodal_features" -> ((s, dir) => {
+      val corpus = graft.multimodal.Multimodal.syntheticCorpus(s, 99)
+      graft.multimodal.Multimodal.extractFeatures(corpus).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(element_at(col("feature"), 1), 4).as("f0"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_udaf_geomean" ->
+      s"""SELECT l_returnflag,
+         |  ${sround("EXP(AVG(LN(l_extendedprice)))", 2)} AS geo_price,
+         |  MAX(l_quantity) - MIN(l_quantity) AS qty_range
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_pivot_builtin" ->
+      s"""SELECT l_returnflag,
+         |  ${esum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_o,
+         |  ${esum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_f
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_events_sliding" ->
+      s"""WITH windows AS (
+         |  SELECT date_trunc('hour', ts) AS window_start, event_type, value FROM events
+         |  UNION ALL
+         |  SELECT date_trunc('hour', ts) - INTERVAL '1 hour' AS window_start,
+         |    event_type, value FROM events)
+         |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+         |  event_type, COUNT(*) AS n, ${esum("value")} AS total_value
+         |FROM windows GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                  generate_subscripts(embedding, 1) AS i
+        |           FROM embeddings WHERE vec_id < 300),
+        |norms AS (SELECT vec_id,
+        |    sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+        |  FROM e GROUP BY vec_id),
+        |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+        |  FROM e a JOIN e b USING (i) WHERE a.vec_id < b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id)
+        |SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), 4) AS similarity
+        |FROM dots
+        |JOIN norms na ON na.vec_id = id_a
+        |JOIN norms nb ON nb.vec_id = id_b
+        |WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -89,7 +89,11 @@ object TextFunctions {
 
   def langId(text: Column): Column = {
     val scores = langScores(text)
-    // argmax with first-wins tiebreak: fold keeps current best strictly
+    argmaxLang(scores)
+  }
+
+  /** argmax with first-wins tiebreak: fold keeps current best strictly. */
+  private[graft] def argmaxLang(scores: Seq[(String, Column)]): Column = {
     val best = scores.tail.foldLeft(
       struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
       case (acc, (lang, sc)) =>
@@ -97,6 +101,23 @@ object TextFunctions {
           .otherwise(acc)
     }
     when(best.getField("s") > 0, best.getField("l")).otherwise(lit("unknown"))
+  }
+
+  /** Table-scale language ID: explode words once, one aggregate computes
+    * every language's marker hits (the per-row expression form re-splits the
+    * text per language — fine for a handful of rows, quadratic waste on a
+    * corpus). Returns df with all original columns + `lang_guess`. */
+  def langIdTable(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val ex = df.select(col(idCol),
+      explode_outer(split(trim(lower(col(textCol))), "\\s+")).as("_w"))
+    val hitCols = langMarkers.map { case (lang, markers) =>
+      sum(when(col("_w").isin(markers: _*), 1L).otherwise(0L)).as(s"_hits_$lang")
+    }
+    val agged = ex.groupBy(col(idCol)).agg(hitCols.head, hitCols.tail: _*)
+    val guess = argmaxLang(langMarkers.map { case (l, _) => l -> col(s"_hits_$l") })
+    val labelled = agged.select(col(idCol), guess.as("lang_guess"))
+    df.join(labelled, Seq(idCol), "left")
   }
 
   /** Rolling hash fingerprint of the whole document: xxhash64 chained over

@@ -192,16 +192,36 @@ object NgramJaccard {
     when(uni === 0, 0.0).otherwise(inter.cast(DoubleType) / uni.cast(DoubleType))
   }
 
-  /** Pairwise similarities within blocks: shuffle on blockKey only. */
+  /** Pairwise similarities within blocks via an inverted shingle index:
+    * explode distinct shingles, self-join on (block, shingle) — each shared
+    * shingle contributes one pair-row, so |intersection| is a count and the
+    * full arrays never travel through the join. Union size from per-doc
+    * shingle counts: |A∪B| = |A|+|B|−|A∩B|. Pairs sharing zero shingles are
+    * never generated at all (they can't pass any positive threshold).
+    *
+    * At scale this is the standard construction: shuffle on (block, shingle)
+    * keys; worst case is a hot shingle within a block, bounded by block
+    * size — versus the array-join form whose every pair ships both arrays. */
   def pairsWithinBlocks(df: DataFrame, idCol: String, textCol: String,
       blockKey: Column, k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val prepared = df.select(col(idCol).as("id"), blockKey.as("blk"),
       MinHashDedup.shingles(col(textCol), k).as("sh"))
-    val l = prepared.select(col("id").as("id_a"), col("blk"), col("sh").as("sh_a"))
-    val r = prepared.select(col("id").as("id_b"), col("blk"), col("sh").as("sh_b"))
-    l.join(r, Seq("blk"))
+    val sized = prepared.select(col("id"), col("blk"), col("sh"),
+      size(col("sh")).as("n_sh"))
+    val inv = sized.select(col("id"), col("blk"), col("n_sh"),
+      explode(col("sh")).as("s"))
+    val l = inv.select(col("id").as("id_a"), col("n_sh").as("na"),
+      col("blk"), col("s"))
+    val r = inv.select(col("id").as("id_b"), col("n_sh").as("nb"),
+      col("blk"), col("s"))
+    l.join(r, Seq("blk", "s"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", round(
+        when(col("uni") === 0, 0.0)
+          .otherwise(col("inter").cast(DoubleType) / col("uni").cast(DoubleType)), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic isolation forest (SURVEY §2.7 / §7.3): the reference wraps
+  * sklearn's IsolationForest (contamination=0.1, n_estimators=100, seed 42,
+  * nulls imputed with column mean — `anomaly_detector.py:265-324`).
+  * Cross-library RNG parity is impossible, so this is a faithful independent
+  * implementation of the iForest algorithm (Liu/Ting/Zhou 2008) with a
+  * seeded, documented RNG — property-tested (outliers score high), excluded
+  * from the hash-oracle gate like the reference's own variant would be.
+  *
+  * Scale design: trees are built on the DRIVER from a bounded sample
+  * (ψ=256 rows/tree — the paper's default; sampling more doesn't help), then
+  * shipped to executors as a broadcast-closure and evaluated per-row in one
+  * partition-local pass. Scoring 100 TB is embarrassingly parallel; only the
+  * tiny sample ever crosses to the driver.
+  */
+object IsolationForest {
+  sealed trait Node
+  final case class Leaf(size: Int) extends Node
+  final case class Split(feature: Int, value: Double, lo: Node, hi: Node) extends Node
+
+  final case class Model(trees: Seq[Node], psi: Int, means: Array[Double]) {
+    def heightLimit: Int = math.ceil(log2(psi.toDouble)).toInt
+  }
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  /** Average unsuccessful-search path length c(n) — the paper's normalizer. */
+  def cFactor(n: Int): Double =
+    if (n <= 1) 0.0
+    else 2.0 * (math.log(n - 1.0) + 0.5772156649) - 2.0 * (n - 1.0) / n
+
+  private def buildTree(data: Array[Array[Double]], rng: scala.util.Random,
+      depth: Int, limit: Int): Node = {
+    if (depth >= limit || data.length <= 1) Leaf(data.length)
+    else {
+      val f = rng.nextInt(data(0).length)
+      val vals = data.map(_(f))
+      val (mn, mx) = (vals.min, vals.max)
+      if (mn == mx) Leaf(data.length)
+      else {
+        val split = mn + rng.nextDouble() * (mx - mn)
+        val (lo, hi) = data.partition(_(f) < split)
+        Split(f, split, buildTree(lo, rng, depth + 1, limit),
+          buildTree(hi, rng, depth + 1, limit))
+      }
+    }
+  }
+
+  def pathLength(row: Array[Double], node: Node, depth: Int = 0): Double =
+    node match {
+      case Leaf(size) => depth + cFactor(size)
+      case Split(f, v, lo, hi) =>
+        if (row(f) < v) pathLength(row, lo, depth + 1)
+        else pathLength(row, hi, depth + 1)
+    }
+
+  /** Anomaly score ∈ (0,1): s = 2^(−E[h]/c(ψ)); ≥0.5 ≈ anomalous. */
+  def score(model: Model, row: Array[Double]): Double = {
+    val avg = model.trees.map(t => pathLength(row, t)).sum / model.trees.size
+    math.pow(2.0, -avg / cFactor(model.psi))
+  }
+
+  /** Fit on a deterministic driver-side sample: rows ordered by a stable key
+    * so the sample (and therefore the model) is identical across runs and
+    * partitionings. */
+  def fit(df: DataFrame, fields: Seq[String], orderCol: String,
+      numTrees: Int = 100, psi: Int = 256, seed: Long = 42L): Model = {
+    val needed = numTrees * psi
+    // impute nulls with column means, like the reference
+    val meansRow = df.agg(avg(col(fields.head)),
+      fields.tail.map(f => avg(col(f))): _*).head()
+    val means = fields.indices.map(i =>
+      Option(meansRow.get(i)).fold(0.0)(_.toString.toDouble)).toArray
+    val sample = df.select((orderCol +: fields).map(col): _*)
+      .orderBy(col(orderCol)).limit(needed).drop(orderCol)
+      .collect().map(r => fields.indices.map(i =>
+        Option(r.get(i)).fold(means(i))(_.toString.toDouble)).toArray)
+    val rng = new scala.util.Random(seed)
+    val limit = math.ceil(log2(psi.toDouble)).toInt
+    val trees = (0 until numTrees).map { _ =>
+      val treeSample =
+        if (sample.length <= psi) sample
+        else Array.fill(psi)(sample(rng.nextInt(sample.length)))
+      buildTree(treeSample, rng, 0, limit)
+    }
+    Model(trees, math.min(psi, math.max(sample.length, 2)), means)
+  }
+
+  /** Score + flag: one partition-local pass; the model travels in the UDF
+    * closure (a broadcast under the hood). Flag = top `contamination` share
+    * by score, cutoff from an exact percentile of the score column. */
+  def detect(df: DataFrame, fields: Seq[String], orderCol: String,
+      contamination: Double = 0.1, numTrees: Int = 100,
+      seed: Long = 42L): DataFrame = {
+    val model = fit(df, fields, orderCol, numTrees, seed = seed)
+    val means = model.means
+    val scoreUdf = udf { (vals: Seq[java.lang.Double]) =>
+      val arr = new Array[Double](vals.length)
+      var i = 0
+      while (i < vals.length) {
+        arr(i) = if (vals(i) == null) means(i) else vals(i).doubleValue(); i += 1
+      }
+      score(model, arr)
+    }
+    val scored = df.withColumn("_iforest_score",
+      scoreUdf(array(fields.map(f => col(f).cast(DoubleType)): _*)))
+    val statsRow = scored.agg(
+      expr(s"percentile(_iforest_score, ${1.0 - contamination})"),
+      min(col("_iforest_score")), max(col("_iforest_score"))).head()
+    val (cutoff, loS, hiS) =
+      (statsRow.getDouble(0), statsRow.getDouble(1), statsRow.getDouble(2))
+    // degenerate data (all scores equal) must flag nothing, not everything
+    val flag =
+      if (hiS == loS) lit(false) else col("_iforest_score") >= cutoff
+    scored
+      .withColumn("_meta_is_anomaly", flag)
+      .withColumn("_meta_anomaly_method",
+        when(col("_meta_is_anomaly"), lit("isolation_forest")))
+  }
+}

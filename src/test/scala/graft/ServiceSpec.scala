@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.service.{AutoTuner, Config, Paths}
+import graft.operators.IsolationForest
+
+class ServiceSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("isolation forest scores planted outliers above inliers (property)") {
+    val data = ((1 to 200).map(i => (i.toLong, 10.0 + (i % 7))) ++
+      Seq((201L, 5000.0), (202L, -4000.0))).toDF("id", "v")
+    val out = IsolationForest.detect(data, Seq("v"), "id",
+      contamination = 0.01, numTrees = 50)
+    val flagged = out.filter(col("_meta_is_anomaly"))
+      .select("id").as[Long].collect().toSet
+    assert(flagged.contains(201L) || flagged.contains(202L))
+    // determinism: same seed → same scores
+    val s1 = IsolationForest.detect(data, Seq("v"), "id", numTrees = 20)
+      .select("id", "_iforest_score").as[(Long, Double)].collect().toMap
+    val s2 = IsolationForest.detect(data, Seq("v"), "id", numTrees = 20)
+      .select("id", "_iforest_score").as[(Long, Double)].collect().toMap
+    assert(s1 == s2)
+  }
+
+  test("custom aggregators register and partial-aggregate correctly") {
+    graft.functions.CustomAggregators.registerBuiltins(spark)
+    Seq(2.0, 8.0).toDF("v").createOrReplaceTempView("ca_test")
+    val r = spark.sql(
+      "SELECT geometric_mean(v) AS g, value_range(v) AS r FROM ca_test").head()
+    assert(math.abs(r.getDouble(0) - 4.0) < 1e-9) // sqrt(2*8)
+    assert(r.getDouble(1) == 6.0)
+  }
+
+  test("auto tuner recommends argmax batch size with confidence") {
+    val tuner = new AutoTuner()
+    Seq(100 -> 4355.0, 500 -> 12132.0, 1000 -> 13495.0, 2500 -> 12740.0)
+      .foreach { case (b, tput) =>
+        tuner.record(tuner.Run(b, records = (tput * 10).toLong,
+          seconds = 10.0, mbProcessed = 100.0))
+      }
+    val rec = tuner.recommend().get
+    assert(rec.batchSize == 1000)
+    assert(rec.confidence > 0 && rec.confidence <= 1.0)
+    assert(tuner.sparkOptions(rec)("jdbc.fetchsize") == "1000")
+  }
+
+  test("config factory builds a runnable pipeline") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cfg").toString
+    val cfg = Config.PipelineConfig(
+      source = Config.ParquetSource(s"$sfDir/customer.parquet"),
+      transformers = Seq(
+        Config.QualityScorerConf(fields = Seq("c_custkey", "c_name")),
+        Config.ColumnRemoverConf(prefix = Some("_meta_"),
+          keep = Set("_meta_quality_score"))),
+      destinations = Seq(Config.ParquetDest(s"$out/gold"),
+        Config.JsonlDest(s"$out/rag")))
+    val result = Config.build(cfg).run(spark)
+    assert(result.rowsLoaded == 150L)
+    assert(spark.read.parquet(s"$out/gold").count() == 150L)
+    assert(spark.read.json(s"$out/rag").count() == 150L)
+  }
+
+  test("slugify + medallion paths match reference semantics") {
+    assert(Paths.slugify("My Data_Set 2024!") == "my-data-set-2024")
+    assert(Paths.goldBi("Acme Corp", "Q1 Sales") == "acme-corp/gold/bi/q1-sales/q1-sales.parquet")
+    assert(Paths.quarantine("acme", "claims") == "acme/quarantine/claims_anomalies.csv")
+  }
+
+  test("visualization: analysis classifies columns, selection ranks charts") {
+    import graft.viz.Visualization
+    val ev = graft.core.Tables.table(spark, sfDir, "events")
+    val profiles = Visualization.analyze(ev)
+    val byName = profiles.map(p => p.name -> p).toMap
+    assert(byName("value").kind == "numeric")
+    assert(byName("event_type").kind == "categorical")
+    assert(byName("ts").kind == "datetime")
+    assert(byName("event_id").isId)
+    val charts = Visualization.selectCharts(profiles)
+    assert(charts.nonEmpty && charts.size <= 10)
+    assert(charts.head.priority >= charts.last.priority)
+    // bar chart renders through the §2.9 top-k shape
+    val bar = charts.find(_.chartType == "bar")
+    bar.foreach { b =>
+      assert(Visualization.dataFor(ev, b).count() <= 15)
+    }
+    val pie = charts.find(_.chartType == "pie").get
+    val rows = Visualization.dataFor(ev, pie).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toSeq
+    val json = Visualization.echartsConfig(pie, rows)
+    assert(json.contains("\"type\":\"pie\""))
+  }
+
+  test("insight profile text summarizes columns") {
+    val txt = graft.viz.InsightProfile.profileText(
+      graft.core.Tables.table(spark, sfDir, "nation"))
+    assert(txt.contains("n_nationkey") && txt.contains("25 rows"))
+  }
+}

@@ -97,7 +97,63 @@ object ExtraQueries {
         .select(col("media_id"), col("kind"), col("n_bytes"),
           round(element_at(col("feature"), 1), 4).as("f0"))
         .orderBy(col("media_id"))
-    })
+    }),
+
+    "q_metadata_columns" -> ((s, dir) =>
+      // MetadataToColumns guarantees the _meta_* column set exists
+      MetadataToColumns()(t(s, dir, "region"))
+        .select(col("r_regionkey"), col("r_name"),
+          col("_meta_is_anomaly"), col("_meta_quality_score"))
+        .orderBy(col("r_regionkey"))),
+
+    "q_remove_fields" -> ((s, dir) => {
+      // remove_fields relational semantics: all-missing columns are dropped
+      val df = t(s, dir, "supplier")
+        .withColumn("dead_col", lit(null).cast(StringType))
+        .withColumn("live_col",
+          when(col("s_suppkey") % 2 === 0, col("s_name")))
+      NullRemover("remove_fields")(df).orderBy(col("s_suppkey"))
+    }),
+
+    "q_quality_filter" -> ((s, dir) => {
+      // filterLow=true drops rows under min_score (quality_scorer.py:148-155)
+      val df = t(s, dir, "customer").select(
+        col("c_custkey").as("customer_id"),
+        when(col("c_custkey") % 3 === 0, lit("not-an-email"))
+          .otherwise(concat(col("c_name"), lit("@x.co"))).as("email"),
+        col("c_acctbal").as("amount"))
+      QualityScorer(fields = Seq("customer_id", "email", "amount"),
+        minScore = 0.95, filterLow = true)(df)
+        .select(col("customer_id"), col("_meta_quality_score").as("quality_score"))
+        .orderBy(col("customer_id"))
+    }),
+
+    "q_anomaly_split_clean" -> ((s, dir) => {
+      // splitter routing: quarantine side filtered out, clean side flows on
+      val flagged = AnomalyDetector.zscore(t(s, dir, "events"), Seq("value"), 2.0)
+      val (clean, _) = AnomalySplitter.split(flagged)
+      clean.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_clean"),
+          Semantics.exactSum(col("value")).as("clean_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_drilldown_total" -> ((s, dir) =>
+      // the drill-down endpoint's companion total COUNT(*) (duckdb_service.py:436-505)
+      t(s, dir, "customer")
+        .filter(graft.query.Filter.compile(Seq(
+          graft.query.Filter.Eq("c_mktsegment", "BUILDING"),
+          graft.query.Filter.Gt("c_acctbal", 0.0))))
+        .agg(count(lit(1)).as("total_count"))),
+
+    "q_scatter_sample" -> ((s, dir) =>
+      // deterministic "sample" cap for scatter charts: ordered head, not
+      // random (visualization_generator.py:436 uses df.sample; a seeded
+      // random sample is not reproducible cross-engine, so the engine uses
+      // an ordered limit — documented deviation)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")).limit(1000))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -139,6 +195,54 @@ object ExtraQueries {
         |JOIN norms na ON na.vec_id = id_a
         |JOIN norms nb ON nb.vec_id = id_b
         |WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.35
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_metadata_columns" ->
+      """SELECT r_regionkey, r_name, FALSE AS _meta_is_anomaly,
+        |  CAST(NULL AS DOUBLE) AS _meta_quality_score
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "q_remove_fields" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+        |  CASE WHEN s_suppkey % 2 = 0 THEN s_name END AS live_col
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q_quality_filter" -> {
+      val email = "CASE WHEN c_custkey % 3 = 0 THEN 'not-an-email' ELSE c_name || '@x.co' END"
+      // completeness=1; validity: email rule only; consistency: id + amount>0
+      s"""WITH d AS (SELECT c_custkey AS customer_id, $email AS email,
+         |    c_acctbal AS amount FROM customer),
+         |m AS (SELECT customer_id,
+         |  ROUND(0.4 * 1.0 +
+         |    0.3 * ((1.0 + (CASE WHEN email LIKE '%@%' AND email LIKE '%.%'
+         |                   THEN 1.0 ELSE 0.0 END) + 1.0) / 3.0) +
+         |    0.3 * ((1.0 + 1.0 +
+         |      (CASE WHEN amount > 0 THEN 1.0 ELSE 0.0 END)) / 3.0), 4)
+         |    AS quality_score
+         |  FROM d)
+         |SELECT customer_id, quality_score FROM m
+         |WHERE quality_score >= 0.95 ORDER BY customer_id""".stripMargin
+    },
+
+    "q_anomaly_split_clean" ->
+      s"""WITH s AS (SELECT
+         |    CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(value) AS mu,
+         |    SQRT(CAST(SUM(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(value)
+         |      - POW(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(value), 2)) AS sigma,
+         |    COUNT(value) AS n
+         |  FROM events)
+         |SELECT event_type, COUNT(*) AS n_clean, ${esum("value")} AS clean_value
+         |FROM events, s
+         |WHERE NOT (s.n >= 3 AND s.sigma > 0 AND value IS NOT NULL
+         |           AND ABS(value - s.mu) / s.sigma > 2.0)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_drilldown_total" ->
+      """SELECT COUNT(*) AS total_count FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0.0""".stripMargin,
+
+    "q_scatter_sample" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 1000""".stripMargin
   )
 }

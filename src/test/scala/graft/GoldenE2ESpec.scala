@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators._
+import graft.pipeline.Pipeline
+
+/** Golden end-to-end chain (SURVEY §5.2 item 4): replicate the reference's
+  * comprehensive pipeline — fault-injected input → cleaners → scorer →
+  * dedup → anomaly → split → dashboard aggregates — with committed expected
+  * counts. Fault injection follows FIXTURES.md §3 (nulls at fixed rates via
+  * deterministic key predicates, negative amounts, duplicated rows).
+  */
+class GoldenE2ESpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Deterministic faulty retail-ish frame derived from the customer table:
+    * 150 rows → +15 exact duplicates; phone nulled ~1/7, email emptied ~1/5,
+    * amount negated ~1/11. */
+  private def faultyInput = {
+    val base = graft.core.Tables.table(spark, sfDir, "customer")
+      .select(
+        col("c_custkey").as("id"),
+        col("c_name").as("name"),
+        concat(col("c_name"), lit("@shop.example")).as("email"),
+        col("c_acctbal").as("amount"),
+        col("c_mktsegment").as("segment"))
+      .withColumn("phone",
+        when(col("id") % 7 === 0, lit(null).cast(StringType))
+          .otherwise(concat(lit("555-"), col("id"))))
+      .withColumn("email", when(col("id") % 5 === 0, lit("")).otherwise(col("email")))
+      .withColumn("amount", when(col("id") % 11 === 0, -abs(col("amount")))
+        .otherwise(col("amount")))
+    val dupes = base.filter(col("id") % 10 === 0) // 15 duplicate rows
+    base.unionByName(dupes).withColumn("_row_id", monotonically_increasing_id())
+  }
+
+  test("golden chain: faults -> clean -> dedup -> score -> split -> aggregate") {
+    val input = faultyInput.cache()
+    assert(input.count() == 165) // 150 + 15 dupes
+
+    // stage 1: drop rows with missing phone/email (null OR empty)
+    val cleaned = NullRemover("drop", Seq("phone", "email"))(input)
+    val expectDropped = input.filter(
+      col("phone").isNull || col("email") === "").count()
+    assert(cleaned.count() == 165 - expectDropped)
+
+    // stage 2: exact dedup on business key
+    val deduped = ExactDedup(cleaned, Seq("id"), "keep_first")
+    assert(deduped.count() == cleaned.select("id").distinct().count())
+
+    // stage 3: quality scoring marks negative amounts
+    val scored = QualityScorer(fields = Seq("id", "email", "amount", "segment"),
+      minScore = 0.95)(deduped)
+    val lowQuality = scored.filter(col("_meta_is_anomaly")).count()
+    val negatives = deduped.filter(col("amount") < 0).count()
+    assert(lowQuality == negatives) // only the amount rule fires
+
+    // stage 4: split → quarantine + clean
+    val (clean, quarantined) = AnomalySplitter.split(scored)
+    assert(clean.count() + quarantined.count() == scored.count())
+    assert(quarantined.count() == lowQuality)
+
+    // stage 5: dashboard aggregates over the clean set
+    val summary = DashboardAggregator.summary(clean, "amount",
+      qualityCol = Some("_meta_quality_score")).head()
+    assert(summary.getAs[Long]("record_count") == clean.count())
+    assert(summary.getAs[Double]("min_amount") >= 0) // negatives quarantined
+
+    val bySegment = DashboardAggregator.byCategory(clean, "segment", "amount")
+    assert(bySegment.count() == clean.select("segment").distinct().count())
+    // counts conserve
+    assert(bySegment.agg(sum("record_count")).head().getLong(0) == clean.count())
+    input.unpersist()
+  }
+
+  test("golden chain via Pipeline builder writes gold + quarantine") {
+    val out = java.nio.file.Files.createTempDirectory("graft_golden").toString
+    val result = Pipeline
+      .extract(_ => faultyInput)
+      .transform(NullRemover("drop", Seq("phone", "email")))
+      .transform(new TransformStage {
+        def name = "dedup"
+        def apply(df: org.apache.spark.sql.DataFrame) =
+          ExactDedup(df, Seq("id"), "keep_first")
+      })
+      .transform(QualityScorer(fields = Seq("id", "email", "amount", "segment"),
+        minScore = 0.95))
+      .transform(new TransformStage {
+        def name = "quarantine"
+        def apply(df: org.apache.spark.sql.DataFrame) =
+          AnomalySplitter.quarantine(df, s"$out/quarantine")
+      })
+      .load(df => graft.io.Sinks.parquet(df, s"$out/gold"))
+      .run(spark)
+    val gold = spark.read.parquet(s"$out/gold")
+    val quarantine = spark.read.option("header", "true").csv(s"$out/quarantine")
+    assert(gold.count() == result.rowsLoaded)
+    assert(quarantine.count() > 0)
+    assert(gold.filter(col("amount") < 0).count() == 0)
+  }
+}

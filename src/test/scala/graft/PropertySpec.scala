@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators._
+
+/** ScalaCheck properties (SURVEY §5.2 item 3) over generated frames.
+  * Raw ScalaCheck generators driven with fixed seeds (the scalatestplus
+  * bridge is not in the offline dependency cache). */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Deterministic samples: gen evaluated under seeds 0..n-1. */
+  private def forAllSeeded[T](gen: Gen[T], n: Int = 8)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong))
+        .foreach(body)
+    }
+
+  private val rowGen = Gen.listOfN(40, for {
+    key <- Gen.choose(0, 8)
+    v <- Gen.oneOf(Gen.choose(-100.0, 100.0).map(_.toString),
+      Gen.const(""), Gen.const(null: String), Gen.alphaStr.map(_.take(5)))
+  } yield (key, v))
+
+  test("dedup is idempotent and keeps one row per key (property)") {
+    forAllSeeded(rowGen) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.zipWithIndex
+          .map { case ((k, v), i) => (i.toLong, k, v) }
+          .toDF("_row_id", "k", "v")
+        val once = ExactDedup(df, Seq("k"), "keep_first")
+        val twice = ExactDedup(once, Seq("k"), "keep_first")
+        assert(once.count() == twice.count())
+        assert(once.count() == df.select("k").distinct().count())
+      }
+    }
+  }
+
+  test("quality score stays within [0,1] for arbitrary values (property)") {
+    forAllSeeded(rowGen) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.zipWithIndex
+          .map { case ((k, v), i) => (i.toLong, v, k.toDouble) }
+          .toDF("record_id", "email", "amount")
+        val scores = QualityScorer(fields = Seq("record_id", "email", "amount"))(df)
+          .select("_meta_quality_score").as[Double].collect()
+        assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+      }
+    }
+  }
+
+  test("aggregation conserves counts across any grouping (property)") {
+    forAllSeeded(rowGen) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.zipWithIndex
+          .map { case ((k, v), i) => (i.toLong, k, v) }
+          .toDF("_row_id", "k", "v")
+        val out = Aggregator.aggregate(df, Seq("k"),
+          Seq(Aggregator.AggSpec("n", "v", "count")))
+        assert(out.agg(sum("n")).head().getLong(0) == rows.size.toLong)
+      }
+    }
+  }
+
+  test("combined anomaly set is a subset of each method's set (property)") {
+    val df = graft.core.Tables.table(spark, sfDir, "events")
+    val z = AnomalyDetector.zscore(df, Seq("value"), 2.0)
+      .filter(col("_meta_is_anomaly")).select("event_id").as[Long].collect().toSet
+    val i = AnomalyDetector.iqr(df, Seq("value"), 1.5)
+      .filter(col("_meta_is_anomaly")).select("event_id").as[Long].collect().toSet
+    val c = AnomalyDetector.combined(df, Seq("value"), 2.0, 1.5)
+      .filter(col("_meta_is_anomaly")).select("event_id").as[Long].collect().toSet
+    assert(c.subsetOf(z) && c.subsetOf(i) && c == (z intersect i))
+  }
+
+  test("filter compilation equals manual predicate (property)") {
+    import graft.query.Filter
+    val df = graft.core.Tables.table(spark, sfDir, "orders")
+    forAllSeeded(Gen.zip(Gen.choose(0.0, 400000.0), Gen.oneOf("O", "F", "P")), 5) { case (p, st) =>
+      val viaCompile = df.filter(Filter.compile(Seq(
+        Filter.Gt("o_totalprice", p), Filter.Eq("o_orderstatus", st)))).count()
+      val manual = df.filter(col("o_totalprice") > p &&
+        col("o_orderstatus") === st).count()
+      assert(viaCompile == manual)
+    }
+  }
+}

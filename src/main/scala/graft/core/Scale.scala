@@ -1,0 +1,79 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session factory with the scale-tuned defaults every entry point shares.
+  * One long-lived session + cached table registry is the latency answer to
+  * the reference's per-query DuckDB connections (SURVEY §7.4.6). */
+object Sessions {
+  def build(master: String = "local[*]", shufflePartitions: Int = 32,
+      appName: String = "graft"): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}
+
+/** Skew tooling: when a group/join key is pathologically hot (the classic
+  * null-key or whale-customer problem), AQE's skew-join split handles the
+  * join side, but a skewed AGGREGATION still funnels one key's rows into
+  * one task. Salting splits the hot key into `saltBuckets` sub-keys,
+  * aggregates partially per (key, salt), then finishes per key — two small
+  * shuffles instead of one stuck straggler. */
+object Skew {
+  /** Two-phase salted aggregation: numeric sum/count-style specs only
+    * (anything expressible as a commutative monoid re-aggregates safely). */
+  def saltedAggregate(df: DataFrame, key: Column, saltBuckets: Int,
+      sums: Seq[(String, Column)]): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    val salted = df.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val partial = salted
+      .groupBy(key.as("_key"), col("_salt"))
+      .agg(count(lit(1)).as("_n"),
+        sums.zipWithIndex.map { case ((_, c), i) => sum(c).as(s"_s$i") }: _*)
+    partial.groupBy(col("_key"))
+      .agg(sum(col("_n")).as("n"),
+        sums.zipWithIndex.map { case ((name, _), i) =>
+          sum(col(s"_s$i")).as(name) }: _*)
+  }
+
+  /** Salted broadcast-side replication for joining a skewed fact against a
+    * small dim whose key is hot: replicate the dim `saltBuckets`× and join
+    * on (key, salt) so the hot key's rows spread across tasks. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltBuckets: Int): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    val saltedFact = fact.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val replicatedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedFact.join(broadcast(replicatedDim), Seq(key, "_salt")).drop("_salt")
+  }
+}
+
+/** Bucketing: pre-shuffling a table ON DISK by join key so repeated joins
+  * and aggregations on that key run exchange-free. The write pays one
+  * shuffle once; every subsequent join saves one. The 100 TB pattern for
+  * fact-to-fact joins that broadcast can't cover. */
+object Bucketing {
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}

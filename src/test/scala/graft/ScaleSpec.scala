@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Bucketing, Skew}
+
+class ScaleSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("salted aggregation equals plain aggregation on skewed data") {
+    // 90% of rows share one hot key
+    val rows = (1 to 2000).map(i =>
+      (if (i % 10 == 0) s"key_$i" else "HOT", i.toDouble))
+    val df = rows.toDF("k", "v")
+    val salted = Skew.saltedAggregate(df, col("k"), saltBuckets = 8,
+      sums = Seq("total" -> col("v")))
+      .select(col("_key").as("k"), col("n"), col("total"))
+    val plain = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("total"))
+    assert(salted.count() == plain.count())
+    val s = salted.filter(col("k") === "HOT").head()
+    val p = plain.filter(col("k") === "HOT").head()
+    assert(s.getAs[Long]("n") == p.getAs[Long]("n"))
+    assert(math.abs(s.getAs[Double]("total") - p.getAs[Double]("total")) < 1e-6)
+  }
+
+  test("salted join equals plain join and spreads the hot key") {
+    val fact = (1 to 1000).map(i => (if (i % 5 == 0) i % 7 else 3, i))
+      .toDF("dim_id", "x")
+    val dim = (0 to 6).map(i => (i, s"name_$i")).toDF("dim_id", "name")
+    val saltedOut = Skew.saltedJoin(fact, dim, "dim_id", saltBuckets = 4)
+    val plainOut = fact.join(dim, "dim_id")
+    assert(saltedOut.count() == plainOut.count())
+    assert(saltedOut.agg(sum("x")).head().getLong(0) ==
+      plainOut.agg(sum("x")).head().getLong(0))
+  }
+
+  test("bucketed join plans without a shuffle exchange on the bucketed side") {
+    // default warehouse (./spark-warehouse, gitignored) — the conf is static;
+    // clear leftovers from prior JVMs (in-memory catalog forgets, disk doesn't)
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(d)
+      }
+    }
+    val orders = graft.core.Tables.table(spark, sfDir, "orders")
+    val lineitem = graft.core.Tables.table(spark, sfDir, "lineitem")
+    Bucketing.writeBucketed(
+      orders.withColumnRenamed("o_orderkey", "key"), "orders_b", "key", 4)
+    Bucketing.writeBucketed(
+      lineitem.withColumnRenamed("l_orderkey", "key"), "lineitem_b", "key", 4)
+    // force the shuffle-join path (tiny test tables would broadcast and the
+    // planner would skip bucketing entirely)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.readTable(spark, "lineitem_b")
+        .join(Bucketing.readTable(spark, "orders_b"), "key")
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located bucketed join: SortMergeJoin with NO ShuffleExchange
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"))
+      assert(joined.count() == lineitem.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

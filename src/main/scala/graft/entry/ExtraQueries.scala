@@ -153,7 +153,23 @@ object ExtraQueries {
       // an ordered limit — documented deviation)
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"))
-        .orderBy(col("o_orderkey")).limit(1000))
+        .orderBy(col("o_orderkey")).limit(1000)),
+
+    "q_query_metrics" -> ((s, dir) =>
+      // the full §2.6 endpoint shape through QueryService: filters + all
+      // metric fns + default first-metric-desc ordering + limit
+      graft.query.QueryService.query(t(s, dir, "lineitem"),
+        Seq(graft.query.Filter.Between("l_quantity", 5.0, 45.0)),
+        graft.query.AggregationSpec(
+          groupBy = Seq("l_linestatus"),
+          metrics = Seq(
+            graft.query.Metric("sum", "l_extendedprice", "total_price"),
+            graft.query.Metric("avg", "l_extendedprice", "avg_price"),
+            graft.query.Metric("min", "l_quantity", "min_qty"),
+            graft.query.Metric("max", "l_quantity", "max_qty"),
+            graft.query.Metric("count", "l_orderkey", "n_rows"),
+            graft.query.Metric("count_distinct", "l_suppkey", "n_supp")),
+          limit = Some(10))))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -243,6 +259,16 @@ object ExtraQueries {
 
     "q_scatter_sample" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_orderkey LIMIT 1000""".stripMargin
+        |ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+
+    "q_query_metrics" ->
+      s"""SELECT l_linestatus,
+         |  ${esum("l_extendedprice")} AS total_price,
+         |  ${eavg("l_extendedprice")} AS avg_price,
+         |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+         |  COUNT(*) AS n_rows, COUNT(DISTINCT l_suppkey) AS n_supp
+         |FROM lineitem WHERE l_quantity BETWEEN 5.0 AND 45.0
+         |GROUP BY l_linestatus
+         |ORDER BY total_price DESC, l_linestatus ASC LIMIT 10""".stripMargin
   )
 }

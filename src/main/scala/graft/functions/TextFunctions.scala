@@ -51,10 +51,12 @@ object TextFunctions {
   }
 
   def meanWordLength(text: Column): Column = {
-    val words = split(trim(lower(text)), "\\s+")
-    val n = size(words)
+    // arithmetic form — total word chars = chars minus separators; avoids a
+    // split-array materialization entirely
+    val norm = trim(regexp_replace(lower(text), "\\s+", " "))
+    val n = tokenCount(text)
     when(n === 0, 0.0).otherwise(
-      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast(DoubleType) /
+      length(replace(norm, lit(" "), lit(""))).cast(DoubleType) /
         n.cast(DoubleType))
   }
 

@@ -32,21 +32,37 @@ final class Pipeline private (
   def checkpointed(dir: String): Pipeline =
     new Pipeline(source, stages, sinks, Some(dir))
 
+  /** `stageRowCounts` are observe()-metric counts of rows that actually
+    * FLOWED through each stage — because stages fuse into one lazy plan, a
+    * downstream limit legitimately truncates upstream counts (rows never
+    * computed are never counted). That is the cost-accurate reading; for
+    * materialized per-stage cardinality use `checkpointed(dir)`, where each
+    * stage boundary is a real write. */
   final case class Result(df: DataFrame, rowsLoaded: Long,
-      stageNames: Seq[String], durationMs: Long)
+      stageNames: Seq[String], durationMs: Long,
+      stageRowCounts: Map[String, Long] = Map.empty)
 
   def run(spark: SparkSession): Result = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit}
     val t0 = System.currentTimeMillis()
     val extracted = source(spark)
     val afterExtract = checkpointDir.fold(extracted) { dir =>
       extracted.write.mode("overwrite").parquet(s"$dir/extracted")
       spark.read.parquet(s"$dir/extracted")
     }
+    // per-stage processed counts ride the SAME job via observe() metrics —
+    // the reference's per-transformer stats (base_transformer.py:52-81)
+    // without one extra action per stage
+    val observations = scala.collection.mutable.ListBuffer.empty[(String, Observation)]
     val transformed = stages.zipWithIndex.foldLeft(afterExtract) {
       case (df, (stage, i)) =>
         val out = stage(df)
-        checkpointDir.fold(out) { dir =>
-          out.write.mode("overwrite").parquet(s"$dir/stage_$i")
+        val obs = Observation(s"stage_${i}_${stage.name}")
+        observations += ((stage.name, obs))
+        val observed = out.observe(obs, count(lit(1)).as("rows"))
+        checkpointDir.fold(observed) { dir =>
+          observed.write.mode("overwrite").parquet(s"$dir/stage_$i")
           spark.read.parquet(s"$dir/stage_$i")
         }
     }
@@ -58,7 +74,11 @@ final class Pipeline private (
         try { sinks.foreach(_(cached)); cached.count() }
         finally if (sinks.size > 1) { cached.unpersist(); () }
       }
-    Result(transformed, rows, stages.map(_.name), System.currentTimeMillis() - t0)
+    val stageCounts = observations.map { case (name, obs) =>
+      name -> obs.getAsJava.getOrDefault("rows", -1L).asInstanceOf[Long]
+    }.toMap
+    Result(transformed, rows, stages.map(_.name),
+      System.currentTimeMillis() - t0, stageCounts)
   }
 
   /** Resume from a previous run's checkpoint, skipping completed stages. */

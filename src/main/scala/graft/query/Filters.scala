@@ -73,9 +73,13 @@ object Filter {
   * (`duckdb_service.py:327-434`): SUM/AVG/MIN/MAX/COUNT/COUNT DISTINCT with
   * output alias. */
 final case class Metric(fn: String, field: String, alias: String) {
+  import graft.core.Semantics.{exactAvg, exactSum}
+  // sum/avg accumulate in decimal: associative, so results don't depend on
+  // partition/merge order — required for oracle hashing, and the right
+  // default anyway (repeatable dashboards across reruns and cluster sizes)
   def toColumn: Column = fn.toLowerCase match {
-    case "sum"            => sum(col(field)).as(alias)
-    case "avg"            => avg(col(field)).as(alias)
+    case "sum"            => exactSum(col(field)).as(alias)
+    case "avg"            => exactAvg(col(field)).as(alias)
     case "min"            => min(col(field)).as(alias)
     case "max"            => max(col(field)).as(alias)
     case "count"          => count(lit(1)).as(alias)

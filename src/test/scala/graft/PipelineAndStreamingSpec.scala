@@ -16,6 +16,8 @@ class PipelineAndStreamingSpec extends SparkSuite {
       .load(df => graft.io.Sinks.parquet(df, s"$out/gold"))
       .run(spark)
     assert(result.rowsLoaded == 150L)
+    // observe() metrics: per-stage processed counts without extra actions
+    assert(result.stageRowCounts.values.forall(_ == 150L))
     val readBack = spark.read.parquet(s"$out/gold")
     assert(readBack.columns.contains("_meta_quality_score"))
   }

@@ -117,6 +117,17 @@ object DocQueries {
         .withColumn("similarity", round(col("similarity"), 4))
     }),
 
+    "q_embed_ivf" -> ((s, dir) => {
+      // IVF scale path: k-means lists + bounded-probe search (rows-only:
+      // k-means centroids are library-specific)
+      val emb = t(s, dir, "embeddings")
+      val qvec = emb.filter(col("vec_id") === 2)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val index = Similarity.ivfIndex(emb, "embedding", "vec_id", nLists = 8)
+      Similarity.ivfSearch(index, "embedding", "vec_id", qvec, k = 15, nProbe = 4)
+        .withColumn("similarity", round(col("similarity"), 4))
+    }),
+
     "q_embed_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.annJoin(

@@ -69,6 +69,99 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF (inverted-file) index: cluster the corpus with seeded k-means on a
+    * bounded sample, assign every vector to its nearest centroid (one
+    * partition-local pass), and search only the `nProbe` lists nearest the
+    * query. The standard billion-vector recipe: index build is one k-means
+    * + one assignment scan; each query touches nProbe/nLists of the data.
+    */
+  final case class IvfIndex(assigned: DataFrame, centroids: Array[(Int, Seq[Double])])
+
+  def ivfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      nLists: Int = 16, seed: Long = 42L, sample: Int = 10000,
+      iters: Int = 10): IvfIndex = {
+    // centroid training runs on the DRIVER over a bounded sample: k-means on
+    // ≤10k vectors is microseconds of arithmetic, while a distributed fit
+    // pays seconds of scheduling per iteration. The distributed part of IVF
+    // is the assignment scan — a partition-local argmin projection.
+    val sampleVecs = corpus.select(col(vecCol)).limit(sample).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centers = lloyds(sampleVecs, nLists, iters, seed)
+    val centroids = centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    val assigned = corpus.withColumn("_list",
+      nearestCentroid(col(vecCol), centroids))
+    IvfIndex(assigned, centroids)
+  }
+
+  /** Seeded Lloyd's iterations; empty clusters re-seeded deterministically. */
+  private def lloyds(data: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(data.nonEmpty, "ivfIndex needs a non-empty corpus")
+    val dim = data(0).length
+    val rng = new scala.util.Random(seed)
+    var centers = Array.fill(k)(data(rng.nextInt(data.length)).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      data.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - centers(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      centers = Array.tabulate(k) { c =>
+        if (counts(c) == 0) data(rng.nextInt(data.length)).clone()
+        else { val s = sums(c); var j = 0
+          while (j < dim) { s(j) /= counts(c); j += 1 }; s }
+      }
+      it += 1
+    }
+    centers
+  }
+
+  private def nearestCentroid(vec: Column,
+      centroids: Array[(Int, Seq[Double])]): Column = {
+    val scored = centroids.map { case (i, c) =>
+      val cArr = array(c.map(lit): _*)
+      struct(
+        aggregate(zip_with(vec, cArr, (x, y) => {
+          val d = x.cast(DoubleType) - y
+          d * d
+        }), lit(0.0), (acc, v) => acc + v).as("d"),
+        lit(i).as("i"))
+    }
+    // argmin via array_min over (distance, id) structs: each distance is
+    // evaluated exactly once. A when-chain reduce re-evaluates operand
+    // structs at every nesting level — exponential re-computation.
+    array_min(array(scored.toIndexedSeq: _*)).getField("i")
+  }
+
+  /** Search an IVF index: score only vectors whose list is among the
+    * query's `nProbe` nearest centroids. */
+  def ivfSearch(index: IvfIndex, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val qArr = query.map(_.toDouble)
+    val probeLists = index.centroids
+      .map { case (i, c) =>
+        val d = c.zip(qArr).map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, d)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    val q = array(query.map(v => lit(v)): _*)
+    index.assigned
+      .filter(col("_list").isin(probeLists.toIndexedSeq: _*))
+      .select(col(idCol), cosine(col(vecCol), q).as("similarity"))
+      .orderBy(col("similarity").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Bucketed ANN: pre-bucket the corpus once (cheap projection), then join
     * query buckets to corpus buckets — shuffle on bucket id only, never a
     * full cross product. */

@@ -14,6 +14,17 @@ import org.apache.spark.sql.types._
   */
 object QueryService {
 
+  /** Result envelope with `query_time_ms`, mirroring the reference's
+    * per-query timing (`duckdb_service.py:417-431`). Wall clock around the
+    * materializing action — the number a dashboard actually experiences. */
+  final case class TimedResult(rows: Seq[Row], queryTimeMs: Long)
+
+  def timed(df: DataFrame): TimedResult = {
+    val t0 = System.nanoTime()
+    val rows = df.collect().toSeq
+    TimedResult(rows, (System.nanoTime() - t0) / 1000000L)
+  }
+
   /** Filtered aggregation (`duckdb_service.py:327-434`).
     * No-agg fallback = `SELECT * ... LIMIT 1000` like the reference. */
   def query(df: DataFrame, filters: Seq[Filter], spec: AggregationSpec): DataFrame = {

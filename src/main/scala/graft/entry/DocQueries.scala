@@ -222,6 +222,18 @@ object DocQueries {
       graft.io.Sinks.jsonl(t(s, dir, "nation"), out)
       graft.io.Sources.jsonl(s, out, schema = Some(t(s, dir, "nation").schema))
         .orderBy(col("n_nationkey"))
+    }),
+
+    "q_json_array_roundtrip" -> ((s, dir) => {
+      // single-file JSON array export (json_loader.py:181-248) + array read;
+      // cast back through the original schema for dtype parity
+      val out = s"/tmp/graft_roundtrip/json_region/region.json"
+      val src = t(s, dir, "region")
+      graft.io.Sinks.jsonArray(src, out, pretty = true)
+      val readBack = graft.io.Sources.jsonArray(s, out)
+      src.schema.fields.foldLeft(readBack) { (df, f) =>
+        df.withColumn(f.name, col(f.name).cast(f.dataType))
+      }.select(src.columns.map(col): _*).orderBy(col("r_regionkey"))
     })
   )
 
@@ -460,6 +472,9 @@ object DocQueries {
       "SELECT * FROM region ORDER BY r_regionkey",
 
     "q_jsonl_roundtrip" ->
-      "SELECT * FROM nation ORDER BY n_nationkey"
+      "SELECT * FROM nation ORDER BY n_nationkey",
+
+    "q_json_array_roundtrip" ->
+      "SELECT * FROM region ORDER BY r_regionkey"
   )
 }

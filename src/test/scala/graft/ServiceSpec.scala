@@ -91,6 +91,35 @@ class ServiceSpec extends SparkSuite {
     assert(json.contains("\"type\":\"pie\""))
   }
 
+  test("type system round-trips through StructType metadata and builds DDL") {
+    import graft.core.Types
+    import graft.core.Types._
+    val spec = SchemaSpec(Seq(
+      FieldSpec("id", FInteger, nullable = false),
+      FieldSpec("email", FString, pattern = Some("^[^@]+@[^@]+$"),
+        inferred = true, confidence = 0.93),
+      FieldSpec("amount", FFloat, minValue = Some(0.0), maxValue = Some(1e6)),
+      FieldSpec("tags", FArray), FieldSpec("meta", FJson),
+      FieldSpec("born", FDate), FieldSpec("seen", FTimestamp),
+      FieldSpec("active", FBoolean)), primaryKey = Some("id"))
+    val st = Types.toStructType(spec)
+    assert(st("email").metadata.getString("pattern") == "^[^@]+@[^@]+$")
+    val back = Types.fromStructType(st)
+    assert(back.primaryKey.contains("id"))
+    assert(back.fields.map(_.fieldType) == spec.fields.map(_.fieldType))
+    assert(back.fields.find(_.name == "email").get.confidence == 0.93)
+    // per-sink DDL parity (sqlite_loader.py:114-127 / postgres_loader.py:182-194)
+    val sqlite = Types.createTableDdl("t", spec, "sqlite")
+    assert(sqlite.contains("id INTEGER NOT NULL PRIMARY KEY"))
+    assert(sqlite.contains("active INTEGER") && sqlite.contains("born TEXT"))
+    val pg = Types.createTableDdl("t", spec, "postgres")
+    assert(pg.contains("amount DOUBLE PRECISION") && pg.contains("meta JSONB")
+      && pg.contains("tags TEXT[]") && pg.contains("active BOOLEAN"))
+    // spark mapping both ways
+    assert(Types.toSpark(FInteger) == org.apache.spark.sql.types.LongType)
+    assert(Types.fromSpark(org.apache.spark.sql.types.DecimalType(10, 2)) == FFloat)
+  }
+
   test("insight profile text summarizes columns") {
     val txt = graft.viz.InsightProfile.profileText(
       graft.core.Tables.table(spark, sfDir, "nation"))

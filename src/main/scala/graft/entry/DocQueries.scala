@@ -32,12 +32,13 @@ object DocQueries {
         .orderBy(col("doc_id"))),
 
     "q_doc_quality" -> ((s, dir) =>
-      t(s, dir, "documents").select(
+      // one-pass signals: shared normalizations, each regex evaluated once
+      TF.qualitySignalsTable(t(s, dir, "documents"), "text").select(
         col("doc_id"),
-        Semantics.safeRound(TF.punctRatio(col("text")), 4).as("punct_ratio"),
-        Semantics.safeRound(TF.stopwordRatio(col("text")), 4).as("stopword_ratio"),
-        Semantics.safeRound(TF.meanWordLength(col("text")), 4).as("mean_word_len"),
-        TF.qualityScore(col("text")).as("quality"))
+        Semantics.safeRound(col("punct_ratio"), 4).as("punct_ratio"),
+        Semantics.safeRound(col("stopword_ratio"), 4).as("stopword_ratio"),
+        Semantics.safeRound(col("mean_word_len"), 4).as("mean_word_len"),
+        col("quality"))
         .orderBy(col("doc_id"))),
 
     "q_doc_langid" -> ((s, dir) =>

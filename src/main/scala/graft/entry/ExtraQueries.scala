@@ -57,24 +57,36 @@ object ExtraQueries {
         .orderBy(col("window_start"), col("event_type"))),
 
     "q_embed_neardup" -> ((s, dir) => {
-      // exact pairwise cosine ≥ 0.35 within a fixed 300-vector slice:
-      // the brute-force oracle twin of the LSH path (decimal-exact sums)
+      // exact pairwise cosine ≥ 0.35 within a fixed 300-vector slice: the
+      // brute-force oracle twin of the LSH path (decimal-exact sums).
+      //
+      // Physical shape: pair generation is a broadcast nested-loop join on
+      // the ARRAYS (id_a < id_b halves it) — never a join keyed on the
+      // 64-value dimension index, which would funnel the whole product
+      // matrix through 64 shuffle keys. The per-pair element products are
+      // exploded IN-PIPELINE and partial aggregation collapses them map-side,
+      // so the only shuffle carries one row per surviving pair.
       val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
-      val e = emb.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("i", "v")))
+      val e = emb.select(col("vec_id"), col("embedding"))
+      val norms = e.select(col("vec_id"),
+        explode(col("embedding")).as("v"))
         .withColumn("v", col("v").cast(DoubleType))
-      val norms = e.groupBy(col("vec_id")).agg(
-        sqrt(sum((col("v") * col("v")).cast(DecimalType(38, 18))).cast(DoubleType))
-          .as("nrm"))
-      val a = e.select(col("vec_id").as("id_a"), col("i"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("i"), col("v").as("vb"))
-      val dots = a.join(b, Seq("i")).filter(col("id_a") < col("id_b"))
+        .groupBy(col("vec_id")).agg(
+          sqrt(sum((col("v") * col("v")).cast(DecimalType(38, 18))).cast(DoubleType))
+            .as("nrm"))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      val pairs = a.join(broadcast(b), col("id_a") < col("id_b"))
+      val dots = pairs
+        .select(col("id_a"), col("id_b"),
+          explode(zip_with(col("ea"), col("eb"), (x, y) =>
+            (x.cast(DoubleType) * y.cast(DoubleType)).cast(DecimalType(38, 18))))
+            .as("p"))
         .groupBy(col("id_a"), col("id_b"))
-        .agg(sum((col("va") * col("vb")).cast(DecimalType(38, 18)))
-          .cast(DoubleType).as("dot"))
+        .agg(sum(col("p")).cast(DoubleType).as("dot"))
       dots
-        .join(norms.select(col("vec_id").as("id_a"), col("nrm").as("na")), "id_a")
-        .join(norms.select(col("vec_id").as("id_b"), col("nrm").as("nb")), "id_b")
+        .join(broadcast(norms.select(col("vec_id").as("id_a"), col("nrm").as("na"))), "id_a")
+        .join(broadcast(norms.select(col("vec_id").as("id_b"), col("nrm").as("nb"))), "id_b")
         .select(col("id_a"), col("id_b"),
           round(col("dot") / (col("na") * col("nb")), 4).as("similarity"))
         .filter(col("similarity") >= 0.35)
@@ -154,6 +166,59 @@ object ExtraQueries {
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey")).limit(1000)),
+
+    "q_sessions" -> ((s, dir) =>
+      // batch twin of the streaming sessionizer: Spark-native session_window
+      // gap sessions (30 min), oracle = lag/cumsum construction on µs epochs
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          Semantics.exactSum(col("value")).as("total_value"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    "q_asof_join" -> ((s, dir) => {
+      // as-of join: every order gets its customer's most recent STRICTLY
+      // earlier order-day aggregate (union + keyed window — one shuffle,
+      // no range cross product; see operators/AsofJoin)
+      val orders = t(s, dir, "orders")
+      val daily = orders
+        .groupBy(col("o_custkey"), col("o_orderdate").as("prev_date"))
+        .agg(Semantics.exactSum(col("o_totalprice")).as("prev_total"),
+          count(lit(1)).as("prev_n"))
+      AsofJoin.backward(
+        left = orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        right = daily, keys = Seq("o_custkey"),
+        leftTs = "o_orderdate", rightTs = "prev_date", strict = true)
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("order_date"),
+          date_format(col("prev_date"), "yyyy-MM-dd HH:mm:ss").as("prev_date"),
+          col("prev_total"), col("prev_n"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_range_join" -> ((s, dir) => {
+      // binned range join: orders falling in the first 3 days of any week —
+      // equi-join on day bins + residual predicate, never a nested loop
+      // (see operators/RangeJoin)
+      // o_orderdate is TIMESTAMP_NTZ; session tz is UTC so the cast is exact
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .withColumn("p_us", unix_micros(col("o_orderdate").cast("timestamp")))
+      val weeks = orders
+        .select(date_trunc("week", col("o_orderdate")).as("w_start")).distinct()
+        .withColumn("s_us", unix_micros(col("w_start").cast("timestamp")))
+        .withColumn("e_us",
+          unix_micros((col("w_start") + expr("INTERVAL 3 DAYS")).cast("timestamp")))
+      RangeJoin.binned(points = orders, ranges = weeks,
+        pointCol = "p_us", startCol = "s_us", endCol = "e_us",
+        binWidth = 86400000000L) // 1-day bins in µs
+        .select(col("o_orderkey"),
+          date_format(col("w_start"), "yyyy-MM-dd").as("week_start"))
+        .orderBy(col("o_orderkey"))
+    }),
 
     "q_query_metrics" -> ((s, dir) =>
       // the full §2.6 endpoint shape through QueryService: filters + all
@@ -260,6 +325,42 @@ object ExtraQueries {
     "q_scatter_sample" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+
+    "q_sessions" ->
+      s"""WITH o AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN (epoch_ns(ts) // 1000) - LAG(epoch_ns(ts) // 1000)
+         |         OVER (PARTITION BY user_id ORDER BY ts) < 1800000000
+         |         THEN 0 ELSE 1 END AS new_s
+         |  FROM events),
+         |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |        ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+         |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  COUNT(*) AS n_events, ${esum("value")} AS total_value
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_asof_join" ->
+      s"""WITH daily AS (
+         |  SELECT o_custkey, o_orderdate AS prev_date,
+         |    ${esum("o_totalprice")} AS prev_total, COUNT(*) AS prev_n
+         |  FROM orders GROUP BY 1, 2)
+         |SELECT l.o_orderkey, l.o_custkey,
+         |  strftime(l.o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
+         |  strftime(d.prev_date, '%Y-%m-%d %H:%M:%S') AS prev_date,
+         |  d.prev_total, d.prev_n
+         |FROM orders l ASOF LEFT JOIN daily d
+         |  ON l.o_custkey = d.o_custkey AND l.o_orderdate > d.prev_date
+         |ORDER BY l.o_orderkey""".stripMargin,
+
+    "q_range_join" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT date_trunc('week', o_orderdate) AS w_start FROM orders)
+        |SELECT o.o_orderkey, strftime(w.w_start, '%Y-%m-%d') AS week_start
+        |FROM orders o JOIN weeks w
+        |  ON o.o_orderdate >= w.w_start
+        | AND o.o_orderdate < w.w_start + INTERVAL 3 DAY
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     "q_query_metrics" ->
       s"""SELECT l_linestatus,

@@ -71,6 +71,57 @@ object TextFunctions {
     round(rules.reduce(_ + _) / lit(rules.size.toDouble), 4)
   }
 
+  /** Table-scale quality signals: every normalization (trim, lowercase,
+    * whitespace collapse, punct strip) is computed ONCE in a staged
+    * projection and shared by all four signals. The per-column functions
+    * above re-derive their own normalizations, so composing them in one
+    * select re-runs each regex pass 3-4× per row — Catalyst keeps the staged
+    * aliases here because they are non-cheap and multiply-referenced
+    * (CollapseProject won't re-inline them). Values are bit-identical to the
+    * per-column forms (asserted in OperatorSpec).
+    *
+    * Adds: punct_ratio, stopword_ratio, mean_word_len, quality (all as
+    * [[punctRatio]]/[[stopwordRatio]]/[[meanWordLength]]/[[qualityScore]]).
+    */
+  def qualitySignalsTable(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val staged = df
+      .withColumn("_qs_t", trim(text))
+      .withColumn("_qs_norm", trim(regexp_replace(text, "\\s+", " ")))
+      .withColumn("_qs_norml", trim(regexp_replace(lower(text), "\\s+", " ")))
+    val derived = staged
+      // token count over the non-lowered normalized text (= tokenCount)
+      .withColumn("_qs_ntok", when(length(col("_qs_norm")) === 0, 0)
+        .otherwise(length(col("_qs_norm"))
+          - length(replace(col("_qs_norm"), lit(" "), lit(""))) + 1))
+      .withColumn("_qs_words", split(col("_qs_norml"), " "))
+      .withColumn("_qs_chars_ns",
+        length(replace(col("_qs_norml"), lit(" "), lit(""))))
+    val punct = when(length(col("_qs_t")) === 0, 0.0).otherwise(
+      length(regexp_replace(col("_qs_t"), "[^\\p{Punct}]", "")).cast(DoubleType) /
+        length(col("_qs_t")).cast(DoubleType))
+    val nWords = size(col("_qs_words"))
+    val stopR = when(nWords === 0, 0.0).otherwise(
+      size(filter(col("_qs_words"), w => w.isin(englishStopwords: _*)))
+        .cast(DoubleType) / nWords.cast(DoubleType))
+    val meanWl = when(col("_qs_ntok") === 0, 0.0).otherwise(
+      col("_qs_chars_ns").cast(DoubleType) / col("_qs_ntok").cast(DoubleType))
+    val signals = derived
+      .withColumn("punct_ratio", punct)
+      .withColumn("stopword_ratio", stopR)
+      .withColumn("mean_word_len", meanWl)
+    val rules = Seq(
+      when(col("_qs_ntok").between(10, 100000), 1.0).otherwise(0.0),
+      when(col("punct_ratio") <= 0.2, 1.0).otherwise(0.0),
+      when(col("mean_word_len").between(2.0, 12.0), 1.0).otherwise(0.0),
+      when(col("stopword_ratio") >= 0.05, 1.0).otherwise(0.5))
+    signals
+      .withColumn("quality", round(rules.reduce(_ + _) / lit(4.0), 4))
+      .drop("_qs_t", "_qs_norm", "_qs_norml", "_qs_ntok", "_qs_words",
+        "_qs_chars_ns")
+  }
+
   /** Language ID via stopword-hit scoring: tiny per-language marker lists,
     * language = argmax hit count (ties break by fixed language order).
     * An n-gram-free heuristic that stays pure-expression; a real model would

@@ -50,15 +50,75 @@ object Streams {
       }
   }
 
+  final case class OpenSession(start: Long, last: Long, nEvents: Long, total: Double)
+  final case class SessionWindowOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total: Double)
+
+  /** Event-time gap sessionization via flatMapGroupsWithState: sessions close
+    * when `gapMs` passes with no event (in event time). Closed-by-gap sessions
+    * are emitted as soon as the closing event arrives; the trailing open
+    * session per key is held in state and flushed by the event-time timeout
+    * once the watermark passes `last + gap` — the state held per key is one
+    * small tuple regardless of stream length, the canonical bounded-state
+    * shape (RocksDB state store on a real cluster).
+    *
+    * Batch twin: `session_window(ts, gap)` — q_sessions gates those semantics
+    * against the DuckDB lag/cumsum construction; StreamingSessionSpec asserts
+    * this operator agrees with the batch twin on the closed sessions. */
+  def sessionizeEventTime(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000,
+      watermark: String = "2 hours")(
+      implicit spark: SparkSession): Dataset[SessionWindowOut] = {
+    import spark.implicits._
+    def out(userId: Long, s: OpenSession) = SessionWindowOut(userId,
+      new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last + gapMs),
+      s.nEvents, s.total)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionWindowOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, evts: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (evts.isEmpty && state.hasTimedOut) {
+            // watermark passed last+gap: the open session is final
+            val s = state.get
+            state.remove()
+            Iterator.single(out(userId, s))
+          } else {
+            // micro-batches are unordered within the batch: sort, then fold
+            val sorted = evts.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Vector.newBuilder[SessionWindowOut]
+            var open = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open = open match {
+                case Some(s) if t - s.last < gapMs =>
+                  Some(OpenSession(s.start, math.max(s.last, t),
+                    s.nEvents + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += out(userId, s)
+                  Some(OpenSession(t, t, 1L, e.value))
+                case None => Some(OpenSession(t, t, 1L, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Batch-driven smoke runner: stream a parquet directory through a
     * streaming query into a memory sink and return the materialized result.
     * `Trigger.AvailableNow`-style: processAllAvailable then stop. */
   def runToMemory(spark: SparkSession, srcDir: String, name: String,
-      transform: DataFrame => DataFrame): DataFrame = {
+      transform: DataFrame => DataFrame,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema).parquet(srcDir)
     val q = transform(stream).writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)

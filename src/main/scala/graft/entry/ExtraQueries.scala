@@ -199,6 +199,17 @@ object ExtraQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // sketch estimates are engine-specific → rows-only gate; SketchSpec
+    // asserts accuracy vs exact and the merge algebra
+    "q_sketch_distinct" -> ((s, dir) => {
+      val daily = graft.functions.Sketches.distinctSketches(
+        t(s, dir, "events").withColumn("day", to_date(col("ts"))),
+        Seq("event_type", "day"), "user_id")
+      graft.functions.Sketches.mergeDistinct(daily, Seq("event_type"))
+        .withColumn("distinct_est", col("distinct_est").cast(LongType))
+        .orderBy(col("event_type"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       // binned range join: orders falling in the first 3 days of any week —
       // equi-join on day bins + residual predicate, never a nested loop

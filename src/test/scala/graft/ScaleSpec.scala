@@ -34,6 +34,44 @@ class ScaleSpec extends SparkSuite {
       plainOut.agg(sum("x")).head().getLong(0))
   }
 
+  test("asof join plans one keyed exchange and never a nested loop") {
+    val orders = graft.core.Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val daily = orders.groupBy(col("o_custkey"), col("o_orderdate").as("pd"))
+      .agg(count(lit(1)).as("pn"))
+    val joined = graft.operators.AsofJoin.backward(orders, daily,
+      Seq("o_custkey"), "o_orderdate", "pd", strict = true)
+    val plan = joined.queryExecution.executedPlan.toString
+    // union + window construction: no join operator at all, so no
+    // BroadcastNestedLoopJoin/CartesianProduct row amplification at scale
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
+    // exchanges: one for the daily pre-aggregate, one keyed shuffle feeding
+    // the window — nothing else (rows each cross the wire once)
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 2, plan)
+  }
+
+  test("binned range join plans as an equi-join even with broadcast disabled") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val points = (1 to 500).map(i => (i.toLong, (i * 7 % 1000).toLong))
+        .toDF("pid", "p")
+      val ranges = (1 to 50).map(i =>
+        (i.toLong, (i * 20).toLong, (i * 20 + 15).toLong)).toDF("rid", "s", "e")
+      val joined = graft.operators.RangeJoin.binned(points, ranges,
+        "p", "s", "e", binWidth = 16L)
+      val plan = joined.queryExecution.executedPlan.toString
+      // the bin key makes this a hash/sort-merge equi-join; the naive
+      // inequality predicate alone would plan BroadcastNestedLoopJoin
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
+      // sanity: equals the nested-loop result
+      val naive = points.crossJoin(ranges)
+        .filter(col("p") >= col("s") && col("p") < col("e")).count()
+      assert(joined.count() == naive)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed join plans without a shuffle exchange on the bucketed side") {
     // default warehouse (./spark-warehouse, gitignored) — the conf is static;
     // clear leftovers from prior JVMs (in-memory catalog forgets, disk doesn't)

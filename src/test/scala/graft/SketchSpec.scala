@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Sketches
+
+class SketchSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val events = graft.core.Tables.table(spark, sfDir, "events")
+
+  test("hll estimate lands within 5% of exact distinct count") {
+    val exact = events.select(countDistinct(col("user_id"))).head().getLong(0)
+    val est = Sketches.distinctSketches(events, Nil, "user_id")
+      .select(hll_sketch_estimate(col("sketch"))).head().getLong(0)
+    assert(math.abs(est - exact).toDouble / exact <= 0.05, s"est=$est exact=$exact")
+  }
+
+  test("union of per-day sketches equals the sketch of the union") {
+    // build per-(type, day) sketches, merge to per-type — the stored-rollup
+    // path must agree with sketching each type directly
+    val daily = Sketches.distinctSketches(
+      events.withColumn("day", to_date(col("ts"))),
+      Seq("event_type", "day"), "user_id")
+    val rolled = Sketches.mergeDistinct(daily, Seq("event_type"))
+      .withColumn("distinct_est", col("distinct_est").cast("long"))
+    val direct = Sketches.distinctSketches(events, Seq("event_type"), "user_id")
+      .select(col("event_type"),
+        hll_sketch_estimate(col("sketch")).as("distinct_est"))
+    val diff = rolled.join(direct.withColumnRenamed("distinct_est", "d2"),
+      "event_type")
+      .filter(col("distinct_est") =!= col("d2"))
+    assert(diff.isEmpty, "sketch merge is not associative with direct sketching")
+  }
+
+  test("approx quantiles bracket the exact percentile") {
+    val approxRow = events.agg(
+      Sketches.approxQuantiles(col("value"), Seq(0.5, 0.95))).head()
+    val Seq(p50a, p95a) = approxRow.getSeq[Double](0).toSeq
+    val exactRow = events.agg(
+      expr("percentile(value, array(0.5, 0.95))")).head()
+    val Seq(p50e, p95e) = exactRow.getSeq[Double](0).toSeq
+    assert(math.abs(p50a - p50e) / math.max(p50e.abs, 1e-9) < 0.05)
+    assert(math.abs(p95a - p95e) / math.max(p95e.abs, 1e-9) < 0.05)
+  }
+
+  test("approx distinct stays shuffle-light: no distinct expansion in plan") {
+    val q = events.groupBy("event_type")
+      .agg(Sketches.approxDistinct(col("user_id")).as("u"))
+    val plan = q.queryExecution.executedPlan.toString
+    // exact count(distinct) plans an Expand + extra aggregate; the sketch
+    // path is a plain partial/final aggregate pair
+    assert(!plan.contains("Expand"))
+    assert(q.count() > 0)
+  }
+}

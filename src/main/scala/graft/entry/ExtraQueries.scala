@@ -199,6 +199,13 @@ object ExtraQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_profile_table" -> ((s, dir) =>
+      // the full §1.3 query-time profile: dtype, nulls, distincts, typed
+      // min/max, role suggestion, high-card flag, categorical value list
+      graft.query.QueryService.profileTable(t(s, dir, "events"),
+        Seq("event_id", "event_type", "value", "ts", "props"))
+        .orderBy(col("column_name"))),
+
     // sketch estimates are engine-specific → rows-only gate; SketchSpec
     // asserts accuracy vs exact and the merge algebra
     "q_sketch_distinct" -> ((s, dir) => {
@@ -363,6 +370,53 @@ object ExtraQueries {
          |FROM orders l ASOF LEFT JOIN daily d
          |  ON l.o_custkey = d.o_custkey AND l.o_orderdate > d.prev_date
          |ORDER BY l.o_orderkey""".stripMargin,
+
+    "q_profile_table" -> {
+      // one SELECT per profiled column, mirroring QueryService.profileTable
+      // rule-for-rule (dtype names, missing = null-or-empty-string for text,
+      // id/metric/datetime/dimension role order, ≤20-value categorical list)
+      def prof(c: String, dtype: String, kind: String, idLike: Boolean): String = {
+        val isNum = kind == "num"; val isTs = kind == "ts"
+        val missing =
+          if (isNum || isTs) s"$c IS NULL"
+          else s"($c IS NULL OR $c = '')"
+        val nulls = s"SUM(CASE WHEN $missing THEN 1 ELSE 0 END)"
+        val nd = s"COUNT(DISTINCT $c)"
+        val role =
+          if (idLike) s"CASE WHEN $nd = COUNT(*) - $nulls THEN 'id' " +
+            s"ELSE '${if (isNum) "metric" else if (isTs) "datetime" else "dimension"}' END"
+          else if (isNum) "'metric'" else if (isTs) "'datetime'"
+          else s"CASE WHEN $nd <= 100 THEN 'dimension' ELSE 'text' END"
+        val (minV, maxV, meanV) =
+          if (isNum) (s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)",
+            eavg(c))
+          else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+            "CAST(NULL AS DOUBLE)")
+        val (minT, maxT) =
+          if (isTs) (s"strftime(MIN($c), '%Y-%m-%d %H:%M:%S')",
+            s"strftime(MAX($c), '%Y-%m-%d %H:%M:%S')")
+          else if (!isNum) (s"MIN($c)", s"MAX($c)")
+          else ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        val samples =
+          if (isNum || isTs) "CAST(NULL AS VARCHAR)"
+          else s"(SELECT CASE WHEN COUNT(DISTINCT $c) <= 20 THEN " +
+            s"string_agg(DISTINCT $c, '|' ORDER BY $c) END " +
+            s"FROM events WHERE NOT ($missing))"
+        s"""SELECT '$c' AS column_name, '$dtype' AS dtype,
+           |  COUNT(*) AS total_count, $nulls AS null_count, $nd AS n_distinct,
+           |  $nd > 100 AS high_cardinality, $role AS suggested_role,
+           |  $minV AS min_value, $maxV AS max_value, $meanV AS mean_value,
+           |  $minT AS min_text, $maxT AS max_text, $samples AS sample_values
+           |FROM events""".stripMargin
+      }
+      Seq(
+        prof("event_id", "integer", "num", idLike = true),
+        prof("event_type", "string", "str", idLike = false),
+        prof("value", "float", "num", idLike = false),
+        prof("ts", "timestamp", "ts", idLike = false),
+        prof("props", "string", "str", idLike = false))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
 
     "q_range_join" ->
       """WITH weeks AS (

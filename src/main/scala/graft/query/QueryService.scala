@@ -88,4 +88,72 @@ object QueryService {
     }
     stacked.reduce(_ unionByName _)
   }
+
+  /** Full query-time table profile (`duckdb_service.py:115-253`): per column
+    * — dtype, null count, distinct count, typed min/max (numeric as double,
+    * text/timestamp as formatted strings), exact mean for numerics, a
+    * high-cardinality flag, the reference's dimension/metric/id role
+    * suggestion, and the sorted distinct values for small categorical
+    * columns.
+    *
+    * Plan shape: one aggregate pass per column (stats), plus a BOUNDED
+    * distinct-limit subquery for candidate categorical columns —
+    * `distinct().limit(cap+1)` never materializes a big set, so a
+    * high-cardinality string column costs a partial-agg scan, not an
+    * unbounded collect_set buffer. */
+  def profileTable(df: DataFrame, columns: Seq[String], sampleCap: Int = 20,
+      highCardThreshold: Long = 100): DataFrame = {
+    import graft.core.Semantics
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    val rows = columns.map { c =>
+      val dt = df.schema(c).dataType
+      val isNum = dt.isInstanceOf[NumericType]
+      val isTs = dt == TimestampType || dt == TimestampNTZType || dt == DateType
+      val cc = col(c)
+      val missing = Semantics.isMissing(cc)
+      val stats = df.agg(
+        count(lit(1)).as("total_count"),
+        sum(when(missing, 1L).otherwise(0L)).as("null_count"),
+        countDistinct(cc).as("n_distinct"),
+        (if (isNum) min(cc).cast(DoubleType)
+         else lit(null).cast(DoubleType)).as("min_value"),
+        (if (isNum) max(cc).cast(DoubleType)
+         else lit(null).cast(DoubleType)).as("max_value"),
+        (if (isNum) Semantics.exactAvg(cc)
+         else lit(null).cast(DoubleType)).as("mean_value"),
+        (if (isTs) date_format(min(cc.cast("timestamp")), fmt)
+         else if (!isNum) min(cc).cast(StringType)
+         else lit(null).cast(StringType)).as("min_text"),
+        (if (isTs) date_format(max(cc.cast("timestamp")), fmt)
+         else if (!isNum) max(cc).cast(StringType)
+         else lit(null).cast(StringType)).as("max_text"))
+      // sorted distinct values for small categorical columns; the limit
+      // bounds the work — cap+1 rows prove "too many" without counting all
+      val samples =
+        if (isNum || isTs) stats.sparkSession.range(1)
+          .select(lit(null).cast(StringType).as("sample_values"))
+        else df.select(cc).where(!missing).distinct().limit(sampleCap + 1)
+          .agg(when(count(lit(1)) <= sampleCap,
+            array_join(sort_array(collect_set(cc.cast(StringType))), "|"))
+            .as("sample_values"))
+      val idLike = c.toLowerCase.endsWith("_id") || c.toLowerCase.endsWith("key")
+      stats.crossJoin(samples)
+        .withColumn("column_name", lit(c))
+        .withColumn("dtype", lit(graft.core.Types.fromSpark(dt).name))
+        .withColumn("high_cardinality", col("n_distinct") > highCardThreshold)
+        .withColumn("suggested_role",
+          when(lit(idLike) &&
+            col("n_distinct") === col("total_count") - col("null_count"), "id")
+            .when(lit(isNum), "metric")
+            .when(lit(isTs), "datetime")
+            .when(col("n_distinct") <= highCardThreshold, "dimension")
+            .otherwise("text"))
+        .select(col("column_name"), col("dtype"), col("total_count"),
+          col("null_count"), col("n_distinct"), col("high_cardinality"),
+          col("suggested_role"), col("min_value"), col("max_value"),
+          col("mean_value"), col("min_text"), col("max_text"),
+          col("sample_values"))
+    }
+    rows.reduce(_ unionByName _)
+  }
 }

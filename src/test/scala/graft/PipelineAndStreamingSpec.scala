@@ -60,6 +60,20 @@ class PipelineAndStreamingSpec extends SparkSuite {
     assert(sessions.map(_.nEvents).sum == 1000L)
   }
 
+  test("profileTable suggests roles and lists small categorical values") {
+    val prof = graft.query.QueryService.profileTable(
+      graft.core.Tables.table(spark, sfDir, "events"),
+      Seq("event_id", "event_type", "value", "ts"))
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(prof("event_id").getAs[String]("suggested_role") == "id")
+    assert(prof("value").getAs[String]("suggested_role") == "metric")
+    assert(prof("ts").getAs[String]("suggested_role") == "datetime")
+    assert(prof("event_type").getAs[String]("suggested_role") == "dimension")
+    val vals = prof("event_type").getAs[String]("sample_values")
+    assert(vals.split('|').sorted.toSeq == vals.split('|').toSeq)
+    assert(prof("event_type").getAs[Boolean]("high_cardinality") == false)
+  }
+
   test("incremental state: second scan with same files yields no new rows") {
     import graft.io.IncrementalState
     val (df1, st1) = IncrementalState.scanNew(spark, s"$sfDir/region.parquet",

@@ -199,6 +199,22 @@ object ExtraQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_asof_forward" -> ((s, dir) => {
+      // forward variant: each order's NEXT strictly-later order-day count
+      val orders = t(s, dir, "orders")
+      val daily = orders
+        .groupBy(col("o_custkey"), col("o_orderdate").as("next_date"))
+        .agg(count(lit(1)).as("next_n"))
+      AsofJoin.forward(
+        left = orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        right = daily, keys = Seq("o_custkey"),
+        leftTs = "o_orderdate", rightTs = "next_date", strict = true)
+        .select(col("o_orderkey"),
+          date_format(col("next_date"), "yyyy-MM-dd").as("next_date"),
+          col("next_n"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_profile_table" -> ((s, dir) =>
       // the full §1.3 query-time profile: dtype, nulls, distincts, typed
       // min/max, role suggestion, high-card flag, categorical value list
@@ -370,6 +386,16 @@ object ExtraQueries {
          |FROM orders l ASOF LEFT JOIN daily d
          |  ON l.o_custkey = d.o_custkey AND l.o_orderdate > d.prev_date
          |ORDER BY l.o_orderkey""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH daily AS (
+        |  SELECT o_custkey, o_orderdate AS next_date, COUNT(*) AS next_n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT l.o_orderkey,
+        |  strftime(d.next_date, '%Y-%m-%d') AS next_date, d.next_n
+        |FROM orders l ASOF LEFT JOIN daily d
+        |  ON l.o_custkey = d.o_custkey AND l.o_orderdate < d.next_date
+        |ORDER BY l.o_orderkey""".stripMargin,
 
     "q_profile_table" -> {
       // one SELECT per profiled column, mirroring QueryService.profileTable

@@ -109,6 +109,23 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup — the streaming face of the engine's flagship
+    * operator (operators/Dedup.ExactDedup is the batch face). State is
+    * BOUNDED: `dropDuplicatesWithinWatermark` evicts seen-keys once the
+    * watermark passes them, so 100 TB/day of events needs state for one
+    * watermark window, not for history. Dedup key defaults to the same
+    * md5-of-sorted-fields content hash the batch operator uses. */
+  def dedupStream(events: DataFrame, eventTimeCol: String, watermark: String,
+      matchFields: Seq[String] = Nil): DataFrame = {
+    val keyed = events.withColumn("_dedup_key",
+      graft.operators.ExactDedup.matchKey(events,
+        if (matchFields.nonEmpty) matchFields
+        else events.columns.toSeq.filterNot(_ == eventTimeCol)))
+    keyed.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("_dedup_key")
+      .drop("_dedup_key")
+  }
+
   /** Batch-driven smoke runner: stream a parquet directory through a
     * streaming query into a memory sink and return the materialized result.
     * `Trigger.AvailableNow`-style: processAllAvailable then stop. */

@@ -142,6 +142,28 @@ class AsofAndSessionSpec extends SparkSuite {
     }
   }
 
+  test("streaming dedup drops in-watermark duplicates, keeps distinct rows") {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val events = src.toDS().toDF("ts", "uid", "kind")
+    val deduped = Streams.dedupStream(events, "ts", "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_test").start()
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    try {
+      // same (uid, kind) twice at different ts within the watermark → one
+      // survivor; distinct kinds both survive
+      src.addData((t(10), 1L, "a"), (t(11), 1L, "a"), (t(12), 1L, "b"),
+        (t(13), 2L, "a"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_test").collect()
+        .map(r => (r.getLong(1), r.getString(2))).sorted.toSeq
+      assert(got == Seq((1L, "a"), (1L, "b"), (2L, "a")))
+    } finally q.stop()
+  }
+
   test("one-pass quality signals equal the per-column text functions") {
     import graft.functions.{TextFunctions => TF}
     val real = graft.core.Tables.table(spark, sfDir, "documents")

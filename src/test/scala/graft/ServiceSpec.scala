@@ -5,6 +5,43 @@ import graft.service.{AutoTuner, Config, Paths}
 import graft.operators.IsolationForest
 
 class ServiceSpec extends SparkSuite {
+
+  test("facade dispatches every analytics endpoint to the engine") {
+    import graft.service.Facade
+    import graft.query.{AggregationSpec, Filter, Metric}
+    implicit val tables: Facade.Tables =
+      Facade.Tables(name => graft.core.Tables.table(spark, sfDir, name))
+
+    val q = Facade.handle(Facade.Query("lineitem",
+      Seq(Filter.Gt("l_quantity", 10.0)),
+      AggregationSpec(Seq("l_returnflag"),
+        Seq(Metric("sum", "l_extendedprice", "total")))))
+    assert(q.columns.toSeq == Seq("l_returnflag", "total") && q.count() > 0)
+
+    val dd = Facade.handle(Facade.DrillDown("customer",
+      Seq(Filter.Eq("c_mktsegment", "BUILDING")),
+      Seq("c_custkey", "c_name"), sortKey = "c_custkey", limit = 5, offset = 2))
+    assert(dd.count() == 5)
+
+    val fv = Facade.handle(Facade.FilterValues("lineitem", "l_returnflag"))
+    assert(fv.count() <= 3)
+
+    val prof = Facade.handle(Facade.Profile("events", Seq("value", "event_type")))
+    assert(prof.count() == 2)
+
+    // orders: amount keywords hit o_totalprice, date keywords o_orderdate
+    val dash = Facade.handle(Facade.Dashboard("summary", "orders"))
+    assert(dash.columns.contains("total_amount") && dash.count() == 1)
+    val byDate = Facade.handle(Facade.Dashboard("by_date", "orders"))
+    assert(byDate.columns.contains("service_date") && byDate.count() > 0)
+
+    val anom = Facade.handle(Facade.Anomalies("events", "statistical",
+      Seq("value"), threshold = 2.0))
+    assert(anom.columns.contains("_meta_is_anomaly"))
+
+    val timed = Facade.handleTimed(Facade.FilterValues("region", "r_name"))
+    assert(timed.rows.size == 5 && timed.queryTimeMs >= 0)
+  }
   import spark.implicits._
 
   test("isolation forest scores planted outliers above inliers (property)") {

@@ -24,6 +24,45 @@ class PropertySpec extends SparkSuite {
       Gen.const(""), Gen.const(null: String), Gen.alphaStr.map(_.take(5)))
   } yield (key, v))
 
+  test("asof backward equals naive latest-prior lookup (property)") {
+    // random (key, ts) frames with duplicate ts values and missing keys;
+    // right side deduped per (key, ts) so the match is well-defined
+    val asofGen = for {
+      left <- Gen.listOfN(30, for {
+        k <- Gen.choose(0, 4); ts <- Gen.choose(0L, 40L)
+      } yield (k, ts))
+      right <- Gen.listOfN(20, for {
+        k <- Gen.choose(0, 5); ts <- Gen.choose(0L, 40L)
+        v <- Gen.choose(0, 999)
+      } yield (k, ts, v))
+    } yield (left, right)
+    forAllSeeded(asofGen, n = 6) { case (l, r) =>
+      val left = l.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+        .toDF("lid", "k", "lts")
+      val rightRaw = r.toDF("k", "rts", "rv")
+      val right = rightRaw.groupBy("k", "rts").agg(min("rv").as("rv"))
+      for (strict <- Seq(false, true)) {
+        val got = graft.operators.AsofJoin
+          .backward(left, right, Seq("k"), "lts", "rts", strict)
+          .select("lid", "rts", "rv").collect()
+          .map(x => (x.getLong(0), Option(x.get(1)), Option(x.get(2)))).toSet
+        // naive: per left row, argmax-ts right row at/before lts
+        val rRows = right.collect().map(x => (x.getInt(0), x.getLong(1), x.getInt(2)))
+        val exp = left.collect().map { x =>
+          val (lid, k, lts) = (x.getLong(0), x.getInt(1), x.getLong(2))
+          val cands = rRows.filter(rr => rr._1 == k &&
+            (if (strict) rr._2 < lts else rr._2 <= lts))
+          if (cands.isEmpty) (lid, None, None)
+          else {
+            val best = cands.maxBy(_._2)
+            (lid, Some(best._2), Some(best._3))
+          }
+        }.toSet
+        assert(got == exp, s"strict=$strict")
+      }
+    }
+  }
+
   test("dedup is idempotent and keeps one row per key (property)") {
     forAllSeeded(rowGen) { rows =>
       if (rows.nonEmpty) {

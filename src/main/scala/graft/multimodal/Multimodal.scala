@@ -63,6 +63,44 @@ object Multimodal {
   def filterByDims(media: DataFrame, minW: Int, minH: Int): DataFrame =
     media.filter(col("width") >= minW && col("height") >= minH)
 
+  /** STUB resize: a real implementation decodes, scales, re-encodes the
+    * payload. The fake rescales the metadata exactly (aspect-preserving
+    * fit into maxW×maxH, never upscaling) and substitutes a deterministic
+    * payload of plausible size, so partitioning/schema behavior under
+    * byte-size change is exercised. Non-image rows pass through untouched.
+    * Partition-local, zero shuffle, payload never crosses the wire. */
+  def resizeImages(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val spark = media.sparkSession
+    val cols = media.columns
+    val resizeUdf = udf { (content: Array[Byte], w: Int, h: Int) =>
+      val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+      val nw = math.max(1, math.floor(w * scale).toInt)
+      val nh = math.max(1, math.floor(h * scale).toInt)
+      // fake re-encode: deterministic bytes, size ∝ scaled pixel count
+      val n = math.max(8, nw * nh / 64)
+      val out = new Array[Byte](n)
+      var hseed = 1125899906842597L
+      val src = Option(content).getOrElse(Array.emptyByteArray)
+      var i = 0
+      while (i < src.length) { hseed = 31 * hseed + src(i); i += 1 }
+      var j = 0
+      while (j < n) {
+        hseed ^= hseed << 13; hseed ^= hseed >>> 7; hseed ^= hseed << 17
+        out(j) = (hseed & 0x7f).toByte; j += 1
+      }
+      (out, nw, nh)
+    }
+    val isImg = col("kind") === "image" && col("width").isNotNull &&
+      col("height").isNotNull
+    val r = resizeUdf(col("content"), col("width"), col("height"))
+    media
+      .withColumn("_rz", when(isImg, r))
+      .withColumn("content", when(isImg, col("_rz._1")).otherwise(col("content")))
+      .withColumn("width", when(isImg, col("_rz._2")).otherwise(col("width")))
+      .withColumn("height", when(isImg, col("_rz._3")).otherwise(col("height")))
+      .select(cols.map(col): _*)
+  }
+
   /** Frame sampling plan for video rows: explode target timestamps from
     * metadata (duration), leaving per-frame decode to the stub above. */
   def frameSamplePlan(media: DataFrame, everyMs: Long): DataFrame =

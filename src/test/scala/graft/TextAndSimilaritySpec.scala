@@ -96,4 +96,29 @@ class TextAndSimilaritySpec extends SparkSuite {
     val frames = graft.multimodal.Multimodal.frameSamplePlan(corpus, 500L)
     assert(frames.count() > 0)
   }
+
+  test("multimodal: resize fits images into bounds, passes others through") {
+    import org.apache.spark.sql.functions._
+    val corpus = graft.multimodal.Multimodal.syntheticCorpus(spark, 30)
+    val resized = graft.multimodal.Multimodal.resizeImages(corpus, 128, 128)
+    assert(resized.schema == corpus.schema)
+    val img = resized.filter(col("kind") === "image")
+    assert(img.filter(col("width") > 128 || col("height") > 128).isEmpty)
+    // aspect ratio preserved within integer-floor tolerance
+    val pair = corpus.filter(col("kind") === "image")
+      .select(col("media_id"), col("width").as("w0"), col("height").as("h0"))
+      .join(img.select(col("media_id"), col("width"), col("height")), "media_id")
+      .collect()
+    pair.foreach { r =>
+      val (w0, h0, w, h) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      if (w0 <= 128 && h0 <= 128) assert(w == w0 && h == h0) // never upscale
+      else assert(math.abs(w.toDouble / h - w0.toDouble / h0) < 0.1)
+    }
+    // non-image rows byte-identical
+    val a = corpus.filter(col("kind") =!= "image").orderBy("media_id")
+      .select("content").collect().map(_.getAs[Array[Byte]](0).toSeq)
+    val b = resized.filter(col("kind") =!= "image").orderBy("media_id")
+      .select("content").collect().map(_.getAs[Array[Byte]](0).toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
 }

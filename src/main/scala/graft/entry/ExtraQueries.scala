@@ -199,6 +199,32 @@ object ExtraQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_sample_det" -> ((s, dir) =>
+      // hash-threshold sample: identical row set in any engine/partitioning
+      graft.functions.Sampling.deterministicSample(
+        t(s, dir, "orders"), "o_orderkey", 0.1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_train_test" -> ((s, dir) =>
+      // split hygiene: disjoint+exhaustive labels; gate checks per-split
+      // counts and sums, proving the assignment is engine-independent
+      graft.functions.Sampling.trainTestSplit(
+        t(s, dir, "documents"), "doc_id", testFraction = 0.2)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          Semantics.exactSum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"))),
+
+    "q_sample_stratified" -> ((s, dir) =>
+      // per-language fractions over documents: rare strata kept whole
+      graft.functions.Sampling.stratifiedSample(
+        t(s, dir, "documents"), "doc_id", "lang",
+        fractions = Map("en" -> 0.25, "de" -> 1.0), default = 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))),
+
     "q_asof_forward" -> ((s, dir) => {
       // forward variant: each order's NEXT strictly-later order-day count
       val orders = t(s, dir, "orders")
@@ -386,6 +412,26 @@ object ExtraQueries {
          |FROM orders l ASOF LEFT JOIN daily d
          |  ON l.o_custkey = d.o_custkey AND l.o_orderdate > d.prev_date
          |ORDER BY l.o_orderkey""".stripMargin,
+
+    "q_sample_det" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 10000 < 1000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_train_test" ->
+      s"""SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |        AS BIGINT) % 10000 < 2000 THEN 'test' ELSE 'train' END AS split,
+         |  COUNT(*) AS n, ${esum("n_chars")} AS total_chars
+         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT lang, COUNT(*) AS n FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 10000
+        |  < CASE WHEN lang = 'de' THEN 10000 WHEN lang = 'en' THEN 2500
+        |         ELSE 5000 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_asof_forward" ->
       """WITH daily AS (

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic sampling for training-data curation. `df.sample(seed)` is
+  * reproducible only for a fixed partitioning — repartition the input (or
+  * rescale the cluster) and the sample changes, which poisons train/test
+  * hygiene. Hash-threshold sampling depends only on ROW IDENTITY: a row is
+  * in the 10% sample iff a hash of its id falls under the threshold —
+  * stable across partitionings, engines, runs, and data growth (a row keeps
+  * its assignment when the corpus around it changes, so incremental
+  * pipelines don't leak test rows into training).
+  *
+  * The hash is the first 8 hex chars of md5(id) — bit-identical in any
+  * engine, so sampled outputs are oracle-checkable (unlike every RNG-based
+  * sample). One projection + filter: no shuffle, scan-speed at 100 TB.
+  */
+object Sampling {
+  val Buckets = 10000 // threshold resolution: 0.01%
+
+  /** Uniform bucket in [0, Buckets) from row identity. */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType) % Buckets
+
+  /** Keep ≈`fraction` of rows, decided per-row by identity hash. */
+  def deterministicSample(df: DataFrame, idCol: String,
+      fraction: Double): DataFrame =
+    df.filter(hashBucket(col(idCol)) < (fraction * Buckets).toLong)
+
+  /** Disjoint, exhaustive train/test labels from the same hash. */
+  def trainTestSplit(df: DataFrame, idCol: String,
+      testFraction: Double): DataFrame =
+    df.withColumn("split",
+      when(hashBucket(col(idCol)) < (testFraction * Buckets).toLong, "test")
+        .otherwise("train"))
+
+  /** Per-stratum fractions (e.g. downsample the dominant language, keep all
+    * of a rare one): threshold looked up from a literal map — still one
+    * scan, no shuffle. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
+    val threshold = fractions.foldLeft(lit((default * Buckets).toLong)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit((f * Buckets).toLong)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < threshold)
+  }
+}

@@ -43,6 +43,34 @@ class SketchSpec extends SparkSuite {
     assert(math.abs(p95a - p95e) / math.max(p95e.abs, 1e-9) < 0.05)
   }
 
+  test("deterministic sample is invariant to partitioning and near-fraction") {
+    import graft.functions.Sampling
+    val orders = graft.core.Tables.table(spark, sfDir, "orders")
+    val s1 = Sampling.deterministicSample(orders, "o_orderkey", 0.1)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.deterministicSample(orders.repartition(13), "o_orderkey", 0.1)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)                       // identity-based, not partition-based
+    val n = orders.count().toDouble
+    assert(math.abs(s1.size / n - 0.1) < 0.05, s"got ${s1.size / n}")
+    // growing the corpus never reassigns an existing row
+    val half = orders.filter(col("o_orderkey") % 2 === 0)
+    val sHalf = Sampling.deterministicSample(half, "o_orderkey", 0.1)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(sHalf == s1.filter(_ % 2 == 0))
+  }
+
+  test("train/test split is disjoint and exhaustive") {
+    import graft.functions.Sampling
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+    val split = Sampling.trainTestSplit(docs, "doc_id", 0.2)
+    assert(split.count() == docs.count())
+    val byLabel = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("train", "test"))
+    assert(byLabel.values.sum == docs.count())
+  }
+
   test("approx distinct stays shuffle-light: no distinct expansion in plan") {
     val q = events.groupBy("event_type")
       .agg(Sketches.approxDistinct(col("user_id")).as("u"))

@@ -52,6 +52,30 @@ object DocQueries {
         col("doc_id"), TF.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    "q_redact_pii" -> ((s, dir) => {
+      // PII injected deterministically from customer names, then masked;
+      // per-class hit counts prove each pattern fired
+      val raw = concat(lit("Reach "), col("c_name"), lit(" at "),
+        lower(regexp_replace(col("c_name"), "[#0]", "")),
+        lit("@mail.example, tel (555) 123-4567, SSN 123-45-6789, "),
+        lit("card 4111 1111 1111 1111."))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), raw.as("raw"))
+        .select(col("c_custkey"),
+          TF.redactPii(col("raw")).as("redacted"),
+          size(regexp_extract_all(col("raw"),
+            lit(TF.piiPatterns.toMap.apply("email")), lit(0))).as("n_email"),
+          size(regexp_extract_all(col("raw"),
+            lit(TF.piiPatterns.toMap.apply("ssn")), lit(0))).as("n_ssn"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_pack_docs" -> ((s, dir) =>
+      // sequence packing: cumsum token blocks of 2000 over doc_id order
+      TF.packDocuments(t(s, dir, "documents"), "doc_id", "text", budget = 2000L)
+        .select(col("doc_id"), col("n_tokens"), col("window_id"))
+        .orderBy(col("doc_id"))),
+
     // ---- deduplication ------------------------------------------------------
 
     "q_doc_dedup_exact" -> ((s, dir) =>
@@ -291,6 +315,36 @@ object DocQueries {
          |  CASE WHEN (${folded._1}) > 0 THEN (${folded._2}) ELSE 'unknown' END AS lang_guess
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "q_redact_pii" -> {
+      val email = TF.piiPatterns.toMap.apply("email")
+      val ssn = TF.piiPatterns.toMap.apply("ssn")
+      val cc = TF.piiPatterns.toMap.apply("credit_card")
+      val phone = TF.piiPatterns.toMap.apply("phone_us")
+      val raw = """'Reach ' || c_name || ' at ' ||
+        | lower(regexp_replace(c_name, '[#0]', '', 'g')) ||
+        | '@mail.example, tel (555) 123-4567, SSN 123-45-6789, card 4111 1111 1111 1111.'"""
+        .stripMargin.replace("\n", "")
+      s"""WITH d AS (SELECT c_custkey, $raw AS raw FROM customer)
+         |SELECT c_custkey,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+         |    '$email', '[EMAIL]', 'g'),
+         |    '$ssn', '[SSN]', 'g'),
+         |    '$cc', '[CREDIT_CARD]', 'g'),
+         |    '$phone', '[PHONE_US]', 'g') AS redacted,
+         |  len(regexp_extract_all(raw, '$email')) AS n_email,
+         |  len(regexp_extract_all(raw, '$ssn')) AS n_ssn
+         |FROM d ORDER BY c_custkey""".stripMargin
+    },
+
+    "q_pack_docs" ->
+      s"""WITH d AS (SELECT doc_id, $tokenCountSql AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY doc_id
+         |        ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+         |SELECT doc_id, n_tokens,
+         |  GREATEST(CAST(CEIL(CAST(cum AS DOUBLE) / 2000) AS BIGINT) - 1, 0)
+         |    AS window_id
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_doc_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash,

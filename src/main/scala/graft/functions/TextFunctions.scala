@@ -185,4 +185,52 @@ object TextFunctions {
   /** Word n-gram shingles (shared with dedup operators). */
   def shingles(text: Column, k: Int = 3): Column =
     graft.operators.MinHashDedup.shingles(text, k)
+
+  /** PII redaction: mask email / SSN / credit-card / US-phone occurrences
+    * inside free text (the in-text variants of SchemaInferrer's whole-field
+    * patterns). Plain regexp_replace chain — codegen'd, scan-speed, and the
+    * patterns avoid lookarounds so any RE2/Java engine agrees. Order
+    * matters: SSN before phone (a bare 3-2-4 digit group matches both). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "ssn" -> "\\d{3}-\\d{2}-\\d{4}",
+    "credit_card" -> "\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}",
+    "phone_us" -> "\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}")
+
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (name, re)) =>
+      regexp_replace(acc, re, s"[${name.toUpperCase}]")
+    }
+
+  /** Count (don't remove) PII hits per class — for corpus audits. */
+  def piiCounts(text: Column): Column =
+    struct(piiPatterns.map { case (name, re) =>
+      size(regexp_extract_all(text, lit(re), lit(0))).as(name)
+    }: _*)
+
+  /** Sequence packing: assign documents to fixed-token-budget context
+    * windows by running token count in a deterministic order — the
+    * pretraining packing pass. Windows are cumsum blocks of width `budget`:
+    * a window's first document may straddle its block boundary, so window
+    * totals are bounded by `budget + max_doc_tokens` (exact greedy first-fit
+    * needs sequential state and is not expressible as a relational window —
+    * the cumsum-block form is the scalable standard, and the overshoot
+    * vanishes when budget >> document size, the pretraining regime). One
+    * window over the order column; at
+    * corpus scale, partition by a shard key (same result per shard,
+    * embarrassingly parallel across shards). Adds `n_tokens`, `window_id`. */
+  def packDocuments(df: org.apache.spark.sql.DataFrame, orderCol: String,
+      textCol: String, budget: Long,
+      shardCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = shardCol.fold(Window.orderBy(col(orderCol)))(s =>
+      Window.partitionBy(col(s)).orderBy(col(orderCol)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokenCount(col(textCol)).cast(LongType))
+      // ceil(cum/budget)-1: a doc that FILLS the budget stays in its window
+      .withColumn("window_id",
+        ceil(sum(col("n_tokens")).over(w).cast(DoubleType) / budget)
+          .cast(LongType) - 1)
+      .withColumn("window_id", greatest(col("window_id"), lit(0L)))
+  }
 }

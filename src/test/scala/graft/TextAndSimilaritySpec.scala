@@ -86,6 +86,40 @@ class TextAndSimilaritySpec extends SparkSuite {
     assert(out.exists(r => r.getLong(0) == 7L && r.getLong(1) == 7L))
   }
 
+  test("pii redaction masks all classes and leaves clean text alone") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFunctions => TF}
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.com thanks"),
+      (2L, "ssn 987-65-4321 card 4111-1111-1111-1111 tel 555.123.4567"),
+      (3L, "no pii here, just 12345 and v1.2.3")).toDF("id", "t")
+    val got = df.select(col("id"), TF.redactPii(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "mail me at [EMAIL] thanks")
+    assert(got(2L) == "ssn [SSN] card [CREDIT_CARD] tel [PHONE_US]")
+    assert(got(3L) == "no pii here, just 12345 and v1.2.3")
+  }
+
+  test("packing: window totals bounded by budget+maxdoc, ids contiguous") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFunctions => TF}
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+    val budget = 500L
+    val packed = TF.packDocuments(docs, "doc_id", "text", budget)
+    val perWindow = packed.groupBy("window_id")
+      .agg(sum("n_tokens").as("tok"), count(lit(1)).as("n"))
+    val maxDoc = packed.agg(max("n_tokens")).head().getLong(0)
+    // cumsum-block bound: a window's first doc may straddle the boundary
+    assert(perWindow.filter(col("tok") > budget + maxDoc).isEmpty)
+    // window ids are the contiguous block sequence 0..W-1
+    val ids = perWindow.select("window_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until ids.length).toSeq)
+    // deterministic across repartition
+    val p2 = TF.packDocuments(docs.repartition(7), "doc_id", "text", budget)
+    assert(packed.select("doc_id", "window_id").exceptAll(
+      p2.select("doc_id", "window_id")).isEmpty)
+  }
+
   test("multimodal: feature extraction is deterministic and metadata ops never decode") {
     val corpus = graft.multimodal.Multimodal.syntheticCorpus(spark, 30)
     val f1 = graft.multimodal.Multimodal.extractFeatures(corpus).collect()

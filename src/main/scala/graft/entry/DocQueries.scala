@@ -76,6 +76,24 @@ object DocQueries {
         .select(col("doc_id"), col("n_tokens"), col("window_id"))
         .orderBy(col("doc_id"))),
 
+    "q_clean_text" -> ((s, dir) => {
+      // HTML/entity/control noise injected deterministically, then cleaned
+      val raw = concat(lit("<p> "), substring(col("text"), 1, 80),
+        lit(" </p><br/>&amp; <b>bold</b> &lt;tag&gt; &quot;q&quot;\t."))
+      t(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"), TF.cleanText(col("raw")).as("cleaned"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_doc_repetition" -> ((s, dir) =>
+      TF.repetitionSignalsTable(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          Semantics.safeRound(col("dup_word_frac"), 4).as("dup_word_frac"),
+          Semantics.safeRound(col("dup_bigram_frac"), 4).as("dup_bigram_frac"),
+          Semantics.safeRound(col("top_word_frac"), 4).as("top_word_frac"))
+        .orderBy(col("doc_id"))),
+
     // ---- deduplication ------------------------------------------------------
 
     "q_doc_dedup_exact" -> ((s, dir) =>
@@ -335,6 +353,42 @@ object DocQueries {
          |  len(regexp_extract_all(raw, '$email')) AS n_email,
          |  len(regexp_extract_all(raw, '$ssn')) AS n_ssn
          |FROM d ORDER BY c_custkey""".stripMargin
+    },
+
+    "q_clean_text" ->
+      """WITH d AS (SELECT doc_id,
+        |  '<p> ' || substr(text, 1, 80) ||
+        |  ' </p><br/>&amp; <b>bold</b> &lt;tag&gt; &quot;q&quot;' ||
+        |  chr(9) || '.' AS raw FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&'),
+        |    '[\x00-\x1F\x7F]', ' ', 'g'),
+        |    ' {2,}', ' ', 'g')) AS cleaned
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_doc_repetition" -> {
+      val words = wordsSql
+      s"""WITH base AS (SELECT doc_id, $words AS l FROM documents),
+         |per_row AS (SELECT doc_id, len(l) AS n,
+         |    len(list_distinct(l)) AS d1,
+         |    len(l) - 1 AS n2,
+         |    len(list_distinct(list_transform(range(1, len(l)),
+         |      i -> l[i] || ' ' || l[i+1]))) AS d2
+         |  FROM base),
+         |w AS (SELECT doc_id, unnest(l) AS word FROM base),
+         |wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+         |tops AS (SELECT doc_id, max(c) AS maxc, sum(c) AS ntot
+         |  FROM wc GROUP BY 1)
+         |SELECT p.doc_id,
+         |  ${Sql.sround("CASE WHEN p.n > 0 THEN CAST(p.n - p.d1 AS DOUBLE) / p.n ELSE 0.0 END")} AS dup_word_frac,
+         |  ${Sql.sround("CASE WHEN p.n2 > 0 THEN CAST(p.n2 - p.d2 AS DOUBLE) / p.n2 ELSE 0.0 END")} AS dup_bigram_frac,
+         |  ${Sql.sround("CASE WHEN t.ntot > 0 THEN CAST(t.maxc AS DOUBLE) / t.ntot ELSE 0.0 END")} AS top_word_frac
+         |FROM per_row p JOIN tops t ON p.doc_id = t.doc_id
+         |ORDER BY p.doc_id""".stripMargin
     },
 
     "q_pack_docs" ->

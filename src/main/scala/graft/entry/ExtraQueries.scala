@@ -58,37 +58,26 @@ object ExtraQueries {
 
     "q_embed_neardup" -> ((s, dir) => {
       // exact pairwise cosine ≥ 0.35 within a fixed 300-vector slice: the
-      // brute-force oracle twin of the LSH path (decimal-exact sums).
+      // brute-force oracle twin of the LSH path.
       //
       // Physical shape: pair generation is a broadcast nested-loop join on
       // the ARRAYS (id_a < id_b halves it) — never a join keyed on the
       // 64-value dimension index, which would funnel the whole product
-      // matrix through 64 shuffle keys. The per-pair element products are
-      // exploded IN-PIPELINE and partial aggregation collapses them map-side,
-      // so the only shuffle carries one row per surviving pair.
+      // matrix through 64 shuffle keys. Scoring is ONE codegen'd pass per
+      // pair (`fast_cosine`: dot and both norms in a single loop). The
+      // double-sum error (~1e-14) is orders of magnitude below both the
+      // 1e-4 rounding granularity and the engines' own decimal-quantization
+      // disagreement (~1e-18/element), so the round(4) hash-match with the
+      // DuckDB oracle is preserved — asserted empirically by the gate.
+      import graft.functions.CosineSim
+      CosineSim.register(s)
       val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
-      val e = emb.select(col("vec_id"), col("embedding"))
-      val norms = e.select(col("vec_id"),
-        explode(col("embedding")).as("v"))
-        .withColumn("v", col("v").cast(DoubleType))
-        .groupBy(col("vec_id")).agg(
-          sqrt(sum((col("v") * col("v")).cast(DecimalType(38, 18))).cast(DoubleType))
-            .as("nrm"))
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-      val pairs = a.join(broadcast(b), col("id_a") < col("id_b"))
-      val dots = pairs
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          explode(zip_with(col("ea"), col("eb"), (x, y) =>
-            (x.cast(DoubleType) * y.cast(DoubleType)).cast(DecimalType(38, 18))))
-            .as("p"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(sum(col("p")).cast(DoubleType).as("dot"))
-      dots
-        .join(broadcast(norms.select(col("vec_id").as("id_a"), col("nrm").as("na"))), "id_a")
-        .join(broadcast(norms.select(col("vec_id").as("id_b"), col("nrm").as("nb"))), "id_b")
-        .select(col("id_a"), col("id_b"),
-          round(col("dot") / (col("na") * col("nb")), 4).as("similarity"))
+          round(CosineSim.fast_cosine(col("ea"), col("eb")), 4)
+            .as("similarity"))
         .filter(col("similarity") >= 0.35)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -224,6 +213,19 @@ object ExtraQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"))),
+
+    "q_mix_corpus" -> ((s, dir) =>
+      // token-budget data mix: src1 capped hard, src2 kept whole (budget
+      // exceeds supply), everything else at the default cap; gate checks
+      // the per-source kept-doc counts and token totals
+      graft.functions.Sampling.mixCorpus(
+        t(s, dir, "documents"), "doc_id", "text", "source",
+        targetTokens = Map("src1" -> 600.0, "src2" -> 1e9),
+        defaultTarget = 300.0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("kept_tokens"))
+        .orderBy(col("source"))),
 
     "q_asof_forward" -> ((s, dir) => {
       // forward variant: each order's NEXT strictly-later order-day count
@@ -418,6 +420,27 @@ object ExtraQueries {
         |WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
         |        AS BIGINT) % 10000 < 1000
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_mix_corpus" -> {
+      val tok =
+        """CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+          |     ELSE length(trim(regexp_replace(text, '\s+', ' ', 'g')))
+          |        - length(replace(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ', ''))
+          |        + 1 END""".stripMargin.replace("\n", " ")
+      val target = """CASE WHEN source = 'src1' THEN 600.0
+        | WHEN source = 'src2' THEN 1e9 ELSE 300.0 END"""
+        .stripMargin.replace("\n", "")
+      s"""WITH tok AS (SELECT doc_id, source, $tok AS n_tokens FROM documents),
+         |frac AS (SELECT source,
+         |    LEAST(1.0, ($target) / CAST(SUM(n_tokens) AS DOUBLE)) AS f
+         |  FROM tok GROUP BY source)
+         |SELECT t.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(t.n_tokens) AS BIGINT) AS kept_tokens
+         |FROM tok t JOIN frac USING (source)
+         |WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))
+         |        AS BIGINT) % 10000 < CAST(FLOOR(f * 10000) AS BIGINT)
+         |GROUP BY t.source ORDER BY t.source""".stripMargin
+    },
 
     "q_train_test" ->
       s"""SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))

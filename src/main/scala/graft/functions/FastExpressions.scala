@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The one place the engine drops below `functions._`: a custom Catalyst
@@ -67,4 +68,136 @@ object TokenCount {
       "fast_token_count", exprs => TokenCount(exprs.head), "built-in")
 
   def fast_token_count(c: Column): Column = call_function("fast_token_count", c)
+}
+
+/** Cosine similarity between two float-array columns as one codegen'd
+  * primitive loop — the hot inner kernel of every similarity-search scan.
+  * The `zip_with`+`aggregate` HOF form allocates an intermediate array and
+  * walks both inputs three times (dot, ‖a‖, ‖b‖) through interpreted lambda
+  * dispatch; this reads each element once, accumulates dot and both norms
+  * together, and inlines into whole-stage codegen. Accumulation order and
+  * arithmetic (left-to-right doubles) match [[Similarity.cosine]], so the
+  * two forms agree bit-for-bit. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private def isFloatArray(t: DataType) = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"fast_cosine needs two array<float>, got ${left.dataType}, ${right.dataType}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.CosineSim.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "fast_cosine"
+}
+
+object CosineSim {
+  /** Called from generated code — must stay a static-forwardable method. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fast_cosine", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+
+  def fast_cosine(a: Column, b: Column): Column =
+    call_function("fast_cosine", a, b)
+}
+
+/** Decimal-exact dot product of two float arrays, as one codegen'd loop.
+  *
+  * The oracle-gated similarity queries need reduction-order-independent
+  * sums: each element product is quantized to DECIMAL(38,18) and summed
+  * exactly, so Spark and any other engine agree bit-for-bit regardless of
+  * aggregation order. The relational spelling of that contract —
+  * explode the products, hash-aggregate a decimal SUM — pays an explode,
+  * a 64×-wider stream, and non-codegen decimal aggregation; the HOF
+  * spelling (`aggregate` over `zip_with`) is worse still, interpreted
+  * per element. This expression keeps the exact same quantize-then-
+  * exact-sum semantics (BigDecimal.valueOf = Spark's double→decimal cast,
+  * HALF_UP at scale 18; exact BigDecimal addition = decimal SUM) inside
+  * one whole-stage-codegen'd pass. Returns the sum as double, like
+  * `SUM(...decimal...)::double`. */
+case class DecimalDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private def isFloatArray(t: DataType) = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"decimal_dot needs two array<float>, got ${left.dataType}, ${right.dataType}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DecimalDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.DecimalDot.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DecimalDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "decimal_dot"
+}
+
+object DecimalDot {
+  /** Called from generated code — must stay a static-forwardable method. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var sum = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      val p = a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      // valueOf = shortest decimal repr of the double, exactly Spark's
+      // CAST(double AS DECIMAL); setScale(18, HALF_UP) = changePrecision
+      sum = sum.add(java.math.BigDecimal.valueOf(p)
+        .setScale(18, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    sum.doubleValue()
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "decimal_dot", exprs => DecimalDot(exprs.head, exprs(1)), "built-in")
+
+  /** Column form — built directly from the expression, no registry needed. */
+  def decimal_dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(DecimalDot(
+      org.apache.spark.sql.GraftColumnBridge.expression(a),
+      org.apache.spark.sql.GraftColumnBridge.expression(b)))
 }

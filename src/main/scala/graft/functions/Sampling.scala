@@ -48,4 +48,30 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol)) < threshold)
   }
+
+  /** Corpus mixing: downsample each source to a per-source TOKEN budget —
+    * the pretraining data-mix pass ("cap source X at N tokens, keep rare
+    * source Y whole"). keep_frac(source) = min(1, budget / available), with
+    * membership decided by the same identity hash as every sampler here, so
+    * the kept set is engine/partitioning/run stable and oracle-checkable.
+    *
+    * Fully relational: one aggregate for per-source token totals (tiny —
+    * one row per source), broadcast-joined back, one filter scan. No
+    * driver-side collect, so it holds at any source cardinality. Adds
+    * `n_tokens` and `_keep_frac` to the surviving rows. */
+  def mixCorpus(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, targetTokens: Map[String, Double],
+      defaultTarget: Double = 0.0): DataFrame = {
+    val tok = df.withColumn("n_tokens",
+      TextFunctions.tokenCount(col(textCol)).cast(LongType))
+    val target = targetTokens.foldLeft(lit(defaultTarget)) {
+      case (acc, (src, t)) => when(col(sourceCol) === src, lit(t)).otherwise(acc)
+    }
+    val frac = tok.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).cast(DoubleType).as("_avail"))
+      .select(col(sourceCol),
+        least(lit(1.0), target / col("_avail")).as("_keep_frac"))
+    tok.join(broadcast(frac), Seq(sourceCol))
+      .filter(hashBucket(col(idCol)) < floor(col("_keep_frac") * Buckets))
+  }
 }

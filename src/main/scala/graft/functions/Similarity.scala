@@ -28,25 +28,34 @@ object Similarity {
     when(d === 0, 0.0).otherwise(dot(a, b) / d)
   }
 
-  /** Oracle-exact cosine: products are IEEE-deterministic doubles; summing
-    * them as decimals makes the reduction order irrelevant, so Spark and any
-    * other engine agree bit-for-bit after rounding (SURVEY §7.4.3). */
+  /** Oracle-exact cosine: products are IEEE-deterministic doubles, quantized
+    * to DECIMAL(38,18) and summed exactly, so the reduction order is
+    * irrelevant and Spark agrees with any other engine bit-for-bit after
+    * rounding (SURVEY §7.4.3). Uses the codegen'd [[DecimalDot]] kernel —
+    * same semantics as a decimal-SUM plan, one pass, no interpreted HOFs. */
   def cosineExact(a: Column, b: Column, scale: Int = 4): Column = {
-    def dsum(products: Column): Column =
-      aggregate(products, lit(BigDecimal(0)).cast(DecimalType(38, 18)),
-        (acc, v) => acc + v.cast(DecimalType(38, 18))).cast(DoubleType)
-    val d = dsum(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)))
-    val na = sqrt(dsum(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType))))
-    val nb = sqrt(dsum(transform(b, x => x.cast(DoubleType) * x.cast(DoubleType))))
+    import DecimalDot.decimal_dot
+    val d = decimal_dot(a, b)
+    val na = sqrt(decimal_dot(a, a))
+    val nb = sqrt(decimal_dot(b, b))
     round(when(na * nb === 0, 0.0).otherwise(d / (na * nb)), scale)
+  }
+
+  /** The scan kernel for the search paths below: the codegen'd
+    * [[CosineSim]] expression (one pass, no intermediate array), registered
+    * idempotently on the frame's session. Bit-identical to [[cosine]] for
+    * equal-length float arrays (same left-to-right double accumulation). */
+  private def fastCosine(df: DataFrame, a: Column, b: Column): Column = {
+    CosineSim.register(df.sparkSession)
+    CosineSim.fast_cosine(a, b)
   }
 
   /** Brute-force top-k against one query vector: score projection + orderBy
     * + limit = TakeOrderedAndProject (per-partition heap, driver merge). */
   def topK(df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Float], k: Int): DataFrame = {
-    val q = array(query.map(v => lit(v)): _*)
-    df.select(col(idCol), cosine(col(vecCol), q).as("similarity"))
+    val q = array(query.map(v => lit(v)): _*).cast(ArrayType(FloatType))
+    df.select(col(idCol), fastCosine(df, col(vecCol), q).as("similarity"))
       .orderBy(col("similarity").desc, col(idCol).asc)
       .limit(k)
   }
@@ -154,10 +163,11 @@ object Similarity {
         (i, d)
       }
       .sortBy(_._2).take(nProbe).map(_._1)
-    val q = array(query.map(v => lit(v)): _*)
+    val q = array(query.map(v => lit(v)): _*).cast(ArrayType(FloatType))
     index.assigned
       .filter(col("_list").isin(probeLists.toIndexedSeq: _*))
-      .select(col(idCol), cosine(col(vecCol), q).as("similarity"))
+      .select(col(idCol),
+        fastCosine(index.assigned, col(vecCol), q).as("similarity"))
       .orderBy(col("similarity").desc, col(idCol).asc)
       .limit(k)
   }
@@ -172,7 +182,7 @@ object Similarity {
     val qb = queries.withColumn("_bucket", lshBucket(col(vecCol), dim, nPlanes))
       .select(col(idCol).as("query_id"), col(vecCol).as("_qvec"), col("_bucket"))
     val scored = qb.join(cb, Seq("_bucket"))
-      .withColumn("similarity", cosine(col("_qvec"), col(vecCol)))
+      .withColumn("similarity", fastCosine(corpus, col("_qvec"), col(vecCol)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("similarity").desc, col(idCol).asc)
     scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)

@@ -208,6 +208,68 @@ object TextFunctions {
       size(regexp_extract_all(text, lit(re), lit(0))).as(name)
     }: _*)
 
+  /** Corpus normalization: strip HTML tags, unescape the common entities,
+    * drop control characters, collapse whitespace. The boilerplate-removal
+    * pass that precedes quality scoring in public pretraining pipelines.
+    * Pure regexp/replace chain — codegen'd, zero shuffle; character classes
+    * are explicit hex ranges (no \p{...}) so Java regex and RE2 agree. */
+  def cleanText(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    // &amp; last: "&amp;lt;" must yield "&lt;", not "<"
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (from, to)) =>
+        replace(acc, lit(from), lit(to))
+      }
+    val noCtrl = regexp_replace(unescaped, "[\\x00-\\x1F\\x7F]", " ")
+    trim(regexp_replace(noCtrl, " {2,}", " "))
+  }
+
+  /** Gopher-style repetition signals — the standard corpus filters for
+    * boilerplate/spam detection in pretraining pipelines:
+    *
+    *  - `dup_word_frac`   fraction of word occurrences beyond each word's
+    *                      first (1 − distinct/total),
+    *  - `dup_bigram_frac` same over adjacent word bigrams,
+    *  - `top_word_frac`   occurrences of the most frequent word / total.
+    *
+    * The distinct fractions are per-row array expressions (codegen'd, zero
+    * shuffle); bigrams use zip_with against a shifted slice so the split
+    * array binds once (a transform lambda indexing the outer array would
+    * re-split per element). The mode needs cross-row state per doc, so
+    * top_word_frac is the explode → (id, word) count → per-id max/sum
+    * aggregate — partial aggregation map-side, then joined back. */
+  def repetitionSignalsTable(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val staged = df.withColumn("_r_words",
+      split(trim(lower(col(textCol))), "\\s+"))
+    val words = col("_r_words")
+    val n = size(words)
+    val bigrams = filter(
+      zip_with(words, slice(words, lit(2), greatest(n - 1, lit(0))),
+        (a, b) => when(a.isNotNull && b.isNotNull, concat(a, lit(" "), b))),
+      _.isNotNull)
+    val n2 = size(col("_r_big"))
+    val perRow = staged
+      .withColumn("_r_big", bigrams)
+      .withColumn("dup_word_frac", when(n > 0,
+        (n - size(array_distinct(words))).cast(DoubleType) / n.cast(DoubleType))
+        .otherwise(0.0))
+      .withColumn("dup_bigram_frac", when(n2 > 0,
+        (n2 - size(array_distinct(col("_r_big")))).cast(DoubleType) /
+          n2.cast(DoubleType))
+        .otherwise(0.0))
+    val top = staged
+      .select(col(idCol), explode_outer(words).as("_w"))
+      .groupBy(col(idCol), col("_w")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol)).agg(max("_c").as("_maxc"), sum("_c").as("_n"))
+      .select(col(idCol), when(col("_n") > 0,
+        col("_maxc").cast(DoubleType) / col("_n").cast(DoubleType))
+        .otherwise(0.0).as("top_word_frac"))
+    perRow.join(top, Seq(idCol), "left").drop("_r_words", "_r_big")
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget context
     * windows by running token count in a deterministic order — the
     * pretraining packing pass. Windows are cumsum blocks of width `budget`:

@@ -33,6 +33,57 @@ class FastExprAndIvfSpec extends SparkSuite {
     }.nonEmpty)
   }
 
+  test("fast_cosine is bit-identical to the HOF cosine and codegen'd") {
+    graft.functions.CosineSim.register(spark)
+    val emb = graft.core.Tables.table(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0)
+    val qArr = array(q.map(v => lit(v)): _*)
+      .cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    val mismatches = emb.select(
+      Similarity.cosine(col("embedding"), qArr).as("hof"),
+      graft.functions.CosineSim.fast_cosine(col("embedding"), qArr).as("fast"))
+      .filter(col("hof") =!= col("fast")).count()
+    assert(mismatches == 0)
+    val plan = emb.select(graft.functions.CosineSim
+      .fast_cosine(col("embedding"), qArr))
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty)
+    assert(plan.toString.contains("fast_cosine"))
+  }
+
+  test("decimal_dot is bit-identical to the explode + decimal-SUM plan") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val emb = graft.core.Tables.table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 50)
+    // relational spelling of the same contract: quantize each product to
+    // DECIMAL(38,18), exact SUM, cast back to double
+    val pairs = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")))
+      .filter(col("id_a") < col("id_b"))
+    val viaAgg = pairs.select(col("id_a"), col("id_b"),
+      explode(zip_with(col("ea"), col("eb"), (x, y) =>
+        (x.cast(DoubleType) * y.cast(DoubleType)).cast(DecimalType(38, 18))))
+        .as("p"))
+      .groupBy("id_a", "id_b").agg(sum("p").cast(DoubleType).as("dot"))
+    val viaKernel = pairs.select(col("id_a"), col("id_b"),
+      graft.functions.DecimalDot.decimal_dot(col("ea"), col("eb")).as("dot"))
+    assert(viaKernel.exceptAll(viaAgg).isEmpty && viaAgg.exceptAll(viaKernel).isEmpty)
+    // codegen participation — over a plain scan projection (the nested-loop
+    // pair join itself is not a codegen operator, so assert on the kernel's
+    // own stage shape)
+    val plan = emb.select(graft.functions.DecimalDot
+      .decimal_dot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty)
+    assert(plan.toString.contains("decimal_dot"))
+  }
+
   test("IVF index: self-query returns itself; probes bound the scan") {
     val emb = graft.core.Tables.table(spark, sfDir, "embeddings")
     val index = Similarity.ivfIndex(emb, "embedding", "vec_id", nLists = 8)

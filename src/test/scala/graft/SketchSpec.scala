@@ -71,6 +71,28 @@ class SketchSpec extends SparkSuite {
     assert(byLabel.values.sum == docs.count())
   }
 
+  test("mixCorpus: whole-kept source survives intact, caps bite, deterministic") {
+    import graft.functions.Sampling
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+    val mixed = Sampling.mixCorpus(docs, "doc_id", "text", "source",
+      targetTokens = Map("src1" -> 100.0, "src2" -> 1e9), defaultTarget = 200.0)
+    // budget ≥ supply → keep_frac 1.0 → every src2 doc survives
+    val src2All = docs.filter(col("source") === "src2").count()
+    assert(mixed.filter(col("source") === "src2").count() == src2All)
+    // a hard cap keeps strictly less than everything
+    val src1All = docs.filter(col("source") === "src1").count()
+    assert(mixed.filter(col("source") === "src1").count() < src1All)
+    // keep fractions are valid probabilities
+    assert(mixed.filter(col("_keep_frac") <= 0.0 || col("_keep_frac") > 1.0)
+      .isEmpty)
+    // identity-hash membership → invariant to partitioning
+    val again = Sampling.mixCorpus(docs.repartition(7), "doc_id", "text",
+      "source", Map("src1" -> 100.0, "src2" -> 1e9), 200.0)
+    val ids1 = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = again.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
   test("approx distinct stays shuffle-light: no distinct expansion in plan") {
     val q = events.groupBy("event_type")
       .agg(Sketches.approxDistinct(col("user_id")).as("u"))

@@ -114,6 +114,18 @@ object DocQueries {
         k = 3, threshold = 0.2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_decontaminate" -> ((s, dir) => {
+      // every 50th doc plays the benchmark; flag corpus docs sharing any
+      // word 3-shingle with it
+      val docs = t(s, dir, "documents")
+      Decontaminate.flagContaminated(
+        corpus = docs.filter(col("doc_id") % 50 =!= 0),
+        evalDocs = docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", k = 3, minOverlap = 1L)
+        .select(col("doc_id"), col("n_overlap"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash-LSH clusters + SimHash: xxhash64-based, rows-only checks
     "q_doc_minhash_clusters" -> ((s, dir) =>
       MinHashDedup.clusters(t(s, dir, "documents"), "doc_id", "text")
@@ -404,6 +416,27 @@ object DocQueries {
       """SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" -> {
+      val sh =
+        """list_distinct(list_transform(
+          |  range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 1, 1)),
+          |  i -> concat_ws(' ',
+          |    string_split_regex(trim(lower(text)), '\s+')[i],
+          |    string_split_regex(trim(lower(text)), '\s+')[i+1],
+          |    string_split_regex(trim(lower(text)), '\s+')[i+2])))""".stripMargin.replace("\n", " ")
+      s"""WITH ev AS (SELECT DISTINCT unnest($sh) AS sh FROM documents
+         |  WHERE doc_id % 50 = 0),
+         |cs AS (SELECT doc_id, unnest($sh) AS sh FROM documents
+         |  WHERE doc_id % 50 <> 0),
+         |hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+         |  FROM cs JOIN ev USING (sh) GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(h.n_overlap, 0) AS n_overlap,
+         |  COALESCE(h.n_overlap, 0) >= 1 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |WHERE d.doc_id % 50 <> 0
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "q_doc_ngram_jaccard" -> {
       // word 3-shingles per doc, then blocked pairwise jaccard

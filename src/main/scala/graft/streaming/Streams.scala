@@ -126,6 +126,30 @@ object Streams {
       .drop("_dedup_key")
   }
 
+  /** Stream-stream interval join: each left event matched to right events
+    * with the same keys whose event time falls within
+    * `[leftTs - before, leftTs + after]` — the canonical streaming
+    * enrichment (impressions ⋈ clicks within N minutes), and the streaming
+    * twin of `operators/RangeJoin`. BOTH sides carry watermarks and the
+    * condition bounds the time range in BOTH directions — exactly what
+    * Structured Streaming requires to evict buffered rows, so per-key state
+    * stays one watermark window deep regardless of stream length. Right
+    * columns are suffixed `_r` so self-joins on one schema stay referable. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, watermark: String,
+      before: String = "10 minutes",
+      after: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r0 = right.columns.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, c + "_r")
+    }
+    val r = r0.withWatermark(rightTs + "_r", watermark)
+    val cond = keys.map(k => l(k) === r(k + "_r")).reduce(_ && _) &&
+      r(rightTs + "_r") >= l(leftTs) - expr(s"INTERVAL $before") &&
+      r(rightTs + "_r") <= l(leftTs) + expr(s"INTERVAL $after")
+    l.join(r, cond, "inner")
+  }
+
   /** Batch-driven smoke runner: stream a parquet directory through a
     * streaming query into a memory sink and return the materialized result.
     * `Trigger.AvailableNow`-style: processAllAvailable then stop. */

@@ -164,6 +164,35 @@ class AsofAndSessionSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the window, drops outside") {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val impr = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val joined = Streams.intervalJoin(
+      impr.toDS().toDF("ts", "uid", "ad"),
+      clicks.toDS().toDF("ts", "uid", "click_id"),
+      keys = Seq("uid"), leftTs = "ts", rightTs = "ts",
+      watermark = "1 hour", before = "0 minutes", after = "10 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij_test").start()
+    try {
+      impr.addData((t(10), 1L, "adA"), (t(10), 2L, "adB"))
+      clicks.addData(
+        (t(15), 1L, "c1"),   // within [10, 20] for uid 1 → match
+        (t(25), 1L, "c2"),   // past the +10min window → no match
+        (t(9), 2L, "c3"),    // before the impression (before=0) → no match
+        (t(12), 3L, "c4"))   // no impression for uid 3 → no match
+      q.processAllAvailable()
+      val got = spark.table("ij_test")
+        .select("ad", "click_id_r").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(got == Seq(("adA", "c1")))
+    } finally q.stop()
+  }
+
   test("one-pass quality signals equal the per-column text functions") {
     import graft.functions.{TextFunctions => TF}
     val real = graft.core.Tables.table(spark, sfDir, "documents")

@@ -114,6 +114,18 @@ object DocQueries {
         k = 3, threshold = 0.2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_dedup_incremental" -> ((s, dir) => {
+      // docs < 250 are the ingested history; the rest arrive as a new batch.
+      // Survivors: first-in-batch content, never seen in history.
+      val docs = t(s, dir, "documents").withColumn("_row_id", col("doc_id"))
+      ExactDedup.incremental(
+        batch = docs.filter(col("doc_id") >= 250),
+        history = docs.filter(col("doc_id") < 250),
+        matchFields = Seq("text"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_decontaminate" -> ((s, dir) => {
       // every 50th doc plays the benchmark; flag corpus docs sharing any
       // word 3-shingle with it
@@ -416,6 +428,17 @@ object DocQueries {
       """SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH b AS (SELECT doc_id, source, text FROM documents WHERE doc_id >= 250),
+        |f AS (SELECT doc_id, source, text,
+        |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+        |  FROM b)
+        |SELECT doc_id, source FROM f
+        |WHERE rn = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM documents h
+        |  WHERE h.doc_id < 250 AND h.text = f.text)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" -> {
       val sh =

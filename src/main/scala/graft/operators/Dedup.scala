@@ -48,6 +48,28 @@ object ExactDedup {
       .filter(col("_dd_rn") === 1)
       .drop("_dd_rn")
   }
+
+  /** Incremental-ingest dedup: from a new batch, keep rows that are first
+    * within the batch (per [[apply]]'s strategy) AND whose content key is
+    * unseen in the historical corpus — the CDC face of exact dedup, pairing
+    * with `io/IncrementalState` (which dedups at file level).
+    *
+    * Shape: within-batch dedup is the usual windowed pass over the (small)
+    * batch; the history check is a left-anti join on the content key. At
+    * corpus scale keep the history as a content-key table bucketed on the
+    * key so the anti-join co-locates instead of shuffling 100 TB per
+    * increment. Pass `matchFields` explicitly — batch and history schemas
+    * need not match beyond them. */
+  def incremental(batch: DataFrame, history: DataFrame,
+      matchFields: Seq[String], strategy: String = "keep_first",
+      rowId: String = "_row_id"): DataFrame = {
+    val withinBatch = apply(batch, matchFields, strategy, rowId)
+    val histKeys = history
+      .select(matchKey(history, matchFields).as("_dd_key")).distinct()
+    withinBatch.withColumn("_dd_key", matchKey(withinBatch, matchFields))
+      .join(histKeys, Seq("_dd_key"), "left_anti")
+      .drop("_dd_key")
+  }
 }
 
 /** Scale-path near-duplicate detection for text — the Spark-native rebuild of

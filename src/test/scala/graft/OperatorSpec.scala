@@ -59,6 +59,23 @@ class OperatorSpec extends SparkSuite {
     assert(ids("keep_best_quality") == Seq(2L, 4L))
   }
 
+  test("ExactDedup.incremental drops history matches and in-batch repeats") {
+    val history = Seq((1L, "seen-a"), (2L, "seen-b")).toDF("_row_id", "key")
+    val batch = Seq(
+      (10L, "seen-a"),   // duplicates history → dropped
+      (11L, "fresh-1"),  // first fresh → kept
+      (12L, "fresh-1"),  // in-batch repeat → dropped
+      (13L, "fresh-2")   // kept
+    ).toDF("_row_id", "key")
+    val got = ExactDedup.incremental(batch, history, Seq("key"))
+      .select("_row_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(11L, 13L))
+    // replaying the surviving batch against (history + survivors) is a no-op
+    val grown = history.unionByName(
+      batch.filter(col("_row_id").isin(11L, 13L)))
+    assert(ExactDedup.incremental(batch, grown, Seq("key")).isEmpty)
+  }
+
   test("Aggregator: count includes nulls, sum 0 when empty, min/max skip non-numeric") {
     import Aggregator.AggSpec
     val df = Seq(

@@ -84,6 +84,35 @@ class FastExprAndIvfSpec extends SparkSuite {
     assert(plan.toString.contains("decimal_dot"))
   }
 
+  test("GraftExtensions installs the kernels for plain SQL on a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    // getOrCreate reuses any active session and skips extension wiring, so
+    // park the suite session and build one with the extensions applied.
+    // (`spark.sql.extensions` is a STATIC conf — it only takes effect when
+    // the SparkContext is created, and the suite's context already exists —
+    // so wire programmatically via withExtensions, the library-API route.)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val fresh = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.GraftExtensions()(_))
+      .getOrCreate()
+    try {
+      val got = fresh.sql(
+        """SELECT fast_token_count(' a b  c ') AS n,
+          |  fast_cosine(array(cast(1.0 as float), cast(0.0 as float)),
+          |              array(cast(1.0 as float), cast(0.0 as float))) AS cos,
+          |  decimal_dot(array(cast(2.0 as float)), array(cast(3.0 as float))) AS d
+          |""".stripMargin).head()
+      assert(got.getInt(0) == 3)
+      assert(math.abs(got.getDouble(1) - 1.0) < 1e-12)
+      assert(math.abs(got.getDouble(2) - 6.0) < 1e-12)
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
   test("IVF index: self-query returns itself; probes bound the scan") {
     val emb = graft.core.Tables.table(spark, sfDir, "embeddings")
     val index = Similarity.ivfIndex(emb, "embedding", "vec_id", nLists = 8)

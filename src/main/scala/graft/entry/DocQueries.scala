@@ -177,11 +177,21 @@ object DocQueries {
     // brute-force top-k + LSH-bucketed ANN: rows-only (tie-break order under
     // float rounding differs; property-tested instead)
     "q_embed_topk" -> ((s, dir) => {
+      // brute-force top-k on the fast_cosine kernel; ordering on the
+      // FLOOR-rounded similarity (then vec_id) so both engines sort and cut
+      // the k boundary identically → full oracle instead of rows-only
       val emb = t(s, dir, "embeddings")
       val qvec = emb.filter(col("vec_id") === 1)
         .select(col("embedding")).head().getSeq[Float](0)
-      Similarity.topK(emb, "embedding", "vec_id", qvec, k = 20)
-        .withColumn("similarity", round(col("similarity"), 4))
+      graft.functions.CosineSim.register(s)
+      val q = array(qvec.map(v => lit(v)): _*)
+        .cast(ArrayType(FloatType))
+      emb.select(col("vec_id"),
+        Semantics.safeRound(
+          graft.functions.CosineSim.fast_cosine(col("embedding"), q), 4)
+          .as("similarity"))
+        .orderBy(col("similarity").desc, col("vec_id").asc)
+        .limit(20)
     }),
 
     "q_embed_ivf" -> ((s, dir) => {
@@ -482,6 +492,20 @@ object DocQueries {
          |       / len(list_distinct(a.sh || b.sh)) END >= 0.2
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    "q_embed_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+         |                  generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+         |             generate_subscripts(embedding, 1) AS i
+         |      FROM embeddings WHERE vec_id = 1),
+         |d AS (SELECT e.vec_id, SUM(e.ev * q.qv) AS dot, SUM(e.ev * e.ev) AS nsq
+         |  FROM e JOIN q USING (i) GROUP BY e.vec_id),
+         |qn AS (SELECT SUM(qv * qv) AS qsq FROM q)
+         |SELECT vec_id,
+         |  ${Sql.sround("CASE WHEN sqrt(nsq) * sqrt(qsq) = 0 THEN 0.0 ELSE dot / (sqrt(nsq) * sqrt(qsq)) END")} AS similarity
+         |FROM d, qn
+         |ORDER BY similarity DESC, vec_id ASC LIMIT 20""".stripMargin,
 
     "q_embed_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,

@@ -174,6 +174,72 @@ case class DecimalDot(left: Expression, right: Expression)
   override def prettyName: String = "decimal_dot"
 }
 
+/** Random-hyperplane LSH bucket id as one codegen'd loop. The Column
+  * spelling in [[Similarity.lshBucket]] is a `nPlanes × dim` tree of
+  * `element_at` + multiply + add nodes (512 nodes for 8×64) — evaluated per
+  * row through expression dispatch. This kernel computes the identical
+  * bits (same seeded hash planes, same left-to-right double accumulation,
+  * same `>= 0` sign rule) from a cached plane matrix. */
+case class LshBucket(child: Expression, nPlanes: Int, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket needs array<float>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    LshBucket.bucket(input.asInstanceOf[ArrayData], nPlanes, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LshBucket.bucket($c, $nPlanes, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+
+  override def prettyName: String = "lsh_bucket"
+}
+
+object LshBucket {
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Array[Double]]]()
+
+  /** Plane component (p, j) = centered unit hash — identical to the Column
+    * form's seeded MurmurHash3 planes. */
+  def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((nPlanes.toLong << 32) | dim,
+      _ => Array.tabulate(nPlanes, dim) { (p, j) =>
+        scala.util.hashing.MurmurHash3.productHash((p, j)) /
+          Int.MaxValue.toDouble
+      })
+
+  /** Called from generated code — must stay a static-forwardable method. */
+  def bucket(a: ArrayData, nPlanes: Int, dim: Int): Long = {
+    val pl = planes(nPlanes, dim)
+    val n = math.min(dim, a.numElements())
+    var bits = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val row = pl(p)
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        dot += a.getFloat(j).toDouble * row(j)
+        j += 1
+      }
+      if (dot >= 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
+  def lsh_bucket(vec: Column, nPlanes: Int, dim: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(LshBucket(
+      org.apache.spark.sql.GraftColumnBridge.expression(vec), nPlanes, dim))
+}
+
 object DecimalDot {
   /** Called from generated code — must stay a static-forwardable method. */
   def dot(a: ArrayData, b: ArrayData): Double = {

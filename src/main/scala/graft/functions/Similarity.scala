@@ -64,8 +64,16 @@ object Similarity {
     * `nPlanes` pseudo-random hyperplanes (deterministic seeded hash-based
     * planes — no RNG state needed, reproducible across runs/executors).
     * Vectors sharing a bucket are near in angle; search touches only the
-    * query's bucket (+ optional multi-probe neighbors). */
-  def lshBucket(vec: Column, dim: Int, nPlanes: Int = 16): Column = {
+    * query's bucket (+ optional multi-probe neighbors). Computed by the
+    * codegen'd [[LshBucket]] kernel; bit-identical to the expression-tree
+    * spelling kept below for the regression test. */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int = 16): Column =
+    LshBucket.lsh_bucket(vec, nPlanes, dim)
+
+  /** The nPlanes × dim Column-tree form lshBucket replaced (asserted equal
+    * in FastExprAndIvfSpec). */
+  private[graft] def lshBucketTreeForm(vec: Column, dim: Int,
+      nPlanes: Int = 16): Column = {
     val bits = (0 until nPlanes).map { p =>
       // plane component j = centered unit hash of (p, j): deterministic
       val prod = (0 until dim).map { j =>

@@ -84,6 +84,21 @@ class FastExprAndIvfSpec extends SparkSuite {
     assert(plan.toString.contains("decimal_dot"))
   }
 
+  test("lsh_bucket kernel is bit-identical to the expression-tree form") {
+    val emb = graft.core.Tables.table(spark, sfDir, "embeddings")
+    val mismatches = emb.select(
+      Similarity.lshBucket(col("embedding"), dim = 64, nPlanes = 8).as("fast"),
+      Similarity.lshBucketTreeForm(col("embedding"), dim = 64, nPlanes = 8)
+        .as("tree"))
+      .filter(col("fast") =!= col("tree")).count()
+    assert(mismatches == 0)
+    // buckets actually split the corpus (not all zero / all one bucket)
+    val nBuckets = emb.select(
+      Similarity.lshBucket(col("embedding"), 64, 8).as("b"))
+      .distinct().count()
+    assert(nBuckets > 1)
+  }
+
   test("GraftExtensions installs the kernels for plain SQL on a fresh session") {
     import org.apache.spark.sql.SparkSession
     // getOrCreate reuses any active session and skips extension wiring, so

@@ -174,6 +174,81 @@ case class DecimalDot(left: Expression, right: Expression)
   override def prettyName: String = "decimal_dot"
 }
 
+/** Distinct word k-gram shingles as one codegen'd pass — the shared front
+  * end of the whole text-dedup family (MinHash, SimHash, n-gram Jaccard,
+  * decontamination). The Column spelling (lower → regex split → k-1
+  * zip_with chains → null-filter → array_distinct) walks interpreted HOFs
+  * and materializes every intermediate array; this kernel tokenizes the
+  * lowercased text in one byte scan (ASCII `\s` classes, like the regex)
+  * and emits first-occurrence-ordered distinct k-grams joined by single
+  * spaces — the identical value set and order. */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_shingles needs a string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.shingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordShingles.shingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShingles {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Called from generated code — must stay a static-forwardable method. */
+  def shingles(text: UTF8String,
+      k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val n = bytes.length
+    // tokenize: maximal runs of non-(ASCII \s) bytes, exactly `\s+` split
+    // on trimmed text (no empty tokens); byte offsets are safe — multi-byte
+    // UTF-8 units never collide with ASCII whitespace
+    val tokens = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      val ws = i == n || {
+        val b = bytes(i)
+        b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+      }
+      if (!ws && start < 0) start = i
+      else if (ws && start >= 0) {
+        tokens += UTF8String.fromBytes(bytes, start, i - start)
+        start = -1
+      }
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var s = 0
+    while (s + k <= tokens.length) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = tokens(s + j); j += 1 }
+      out.add(UTF8String.concatWs(Space, parts: _*))
+      s += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var o = 0
+    while (it.hasNext) { arr(o) = it.next(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  def word_shingles(text: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(WordShingles(
+      org.apache.spark.sql.GraftColumnBridge.expression(text), k))
+}
+
 /** Random-hyperplane LSH bucket id as one codegen'd loop. The Column
   * spelling in [[Similarity.lshBucket]] is a `nPlanes × dim` tree of
   * `element_at` + multiply + add nodes (512 nodes for 8×64) — evaluated per

@@ -97,7 +97,17 @@ object MinHashDedup {
     * the `split` expression on EVERY element — O(n²·len) per row, measured
     * at ~20µs/shingle. `zip_with` against shifted slices binds each array
     * operand once, so the whole shingle set is O(k·len) per row. */
-  def shingles(text: Column, k: Int = 3): Column = {
+  def shingles(text: Column, k: Int = 3): Column =
+    // codegen'd kernel: one byte scan, same distinct set and order as the
+    // HOF spelling below (asserted in FastExprAndIvfSpec). Sole divergence:
+    // text whose first token boundary is non-space whitespace — the regex
+    // form then emits an "" token artifact (trim strips spaces only); the
+    // kernel never produces empty tokens.
+    graft.functions.WordShingles.word_shingles(text, k)
+
+  /** The interpreted-HOF spelling shingles() replaced (kept for the
+    * regression test). */
+  private[graft] def shinglesTreeForm(text: Column, k: Int = 3): Column = {
     val words = split(lower(trim(text)), "\\s+")
     val n = size(words)
     val joined = (1 until k).foldLeft(words) { (acc, j) =>

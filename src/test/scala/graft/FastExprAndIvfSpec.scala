@@ -99,6 +99,27 @@ class FastExprAndIvfSpec extends SparkSuite {
     assert(nBuckets > 1)
   }
 
+  test("word_shingles kernel equals the HOF form: same set, same order") {
+    import graft.operators.MinHashDedup
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+    for (k <- Seq(2, 3)) {
+      val mismatches = docs.select(
+        MinHashDedup.shingles(col("text"), k).as("fast"),
+        MinHashDedup.shinglesTreeForm(col("text"), k).as("tree"))
+        .filter(col("fast") =!= col("tree")).count()
+      assert(mismatches == 0, s"k=$k")
+    }
+    // edge cases: short docs, repeats, collapsed whitespace
+    val edge = Seq("", "one", "a b", "a b c", "x  y\tz", "p q p q p q")
+      .toDF("text")
+    val pairs = edge.select(
+      MinHashDedup.shingles(col("text"), 3).as("fast"),
+      MinHashDedup.shinglesTreeForm(col("text"), 3).as("tree"))
+      .collect()
+    pairs.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+      s"edge: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}"))
+  }
+
   test("GraftExtensions installs the kernels for plain SQL on a fresh session") {
     import org.apache.spark.sql.SparkSession
     // getOrCreate reuses any active session and skips extension wiring, so

@@ -249,6 +249,74 @@ object WordShingles {
       org.apache.spark.sql.GraftColumnBridge.expression(text), k))
 }
 
+/** Order-sensitive rolling document fingerprint as one codegen'd scan —
+  * the kernel form of `TextFunctions.fingerprint`'s interpreted fold
+  * (`aggregate(split(norm), 0L, (acc, w) => xxhash64(acc, w))`). Each step
+  * replays Spark's own XxHash64 semantics exactly: hash = seed 42 →
+  * hashLong(acc) → hashUnsafeBytes(word), so values are bit-identical to
+  * the HOF spelling. Whitespace-only input hashes a single empty token,
+  * like `split` on a collapsed-empty string. */
+case class RollingFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_fingerprint needs a string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    RollingFingerprint.fingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RollingFingerprint.fingerprint($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RollingFingerprint = copy(child = newChild)
+
+  override def prettyName: String = "rolling_fingerprint"
+}
+
+object RollingFingerprint {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  private val ByteArrayOffset =
+    org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+
+  /** One xxhash64(acc, word) step, exactly XxHash64's child fold. */
+  private def step(acc: Long, bytes: Array[Byte], start: Int, len: Int): Long = {
+    val h = XXH64.hashLong(acc, 42L)
+    XXH64.hashUnsafeBytes(bytes, ByteArrayOffset + start, len, h)
+  }
+
+  /** Called from generated code — must stay a static-forwardable method. */
+  def fingerprint(text: UTF8String): Long = {
+    val bytes = text.toLowerCase.getBytes
+    val n = bytes.length
+    var acc = 0L
+    var any = false
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      val ws = i == n || {
+        val b = bytes(i)
+        b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+      }
+      if (!ws && start < 0) start = i
+      else if (ws && start >= 0) {
+        acc = step(acc, bytes, start, i - start)
+        any = true
+        start = -1
+      }
+      i += 1
+    }
+    if (!any) acc = step(acc, bytes, 0, 0) // split("") → one empty token
+    acc
+  }
+
+  def rolling_fingerprint(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(RollingFingerprint(
+      org.apache.spark.sql.GraftColumnBridge.expression(text)))
+}
+
 /** Random-hyperplane LSH bucket id as one codegen'd loop. The Column
   * spelling in [[Similarity.lshBucket]] is a `nPlanes × dim` tree of
   * `element_at` + multiply + add nodes (512 nodes for 8×64) — evaluated per

@@ -176,8 +176,15 @@ object TextFunctions {
   /** Rolling hash fingerprint of the whole document: xxhash64 chained over
     * the normalized word stream (order-sensitive, unlike a bag-of-words
     * hash). Chaining through the hash avoids ANSI-mode overflow that a raw
-    * polynomial accumulator would hit. */
-  def fingerprint(text: Column): Column = {
+    * polynomial accumulator would hit. Computed by the codegen'd
+    * [[RollingFingerprint]] kernel — bit-identical to the HOF fold kept
+    * below (asserted in FastExprAndIvfSpec). */
+  def fingerprint(text: Column): Column =
+    RollingFingerprint.rolling_fingerprint(text)
+
+  /** The interpreted-HOF spelling fingerprint() replaced (kept for the
+    * regression test). */
+  private[graft] def fingerprintTreeForm(text: Column): Column = {
     val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
     aggregate(split(norm, " "), lit(0L), (acc, w) => xxhash64(acc, w))
   }

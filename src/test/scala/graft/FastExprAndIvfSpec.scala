@@ -120,6 +120,27 @@ class FastExprAndIvfSpec extends SparkSuite {
       s"edge: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}"))
   }
 
+  test("rolling_fingerprint kernel is bit-identical to the xxhash64 fold") {
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+    val mismatches = docs.select(
+      TF.fingerprint(col("text")).as("fast"),
+      TF.fingerprintTreeForm(col("text")).as("tree"))
+      .filter(col("fast") =!= col("tree")).count()
+    assert(mismatches == 0)
+    // edge cases incl. the empty-token artifact of split("") and case folding
+    val edge = Seq("", "   ", "one", "Two Words", "a  b\tc", "MiXeD CaSe")
+      .toDF("text")
+    val pairs = edge.select(
+      TF.fingerprint(col("text")).as("fast"),
+      TF.fingerprintTreeForm(col("text")).as("tree")).collect()
+    pairs.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // order sensitivity survives the kernel swap
+    val ab = edge.sparkSession.range(1).select(
+      TF.fingerprint(lit("alpha beta")).as("x"),
+      TF.fingerprint(lit("beta alpha")).as("y")).head()
+    assert(ab.getLong(0) != ab.getLong(1))
+  }
+
   test("GraftExtensions installs the kernels for plain SQL on a fresh session") {
     import org.apache.spark.sql.SparkSession
     // getOrCreate reuses any active session and skips extension wiring, so

@@ -86,6 +86,14 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_chunk_docs" -> ((s, dir) =>
+      // RAG-style passage chunking: 16-word windows stepping by 12
+      TF.chunkDocuments(t(s, dir, "documents"), "text",
+        chunkWords = 16, overlap = 4)
+        .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
+          col("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     "q_doc_repetition" -> ((s, dir) =>
       TF.repetitionSignalsTable(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"),
@@ -403,6 +411,22 @@ object DocQueries {
         |    '[\x00-\x1F\x7F]', ' ', 'g'),
         |    ' {2,}', ' ', 'g')) AS cleaned
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_docs" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS l
+        |  FROM documents),
+        |c AS (SELECT doc_id, l,
+        |    1 + CAST(CEIL(GREATEST(len(l) - 16, 0) / 12.0) AS INTEGER) AS nc
+        |  FROM w),
+        |x AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, CAST(nc AS BIGINT)), i ->
+        |      {'chunk_id': i,
+        |       'chunk_text': array_to_string(l[(i*12 + 1):(i*12 + 16)], ' ')}),
+        |      recursive := true)
+        |  FROM c)
+        |SELECT doc_id, chunk_id, chunk_text FROM x
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_doc_repetition" -> {
       val words = wordsSql

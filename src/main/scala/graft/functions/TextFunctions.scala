@@ -277,6 +277,31 @@ object TextFunctions {
     perRow.join(top, Seq(idCol), "left").drop("_r_words", "_r_big")
   }
 
+  /** Passage chunking with overlap: split each document into fixed-size
+    * word windows stepping by `chunkWords - overlap` — the RAG/pretraining
+    * chunker. One row per chunk with `chunk_id` and `chunk_text`; documents
+    * shorter than one chunk yield exactly one chunk. The words array is
+    * STAGED as a column first so the per-chunk lambda slices an attribute,
+    * not a re-evaluated split (the HOF outer-reference trap). */
+  def chunkDocuments(df: org.apache.spark.sql.DataFrame, textCol: String,
+      chunkWords: Int, overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && overlap < chunkWords,
+      s"overlap must be in [0, chunkWords): $overlap / $chunkWords")
+    val step = chunkWords - overlap
+    val staged = df.withColumn("_ck_words",
+      split(trim(regexp_replace(col(textCol), "\\s+", " ")), " "))
+    val n = size(col("_ck_words"))
+    // number of windows covering n words: 1 + ceil(max(n - chunk, 0) / step)
+    val nChunks = lit(1) + ceil(
+      greatest(n - chunkWords, lit(0)).cast(DoubleType) / step).cast(IntegerType)
+    val chunks = transform(sequence(lit(0), nChunks - 1), i =>
+      concat_ws(" ", slice(col("_ck_words"), i * step + 1, lit(chunkWords))))
+    staged
+      .select(df.columns.map(col) :+
+        posexplode(chunks).as(Seq("chunk_id", "chunk_text")): _*)
+      .drop("_ck_words")
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget context
     * windows by running token count in a deterministic order — the
     * pretraining packing pass. Windows are cumsum blocks of width `budget`:

@@ -249,6 +249,100 @@ object WordShingles {
       org.apache.spark.sql.GraftColumnBridge.expression(text), k))
 }
 
+/** Full MinHash signature in one codegen'd pass — replaces the
+  * explode-shingles → 64-column min hash-aggregate (a corpus-sized shuffle
+  * of exploded shingles) with a pure projection. Two exactness facts make
+  * this the identical value: (1) the per-seed min over DISTINCT shingles
+  * equals the min over all shingle windows (duplicates never change a
+  * min), so no dedup pass is needed; (2) `xxhash64(sh, seed)` factors as
+  * `hashInt(seed, hashUnsafeBytes(sh, 42))` — the string is hashed ONCE
+  * per shingle and each seed adds one integer fold, versus 64 full string
+  * hashes in the relational form. Documents with fewer than k words get
+  * `hashInt(seed, 42)` per seed — exactly the aggregate form's value for
+  * its single explode_outer NULL row (XxHash64 SKIPS null children, so the
+  * null shingle contributes nothing and the seed folds over the raw 42
+  * seed; all shingle-less docs therefore share one signature). */
+case class MinHashSig(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig needs a string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.sig(input.asInstanceOf[UTF8String], k, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashSig.sig($c, $k, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  private val Space = UTF8String.fromString(" ")
+  private val ByteArrayOffset =
+    org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+
+  /** Called from generated code — must stay a static-forwardable method. */
+  def sig(text: UTF8String, k: Int,
+      numHashes: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val n = bytes.length
+    val tokens = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      val ws = i == n || {
+        val b = bytes(i)
+        b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+      }
+      if (!ws && start < 0) start = i
+      else if (ws && start >= 0) {
+        tokens += UTF8String.fromBytes(bytes, start, i - start)
+        start = -1
+      }
+      i += 1
+    }
+    if (tokens.length < k) {
+      val empty = new Array[Any](numHashes)
+      var e = 0
+      while (e < numHashes) { empty(e) = XXH64.hashInt(e, 42L); e += 1 }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(empty)
+    }
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val parts = new Array[UTF8String](k)
+    var s = 0
+    while (s + k <= tokens.length) {
+      var j = 0
+      while (j < k) { parts(j) = tokens(s + j); j += 1 }
+      val sh = UTF8String.concatWs(Space, parts: _*).getBytes
+      val base = XXH64.hashUnsafeBytes(sh, ByteArrayOffset, sh.length, 42L)
+      var seed = 0
+      while (seed < numHashes) {
+        val h = XXH64.hashInt(seed, base)
+        if (h < mins(seed)) mins(seed) = h
+        seed += 1
+      }
+      s += 1
+    }
+    val out = new Array[Any](numHashes)
+    var o = 0
+    while (o < numHashes) { out(o) = mins(o); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def minhash_sig(text: Column, k: Int, numHashes: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(MinHashSig(
+      org.apache.spark.sql.GraftColumnBridge.expression(text), k, numHashes))
+}
+
 /** Order-sensitive rolling document fingerprint as one codegen'd scan —
   * the kernel form of `TextFunctions.fingerprint`'s interpreted fold
   * (`aggregate(split(norm), 0L, (acc, w) => xxhash64(acc, w))`). Each step

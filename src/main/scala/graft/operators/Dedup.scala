@@ -156,18 +156,23 @@ object MinHashDedup {
   def clusters(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val ex = df.select(col(idCol),
-      explode_outer(shingles(col(textCol), k)).as("_sh"))
-    val minCols = (0 until numHashes).map(seed =>
-      min(xxhash64(col("_sh"), lit(seed))).as(s"_h$seed"))
-    val sig = ex.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+    // whole signature from the codegen'd kernel: a pure projection — the
+    // former explode-shingles → 64-min hash-aggregate shuffled the entire
+    // exploded corpus; now nothing shuffles until the band window. The
+    // kernel's values are identical (min over windows = min over distinct
+    // shingles; per-seed hash folds replayed exactly — FastExprAndIvfSpec).
+    val sig = df.select(col(idCol),
+      graft.functions.MinHashSig.minhash_sig(col(textCol), k, numHashes)
+        .as("_sig"))
     val bandCols = (0 until bands).map { b =>
       val parts = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col(s"_h$i").cast(StringType))
+        .map(i => element_at(col("_sig"), i + 1).cast(StringType))
+      // shingle-less docs (< k words) share one kernel-defined signature
+      // and thus one bucket — identical to the aggregate form, where the
+      // explode_outer NULL row hashes to hashInt(seed, 42) per seed (the
+      // old isNull singleton branch was dead code: xxhash64 skips nulls)
       struct(lit(b).as("band"),
-        // docs with no shingles (< k words) keep their own singleton bucket
-        when(col("_h0").isNull, xxhash64(lit("empty:"), col(idCol).cast(StringType)))
-          .otherwise(xxhash64(concat_ws(",", parts: _*))).as("bucket"))
+        xxhash64(concat_ws(",", parts: _*)).as("bucket"))
     }
     val bb = sig.select(col(idCol), explode(array(bandCols: _*)).as("_bb"))
       .select(col(idCol), col("_bb.band").as("band"), col("_bb.bucket").as("bucket"))

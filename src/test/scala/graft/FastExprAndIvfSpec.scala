@@ -141,6 +141,30 @@ class FastExprAndIvfSpec extends SparkSuite {
     assert(ab.getLong(0) != ab.getLong(1))
   }
 
+  test("minhash_sig kernel equals the explode + 64-min aggregate") {
+    import graft.operators.MinHashDedup
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((100000L, "two words"), (100001L, ""))
+        .toDF("doc_id", "text")) // < k words → empty signature
+    val numHashes = 64
+    val ex = docs.select(col("doc_id"),
+      explode_outer(MinHashDedup.shingles(col("text"), 3)).as("_sh"))
+    val minCols = (0 until numHashes).map(seed =>
+      min(xxhash64(col("_sh"), lit(seed))).as(s"_h$seed"))
+    val viaAgg = ex.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .collect().map(r => r.getLong(0) ->
+        (0 until numHashes).map(i =>
+          if (r.isNullAt(i + 1)) null else r.getLong(i + 1))).toMap
+    val viaKernel = docs.select(col("doc_id"),
+      graft.functions.MinHashSig.minhash_sig(col("text"), 3, numHashes)
+        .as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    viaAgg.foreach { case (id, aggSig) =>
+      assert(viaKernel(id) == aggSig, s"doc $id")
+    }
+  }
+
   test("GraftExtensions installs the kernels for plain SQL on a fresh session") {
     import org.apache.spark.sql.SparkSession
     // getOrCreate reuses any active session and skips extension wiring, so

@@ -343,6 +343,97 @@ object MinHashSig {
       org.apache.spark.sql.GraftColumnBridge.expression(text), k, numHashes))
 }
 
+/** SimHash signature in one codegen'd pass — replaces simhashTable's
+  * explode-shingles → 64-vote hash-aggregate (corpus-sized shuffle) with a
+  * pure projection. Unlike MinHash, votes run over DISTINCT shingles
+  * (a duplicate would double-vote), so the kernel carries the dedup set.
+  * Per distinct shingle: h = xxhash64(sh) = hashUnsafeBytes(sh, 42); bit b
+  * votes +1 if (h >> b) & 1 else −1; signature bit b set iff its vote sum
+  * is positive. Sub-k-word docs: the aggregate form's single explode_outer
+  * NULL row hashes to the raw seed (xxhash64 skips null children → 42), so
+  * that one row's sign votes ARE the bits of 42 — the shared signature for
+  * all shingle-less docs is 42 masked to `bits`. */
+case class SimHashSig(child: Expression, k: Int, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash_sig needs a string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashSig.sig(input.asInstanceOf[UTF8String], k, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimHashSig.sig($c, $k, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_sig"
+}
+
+object SimHashSig {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  private val Space = UTF8String.fromString(" ")
+  private val ByteArrayOffset =
+    org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+
+  /** Called from generated code — must stay a static-forwardable method. */
+  def sig(text: UTF8String, k: Int, bits: Int): Long = {
+    val bytes = text.toLowerCase.getBytes
+    val n = bytes.length
+    val tokens = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      val ws = i == n || {
+        val b = bytes(i)
+        b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+      }
+      if (!ws && start < 0) start = i
+      else if (ws && start >= 0) {
+        tokens += UTF8String.fromBytes(bytes, start, i - start)
+        start = -1
+      }
+      i += 1
+    }
+    if (tokens.length < k) // the single NULL row's hash is the seed itself
+      return 42L & (if (bits >= 64) -1L else (1L << bits) - 1)
+    val votes = new Array[Long](bits)
+    val seen = new java.util.HashSet[UTF8String]()
+    val parts = new Array[UTF8String](k)
+    var s = 0
+    while (s + k <= tokens.length) {
+      var j = 0
+      while (j < k) { parts(j) = tokens(s + j); j += 1 }
+      val sh = UTF8String.concatWs(Space, parts: _*)
+      if (seen.add(sh)) {
+        val shb = sh.getBytes
+        val h = XXH64.hashUnsafeBytes(shb, ByteArrayOffset, shb.length, 42L)
+        var b = 0
+        while (b < bits) {
+          votes(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L)
+          b += 1
+        }
+      }
+      s += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def simhash_sig(text: Column, k: Int, bits: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(SimHashSig(
+      org.apache.spark.sql.GraftColumnBridge.expression(text), k, bits))
+}
+
 /** Order-sensitive rolling document fingerprint as one codegen'd scan —
   * the kernel form of `TextFunctions.fingerprint`'s interpreted fold
   * (`aggregate(split(norm), 0L, (acc, w) => xxhash64(acc, w))`). Each step

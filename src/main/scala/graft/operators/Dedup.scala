@@ -201,11 +201,20 @@ object SimHash {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Scale form: explode shingles, hash once per shingle in a projection,
-    * then ONE aggregate with 64 per-bit vote sums → combine. Linear, single
-    * shuffle on id. Returns (idCol, simhash). */
+  /** Scale form: the codegen'd [[SimHashSig]] kernel — whole signature as a
+    * pure projection, no shuffle at all (values bit-identical to the
+    * explode + 64-vote aggregate spelling kept below; FastExprAndIvfSpec).
+    * Returns (idCol, simhash). */
   def simhashTable(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, bits: Int = 64): DataFrame = {
+      k: Int = 3, bits: Int = 64): DataFrame =
+    df.select(col(idCol),
+      graft.functions.SimHashSig.simhash_sig(col(textCol), k, bits)
+        .as("simhash"))
+
+  /** The explode + vote-aggregate spelling simhashTable() replaced (kept
+    * for the regression test). */
+  private[graft] def simhashTableAggForm(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, bits: Int = 64): DataFrame = {
     val ex = df
       .select(col(idCol), explode_outer(MinHashDedup.shingles(col(textCol), k)).as("_sh"))
       .withColumn("_h", xxhash64(col("_sh"))) // hashed once, reused by all bits

@@ -165,6 +165,21 @@ class FastExprAndIvfSpec extends SparkSuite {
     }
   }
 
+  test("simhash_sig kernel equals the explode + vote aggregate") {
+    import graft.operators.SimHash
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((100000L, "two words"), (100001L, ""),
+        (100002L, "p q p q p q")) // duplicate shingles must not double-vote
+        .toDF("doc_id", "text"))
+    val viaAgg = SimHash.simhashTableAggForm(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaKernel = SimHash.simhashTable(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaKernel == viaAgg)
+    assert(viaKernel(100001L) == 42L) // shingle-less doc = seed's own bits
+  }
+
   test("GraftExtensions installs the kernels for plain SQL on a fresh session") {
     import org.apache.spark.sql.SparkSession
     // getOrCreate reuses any active session and skips extension wiring, so

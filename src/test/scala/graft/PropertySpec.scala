@@ -103,6 +103,30 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("chunking reconstructs the document for any size/overlap (property)") {
+    import graft.functions.{TextFunctions => TF}
+    val gen = for {
+      nWords <- Gen.choose(1, 120)
+      chunk <- Gen.choose(2, 20)
+      overlap <- Gen.choose(0, chunk - 1)
+    } yield (nWords, chunk, overlap)
+    forAllSeeded(gen, n = 12) { case (nWords, chunk, overlap) =>
+      val words = (1 to nWords).map("w" + _)
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val chunks = TF.chunkDocuments(df, "text", chunk, overlap)
+        .orderBy("chunk_id").select("chunk_text")
+        .as[String].collect().map(_.split(" ").toSeq)
+      // stitched back together (dropping each successor's overlap) = doc,
+      // exactly: window starts advance by step, so chunk i's tail begins
+      // precisely where chunk i-1 ended
+      val rebuilt = chunks.head ++ chunks.tail.flatMap(_.drop(overlap))
+      assert(rebuilt == words,
+        s"nWords=$nWords chunk=$chunk overlap=$overlap")
+      // every chunk except possibly the last is exactly `chunk` words
+      chunks.dropRight(1).foreach(c => assert(c.length == chunk))
+    }
+  }
+
   test("combined anomaly set is a subset of each method's set (property)") {
     val df = graft.core.Tables.table(spark, sfDir, "events")
     val z = AnomalyDetector.zscore(df, Seq("value"), 2.0)

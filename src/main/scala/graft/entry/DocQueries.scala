@@ -155,6 +155,13 @@ object DocQueries {
       SimHash.simhashTable(t(s, dir, "documents"), "doc_id", "text", k = 3)
         .orderBy(col("doc_id"))),
 
+    "q_doc_simhash_pairs" -> ((s, dir) =>
+      // hamming ≤ 3 near-dup pairs via pigeonhole block join (rows-only:
+      // xxhash64-based signatures)
+      SimHash.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ---- similarity search --------------------------------------------------
 
     "q_embed_cosine" -> ((s, dir) => {

@@ -232,6 +232,42 @@ object SimHash {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-duplicate pairs by signature distance: all (id_a < id_b) with
+    * hamming(sig_a, sig_b) ≤ maxDist.
+    *
+    * Scale shape (pigeonhole banding): split the 64-bit signature into
+    * `maxDist + 1` contiguous blocks — two signatures within maxDist bits
+    * MUST agree on at least one whole block, so candidates come from an
+    * equi-join on (block index, block value), never a cross product. The
+    * exact hamming filter then prunes false candidates. Same construction
+    * as MinHash-LSH banding, but over signature bits. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, maxDist: Int = 3): DataFrame = {
+    val nBlocks = maxDist + 1
+    val width = 64 / nBlocks
+    val sigs = simhashTable(df, idCol, textCol, k)
+    val blocks = explode(array((0 until nBlocks).map { b =>
+      struct(lit(b).as("blk"),
+        // block b = bits [b*width, (b+1)*width); last block takes the rest
+        shiftrightunsigned(col("simhash"), b * width)
+          .bitwiseAND(lit(if (b == nBlocks - 1) -1L >>> (b * width)
+                          else (1L << width) - 1)).as("v"))
+    }: _*))
+    val keyed = sigs.select(col(idCol), col("simhash"), blocks.as("bb"))
+      .select(col(idCol), col("simhash"),
+        col("bb.blk").as("blk"), col("bb.v").as("v"))
+    val a = keyed.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
+      col("blk"), col("v"))
+    val b = keyed.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),
+      col("blk"), col("v"))
+    a.join(b, Seq("blk", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct() // a pair can agree on several blocks
+      .filter(col("hamming") <= maxDist)
+  }
 }
 
 /** N-gram Jaccard similarity between documents; candidate generation must be

@@ -91,24 +91,56 @@ object IsolationForest {
     Model(trees, math.min(psi, math.max(sample.length, 2)), means)
   }
 
-  /** Score + flag: one partition-local pass; the model travels in the UDF
-    * closure (a broadcast under the hood). Flag = top `contamination` share
-    * by score, cutoff from an exact percentile of the score column. */
+  /** Static entry for generated code: impute nulls with the model's means,
+    * then average path length over the trees. */
+  def scoreArray(model: Model,
+      a: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = a.numElements()
+    val row = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      row(i) = if (a.isNullAt(i)) model.means(i) else a.getDouble(i)
+      i += 1
+    }
+    score(model, row)
+  }
+
+  /** Codegen'd scoring expression: the fitted model rides along as a
+    * codegen reference object, each row scored in one call — no per-row
+    * Seq boxing like a Scala UDF, and the projection stays inside
+    * whole-stage codegen. */
+  private[graft] case class ScoreExpr(
+      child: org.apache.spark.sql.catalyst.expressions.Expression,
+      model: Model)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: org.apache.spark.sql.types.DataType = DoubleType
+    override def nullSafeEval(input: Any): Any =
+      scoreArray(model,
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val modelRef = ctx.addReferenceObj("ifModel", model,
+        classOf[Model].getName)
+      defineCodeGen(ctx, ev, c =>
+        s"graft.operators.IsolationForest.scoreArray($modelRef, $c)")
+    }
+    override protected def withNewChildInternal(
+        newChild: org.apache.spark.sql.catalyst.expressions.Expression): ScoreExpr =
+      copy(child = newChild)
+    override def prettyName: String = "iforest_score"
+  }
+
+  /** Score + flag: one partition-local pass; the model travels as a plan
+    * reference object. Flag = top `contamination` share by score, cutoff
+    * from an exact percentile of the score column. */
   def detect(df: DataFrame, fields: Seq[String], orderCol: String,
       contamination: Double = 0.1, numTrees: Int = 100,
       seed: Long = 42L): DataFrame = {
     val model = fit(df, fields, orderCol, numTrees, seed = seed)
-    val means = model.means
-    val scoreUdf = udf { (vals: Seq[java.lang.Double]) =>
-      val arr = new Array[Double](vals.length)
-      var i = 0
-      while (i < vals.length) {
-        arr(i) = if (vals(i) == null) means(i) else vals(i).doubleValue(); i += 1
-      }
-      score(model, arr)
-    }
-    val scored = df.withColumn("_iforest_score",
-      scoreUdf(array(fields.map(f => col(f).cast(DoubleType)): _*)))
+    val featureArr = array(fields.map(f => col(f).cast(DoubleType)): _*)
+    val scoreCol = org.apache.spark.sql.GraftColumnBridge.column(ScoreExpr(
+      org.apache.spark.sql.GraftColumnBridge.expression(featureArr), model))
+    val scored = df.withColumn("_iforest_score", scoreCol)
     val statsRow = scored.agg(
       expr(s"percentile(_iforest_score, ${1.0 - contamination})"),
       min(col("_iforest_score")), max(col("_iforest_score"))).head()

@@ -50,6 +50,23 @@ class ScaleSpec extends SparkSuite {
     assert(plan.split("Exchange hashpartitioning").length - 1 == 2, plan)
   }
 
+  test("kernel signature stages plan without a shuffle") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+    // simhashTable is a pure projection: zero exchanges anywhere
+    val simPlan = graft.operators.SimHash
+      .simhashTable(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!simPlan.contains("Exchange"), simPlan)
+    // minhash clusters: the signature is projection-only, so the whole
+    // query shuffles exactly twice — band window + label aggregation
+    // (the old explode+agg signature stage added a third, corpus-wide)
+    val cluPlan = graft.operators.MinHashDedup
+      .clusters(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(cluPlan.split("Exchange hashpartitioning").length - 1 == 2, cluPlan)
+  }
+
   test("binned range join plans as an equi-join even with broadcast disabled") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -36,7 +36,8 @@ object Sinks {
     * reference buffers all records in memory; a single array file is
     * inherently single-writer, so this is driver-side by construction —
     * use ONLY for small exports (the reference's own use case). */
-  def jsonArray(df: DataFrame, path: String, pretty: Boolean = false): Unit = {
+  def jsonArray(df: DataFrame, path: String, pretty: Boolean = false,
+      schemaSidecar: Boolean = false): Unit = {
     val rows = df.toJSON.collect()
     val body =
       if (pretty) rows.mkString("[\n  ", ",\n  ", "\n]")
@@ -44,6 +45,12 @@ object Sinks {
     val p = java.nio.file.Paths.get(path)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(p, body)
+    // `.schema.json` export (json_loader.py:215-248): the serialized
+    // StructType — round-trips via DataType.fromJson
+    if (schemaSidecar)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path + ".schema.json"),
+        df.schema.prettyJson)
   }
 
   /** Parquet load (`parquet_loader.py:144-250`): snappy default, directory

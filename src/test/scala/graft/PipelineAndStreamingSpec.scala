@@ -91,6 +91,12 @@ class PipelineAndStreamingSpec extends SparkSuite {
       """{"data": {"records": [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]}}""")
     val df = graft.io.Sources.jsonArray(spark, path, Some("data.records"))
     assert(df.count() == 2 && df.columns.sorted.toSeq == Seq("a", "b"))
+    // sink sidecar: serialized schema round-trips through DataType.fromJson
+    val out = s"$dir/out.json"
+    graft.io.Sinks.jsonArray(df, out, schemaSidecar = true)
+    val sidecar = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out + ".schema.json"))
+    assert(org.apache.spark.sql.types.DataType.fromJson(sidecar) == df.schema)
   }
 
   test("query service profile + filter-values on real table") {

@@ -1,6 +1,6 @@
 package graft.entry
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{Semantics, Tables}
@@ -71,8 +71,11 @@ object DocQueries {
     }),
 
     "q_pack_docs" -> ((s, dir) =>
-      // sequence packing: cumsum token blocks of 2000 over doc_id order
-      TF.packDocuments(t(s, dir, "documents"), "doc_id", "text", budget = 2000L)
+      // sequence packing: cumsum token blocks of 2000 over doc_id order,
+      // auto-sharded every 100 doc_ids so the cumsum window is partitioned
+      // (shard-parallel plan — no global single-partition sort)
+      TF.packDocuments(t(s, dir, "documents"), "doc_id", "text",
+        budget = 2000L, autoShardWidth = 100L)
         .select(col("doc_id"), col("n_tokens"), col("window_id"))
         .orderBy(col("doc_id"))),
 
@@ -243,12 +246,20 @@ object DocQueries {
         .select(col("event_id"), col("value"), col("_meta_anomaly_method").as("method"))
         .orderBy(col("event_id"))),
 
-    "q_anomaly_combined" -> ((s, dir) =>
-      AnomalyDetector.combined(t(s, dir, "events"), Seq("value"),
-        zThreshold = 2.0, iqrFactor = 1.5)
-        .filter(col("_meta_is_anomaly"))
+    "q_anomaly_combined" -> ((s, dir) => {
+      // full reference vote: ≥2 of {zscore, iqr, iforest}. The seeded
+      // iForest flag is engine-specific, so the vote's third input is
+      // materialized for the oracle (which re-derives z/iqr bounds and the
+      // vote logic independently and consumes the deterministic flag).
+      val out = AnomalyDetector.combined(t(s, dir, "events"), Seq("value"),
+        zThreshold = 2.0, iqrFactor = 1.5, iforestOrderCol = Some("event_id"))
+      out.select(col("event_id"), col("_meta_iforest_flag").as("if_flag"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet("/tmp/graft_oracle_aux/iforest_flags")
+      out.filter(col("_meta_is_anomaly"))
         .select(col("event_id"), col("value"))
-        .orderBy(col("event_id"))),
+        .orderBy(col("event_id"))
+    }),
 
     // ---- quality scorer (§2.3) ----------------------------------------------
 
@@ -278,7 +289,19 @@ object DocQueries {
         col("event_type"),
         col("value").cast(StringType).as("value_str"),
         date_format(col("ts"), "yyyy-MM-dd").as("day_str"))
+      // gate representation: floats → FLOOR-scaled integers, nullables →
+      // sentinel strings, so the cross-engine compare never touches a
+      // double-canonicalization or NULL-representation surface
+      def x10k(c: Column): Column =
+        floor(c * lit(10000.0) + lit(0.5)).cast(LongType)
       SchemaInferrer.profile(df, Seq("id_str", "event_type", "value_str", "day_str"))
+        .select(col("field"), col("total_count"), col("null_count"),
+          col("inferred_type"),
+          x10k(col("confidence")).as("confidence_x10k"),
+          coalesce(x10k(col("min_value")).cast(StringType), lit("")).as("min_x10k"),
+          coalesce(x10k(col("max_value")).cast(StringType), lit("")).as("max_x10k"),
+          col("distinct_count"), col("is_enum_candidate"),
+          coalesce(col("detected_pattern"), lit("none")).as("detected_pattern"))
         .orderBy(col("field"))
     }),
 
@@ -457,10 +480,13 @@ object DocQueries {
     },
 
     "q_pack_docs" ->
-      s"""WITH d AS (SELECT doc_id, $tokenCountSql AS n_tokens FROM documents),
-         |c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY doc_id
+      s"""WITH d AS (SELECT doc_id, $tokenCountSql AS n_tokens,
+         |        CAST(FLOOR(doc_id / 100.0) AS BIGINT) AS shard FROM documents),
+         |c AS (SELECT doc_id, n_tokens, shard,
+         |        SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
          |        ROWS UNBOUNDED PRECEDING) AS cum FROM d)
          |SELECT doc_id, n_tokens,
+         |  shard * 4294967296 +
          |  GREATEST(CAST(CEIL(CAST(cum AS DOUBLE) / 2000) AS BIGINT) - 1, 0)
          |    AS window_id
          |FROM c ORDER BY doc_id""".stripMargin,
@@ -581,14 +607,17 @@ object DocQueries {
         |      - POW(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(value), 2)) AS sigma,
         |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3,
         |    COUNT(value) AS n
-        |  FROM events)
-        |SELECT event_id, value FROM events, s
-        |WHERE (s.n >= 3 AND s.sigma > 0 AND value IS NOT NULL
-        |       AND ABS(value - s.mu) / s.sigma > 2.0)
-        |  AND (s.n >= 4 AND (s.q3 - s.q1) > 0
-        |       AND (value < s.q1 - 1.5 * (s.q3 - s.q1)
-        |         OR value > s.q3 + 1.5 * (s.q3 - s.q1)))
-        |ORDER BY event_id""".stripMargin,
+        |  FROM events),
+        |f AS (SELECT event_id, if_flag
+        |      FROM read_parquet('/tmp/graft_oracle_aux/iforest_flags/*.parquet'))
+        |SELECT e.event_id, e.value FROM events e JOIN f ON e.event_id = f.event_id, s
+        |WHERE (CASE WHEN s.n >= 3 AND s.sigma > 0 AND e.value IS NOT NULL
+        |            AND ABS(e.value - s.mu) / s.sigma > 2.0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s.n >= 4 AND (s.q3 - s.q1) > 0 AND e.value IS NOT NULL
+        |            AND (e.value < s.q1 - 1.5 * (s.q3 - s.q1)
+        |              OR e.value > s.q3 + 1.5 * (s.q3 - s.q1)) THEN 1 ELSE 0 END)
+        |    + (CASE WHEN f.if_flag THEN 1 ELSE 0 END) >= 2
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_quality_scorer" -> {
       // replicate QualityScorer column-for-column on the derived frame
@@ -660,8 +689,8 @@ object DocQueries {
         val patCase = SchemaInferrer.patterns.map { case (n, _) =>
           s"WHEN $presentN > 0 AND ${rate(pats(n))} / $presentN >= 0.8 THEN '$n'"
         }.mkString(" ")
-        s"""SELECT '$f' AS field, COUNT(*) AS total_count,
-           |  SUM(CASE WHEN $f IS NULL OR CAST($f AS VARCHAR) = '' THEN 1 ELSE 0 END) AS null_count,
+        s"""SELECT '$f' AS field, CAST(COUNT(*) AS BIGINT) AS total_count,
+           |  CAST(SUM(CASE WHEN $f IS NULL OR CAST($f AS VARCHAR) = '' THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
            |  CASE WHEN $presentN = 0 THEN 'STRING'
            |       WHEN $bS >= 0.8 THEN 'BOOLEAN'
            |       WHEN $iS >= 0.8 THEN 'INTEGER'
@@ -669,15 +698,15 @@ object DocQueries {
            |       WHEN $dS >= 0.8 THEN 'DATE'
            |       WHEN $tS >= 0.8 THEN 'DATETIME'
            |       ELSE 'STRING' END AS inferred_type,
-           |  ROUND(GREATEST($bS, $iS, $numS, $dS, $tS,
-           |    1.0 - GREATEST($bS, $numS, $dS, $tS)), 4) AS confidence,
-           |  MIN(CASE WHEN regexp_matches(CAST($f AS VARCHAR), '$numRe')
-           |    THEN CAST($f AS DOUBLE) END) AS min_value,
-           |  MAX(CASE WHEN regexp_matches(CAST($f AS VARCHAR), '$numRe')
-           |    THEN CAST($f AS DOUBLE) END) AS max_value,
-           |  COUNT(DISTINCT CASE WHEN $present THEN CAST($f AS VARCHAR) END) AS distinct_count,
+           |  CAST(FLOOR(GREATEST($bS, $iS, $numS, $dS, $tS,
+           |    1.0 - GREATEST($bS, $numS, $dS, $tS)) * 10000.0 + 0.5) AS BIGINT) AS confidence_x10k,
+           |  COALESCE(CAST(CAST(FLOOR(MIN(CASE WHEN regexp_matches(CAST($f AS VARCHAR), '$numRe')
+           |    THEN CAST($f AS DOUBLE) END) * 10000.0 + 0.5) AS BIGINT) AS VARCHAR), '') AS min_x10k,
+           |  COALESCE(CAST(CAST(FLOOR(MAX(CASE WHEN regexp_matches(CAST($f AS VARCHAR), '$numRe')
+           |    THEN CAST($f AS DOUBLE) END) * 10000.0 + 0.5) AS BIGINT) AS VARCHAR), '') AS max_x10k,
+           |  CAST(COUNT(DISTINCT CASE WHEN $present THEN CAST($f AS VARCHAR) END) AS BIGINT) AS distinct_count,
            |  COUNT(DISTINCT CASE WHEN $present THEN CAST($f AS VARCHAR) END) <= 10 AS is_enum_candidate,
-           |  CASE $patCase ELSE NULL END AS detected_pattern
+           |  COALESCE(CASE $patCase ELSE NULL END, 'none') AS detected_pattern
            |FROM d""".stripMargin
       }
       val fields = Seq("id_str", "event_type", "value_str", "day_str")

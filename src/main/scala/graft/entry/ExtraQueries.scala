@@ -1,6 +1,6 @@
 package graft.entry
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{Semantics, Tables}
@@ -243,12 +243,28 @@ object ExtraQueries {
         .orderBy(col("o_orderkey"))
     }),
 
-    "q_profile_table" -> ((s, dir) =>
+    "q_profile_table" -> ((s, dir) => {
       // the full §1.3 query-time profile: dtype, nulls, distincts, typed
-      // min/max, role suggestion, high-card flag, categorical value list
+      // min/max, role suggestion, high-card flag, categorical value list.
+      // Gate representation: floats → FLOOR-scaled integer strings and
+      // nullables → '' so the cross-engine compare has no float- or
+      // NULL-canonicalization surface (the API keeps real doubles).
+      def x10ks(c: Column): Column =
+        coalesce(floor(c * lit(10000.0) + lit(0.5)).cast(LongType)
+          .cast(StringType), lit(""))
       graft.query.QueryService.profileTable(t(s, dir, "events"),
         Seq("event_id", "event_type", "value", "ts", "props"))
-        .orderBy(col("column_name"))),
+        .select(col("column_name"), col("dtype"), col("total_count"),
+          col("null_count"), col("n_distinct"), col("high_cardinality"),
+          col("suggested_role"),
+          x10ks(col("min_value")).as("min_x10k"),
+          x10ks(col("max_value")).as("max_x10k"),
+          x10ks(col("mean_value")).as("mean_x10k"),
+          coalesce(col("min_text"), lit("")).as("min_text"),
+          coalesce(col("max_text"), lit("")).as("max_text"),
+          coalesce(col("sample_values"), lit("")).as("sample_values"))
+        .orderBy(col("column_name"))
+    }),
 
     // sketch estimates are engine-specific → rows-only gate; SketchSpec
     // asserts accuracy vs exact and the merge algebra
@@ -482,25 +498,32 @@ object ExtraQueries {
             s"ELSE '${if (isNum) "metric" else if (isTs) "datetime" else "dimension"}' END"
           else if (isNum) "'metric'" else if (isTs) "'datetime'"
           else s"CASE WHEN $nd <= 100 THEN 'dimension' ELSE 'text' END"
+        // floats leave as FLOOR-scaled integer strings; '' for NULL — the
+        // same representation the Spark gate emits (no float canon surface)
+        def x10ks(e: String): String =
+          s"COALESCE(CAST(CAST(FLOOR(($e) * 10000.0 + 0.5) AS BIGINT) AS VARCHAR), '')"
         val (minV, maxV, meanV) =
-          if (isNum) (s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)",
-            eavg(c))
-          else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
-            "CAST(NULL AS DOUBLE)")
+          if (isNum) (x10ks(s"CAST(MIN($c) AS DOUBLE)"),
+            x10ks(s"CAST(MAX($c) AS DOUBLE)"), x10ks(eavg(c)))
+          else ("''", "''", "''")
         val (minT, maxT) =
-          if (isTs) (s"strftime(MIN($c), '%Y-%m-%d %H:%M:%S')",
-            s"strftime(MAX($c), '%Y-%m-%d %H:%M:%S')")
-          else if (!isNum) (s"MIN($c)", s"MAX($c)")
-          else ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+          if (isTs) (s"COALESCE(strftime(MIN($c), '%Y-%m-%d %H:%M:%S'), '')",
+            s"COALESCE(strftime(MAX($c), '%Y-%m-%d %H:%M:%S'), '')")
+          else if (!isNum) (s"COALESCE(MIN($c), '')", s"COALESCE(MAX($c), '')")
+          else ("''", "''")
+        // pre-distinct subquery + plain ORDER BY: string_agg(DISTINCT ...
+        // ORDER BY ...) semantics vary across DuckDB versions
         val samples =
-          if (isNum || isTs) "CAST(NULL AS VARCHAR)"
-          else s"(SELECT CASE WHEN COUNT(DISTINCT $c) <= 20 THEN " +
-            s"string_agg(DISTINCT $c, '|' ORDER BY $c) END " +
-            s"FROM events WHERE NOT ($missing))"
+          if (isNum || isTs) "''"
+          else s"COALESCE((SELECT CASE WHEN COUNT(*) <= 20 THEN " +
+            s"string_agg(v, '|' ORDER BY v) END FROM " +
+            s"(SELECT DISTINCT $c AS v FROM events WHERE NOT ($missing))), '')"
         s"""SELECT '$c' AS column_name, '$dtype' AS dtype,
-           |  COUNT(*) AS total_count, $nulls AS null_count, $nd AS n_distinct,
+           |  CAST(COUNT(*) AS BIGINT) AS total_count,
+           |  CAST($nulls AS BIGINT) AS null_count,
+           |  CAST($nd AS BIGINT) AS n_distinct,
            |  $nd > 100 AS high_cardinality, $role AS suggested_role,
-           |  $minV AS min_value, $maxV AS max_value, $meanV AS mean_value,
+           |  $minV AS min_x10k, $maxV AS max_x10k, $meanV AS mean_x10k,
            |  $minT AS min_text, $maxT AS max_text, $samples AS sample_values
            |FROM events""".stripMargin
       }

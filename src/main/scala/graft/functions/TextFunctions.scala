@@ -309,22 +309,38 @@ object TextFunctions {
     * totals are bounded by `budget + max_doc_tokens` (exact greedy first-fit
     * needs sequential state and is not expressible as a relational window —
     * the cumsum-block form is the scalable standard, and the overshoot
-    * vanishes when budget >> document size, the pretraining regime). One
-    * window over the order column; at
-    * corpus scale, partition by a shard key (same result per shard,
-    * embarrassingly parallel across shards). Adds `n_tokens`, `window_id`. */
+    * vanishes when budget >> document size, the pretraining regime).
+    *
+    * The cumsum window is ALWAYS partitioned — an unpartitioned global
+    * window would sort the whole corpus in one task, the classic scale
+    * killer. With `shardCol` the caller owns shard identity and `window_id`
+    * is local to the shard. Without it, a shard is derived as
+    * `floor(orderCol / autoShardWidth)` (numeric order key required) and
+    * `window_id = shard · 2³² + local window` — globally unique, windows
+    * never straddle a shard boundary, and every shard is an independent
+    * bounded task (embarrassingly parallel at any corpus size). */
   def packDocuments(df: org.apache.spark.sql.DataFrame, orderCol: String,
       textCol: String, budget: Long,
-      shardCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
+      shardCol: Option[String] = None,
+      autoShardWidth: Long = 100000L): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = shardCol.fold(Window.orderBy(col(orderCol)))(s =>
-      Window.partitionBy(col(s)).orderBy(col(orderCol)))
+    val auto = shardCol.isEmpty
+    val staged =
+      if (auto) df.withColumn("_pack_shard",
+        floor(col(orderCol).cast(DoubleType) / lit(autoShardWidth.toDouble))
+          .cast(LongType))
+      else df
+    val shardKey = shardCol.getOrElse("_pack_shard")
+    val w = Window.partitionBy(col(shardKey)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("n_tokens", tokenCount(col(textCol)).cast(LongType))
-      // ceil(cum/budget)-1: a doc that FILLS the budget stays in its window
+    // ceil(cum/budget)-1: a doc that FILLS the budget stays in its window
+    val local = greatest(
+      ceil(sum(col("n_tokens")).over(w).cast(DoubleType) / budget)
+        .cast(LongType) - 1, lit(0L))
+    val out = staged
+      .withColumn("n_tokens", tokenCount(col(textCol)).cast(LongType))
       .withColumn("window_id",
-        ceil(sum(col("n_tokens")).over(w).cast(DoubleType) / budget)
-          .cast(LongType) - 1)
-      .withColumn("window_id", greatest(col("window_id"), lit(0L)))
+        if (auto) col("_pack_shard") * lit(1L << 32) + local else local)
+    if (auto) out.drop("_pack_shard") else out
   }
 }

@@ -32,25 +32,64 @@ object Sinks {
     compression.fold(w)(c => w.option("compression", c)).json(path)
   }
 
-  /** JSON array load (`json_loader.py:181-248`): single array file. The
-    * reference buffers all records in memory; a single array file is
-    * inherently single-writer, so this is driver-side by construction —
-    * use ONLY for small exports (the reference's own use case). */
+  /** JSON array load (`json_loader.py:181-248`): single array file. A
+    * single array file is inherently single-writer, but it is NOT
+    * inherently driver-side (the reference buffers everything in memory;
+    * `json_loader.py:181-201`): the rows stream through ONE executor task
+    * (`coalesce(1)` + a streamed `[`/`,`/`]`-framed write against the
+    * session's filesystem), so the driver never materializes the dataset
+    * and the file can be as large as one task can stream. Null-valued
+    * fields are emitted explicitly (`"k": null`) like the reference's
+    * `json.dump` — Spark's default `toJSON` would omit them. */
   def jsonArray(df: DataFrame, path: String, pretty: Boolean = false,
       schemaSidecar: Boolean = false): Unit = {
-    val rows = df.toJSON.collect()
-    val body =
-      if (pretty) rows.mkString("[\n  ", ",\n  ", "\n]")
-      else rows.mkString("[", ",", "]")
-    val p = java.nio.file.Paths.get(path)
-    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.writeString(p, body)
-    // `.schema.json` export (json_loader.py:215-248): the serialized
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val rows = df
+      .select(to_json(struct(df.columns.map(col): _*),
+        Map("ignoreNullFields" -> "false")).as("j"))
+      .coalesce(1)
+    val confW = org.apache.spark.util.GraftConfBridge
+      .wrap(df.sparkSession.sparkContext.hadoopConfiguration)
+    val tmp = path + ".inprogress"
+    rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      val conf = org.apache.spark.util.GraftConfBridge.unwrap(confW)
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      val fs = p.getFileSystem(conf)
+      val out = fs.create(p, true)
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        w.write("[")
+        var first = true
+        it.foreach { r =>
+          w.write(if (first) { first = false; if (pretty) "\n  " else "" }
+                  else if (pretty) ",\n  " else ",")
+          w.write(r.getString(0))
+        }
+        if (pretty && !first) w.write("\n")
+        w.write("]")
+      } finally w.close()
+    }
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    if (!fs.exists(tmpPath)) { // zero-partition (empty) input: no task ran
+      val o = fs.create(tmpPath, true)
+      o.write("[]".getBytes(java.nio.charset.StandardCharsets.UTF_8)); o.close()
+    }
+    Option(target.getParent).foreach(fs.mkdirs(_))
+    if (fs.exists(target)) fs.delete(target, false)
+    require(fs.rename(tmpPath, target), s"rename $tmp -> $path failed")
+    // `.schema.json` export (json_loader.py:215-248), named off the stem
+    // like the reference (out.json -> out.schema.json): the serialized
     // StructType — round-trips via DataType.fromJson
-    if (schemaSidecar)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(path + ".schema.json"),
-        df.schema.prettyJson)
+    if (schemaSidecar) {
+      val stem = path.replaceAll("\\.[^./\\\\]+$", "")
+      val side = new org.apache.hadoop.fs.Path(stem + ".schema.json")
+      val o = fs.create(side, true)
+      o.write(df.schema.prettyJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      o.close()
+    }
   }
 
   /** Parquet load (`parquet_loader.py:144-250`): snappy default, directory

@@ -28,15 +28,32 @@ object AnomalyDetector {
     flagAny(df, fields, factor, "iqr")
 
   /** combined (`anomaly_detector.py:326-355`): anomaly iff flagged by ≥2 of
-    * {zscore, iqr} (isolation forest is round-2 work; with two methods the
-    * ≥2 rule degenerates to AND, which we implement exactly). */
+    * {zscore, iqr, isolation forest} — the reference's full 3-method vote.
+    * The iForest vote needs a stable order key for its deterministic
+    * driver-side sample (`IsolationForest.fit`); pass it via
+    * `iforestOrderCol`. Without one the vote runs over {zscore, iqr} only
+    * (≥2 then degenerates to AND) — documented fallback for frames with no
+    * stable key. When the iForest runs, its per-row vote is kept as
+    * `_meta_iforest_flag` so downstream audits (and the correctness oracle)
+    * can consume the deterministic flag without refitting. */
   def combined(df: DataFrame, fields: Seq[String],
-      zThreshold: Double = 3.0, iqrFactor: Double = 1.5): DataFrame = {
+      zThreshold: Double = 3.0, iqrFactor: Double = 1.5,
+      iforestOrderCol: Option[String] = None,
+      contamination: Double = 0.1, numTrees: Int = 100): DataFrame = {
     val z = perRowFlag(df, fields, zThreshold, "zscore")
     val i = perRowFlag(df, fields, iqrFactor, "iqr")
-    val withFlags = df
+    val (base, ifVote) = iforestOrderCol match {
+      case Some(oc) =>
+        val d = IsolationForest.detect(df, fields, oc, contamination, numTrees)
+          .withColumnRenamed("_meta_is_anomaly", "_meta_iforest_flag")
+          .drop("_meta_anomaly_method", "_iforest_score")
+        (d, col("_meta_iforest_flag").cast(IntegerType))
+      case None => (df, lit(0))
+    }
+    val withFlags = base
       .withColumn("_z", z).withColumn("_i", i)
-      .withColumn("_votes", col("_z").cast(IntegerType) + col("_i").cast(IntegerType))
+      .withColumn("_votes",
+        col("_z").cast(IntegerType) + col("_i").cast(IntegerType) + ifVote)
     withFlags
       .withColumn("_meta_is_anomaly", col("_votes") >= 2)
       .withColumn("_meta_anomaly_method",

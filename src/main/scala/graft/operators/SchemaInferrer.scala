@@ -79,9 +79,12 @@ object SchemaInferrer {
           .when(dateS >= lit(confidenceThreshold), "DATE")
           .when(dtS >= lit(confidenceThreshold), "DATETIME")
           .otherwise("STRING")
+      // unrounded dominant share — callers choose their own presentation
+      // rounding (cross-engine ROUND(double) is not deterministic; see
+      // Semantics.safeRound)
       val confidence =
-        round(greatest(boolS, intS, numS, dateS, dtS,
-          lit(1.0) - greatest(boolS, numS, dateS, dtS)), 4)
+        greatest(boolS, intS, numS, dateS, dtS,
+          lit(1.0) - greatest(boolS, numS, dateS, dtS))
       // first pattern whose match rate exceeds threshold
       val patternName = patterns.foldRight(lit(null).cast(StringType): Column) {
         case ((pname, _), acc) =>

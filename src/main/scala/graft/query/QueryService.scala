@@ -96,63 +96,83 @@ object QueryService {
     * suggestion, and the sorted distinct values for small categorical
     * columns.
     *
-    * Plan shape: one aggregate pass per column (stats), plus a BOUNDED
-    * distinct-limit subquery for candidate categorical columns —
-    * `distinct().limit(cap+1)` never materializes a big set, so a
-    * high-cardinality string column costs a partial-agg scan, not an
-    * unbounded collect_set buffer. */
+    * Plan shape: ONE wide aggregate pass computes every column's stats —
+    * column count widens the projection, never re-scans (same shape as
+    * `profileNumeric`). The tiny stats row comes back to the driver and is
+    * inlined as literals. Only small-categorical string columns (n_distinct
+    * already known ≤ cap from the stats pass) get one extra BOUNDED
+    * `distinct().limit(cap+1)` subquery each for their value list — a
+    * single-column pruned scan, never an unbounded collect_set buffer.
+    * Profiling a 50-column table costs 1 full scan + one narrow scan per
+    * small categorical column, not 2 jobs per column. */
   def profileTable(df: DataFrame, columns: Seq[String], sampleCap: Int = 20,
       highCardThreshold: Long = 100): DataFrame = {
     import graft.core.Semantics
+    val spark = df.sparkSession
     val fmt = "yyyy-MM-dd HH:mm:ss"
-    val rows = columns.map { c =>
+    final case class Info(c: String, dt: DataType, isNum: Boolean, isTs: Boolean)
+    val infos = columns.map { c =>
       val dt = df.schema(c).dataType
-      val isNum = dt.isInstanceOf[NumericType]
-      val isTs = dt == TimestampType || dt == TimestampNTZType || dt == DateType
-      val cc = col(c)
+      Info(c, dt, dt.isInstanceOf[NumericType],
+        dt == TimestampType || dt == TimestampNTZType || dt == DateType)
+    }
+    val aggs = count(lit(1)).as("__total") +: infos.flatMap { i =>
+      val cc = col(i.c)
       val missing = Semantics.isMissing(cc)
-      val stats = df.agg(
-        count(lit(1)).as("total_count"),
-        sum(when(missing, 1L).otherwise(0L)).as("null_count"),
-        countDistinct(cc).as("n_distinct"),
-        (if (isNum) min(cc).cast(DoubleType)
-         else lit(null).cast(DoubleType)).as("min_value"),
-        (if (isNum) max(cc).cast(DoubleType)
-         else lit(null).cast(DoubleType)).as("max_value"),
-        (if (isNum) Semantics.exactAvg(cc)
-         else lit(null).cast(DoubleType)).as("mean_value"),
-        (if (isTs) date_format(min(cc.cast("timestamp")), fmt)
-         else if (!isNum) min(cc).cast(StringType)
-         else lit(null).cast(StringType)).as("min_text"),
-        (if (isTs) date_format(max(cc.cast("timestamp")), fmt)
-         else if (!isNum) max(cc).cast(StringType)
-         else lit(null).cast(StringType)).as("max_text"))
-      // sorted distinct values for small categorical columns; the limit
-      // bounds the work — cap+1 rows prove "too many" without counting all
-      val samples =
-        if (isNum || isTs) stats.sparkSession.range(1)
-          .select(lit(null).cast(StringType).as("sample_values"))
-        else df.select(cc).where(!missing).distinct().limit(sampleCap + 1)
+      Seq(
+        sum(when(missing, 1L).otherwise(0L)).as(s"${i.c}__nulls"),
+        countDistinct(cc).as(s"${i.c}__distinct"),
+        (if (i.isNum) min(cc).cast(DoubleType)
+         else lit(null).cast(DoubleType)).as(s"${i.c}__min"),
+        (if (i.isNum) max(cc).cast(DoubleType)
+         else lit(null).cast(DoubleType)).as(s"${i.c}__max"),
+        (if (i.isNum) Semantics.exactAvg(cc)
+         else lit(null).cast(DoubleType)).as(s"${i.c}__mean"),
+        (if (i.isTs) date_format(min(cc.cast("timestamp")), fmt)
+         else if (!i.isNum) min(cc).cast(StringType)
+         else lit(null).cast(StringType)).as(s"${i.c}__mint"),
+        (if (i.isTs) date_format(max(cc.cast("timestamp")), fmt)
+         else if (!i.isNum) max(cc).cast(StringType)
+         else lit(null).cast(StringType)).as(s"${i.c}__maxt"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head() // the one stats job
+    val total = row.getAs[Long]("__total")
+    val rows = infos.map { i =>
+      val nulls = row.getAs[Long](s"${i.c}__nulls")
+      val nd = row.getAs[Long](s"${i.c}__distinct")
+      def dLit(s: String): Column = Option(row.getAs[Any](s"${i.c}__$s"))
+        .fold(lit(null).cast(DoubleType))(v => lit(v.toString.toDouble))
+      def sLit(s: String): Column = Option(row.getAs[String](s"${i.c}__$s"))
+        .fold(lit(null).cast(StringType))(lit(_))
+      val idLike = i.c.toLowerCase.endsWith("_id") ||
+        i.c.toLowerCase.endsWith("key")
+      val role =
+        if (idLike && nd == total - nulls) "id"
+        else if (i.isNum) "metric"
+        else if (i.isTs) "datetime"
+        else if (nd <= highCardThreshold) "dimension"
+        else "text"
+      val base = spark.range(1).select(
+        lit(i.c).as("column_name"),
+        lit(graft.core.Types.fromSpark(i.dt).name).as("dtype"),
+        lit(total).as("total_count"), lit(nulls).as("null_count"),
+        lit(nd).as("n_distinct"),
+        lit(nd > highCardThreshold).as("high_cardinality"),
+        lit(role).as("suggested_role"),
+        dLit("min").as("min_value"), dLit("max").as("max_value"),
+        dLit("mean").as("mean_value"),
+        sLit("mint").as("min_text"), sLit("maxt").as("max_text"))
+      if (i.isNum || i.isTs || nd > sampleCap)
+        base.withColumn("sample_values", lit(null).cast(StringType))
+      else {
+        val cc = col(i.c)
+        val samples = df.select(cc).where(!Semantics.isMissing(cc))
+          .distinct().limit(sampleCap + 1)
           .agg(when(count(lit(1)) <= sampleCap,
             array_join(sort_array(collect_set(cc.cast(StringType))), "|"))
             .as("sample_values"))
-      val idLike = c.toLowerCase.endsWith("_id") || c.toLowerCase.endsWith("key")
-      stats.crossJoin(samples)
-        .withColumn("column_name", lit(c))
-        .withColumn("dtype", lit(graft.core.Types.fromSpark(dt).name))
-        .withColumn("high_cardinality", col("n_distinct") > highCardThreshold)
-        .withColumn("suggested_role",
-          when(lit(idLike) &&
-            col("n_distinct") === col("total_count") - col("null_count"), "id")
-            .when(lit(isNum), "metric")
-            .when(lit(isTs), "datetime")
-            .when(col("n_distinct") <= highCardThreshold, "dimension")
-            .otherwise("text"))
-        .select(col("column_name"), col("dtype"), col("total_count"),
-          col("null_count"), col("n_distinct"), col("high_cardinality"),
-          col("suggested_role"), col("min_value"), col("max_value"),
-          col("mean_value"), col("min_text"), col("max_text"),
-          col("sample_values"))
+        base.crossJoin(samples)
+      }
     }
     rows.reduce(_ unionByName _)
   }

@@ -135,6 +135,29 @@ class OperatorSpec extends SparkSuite {
     assert(out.toSeq == Seq(20L))
   }
 
+  test("AnomalyDetector combined 2-of-3 vote with the isolation forest") {
+    // extreme outlier: flagged by all three → ≥2 holds; inliers get at most
+    // the iForest's contamination-quota vote → never reach 2
+    val df = ((1 to 40).map(_.toDouble) :+ 5000.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out3 = AnomalyDetector.combined(df, Seq("v"), 3.0, 1.5,
+      iforestOrderCol = Some("id"), contamination = 0.05)
+    assert(out3.columns.contains("_meta_iforest_flag"))
+    val flagged = out3.filter(col("_meta_is_anomaly"))
+      .select("id").as[Long].collect().toSeq
+    assert(flagged == Seq(40L))
+    // vote table: each pairwise agreement of {z, iqr, iforest} must flag
+    val z = AnomalyDetector.zscore(df, Seq("v"), 3.0)
+      .filter(col("_meta_is_anomaly")).select("id").as[Long].collect().toSet
+    val i = AnomalyDetector.iqr(df, Seq("v"), 1.5)
+      .filter(col("_meta_is_anomaly")).select("id").as[Long].collect().toSet
+    val f = out3.filter(col("_meta_iforest_flag"))
+      .select("id").as[Long].collect().toSet
+    val expect = (z ++ i ++ f).filter(id =>
+      Seq(z(id), i(id), f(id)).count(identity) >= 2)
+    assert(flagged.toSet == expect)
+  }
+
   test("AnomalySplitter routes flagged rows") {
     val df = Seq((1L, false), (2L, true), (3L, false)).toDF("id", "_meta_is_anomaly")
     val (clean, bad) = AnomalySplitter.split(df)

@@ -74,6 +74,37 @@ class PipelineAndStreamingSpec extends SparkSuite {
     assert(prof("event_type").getAs[Boolean]("high_cardinality") == false)
   }
 
+  test("profileTable is single-pass: stats jobs independent of column width") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val events = graft.core.Tables.table(spark, sfDir, "events")
+    def jobsFor(cols: Seq[String]): (Int, String) = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        jobs.set(0)
+        val out = graft.query.QueryService.profileTable(events, cols)
+        Thread.sleep(800) // listener bus is async; let job-start events drain
+        (jobs.get(), out.queryExecution.executedPlan.toString)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // the stats pass is ONE wide aggregate: widening the column list must
+    // not add jobs (the old shape ran ~2 jobs per column)
+    val (jNarrow, _) = jobsFor(Seq("event_id", "value"))
+    val (jWide, planWide) = jobsFor(
+      Seq("event_id", "event_type", "value", "ts", "props"))
+    assert(jWide == jNarrow,
+      s"stats jobs grew with column count: $jNarrow -> $jWide")
+    // the result plan re-scans only for bounded categorical samples — here
+    // exactly one (event_type); props (n_distinct > cap) gets none
+    val scans = "Scan parquet|FileScan".r.findAllIn(planWide).length
+    assert(scans == 1, s"expected 1 bounded sample scan, got $scans\n$planWide")
+  }
+
   test("incremental state: second scan with same files yields no new rows") {
     import graft.io.IncrementalState
     val (df1, st1) = IncrementalState.scanNew(spark, s"$sfDir/region.parquet",
@@ -91,12 +122,37 @@ class PipelineAndStreamingSpec extends SparkSuite {
       """{"data": {"records": [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]}}""")
     val df = graft.io.Sources.jsonArray(spark, path, Some("data.records"))
     assert(df.count() == 2 && df.columns.sorted.toSeq == Seq("a", "b"))
-    // sink sidecar: serialized schema round-trips through DataType.fromJson
+    // sink sidecar: named off the stem like the reference
+    // (out.json -> out.schema.json), round-trips through DataType.fromJson
     val out = s"$dir/out.json"
     graft.io.Sinks.jsonArray(df, out, schemaSidecar = true)
     val sidecar = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(out + ".schema.json"))
+      java.nio.file.Paths.get(s"$dir/out.schema.json"))
     assert(org.apache.spark.sql.types.DataType.fromJson(sidecar) == df.schema)
+  }
+
+  test("json array sink: executor-streamed file matches driver-built bytes") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsink").toString
+    val df = spark.range(5).select(col("id"),
+      when(col("id") % 2 === 0, concat(lit("v"), col("id"))).as("s"))
+    for (pretty <- Seq(false, true)) {
+      val out = s"$dir/arr_$pretty.json"
+      graft.io.Sinks.jsonArray(df, out, pretty = pretty)
+      val got = java.nio.file.Files.readString(java.nio.file.Paths.get(out))
+      // the old driver-collect construction, explicit nulls
+      val rows = df.select(to_json(struct(col("id"), col("s")),
+        Map("ignoreNullFields" -> "false"))).collect().map(_.getString(0))
+      val want = if (pretty) rows.mkString("[\n  ", ",\n  ", "\n]")
+                 else rows.mkString("[", ",", "]")
+      assert(got == want)
+      assert(got.contains("null")) // explicit null fields like json.dump
+    }
+    // empty input still produces a valid array file
+    val empty = s"$dir/empty.json"
+    graft.io.Sinks.jsonArray(df.filter(col("id") < 0), empty)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(empty)) == "[]")
   }
 
   test("query service profile + filter-values on real table") {

@@ -133,9 +133,21 @@ class PropertySpec extends SparkSuite {
       .filter(col("_meta_is_anomaly")).select("event_id").as[Long].collect().toSet
     val i = AnomalyDetector.iqr(df, Seq("value"), 1.5)
       .filter(col("_meta_is_anomaly")).select("event_id").as[Long].collect().toSet
+    // two-method fallback: ≥2 degenerates to AND
     val c = AnomalyDetector.combined(df, Seq("value"), 2.0, 1.5)
       .filter(col("_meta_is_anomaly")).select("event_id").as[Long].collect().toSet
     assert(c.subsetOf(z) && c.subsetOf(i) && c == (z intersect i))
+    // three-method vote: contains every pairwise agreement, bounded by the
+    // union, and z∩i is always flagged regardless of the iForest vote
+    val out3 = AnomalyDetector.combined(df, Seq("value"), 2.0, 1.5,
+      iforestOrderCol = Some("event_id"))
+    val f = out3.filter(col("_meta_iforest_flag"))
+      .select("event_id").as[Long].collect().toSet
+    val c3 = out3.filter(col("_meta_is_anomaly"))
+      .select("event_id").as[Long].collect().toSet
+    assert((z intersect i).subsetOf(c3) && c3.subsetOf(z ++ i ++ f))
+    assert(c3 == (z ++ i ++ f).filter(id =>
+      Seq(z(id), i(id), f(id)).count(identity) >= 2))
   }
 
   test("filter compilation equals manual predicate (property)") {

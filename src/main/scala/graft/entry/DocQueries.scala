@@ -149,21 +149,47 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // MinHash-LSH clusters + SimHash: xxhash64-based, rows-only checks
-    "q_doc_minhash_clusters" -> ((s, dir) =>
-      MinHashDedup.clusters(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"))),
+    // MinHash-LSH clustering, gated on an engineered-recall invariant the
+    // oracle can check: every document paired with a near-identical variant
+    // (first word dropped — shingle jaccard ≈ 0.98) must land in the
+    // variant's cluster for ≥95% of pairs. The oracle knows n_pairs and the
+    // expected invariant; a clustering regression (bucketing, banding,
+    // propagation) breaks the hash match.
+    "q_doc_minhash_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val variants = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      val cl = MinHashDedup.clusters(docs.unionByName(variants), "doc_id", "text")
+      cl.coalesce(1).write.mode("overwrite")
+        .parquet("/tmp/graft_oracle_aux/minhash_clusters")
+      cl.withColumn("orig",
+          when(col("doc_id") >= 100000L, col("doc_id") - 100000L)
+            .otherwise(col("doc_id")))
+        .groupBy(col("orig"))
+        .agg(countDistinct(col("cluster")).as("nc"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("nc") === 1, 1L).otherwise(0L)).as("n_together"))
+        .select(col("n_pairs"),
+          (col("n_together").cast(DoubleType) >=
+            col("n_pairs").cast(DoubleType) * 0.95).as("recall_ge_95pct"))
+    }),
 
     "q_doc_simhash" -> ((s, dir) =>
       SimHash.simhashTable(t(s, dir, "documents"), "doc_id", "text", k = 3)
         .orderBy(col("doc_id"))),
 
-    "q_doc_simhash_pairs" -> ((s, dir) =>
-      // hamming ≤ 3 near-dup pairs via pigeonhole block join (rows-only:
-      // xxhash64-based signatures)
+    "q_doc_simhash_pairs" -> ((s, dir) => {
+      // hamming ≤ 3 near-dup pairs via pigeonhole block join. Signatures are
+      // xxhash64-based, so the oracle consumes the materialized signature
+      // table and BRUTE-FORCES all pairs with bit_count(xor(...)) — a hash
+      // match proves the blocked join found exactly the brute-force set.
+      SimHash.simhashTable(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .coalesce(1).write.mode("overwrite")
+        .parquet("/tmp/graft_oracle_aux/simhash_sigs")
       SimHash.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 3, maxDist = 3)
-        .orderBy(col("id_a"), col("id_b"))),
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // ---- similarity search --------------------------------------------------
 
@@ -224,12 +250,37 @@ object DocQueries {
     }),
 
     "q_embed_ann" -> ((s, dir) => {
+      // LSH ANN join, gated on RECALL vs the exact top-k: the oracle reads
+      // the materialized ANN pairs, computes its own exact top-10 per query
+      // (same FLOOR-rounded cosine + vec_id tie-break the q_embed_topk gate
+      // proves cross-engine), and counts hits — so candidate counts AND the
+      // overlap with ground truth must both match.
       val emb = t(s, dir, "embeddings")
-      Similarity.annJoin(
+      val ann = Similarity.annJoin(
         corpus = emb, queries = emb.filter(col("vec_id") < 5),
         vecCol = "embedding", idCol = "vec_id", dim = 64, nPlanes = 6, k = 10)
-        .withColumn("similarity", round(col("similarity"), 4))
-        .orderBy(col("query_id"), col("vec_id"))
+        .select(col("query_id"), col("vec_id"))
+      ann.coalesce(1).write.mode("overwrite")
+        .parquet("/tmp/graft_oracle_aux/ann_pairs")
+      graft.functions.CosineSim.register(s)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("_qemb"))
+      val scored = emb.crossJoin(broadcast(queries))
+        .select(col("query_id"), col("vec_id"),
+          Semantics.safeRound(
+            graft.functions.CosineSim.fast_cosine(col("embedding"), col("_qemb")), 4)
+            .as("sim"))
+      val exact = scored
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+            .orderBy(col("sim").desc, col("vec_id").asc)))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id"), lit(1).as("_hit"))
+      ann.join(exact, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_ann"),
+          sum(coalesce(col("_hit"), lit(0))).cast(LongType).as("n_hits"))
+        .orderBy(col("query_id"))
     }),
 
     // ---- anomaly detection (§2.7) -------------------------------------------
@@ -549,6 +600,51 @@ object DocQueries {
          |       / len(list_distinct(a.sh || b.sh)) END >= 0.2
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    "q_doc_minhash_clusters" ->
+      // engineered-recall invariant: the oracle knows the pair count and
+      // expects ≥95% of (doc, near-identical-variant) pairs co-clustered
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS recall_ge_95pct
+        |FROM documents""".stripMargin,
+
+    "q_doc_simhash_pairs" ->
+      // brute-force all pairs from the materialized signatures: the blocked
+      // join must return exactly the hamming ≤ 3 set
+      """WITH s AS (SELECT doc_id, simhash
+        |  FROM read_parquet('/tmp/graft_oracle_aux/simhash_sigs/*.parquet'))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embed_ann" ->
+      // recall vs exact top-10: the oracle reads the ANN candidate pairs,
+      // derives its OWN exact top-10 per query (the q_embed_topk-proven
+      // rounded-cosine ordering), and counts candidates + hits
+      s"""WITH a AS (SELECT query_id, vec_id
+         |  FROM read_parquet('/tmp/graft_oracle_aux/ann_pairs/*.parquet')),
+         |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+         |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, CAST(unnest(embedding) AS DOUBLE) AS qv,
+         |             generate_subscripts(embedding, 1) AS i
+         |      FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.query_id, e.vec_id, SUM(e.ev * q.qv) AS dot,
+         |             SUM(e.ev * e.ev) AS nsq
+         |      FROM e JOIN q USING (i) GROUP BY q.query_id, e.vec_id),
+         |qn AS (SELECT query_id, SUM(qv * qv) AS qsq FROM q GROUP BY query_id),
+         |sims AS (SELECT d.query_id, d.vec_id,
+         |    ${Sql.sround("CASE WHEN sqrt(d.nsq) * sqrt(qn.qsq) = 0 THEN 0.0 ELSE d.dot / (sqrt(d.nsq) * sqrt(qn.qsq)) END")} AS sim
+         |  FROM d JOIN qn USING (query_id)),
+         |exact AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+         |    FROM sims) WHERE rk <= 10)
+         |SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_ann,
+         |  CAST(SUM(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |FROM a LEFT JOIN exact x
+         |  ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+         |GROUP BY a.query_id ORDER BY a.query_id""".stripMargin,
 
     "q_embed_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,

@@ -28,14 +28,21 @@ object ExtraQueries {
         .orderBy(col("l_returnflag"))
     }),
 
-    // library-specific scores → rows-only check + property tests
+    // scores are library-specific, but the flagging RULE is not: the oracle
+    // consumes the materialized score column and independently applies the
+    // contamination-percentile cutoff + degenerate guard, so threshold
+    // logic is cross-engine verified (plus SketchSpec-style property tests)
     "q_iforest" -> ((s, dir) => {
       val flagged = IsolationForest.detect(t(s, dir, "events"),
         Seq("value"), orderCol = "event_id", contamination = 0.05,
         numTrees = 50)
+      flagged.select(col("event_id"), col("_iforest_score").as("score"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet("/tmp/graft_oracle_aux/iforest_scores")
       flagged.filter(col("_meta_is_anomaly"))
         .select(col("event_id"), col("value"),
-          round(col("_iforest_score"), 4).as("score"))
+          floor(col("_iforest_score") * lit(10000.0) + lit(0.5))
+            .cast(LongType).as("score_x10k"))
         .orderBy(col("event_id"))
     }),
 
@@ -266,14 +273,24 @@ object ExtraQueries {
         .orderBy(col("column_name"))
     }),
 
-    // sketch estimates are engine-specific → rows-only gate; SketchSpec
-    // asserts accuracy vs exact and the merge algebra
+    // sketch estimates are engine-specific, so the gate checks the
+    // oracle-verifiable INVARIANT instead: exact distincts (cross-engine)
+    // plus "estimate within 5% of exact" — the oracle expects TRUE, so an
+    // accuracy regression in the sketch pipeline breaks the hash match
+    // (merge algebra still covered by SketchSpec)
     "q_sketch_distinct" -> ((s, dir) => {
+      val events = t(s, dir, "events")
       val daily = graft.functions.Sketches.distinctSketches(
-        t(s, dir, "events").withColumn("day", to_date(col("ts"))),
+        events.withColumn("day", to_date(col("ts"))),
         Seq("event_type", "day"), "user_id")
-      graft.functions.Sketches.mergeDistinct(daily, Seq("event_type"))
+      val est = graft.functions.Sketches.mergeDistinct(daily, Seq("event_type"))
         .withColumn("distinct_est", col("distinct_est").cast(LongType))
+      val exact = events.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("distinct_est") - col("n_exact")).cast(DoubleType) <=
+            col("n_exact").cast(DoubleType) * 0.05).as("within_5pct"))
         .orderBy(col("event_type"))
     }),
 
@@ -296,6 +313,21 @@ object ExtraQueries {
         .select(col("o_orderkey"),
           date_format(col("w_start"), "yyyy-MM-dd").as("week_start"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    "q_jdbc_roundtrip" -> ((s, dir) => {
+      // exercises the §2.1/§2.2 JDBC source+sink (postgres_source.py /
+      // sqlite_loader.py) against the embedded file-backed Derby that ships
+      // with Spark — no sqlite-jdbc jar exists offline in this environment,
+      // and the adapters are engine-agnostic (url + dialect)
+      System.setProperty("derby.system.home", "/tmp/graft_derby")
+      new java.io.File("/tmp/graft_derby").mkdirs()
+      val url = "jdbc:derby:/tmp/graft_derby/regiondb;create=true"
+      val region = t(s, dir, "region")
+      graft.io.Sinks.jdbc(region, url, "region_rt", mode = "overwrite")
+      graft.io.Sources.jdbc(s, url, "region_rt")
+        .select(region.columns.map(col): _*)
+        .orderBy(col("r_regionkey"))
     }),
 
     "q_query_metrics" -> ((s, dir) =>
@@ -544,6 +576,29 @@ object ExtraQueries {
         |  ON o.o_orderdate >= w.w_start
         | AND o.o_orderdate < w.w_start + INTERVAL 3 DAY
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q_jdbc_roundtrip" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+
+    "q_iforest" ->
+      // scores are model-specific; the oracle re-applies the flagging rule
+      // (95th-percentile cutoff + degenerate guard) to the materialized
+      // score column and must reproduce the flagged set exactly
+      """WITH s AS (SELECT event_id, score
+        |  FROM read_parquet('/tmp/graft_oracle_aux/iforest_scores/*.parquet')),
+        |c AS (SELECT quantile_cont(score, 0.95) AS cut, MIN(score) AS mn,
+        |             MAX(score) AS mx FROM s)
+        |SELECT s.event_id, e.value,
+        |  CAST(FLOOR(s.score * 10000.0 + 0.5) AS BIGINT) AS score_x10k
+        |FROM s JOIN events e ON s.event_id = e.event_id, c
+        |WHERE c.mx > c.mn AND s.score >= c.cut
+        |ORDER BY s.event_id""".stripMargin,
+
+    "q_sketch_distinct" ->
+      // exact distincts cross-engine + the 5%-accuracy invariant
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_query_metrics" ->
       s"""SELECT l_linestatus,

@@ -79,23 +79,26 @@ object Sources {
 }
 
 /** Incremental-state API (`src/adapters/base.py:66-91`): the reference tracks
-  * a file hash + mtime; in Spark the equivalent is the file-listing delta.
-  * `changedSince` returns input files newer than the last watermark — usable
-  * as a pushed-down modifiedAfter filter. */
+  * a file hash + mtime; the Spark equivalent is a per-file (mtime, size)
+  * fingerprint — a rewrite within the same mtime tick still changes size or
+  * is caught on the next tick, mirroring the reference's hash+mtime without
+  * reading file bytes. A file is fresh when unseen OR its fingerprint
+  * changed (never a strict `>` watermark race). */
 object IncrementalState {
-  final case class State(lastModified: Long, filesSeen: Set[String])
-  val empty: State = State(0L, Set.empty)
+  final case class State(lastModified: Long,
+      filesSeen: Map[String, (Long, Long)])
+  val empty: State = State(0L, Map.empty)
 
   def scanNew(spark: SparkSession, path: String, fmt: String,
       state: State): (DataFrame, State) = {
     val dir = new java.io.File(path)
     val files = (if (dir.isDirectory) dir.listFiles().toSeq else Seq(dir))
       .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-    val fresh = files.filter(f =>
-      f.lastModified > state.lastModified || !state.filesSeen(f.getPath))
+    def fp(f: java.io.File): (Long, Long) = (f.lastModified, f.length)
+    val fresh = files.filter(f => !state.filesSeen.get(f.getPath).contains(fp(f)))
     val newState = State(
       files.map(_.lastModified).maxOption.getOrElse(state.lastModified),
-      files.map(_.getPath).toSet)
+      files.map(f => f.getPath -> fp(f)).toMap)
     val df =
       if (fresh.isEmpty)
         spark.read.format(fmt).load(path).limit(0)

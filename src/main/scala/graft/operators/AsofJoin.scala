@@ -77,6 +77,9 @@ object AsofJoin {
       leftTs: String, rightTs: String, strict: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightPayload = right.columns.toSeq.filterNot(keys.contains)
+    val collisions = rightPayload.toSet intersect leftCols.toSet
+    require(collisions.isEmpty,
+      s"right payload columns collide with left: $collisions — rename first")
     val (rightSide, leftSide) = if (strict) (0, 1) else (1, 0)
     val lPart = left.select(
       keys.map(col) ++ Seq(

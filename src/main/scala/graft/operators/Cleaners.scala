@@ -47,12 +47,18 @@ final case class NullRemover(
         // Per-record key deletion is ragged (null_remover.py:66-72) — the
         // relational equivalent (SURVEY §7.4.4): values stay null per-row;
         // columns that are missing in EVERY row are dropped entirely.
+        // coalesce: sum() over zero rows is null — an empty frame keeps all
+        // its columns (nothing is evidence of missingness)
         val missingCounts = df.select(
-          cols.map(c => sum(when(isMissing(col(c)), 0L).otherwise(1L)).as(c)): _*)
+          count(lit(1)).as("__n") +:
+            cols.map(c => coalesce(
+              sum(when(isMissing(col(c)), 0L).otherwise(1L)), lit(0L)).as(c)): _*)
           .head()
-        val allNull = cols.zipWithIndex
-          .filter { case (_, i) => missingCounts.getLong(i) == 0L }
-          .map(_._1)
+        val allNull =
+          if (missingCounts.getLong(0) == 0L) Nil
+          else cols.zipWithIndex
+            .filter { case (_, i) => missingCounts.getLong(i + 1) == 0L }
+            .map(_._1)
         if (allNull.isEmpty) df else df.drop(allNull: _*)
       case other => throw new IllegalArgumentException(s"unknown strategy $other")
     }

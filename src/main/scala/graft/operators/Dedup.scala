@@ -142,19 +142,10 @@ object MinHashDedup {
       col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** End-to-end: text table → (id, cluster) where cluster = min id among
-    * connected candidates (single label-propagation round over the candidate
-    * graph — exact for clique-ish duplicate groups that LSH produces).
-    *
-    * Physical shape: explode shingles → ONE hash-aggregate computing all 64
-    * per-seed minima as separate columns (not a per-row 64-way expression
-    * tree — that shape re-evaluates the shingle pipeline per hash per band
-    * with no CSE and melts codegen). Then band buckets are cheap projections
-    * over the materialized min columns. Shuffles: one on id (signature agg),
-    * one on (band,bucket) (candidate window), one on id (label agg) — all on
-    * small keys, linear at any scale. */
-  def clusters(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+  /** (id, band, bucket) rows from the codegen'd signature kernel — shared by
+    * [[clusters]] and the connected-components property tests. */
+  private[graft] def bucketTable(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     // whole signature from the codegen'd kernel: a pure projection — the
     // former explode-shingles → 64-min hash-aggregate shuffled the entire
@@ -174,13 +165,42 @@ object MinHashDedup {
       struct(lit(b).as("band"),
         xxhash64(concat_ws(",", parts: _*)).as("bucket"))
     }
-    val bb = sig.select(col(idCol), explode(array(bandCols: _*)).as("_bb"))
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("_bb"))
       .select(col(idCol), col("_bb.band").as("band"), col("_bb.bucket").as("bucket"))
-    // min id per (band,bucket), then min of those per id = cluster label
+  }
+
+  /** End-to-end: text table → (id, cluster) where cluster = min id among
+    * connected candidates. One label-propagation round (bucket-min then
+    * id-min) is exact for the clique-ish groups LSH usually produces;
+    * duplicate CHAINS that connect only through different buckets need more
+    * rounds, so propagation iterates `propagationRounds` times (labels are
+    * monotone non-increasing; each round is one alternating bipartite min,
+    * and a round that changes nothing proves the fixpoint — for graphs of
+    * diameter d, ⌈d/2⌉+1 rounds suffice; LSH near-dup components are
+    * shallow, so the default 3 covers real corpora).
+    *
+    * Physical shape per round: shuffle on (band,bucket) + shuffle on id —
+    * small keys, linear at any scale; the bucket table computes once. */
+  def clusters(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      propagationRounds: Int = 3): DataFrame = {
+    require(propagationRounds >= 1, "propagationRounds must be >= 1")
+    val bb = bucketTable(df, idCol, textCol, k, numHashes, bands)
     val w = Window.partitionBy(col("band"), col("bucket"))
-    bb.withColumn("_bmin", min(col(idCol)).over(w))
+    // round 1: min id per (band,bucket), then min of those per id
+    var labels = bb.withColumn("_bmin", min(col(idCol)).over(w))
       .groupBy(col(idCol))
       .agg(min(col("_bmin")).as("cluster"))
+    // rounds 2..n: propagate the current LABEL through buckets (min label
+    // per bucket → min over a doc's buckets); own label joins in via the
+    // doc's own bucket membership, so labels only ever decrease
+    for (_ <- 1 until propagationRounds) {
+      labels = bb.join(labels, idCol)
+        .withColumn("_bl", min(col("cluster")).over(w))
+        .groupBy(col(idCol))
+        .agg(min(col("_bl")).as("cluster"))
+    }
+    labels
   }
 }
 

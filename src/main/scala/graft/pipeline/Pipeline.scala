@@ -69,10 +69,11 @@ final class Pipeline private (
     val rows =
       if (sinks.isEmpty) transformed.count()
       else {
-        // multi-destination: cache once, N write actions (pipeline_core.py:82-134)
-        val cached = if (sinks.size > 1) transformed.cache() else transformed
+        // cache once, then N write actions + the row count — without it even
+        // a single sink computes the plan twice (pipeline_core.py:82-134)
+        val cached = transformed.cache()
         try { sinks.foreach(_(cached)); cached.count() }
-        finally if (sinks.size > 1) { cached.unpersist(); () }
+        finally { cached.unpersist(); () }
       }
     val stageCounts = observations.map { case (name, obs) =>
       name -> obs.getAsJava.getOrDefault("rows", -1L).asInstanceOf[Long]

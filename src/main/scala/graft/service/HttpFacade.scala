@@ -1,0 +1,195 @@
+package graft.service
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.DataFrame
+import graft.query.{AggregationSpec, Filter, Metric}
+
+/** Loopback JSON-over-HTTP server for the analytics facade — the consumption
+  * mode the reference ships as FastAPI routes (`/root/reference/src/api/
+  * main.py:905-1385`). Auth/org/source CRUD (`main.py:1388-2728`) is scoped
+  * out per SURVEY §2.12; the table name stands in for the reference's
+  * org/source indirection. JDK `com.sun.net.httpserver` — no dependencies.
+  *
+  * Routes (POST bodies match the reference's documented examples):
+  *   POST /api/analytics/dashboard/query        (main.py:955-1033)
+  *   POST /api/analytics/dashboard/drill-down   (main.py:1044-1120)
+  *   GET  /api/analytics/dashboard/filter-values?table=&column=&search=&limit=
+  *   GET  /api/analytics/dashboard/schema?table=&columns=a,b,c
+  *   GET  /api/analytics/dashboard?kind=&table=
+  *
+  * Responses: `{"data": [...], "row_count": n, "query_time_ms": t}` — the
+  * reference's envelope (`duckdb_service.py:417-431`). Rows are serialized
+  * plan-side (`to_json`, explicit nulls) and streamed; the server holds at
+  * most the already-limited result of the endpoint's query.
+  */
+final class HttpFacade(tables: Facade.Tables) {
+  private var server: HttpServer = _
+
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/api/analytics/dashboard/query", postCtx(handleQuery))
+    server.createContext("/api/analytics/dashboard/drill-down", postCtx(handleDrillDown))
+    server.createContext("/api/analytics/dashboard/filter-values", getCtx(handleFilterValues))
+    server.createContext("/api/analytics/dashboard/schema", getCtx(handleSchema))
+    server.createContext("/api/analytics/dashboard", getCtx(handleDashboard))
+    server.setExecutor(null) // caller threads; analytics work happens in Spark
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // ---- request parsing (reference body shapes) ----------------------------
+
+  private def asMap(v: Any): Map[String, Any] = v match {
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+    case _ => Map.empty
+  }
+  private def asList(v: Any): List[Any] = v match {
+    case l: List[_] => l
+    case _ => Nil
+  }
+  private def asStr(v: Any): String = String.valueOf(v)
+  private def asInt(v: Any, default: Int): Int = v match {
+    case l: Long => l.toInt
+    case d: Double => d.toInt
+    case _ => default
+  }
+
+  /** `{"column": c, "operator": op, "value": v}` with the reference's twelve
+    * operator names (`duckdb_service.py:271-324`). */
+  private[service] def parseFilter(m: Map[String, Any]): Filter = {
+    val c = asStr(m("column"))
+    val v = m.getOrElse("value", null)
+    asStr(m("operator")) match {
+      case "eq" => Filter.Eq(c, v)
+      case "neq" => Filter.Neq(c, v)
+      case "in" => Filter.In(c, asList(v))
+      case "not_in" => Filter.NotIn(c, asList(v))
+      case "between" =>
+        val l = asList(v); Filter.Between(c, l.head, l(1))
+      case "gt" => Filter.Gt(c, v)
+      case "gte" => Filter.Gte(c, v)
+      case "lt" => Filter.Lt(c, v)
+      case "lte" => Filter.Lte(c, v)
+      case "contains" => Filter.Contains(c, asStr(v))
+      case "is_null" => Filter.IsNull(c)
+      case "is_not_null" => Filter.IsNotNull(c)
+      case other => throw new IllegalArgumentException(s"unknown operator $other")
+    }
+  }
+
+  /** `{"group_by": [...], "metrics": [{"column","agg","alias"}], "order_by",
+    * "order_desc", "limit"}` (main.py:971-978). */
+  private[service] def parseAgg(m: Map[String, Any]): AggregationSpec = {
+    val metrics = asList(m.getOrElse("metrics", Nil)).map { mm =>
+      val mv = asMap(mm)
+      val c = asStr(mv("column"))
+      Metric(asStr(mv.getOrElse("agg", "sum")), c,
+        asStr(mv.getOrElse("alias", c)))
+    }
+    val orderBy = m.get("order_by").map(ob =>
+      (asStr(ob), !m.get("order_desc").forall(_ == true)))
+    AggregationSpec(
+      groupBy = asList(m.getOrElse("group_by", Nil)).map(asStr),
+      metrics = metrics,
+      orderBy = orderBy,
+      limit = m.get("limit").map(asInt(_, 1000)))
+  }
+
+  // ---- handlers -----------------------------------------------------------
+
+  private def handleQuery(body: Map[String, Any]): DataFrame =
+    Facade.handle(Facade.Query(
+      table = asStr(body("table")),
+      filters = asList(body.getOrElse("filters", Nil)).map(f => parseFilter(asMap(f))),
+      agg = parseAgg(asMap(body.getOrElse("aggregation", Map.empty)))))(tables)
+
+  private def handleDrillDown(body: Map[String, Any]): DataFrame = {
+    // dimension + dimension_value sugar (main.py:1095-1099) folds into an eq
+    val dimFilter = body.get("dimension").map(d =>
+      Filter.Eq(asStr(d), body.getOrElse("dimension_value", null)))
+    Facade.handle(Facade.DrillDown(
+      table = asStr(body("table")),
+      filters = dimFilter.toSeq ++
+        asList(body.getOrElse("filters", Nil)).map(f => parseFilter(asMap(f))),
+      columns = asList(body.getOrElse("columns", Nil)).map(asStr),
+      sortKey = body.get("sort_key").map(asStr).getOrElse(
+        asList(body.getOrElse("columns", Nil)).map(asStr).headOption
+          .getOrElse(tables.resolve(asStr(body("table"))).columns.head)),
+      limit = asInt(body.getOrElse("limit", 100L), 100),
+      offset = asInt(body.getOrElse("offset", 0L), 0)))(tables)
+  }
+
+  private def handleFilterValues(q: Map[String, String]): DataFrame =
+    Facade.handle(Facade.FilterValues(
+      table = q("table"), column = q("column"),
+      search = q.get("search").filter(_.nonEmpty),
+      limit = q.get("limit").map(_.toInt).getOrElse(100)))(tables)
+
+  private def handleSchema(q: Map[String, String]): DataFrame = {
+    val t = q("table")
+    val cols = q.get("columns").filter(_.nonEmpty).map(_.split(",").toSeq)
+      .getOrElse(tables.resolve(t).columns.toSeq)
+    Facade.handle(Facade.Profile(t, cols))(tables)
+  }
+
+  private def handleDashboard(q: Map[String, String]): DataFrame =
+    Facade.handle(Facade.Dashboard(
+      kind = q.getOrElse("kind", "summary"), table = q("table")))(tables)
+
+  // ---- plumbing -----------------------------------------------------------
+
+  private def postCtx(post: Map[String, Any] => DataFrame): com.sun.net.httpserver.HttpHandler =
+    safe { ex =>
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val parsed = if (body.trim.isEmpty) Map.empty[String, Any]
+                   else asMap(MiniJson.parse(body))
+      respond(ex, post(parsed))
+    }
+
+  private def getCtx(get: Map[String, String] => DataFrame): com.sun.net.httpserver.HttpHandler =
+    safe(ex => respond(ex, get(queryParams(ex))))
+
+  private def safe(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) =>
+      try f(ex)
+      catch {
+        case e: Throwable =>
+          val msg = MiniJson.render(Map("detail" -> String.valueOf(e.getMessage)))
+          send(ex, 500, msg)
+      }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).fold(Map.empty[String, String]) { q =>
+      q.split("&").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, UTF_8) ->
+          java.net.URLDecoder.decode(v, UTF_8)
+      }.toMap
+    }
+
+  /** The reference's response envelope; rows serialized plan-side. */
+  private def respond(ex: HttpExchange, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val t0 = System.nanoTime()
+    val rows = df
+      .select(to_json(struct(df.columns.map(col): _*),
+        Map("ignoreNullFields" -> "false")).as("j"))
+      .collect().map(_.getString(0))
+    val ms = (System.nanoTime() - t0) / 1000000L
+    val json = "{\"data\":" + rows.mkString("[", ",", "]") +
+      ",\"row_count\":" + rows.length + ",\"query_time_ms\":" + ms + "}"
+    send(ex, 200, json)
+  }
+
+  private def send(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}

@@ -25,6 +25,16 @@ class AsofAndSessionSpec extends SparkSuite {
       Seq("b", 15L, "l4", null, null)))  // no right rows for key b
   }
 
+  test("asof rejects colliding right payload columns in both directions") {
+    val clash = mkRight.withColumnRenamed("rv", "lv")
+    intercept[IllegalArgumentException] {
+      AsofJoin.backward(mkLeft, clash, Seq("k"), "lts", "rts")
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoin.forward(mkLeft, clash, Seq("k"), "lts", "rts")
+    }
+  }
+
   test("asof backward strict excludes equal-ts right rows") {
     val got = AsofJoin.backward(mkLeft, mkRight, Seq("k"), "lts", "rts",
       strict = true)

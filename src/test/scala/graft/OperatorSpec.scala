@@ -41,6 +41,12 @@ class OperatorSpec extends SparkSuite {
     assert(out.columns.toSeq == Seq("id", "live"))
   }
 
+  test("NullRemover remove_fields on an empty frame keeps all columns") {
+    val df = Seq((1L, "x")).toDF("id", "s").filter(col("id") < 0)
+    val out = NullRemover("remove_fields")(df)
+    assert(out.columns.toSeq == Seq("id", "s") && out.count() == 0)
+  }
+
   test("ColumnRemover: names, prefix, regex, keep-overrides") {
     val df = Seq((1, 2, 3, 4, 5)).toDF("a", "ab", "b", "keep_me", "xy")
     val out = ColumnRemover(columns = Set("b"), prefix = Some("a"),

@@ -115,6 +115,22 @@ class PipelineAndStreamingSpec extends SparkSuite {
     assert(df2.count() == 0)
   }
 
+  test("incremental state catches a rewrite within the same mtime tick") {
+    import graft.io.IncrementalState
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val f = java.nio.file.Paths.get(s"$dir/data.csv")
+    java.nio.file.Files.writeString(f, "1\n")
+    val (d1, st1) = IncrementalState.scanNew(spark, dir, "csv",
+      IncrementalState.empty)
+    assert(d1.count() == 1)
+    // rewrite with MORE rows, then force the mtime back to the watermark —
+    // the old strict-> comparison would have missed this
+    java.nio.file.Files.writeString(f, "1\n2\n")
+    f.toFile.setLastModified(st1.lastModified)
+    val (d2, _) = IncrementalState.scanNew(spark, dir, "csv", st1)
+    assert(d2.count() == 2)
+  }
+
   test("json array source roundtrip with nested path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
     val path = s"$dir/data.json"

@@ -58,13 +58,18 @@ class ScaleSpec extends SparkSuite {
       .simhashTable(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!simPlan.contains("Exchange"), simPlan)
-    // minhash clusters: the signature is projection-only, so the whole
-    // query shuffles exactly twice — band window + label aggregation
-    // (the old explode+agg signature stage added a third, corpus-wide)
+    // minhash clusters: the signature is projection-only, so each
+    // propagation round shuffles exactly twice — band window + label
+    // aggregation (the old explode+agg signature stage added a corpus-wide
+    // third); all shuffles are on small keys, never the exploded corpus
     val cluPlan = graft.operators.MinHashDedup
-      .clusters(docs, "doc_id", "text")
+      .clusters(docs, "doc_id", "text", propagationRounds = 1)
       .queryExecution.executedPlan.toString
     assert(cluPlan.split("Exchange hashpartitioning").length - 1 == 2, cluPlan)
+    val clu3Plan = graft.operators.MinHashDedup
+      .clusters(docs, "doc_id", "text", propagationRounds = 3)
+      .queryExecution.executedPlan.toString
+    assert(clu3Plan.split("Exchange hashpartitioning").length - 1 == 6, clu3Plan)
   }
 
   test("binned range join plans as an equi-join even with broadcast disabled") {

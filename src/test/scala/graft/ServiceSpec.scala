@@ -162,4 +162,169 @@ class ServiceSpec extends SparkSuite {
       graft.core.Tables.table(spark, sfDir, "nation"))
     assert(txt.contains("n_nationkey") && txt.contains("25 rows"))
   }
+
+  test("echarts: all nine reference chart types render golden configs") {
+    import graft.viz.Echarts
+    val data = Seq(
+      Map[String, Any]("k" -> "a", "v" -> 3, "w" -> 1.5),
+      Map[String, Any]("k" -> "b", "v" -> 7, "w" -> 2.5))
+
+    val bar = Echarts.bar(data, "k", "v", title = Some("T")).render
+    assert(bar.contains(""""title":{"text":"T","left":"center"}"""))
+    assert(bar.contains(""""axisPointer":{"type":"shadow"}"""))
+    assert(bar.contains(""""xAxis":{"type":"category","data":["a","b"]}"""))
+    assert(bar.contains(""""data":[3,7]"""))
+    assert(bar.contains(""""borderRadius":[4,4,0,0]"""))
+    assert(bar.contains(""""animationEasing":"elasticOut""""))
+    // horizontal flips axes and radius corners (echarts_generator.py:104-117)
+    val hbar = Echarts.bar(data, "k", "v", horizontal = true).render
+    assert(hbar.contains(""""xAxis":{"type":"value","data":null}"""))
+    assert(hbar.contains(""""yAxis":{"type":"category","data":["a","b"]}"""))
+    assert(hbar.contains(""""borderRadius":[0,4,4,0]"""))
+
+    val line = Echarts.line(data, "k", "v").render
+    assert(line.contains(""""smooth":true""") && line.contains(""""symbol":"circle""""))
+    assert(line.contains(""""boundaryGap":false"""))
+    assert(!line.contains("areaStyle"))
+    val area = Echarts.area(data, "k", "v").render
+    assert(area.contains(""""areaStyle":{"opacity":0.3}"""))
+
+    val pie = Echarts.pie(data, "k", "v").render
+    assert(pie.contains(""""formatter":"{b}: {c} ({d}%)""""))
+    assert(pie.contains(""""radius":"70%"""") && pie.contains(
+      """{"name":"a","value":3}"""))
+    val donut = Echarts.pie(data, "k", "v", donut = true).render
+    assert(donut.contains(""""radius":["40%","70%"]"""))
+
+    val scatter = Echarts.scatter(data, "v", "w").render
+    assert(scatter.contains(""""data":[[3,1.5],[7,2.5]]"""))
+    assert(scatter.contains(""""symbolSize":12"""))
+    // size field: reference rule size/max*40+5 precomputed per point
+    val sized = Echarts.scatter(data, "v", "w", sizeField = Some("v")).render
+    assert(sized.contains(""""symbolSize":45""")) // 7/7*40+5
+    assert(sized.contains("\"symbolSize\":" + (3.0 / 7 * 40 + 5)))
+
+    val treemap = Echarts.treemap(data, "k", "v").render
+    assert(treemap.contains(""""type":"treemap"""") &&
+      treemap.contains(""""leafDepth":1""") &&
+      treemap.contains(""""upperLabel":{"show":true,"height":30}"""))
+
+    val hm = Echarts.heatmap(
+      Seq(Map[String, Any]("x" -> "p", "y" -> "q", "value" -> 2),
+        Map[String, Any]("x" -> "r", "y" -> "q", "value" -> 9)),
+      "x", "y").render
+    assert(hm.contains(""""data":["p","r"]""") && hm.contains(""""data":["q"]"""))
+    assert(hm.contains("[0,0,2]") && hm.contains("[1,0,9]"))
+    assert(hm.contains(""""visualMap":{"min":2,"max":9"""))
+
+    val gauge = Echarts.gauge(data, "v", maxValue = 10).render
+    assert(gauge.contains(""""type":"gauge"""") &&
+      gauge.contains(""""data":[{"value":3,"name":"Value"}]""") &&
+      gauge.contains(""""max":10"""))
+
+    // sunburst falls back to bar like the reference's generators.get default
+    val sb = Echarts.generate("sunburst", data, "k", "v")
+    assert(sb.render.contains(""""type":"bar""""))
+  }
+
+  test("echarts: multi-series, interactive features, suggestion") {
+    import graft.viz.Echarts
+    val data = Seq(
+      Map[String, Any]("k" -> "a", "m" -> 1, "n" -> 2),
+      Map[String, Any]("k" -> "b", "m" -> 3, "n" -> 4))
+    val multi = Echarts.multiSeries(data, "k", Seq("m", "n"), "bar").render
+    assert(multi.contains(""""legend":{"data":["m","n"],"bottom":"0%"}"""))
+    assert(multi.contains(""""name":"m"""") && multi.contains(""""name":"n""""))
+    assert(multi.contains(""""boundaryGap":true"""))
+    val multiLine = Echarts.multiSeries(data, "k", Seq("m"), "line").render
+    assert(multiLine.contains(""""smooth":true"""))
+
+    // zoom adds dataZoom and pushes grid bottom to 15%
+    val base = Echarts.bar(data, "k", "m")
+    val zoomed = Echarts.addInteractiveFeatures(base, enableZoom = true).render
+    assert(zoomed.contains(""""dataZoom":[{"type":"inside","start":0,"end":100}"""))
+    assert(zoomed.contains(""""bottom":"15%""""))
+    assert(zoomed.contains(""""saveAsImage":{"title":"Save"}"""))
+    // brush wires into the toolbox feature set
+    val brushed = Echarts.addInteractiveFeatures(base,
+      enableBrush = true).render
+    assert(brushed.contains(""""brushLink":"all""""))
+    assert(brushed.contains(""""brush":{"type":["rect","polygon","clear"]}"""))
+
+    // suggestion thresholds (echarts_generator.py:446-485)
+    val nation = graft.core.Tables.table(spark, sfDir, "nation")
+    assert(Echarts.suggestChartType(nation, "n_regionkey", "n_nationkey") == "pie")
+    assert(Echarts.suggestChartType(nation, "n_nationkey", "n_regionkey") == "scatter")
+    assert(Echarts.suggestChartType(nation, "missing", "n_regionkey") == "bar")
+    val orders = graft.core.Tables.table(spark, sfDir, "orders")
+    assert(Echarts.suggestChartType(orders, "o_orderdate", "o_totalprice") == "line")
+  }
+
+  test("HTTP facade serves the reference's documented dashboard query E2E") {
+    import graft.service.{Facade, HttpFacade, MiniJson}
+    implicit val tables: Facade.Tables =
+      Facade.Tables(graft.core.Tables.table(spark, sfDir, _))
+    val http = new HttpFacade(tables)
+    val port = http.start()
+    try {
+      def call(method: String, path: String, body: String = ""): (Int, Any) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod(method)
+        if (body.nonEmpty) {
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(body.getBytes("UTF-8"))
+        }
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        (code, MiniJson.parse(new String(is.readAllBytes(), "UTF-8")))
+      }
+
+      // the reference's documented example body (main.py:964-979), on orders
+      val (code, resp) = call("POST", "/api/analytics/dashboard/query",
+        """{"table": "orders",
+           "filters": [
+             {"column": "o_orderstatus", "operator": "in", "value": ["O", "F"]},
+             {"column": "o_orderdate", "operator": "between",
+              "value": ["1995-01-01", "1997-12-31"]}],
+           "aggregation": {
+             "group_by": ["o_orderpriority"],
+             "metrics": [{"column": "o_orderkey", "agg": "count", "alias": "n_orders"}],
+             "limit": 20}}""")
+      assert(code == 200)
+      val env = resp.asInstanceOf[Map[String, Any]]
+      assert(env.contains("query_time_ms"))
+      val got = env("data").asInstanceOf[List[Any]]
+        .map(_.asInstanceOf[Map[String, Any]])
+        .map(m => (m("o_orderpriority"), m("n_orders"))).toSet
+      // must equal the engine-side q_agg_dashboard result
+      val want = graft.entry.CoreQueries.queries("q_agg_dashboard")(spark, sfDir)
+        .collect().map(r => (r.getAs[Any]("o_orderpriority"),
+          r.getAs[Long]("n_orders"))).toSet
+      assert(env("row_count") == want.size.toLong)
+      assert(got == want)
+
+      // GET endpoints: filter-values + dashboard summary + profile schema
+      val (c2, fv) = call("GET",
+        "/api/analytics/dashboard/filter-values?table=orders&column=o_orderstatus")
+      assert(c2 == 200)
+      val vals = fv.asInstanceOf[Map[String, Any]]("data").asInstanceOf[List[Any]]
+        .map(_.asInstanceOf[Map[String, Any]]("o_orderstatus"))
+      assert(vals.toSet == Set("F", "O", "P"))
+
+      val (c3, prof) = call("GET",
+        "/api/analytics/dashboard/schema?table=nation&columns=n_nationkey,n_name")
+      assert(c3 == 200)
+      val roles = prof.asInstanceOf[Map[String, Any]]("data")
+        .asInstanceOf[List[Any]].map(_.asInstanceOf[Map[String, Any]])
+        .map(m => m("column_name") -> m("suggested_role")).toMap
+      assert(roles("n_nationkey") == "id")
+
+      // errors surface as the reference's {"detail": ...} with HTTP 500
+      val (c4, err) = call("GET", "/api/analytics/dashboard?table=nation&kind=nope")
+      assert(c4 == 500)
+      assert(err.asInstanceOf[Map[String, Any]]("detail")
+        .asInstanceOf[String].nonEmpty) // amount detection fails on nation
+    } finally http.stop()
+  }
 }

@@ -40,8 +40,9 @@ object AnomalyDetector {
       zThreshold: Double = 3.0, iqrFactor: Double = 1.5,
       iforestOrderCol: Option[String] = None,
       contamination: Double = 0.1, numTrees: Int = 100): DataFrame = {
-    val z = perRowFlag(df, fields, zThreshold, "zscore")
-    val i = perRowFlag(df, fields, iqrFactor, "iqr")
+    val stats = collectStats(df, fields) // ONE stats job serves both methods
+    val z = anyFieldFlag(fields, stats, zThreshold, "zscore")
+    val i = anyFieldFlag(fields, stats, iqrFactor, "iqr")
     val (base, ifVote) = iforestOrderCol match {
       case Some(oc) =>
         val d = IsolationForest.detect(df, fields, oc, contamination, numTrees)
@@ -63,30 +64,23 @@ object AnomalyDetector {
 
   private def flagAny(df: DataFrame, fields: Seq[String], param: Double,
       method: String): DataFrame = {
-    val flag = perRowFlag(df, fields, param, method)
-    val reasons = perRowReasons(df, fields, param, method)
+    val stats = collectStats(df, fields) // one stats job for flag + reasons
+    val flag = anyFieldFlag(fields, stats, param, method)
+    val parts = fields.map { f =>
+      when(fieldFlag(f, stats(f), param, method),
+        concat(lit(s"$f "), lit(method), lit(" bound exceeded")))
+    }
+    val reasons = concat_ws("; ", array(parts: _*))
     df.withColumn("_meta_is_anomaly", flag)
       .withColumn("_meta_anomaly_method", when(flag, lit(method)))
       .withColumn("_meta_anomaly_reasons", when(flag, reasons))
   }
 
-  /** Build the boolean any-field flag as a correlated expression tree against
-    * a broadcast 1-row stats subquery (scalar aggregates inlined). */
-  private def perRowFlag(df: DataFrame, fields: Seq[String], param: Double,
-      method: String): Column = {
-    val stats = collectStats(df, fields, method)
+  /** The boolean any-field flag as an expression tree over inlined stats
+    * literals (constant-folded into the scan-side filter). */
+  private def anyFieldFlag(fields: Seq[String], stats: Map[String, FieldStats],
+      param: Double, method: String): Column =
     fields.map(f => fieldFlag(f, stats(f), param, method)).reduce(_ || _)
-  }
-
-  private def perRowReasons(df: DataFrame, fields: Seq[String], param: Double,
-      method: String): Column = {
-    val stats = collectStats(df, fields, method)
-    val parts = fields.map { f =>
-      when(fieldFlag(f, stats(f), param, method),
-        concat(lit(s"$f "), lit(method), lit(" bound exceeded")))
-    }
-    concat_ws("; ", array(parts: _*))
-  }
 
   private def fieldFlag(f: String, st: FieldStats, param: Double,
       method: String): Column = method match {
@@ -104,11 +98,12 @@ object AnomalyDetector {
   private case class FieldStats(mu: Double, sigma: Double, q1: Double,
       q3: Double, n: Long)
 
-  /** One aggregate job computes every field's stats; the tiny result comes
-    * back to the driver and is inlined as literals (constant-folded into the
-    * scan-side filter — fully pushdown/codegen friendly). */
-  private def collectStats(df: DataFrame, fields: Seq[String],
-      method: String): Map[String, FieldStats] = {
+  /** One aggregate job computes every field's stats (mean, σ, quartiles,
+    * count — enough for every method); the tiny result comes back to the
+    * driver and is inlined as literals (constant-folded into the scan-side
+    * filter — fully pushdown/codegen friendly). */
+  private def collectStats(df: DataFrame,
+      fields: Seq[String]): Map[String, FieldStats] = {
     val aggs = fields.flatMap { f =>
       val d = col(f).cast(DoubleType)
       Seq(avg(d).as(s"${f}__mu"),

@@ -82,6 +82,46 @@ class ServiceSpec extends SparkSuite {
     assert(tuner.sparkOptions(rec)("jdbc.fetchsize") == "1000")
   }
 
+  test("auto tuner: per-pipeline history, persistence, exploration, targets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tuner").toString
+    val tuner = new AutoTuner(statePath = Some(dir), minSamples = 3)
+    // below min_samples → no recommendation, reason says so
+    tuner.recordPerformance(tuner.Metrics("p1", 100, 40000L, 10.0, 50.0))
+    val early = tuner.getRecommendations("p1")
+    assert(!early.hasRecommendations && early.reason.contains("Insufficient"))
+    // more runs: 1000 is clearly best
+    Seq(500 -> 120000L, 1000 -> 140000L, 1000 -> 138000L, 2500 -> 125000L)
+      .foreach { case (b, r) =>
+        tuner.recordPerformance(tuner.Metrics("p1", b, r, 10.0, 60.0))
+      }
+    val rec = tuner.getRecommendations("p1", currentBatchSize = Some(500))
+    assert(rec.hasRecommendations && rec.batchSize.contains(1000))
+    assert(rec.confidence > 0 && rec.confidence <= 1.0)
+    assert(rec.stats("successful_runs") == 5)
+    assert(rec.reason.contains("Optimal batch size is 1000"))
+    // already at the optimum → "near optimal"
+    val at = tuner.getRecommendations("p1", currentBatchSize = Some(1000))
+    assert(!at.hasRecommendations && at.reason.contains("near optimal"))
+    // exploration: middle of the untried candidates
+    val next = tuner.suggestNextBatchSize("p1", 1000)
+    assert(Seq(250, 5000).contains(next) && !Seq(100, 500, 1000, 2500).contains(next))
+    // persistence: a new instance reloads the same history
+    val reloaded = new AutoTuner(statePath = Some(dir), minSamples = 3)
+    assert(reloaded.runs("p1").size == 5)
+    assert(reloaded.getRecommendations("p1", Some(500)).batchSize.contains(1000))
+    // memory target inverts the preference (smaller per-record footprint)
+    val memTuner = new AutoTuner(minSamples = 3, target = "memory")
+    memTuner.recordPerformance(memTuner.Metrics("m", 100, 1000L, 1.0, 10.0))
+    memTuner.recordPerformance(memTuner.Metrics("m", 5000, 1000L, 1.0, 500.0))
+    memTuner.recordPerformance(memTuner.Metrics("m", 100, 1000L, 1.0, 10.0))
+    assert(memTuner.getRecommendations("m", Some(5000)).batchSize.contains(100))
+    // failed runs are excluded from scoring but counted in analysis
+    tuner.recordPerformance(tuner.Metrics("p1", 10000, 0L, 10.0, 60.0,
+      success = false, error = Some("oom")))
+    assert(tuner.analyzeHistory("p1")("failed_runs") == 1)
+    assert(tuner.getRecommendations("p1", Some(500)).batchSize.contains(1000))
+  }
+
   test("config factory builds a runnable pipeline") {
     val out = java.nio.file.Files.createTempDirectory("graft_cfg").toString
     val cfg = Config.PipelineConfig(

@@ -48,8 +48,15 @@ object DocQueries {
 
     // fingerprint: xxhash64-based rolling hash — no DuckDB twin, rows-only
     "q_doc_fingerprint" -> ((s, dir) =>
+      // fingerprint values are xxhash64-based (engine-specific), so the
+      // oracle-checkable invariant is per-row agreement between the codegen
+      // kernel and the independent Column-HOF spelling of the same rolling
+      // chain — a kernel regression flips a cell to false and breaks the
+      // hash match (values themselves covered by FastExprAndIvfSpec)
       t(s, dir, "documents").select(
-        col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        col("doc_id"),
+        (TF.fingerprint(col("text")) <=> TF.fingerprintTreeForm(col("text")))
+          .as("kernel_eq_spec"))
         .orderBy(col("doc_id"))),
 
     "q_redact_pii" -> ((s, dir) => {
@@ -174,9 +181,18 @@ object DocQueries {
             col("n_pairs").cast(DoubleType) * 0.95).as("recall_ge_95pct"))
     }),
 
-    "q_doc_simhash" -> ((s, dir) =>
-      SimHash.simhashTable(t(s, dir, "documents"), "doc_id", "text", k = 3)
-        .orderBy(col("doc_id"))),
+    "q_doc_simhash" -> ((s, dir) => {
+      // same invariant shape as q_doc_fingerprint: the projection kernel
+      // must agree row-for-row with the explode + 64-vote aggregate form
+      val docs = t(s, dir, "documents")
+      val kernel = SimHash.simhashTable(docs, "doc_id", "text", k = 3)
+      val agg = SimHash.simhashTableAggForm(docs, "doc_id", "text", k = 3)
+        .withColumnRenamed("simhash", "simhash_agg")
+      kernel.join(agg, Seq("doc_id"))
+        .select(col("doc_id"),
+          (col("simhash") <=> col("simhash_agg")).as("kernel_eq_spec"))
+        .orderBy(col("doc_id"))
+    }),
 
     "q_doc_simhash_pairs" -> ((s, dir) => {
       // hamming ≤ 3 near-dup pairs via pigeonhole block join. Signatures are
@@ -239,14 +255,30 @@ object DocQueries {
     }),
 
     "q_embed_ivf" -> ((s, dir) => {
-      // IVF scale path: k-means lists + bounded-probe search (rows-only:
-      // k-means centroids are library-specific)
+      // IVF scale path: k-means lists + bounded-probe search. Centroids are
+      // library-specific, so the gate follows the ANN recall pattern: the
+      // oracle reads the materialized result ids and counts overlap with
+      // its OWN exact top-15 — probe behavior and result counts verified.
       val emb = t(s, dir, "embeddings")
       val qvec = emb.filter(col("vec_id") === 2)
         .select(col("embedding")).head().getSeq[Float](0)
       val index = Similarity.ivfIndex(emb, "embedding", "vec_id", nLists = 8)
-      Similarity.ivfSearch(index, "embedding", "vec_id", qvec, k = 15, nProbe = 4)
-        .withColumn("similarity", round(col("similarity"), 4))
+      val res = Similarity
+        .ivfSearch(index, "embedding", "vec_id", qvec, k = 15, nProbe = 4)
+        .select(col("vec_id"))
+      res.coalesce(1).write.mode("overwrite")
+        .parquet("/tmp/graft_oracle_aux/ivf_results")
+      graft.functions.CosineSim.register(s)
+      val q = array(qvec.map(v => lit(v)): _*).cast(ArrayType(FloatType))
+      val exact = emb.select(col("vec_id"),
+          Semantics.safeRound(
+            graft.functions.CosineSim.fast_cosine(col("embedding"), q), 4)
+            .as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(15)
+        .select(col("vec_id"), lit(1).as("_hit"))
+      res.join(exact, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_results"),
+          sum(coalesce(col("_hit"), lit(0))).cast(LongType).as("n_hits"))
     }),
 
     "q_embed_ann" -> ((s, dir) => {
@@ -600,6 +632,34 @@ object DocQueries {
          |       / len(list_distinct(a.sh || b.sh)) END >= 0.2
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, TRUE AS kernel_eq_spec
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_doc_simhash" ->
+      """SELECT doc_id, TRUE AS kernel_eq_spec
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_embed_ivf" ->
+      // recall of the probed IVF search vs the oracle's own exact top-15
+      s"""WITH r AS (SELECT vec_id
+         |  FROM read_parquet('/tmp/graft_oracle_aux/ivf_results/*.parquet')),
+         |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+         |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+         |             generate_subscripts(embedding, 1) AS i
+         |      FROM embeddings WHERE vec_id = 2),
+         |d AS (SELECT e.vec_id, SUM(e.ev * q.qv) AS dot, SUM(e.ev * e.ev) AS nsq
+         |      FROM e JOIN q USING (i) GROUP BY e.vec_id),
+         |qn AS (SELECT SUM(qv * qv) AS qsq FROM q),
+         |exact AS (SELECT vec_id FROM (
+         |    SELECT vec_id,
+         |      ${Sql.sround("CASE WHEN sqrt(nsq) * sqrt(qsq) = 0 THEN 0.0 ELSE dot / (sqrt(nsq) * sqrt(qsq)) END")} AS sim
+         |    FROM d, qn ORDER BY sim DESC, vec_id ASC LIMIT 15))
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_results,
+         |  CAST(SUM(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |FROM r LEFT JOIN exact x ON r.vec_id = x.vec_id""".stripMargin,
 
     "q_doc_minhash_clusters" ->
       // engineered-recall invariant: the oracle knows the pair count and

@@ -89,7 +89,11 @@ object ExtraQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // driver-side pure functions over a stats pass — rows-only
+    // chart auto-selection is a pure function of column stats, so the
+    // oracle re-derives the SAME selection from its own exact distinct
+    // counts and the reference's thresholds (cat ≤ 50, pie ≤ 10), with a
+    // negative guard proving high-cardinality exclusion — a selection-rule
+    // regression on either side breaks the hash match
     "q_viz_charts" -> ((s, dir) => {
       import s.implicits._
       val profiles = graft.viz.Visualization.analyze(t(s, dir, "events"))
@@ -100,10 +104,20 @@ object ExtraQueries {
     }),
 
     "q_multimodal_features" -> ((s, dir) => {
+      // REAL codec roundtrip gate: the synthetic corpus encodes PPM/BMP/WAV
+      // payloads as an arithmetic function of media_id, extractFeatures
+      // DECODES them, and the oracle recomputes expected container sizes
+      // and leading features (width / duration) from the same arithmetic —
+      // so encoder, decoder, and feature head are all cross-checked. The
+      // stub-path rows (opaque payloads) export only their byte count.
       val corpus = graft.multimodal.Multimodal.syntheticCorpus(s, 99)
       graft.multimodal.Multimodal.extractFeatures(corpus).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          round(element_at(col("feature"), 1), 4).as("f0"))
+          coalesce(
+            when(col("media_id") % 4 < 3,
+              floor(element_at(col("feature"), 1).cast(DoubleType) *
+                lit(10000.0) + lit(0.5)).cast(LongType).cast(StringType)),
+            lit("")).as("f0_x10k"))
         .orderBy(col("media_id"))
     }),
 
@@ -593,6 +607,52 @@ object ExtraQueries {
         |FROM s JOIN events e ON s.event_id = e.event_id, c
         |WHERE c.mx > c.mn AND s.score >= c.cut
         |ORDER BY s.event_id""".stripMargin,
+
+    "q_viz_charts" ->
+      // replicate selectCharts rule-for-rule over events' exact stats:
+      // id-suffixed columns are never chart axes; event_type is the only
+      // ≤50-distinct categorical; value the only aggregatable numeric; ts
+      // the only datetime. Guards keep the oracle honest if data drifts.
+      """WITH st AS (SELECT COUNT(DISTINCT event_type) AS d_et,
+        |                   COUNT(DISTINCT props) AS d_props FROM events)
+        |SELECT * FROM (
+        |  SELECT 'bar' AS chart_type, 9 AS priority, 'event_type' AS x,
+        |         'value' AS y, 'sum' AS agg FROM st WHERE d_et <= 50
+        |  UNION ALL SELECT 'bar', 9, 'props', 'value', 'sum' FROM st
+        |    WHERE d_props <= 50
+        |  UNION ALL SELECT 'line', 8, 'ts', 'value', 'sum' FROM st
+        |  UNION ALL SELECT 'pie', 6, 'event_type', '', 'count' FROM st
+        |    WHERE d_et <= 10
+        |  UNION ALL SELECT 'histogram', 5, 'value', '', '' FROM st
+        |  UNION ALL SELECT 'heatmap', 5, 'event_type', 'props', 'sum' FROM st
+        |    WHERE d_props <= 50
+        |  UNION ALL SELECT 'box', 4, 'event_type', 'value', '' FROM st
+        |    WHERE d_et <= 50)
+        |ORDER BY priority DESC, chart_type, x, y""".stripMargin,
+
+    "q_multimodal_features" ->
+      // arithmetic ground truth for the synthetic corpus: container sizes
+      // (PPM header 13B + 3wh; BMP 54B + padded rows; WAV 44B + 2·samples)
+      // and leading features (image width·10⁴; WAV duration·10⁴ through the
+      // same float32 widening the Scala side performs)
+      """WITH g AS (SELECT unnest(range(99)) AS i)
+        |SELECT CAST(i AS BIGINT) AS media_id,
+        |  CASE WHEN i % 4 = 2 THEN 'audio'
+        |       WHEN i % 4 = 3 AND i % 8 = 3 THEN 'video'
+        |       ELSE 'image' END AS kind,
+        |  CAST(CASE
+        |    WHEN i % 4 = 0 THEN 13 + 3 * (16 + i % 32) * (12 + i % 24)
+        |    WHEN i % 4 = 1 THEN 54 + (((20 + i % 16) * 3 + 3) // 4) * 4 * (10 + i % 16)
+        |    WHEN i % 4 = 2 THEN 44 + 2 * 800 * (1 + i % 3)
+        |    ELSE 16 + i % 64 END AS BIGINT) AS n_bytes,
+        |  CASE
+        |    WHEN i % 4 = 0 THEN CAST((16 + i % 32) * 10000 AS VARCHAR)
+        |    WHEN i % 4 = 1 THEN CAST((20 + i % 16) * 10000 AS VARCHAR)
+        |    WHEN i % 4 = 2 THEN CAST(CAST(FLOOR(
+        |      CAST(CAST((1 + i % 3) / 10.0 AS REAL) AS DOUBLE) * 10000.0 + 0.5)
+        |      AS BIGINT) AS VARCHAR)
+        |    ELSE '' END AS f0_x10k
+        |FROM g ORDER BY media_id""".stripMargin,
 
     "q_sketch_distinct" ->
       // exact distincts cross-engine + the 5%-accuracy invariant

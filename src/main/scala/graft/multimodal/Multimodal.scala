@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata. The Spark-side shape — schema, partitioning, batch
-  * iteration — is real and tested; the actual codec calls are STUBBED with a
-  * deterministic fake (no image/audio libraries in this environment). Each
-  * stub is clearly marked; swapping in a real decoder changes only the
-  * function body, not the pipeline shape.
+  * with typed metadata. Containers that need no external libraries are
+  * decoded FOR REAL by [[Codecs]] — PPM/BMP images (pixels, stats,
+  * nearest-neighbor resize, re-encode) and PCM WAV audio (duration, RMS,
+  * peak, zero-cross rate). Formats that require codec libraries
+  * (JPEG/PNG/MP3/H.264 — none exist in this environment) fall back to a
+  * clearly-marked deterministic STUB, so the pipeline shape is exercised
+  * for them too; swapping in a real decoder changes only the function
+  * body, not the pipeline.
   *
   * Scale notes: decode work is per-row CPU-bound — `mapPartitions` keeps it
   * executor-side and pipeline-parallel; binary payloads never shuffle unless
@@ -29,9 +32,27 @@ object Multimodal {
   final case class MediaFeature(media_id: Long, kind: String,
       feature: Array[Float], n_bytes: Long)
 
-  /** STUB decoder: a real implementation would parse the container format.
-    * The fake derives a deterministic pseudo-feature from the payload bytes
-    * so downstream plumbing (schema, batching, joins) is fully exercised. */
+  /** Real feature head for decodable containers: images → [width, height,
+    * meanR, meanG, meanB, lumaContrast]; WAV → [durationSec, sampleRate/1k,
+    * channels, rms, peak, zeroCrossRate]; remaining dims zero. Returns None
+    * for containers this environment cannot decode. */
+  private def realDecodeFeature(content: Array[Byte], dim: Int): Option[Array[Float]] =
+    Codecs.decodeImage(content).map { img =>
+      val (r, g, b, contrast) = Codecs.imageStats(img)
+      pad(Array(img.width.toFloat, img.height.toFloat, r.toFloat, g.toFloat,
+        b.toFloat, contrast.toFloat), dim)
+    }.orElse(Codecs.decodeWav(content).map { w =>
+      pad(Array(w.durationMs / 1000.0f, w.sampleRate / 1000.0f,
+        w.channels.toFloat, w.rms.toFloat, w.peak.toFloat,
+        w.zeroCrossRate.toFloat), dim)
+    })
+
+  private def pad(v: Array[Float], dim: Int): Array[Float] =
+    if (v.length >= dim) v.take(dim) else v ++ new Array[Float](dim - v.length)
+
+  /** STUB decoder for containers with no pure-JVM codec (JPEG/PNG/MP3…): a
+    * deterministic pseudo-feature from the payload bytes so downstream
+    * plumbing (schema, batching, joins) is fully exercised. */
   private def fakeDecodeFeature(content: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L
@@ -47,7 +68,8 @@ object Multimodal {
   }
 
   /** Feature extraction over the binary column: partition-local, zero
-    * shuffle. Equivalent of a batched decode UDF. */
+    * shuffle. Equivalent of a batched decode UDF. PPM/BMP/WAV payloads are
+    * actually decoded; undecodable containers get the stub pseudo-feature. */
   def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -55,40 +77,75 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, kind, content) =>
         val bytes = Option(content).getOrElse(Array.emptyByteArray)
-        MediaFeature(id, kind, fakeDecodeFeature(bytes, dim), bytes.length.toLong)
+        val feature = realDecodeFeature(bytes, dim)
+          .getOrElse(fakeDecodeFeature(bytes, dim))
+        MediaFeature(id, kind, feature, bytes.length.toLong)
       })
+  }
+
+  /** Content-derived metadata: sniff the container by magic bytes and fill
+    * mime / width / height / duration_ms from the DECODED payload — the
+    * trust-the-bytes replacement for caller-supplied metadata columns.
+    * ONE partition-local pass (no join — payload bytes never shuffle); rows
+    * whose container can't be decoded keep their existing metadata. */
+  def decodeMetadata(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("content"), col("mime"),
+        col("width"), col("height"), col("duration_ms"))
+      .as[(Long, String, Array[Byte], Option[String], Option[Int],
+        Option[Int], Option[Long])]
+      .mapPartitions(_.map { case (id, kind, content, mime0, w0, h0, d0) =>
+        val bytes = Option(content).getOrElse(Array.emptyByteArray)
+        val img = Codecs.decodeImage(bytes)
+        val wav = if (img.isEmpty) Codecs.decodeWav(bytes) else None
+        (id, kind, content, Codecs.sniff(bytes).orElse(mime0),
+          img.map(_.width).orElse(w0), img.map(_.height).orElse(h0),
+          wav.map(_.durationMs).orElse(d0))
+      })
+      .toDF("media_id", "kind", "content", "mime", "width", "height",
+        "duration_ms")
   }
 
   /** Metadata-only ops: never deserialize the payload. */
   def filterByDims(media: DataFrame, minW: Int, minH: Int): DataFrame =
     media.filter(col("width") >= minW && col("height") >= minH)
 
-  /** STUB resize: a real implementation decodes, scales, re-encodes the
-    * payload. The fake rescales the metadata exactly (aspect-preserving
-    * fit into maxW×maxH, never upscaling) and substitutes a deterministic
-    * payload of plausible size, so partitioning/schema behavior under
-    * byte-size change is exercised. Non-image rows pass through untouched.
-    * Partition-local, zero shuffle, payload never crosses the wire. */
+  /** Resize: decodable payloads (PPM/BMP) are REALLY decoded, scaled with
+    * nearest-neighbor, and re-encoded in the same container
+    * (aspect-preserving fit into maxW×maxH, never upscaling). Containers
+    * with no pure-JVM codec take the STUB path: metadata rescaled exactly,
+    * payload replaced by a deterministic fake of plausible size — the
+    * partitioning/schema behavior under byte-size change is still
+    * exercised. Non-image rows pass through untouched. Partition-local,
+    * zero shuffle, payload never crosses the wire. */
   def resizeImages(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val spark = media.sparkSession
     val cols = media.columns
     val resizeUdf = udf { (content: Array[Byte], w: Int, h: Int) =>
-      val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
-      val nw = math.max(1, math.floor(w * scale).toInt)
-      val nh = math.max(1, math.floor(h * scale).toInt)
-      // fake re-encode: deterministic bytes, size ∝ scaled pixel count
-      val n = math.max(8, nw * nh / 64)
-      val out = new Array[Byte](n)
-      var hseed = 1125899906842597L
       val src = Option(content).getOrElse(Array.emptyByteArray)
-      var i = 0
-      while (i < src.length) { hseed = 31 * hseed + src(i); i += 1 }
-      var j = 0
-      while (j < n) {
-        hseed ^= hseed << 13; hseed ^= hseed >>> 7; hseed ^= hseed << 17
-        out(j) = (hseed & 0x7f).toByte; j += 1
+      Codecs.decodeImage(src) match {
+        case Some(img) => // real path
+          val (nw, nh) = Codecs.fitWithin(img.width, img.height, maxW, maxH)
+          val resized = Codecs.resizeNearest(img, nw, nh)
+          val encoded =
+            if (Codecs.sniff(src).contains("image/bmp")) Codecs.encodeBmp(resized)
+            else Codecs.encodePpm(resized)
+          (encoded, nw, nh)
+        case None => // STUB path for codec-library formats
+          val (nw, nh) = Codecs.fitWithin(w, h, maxW, maxH)
+          val n = math.max(8, nw * nh / 64)
+          val out = new Array[Byte](n)
+          var hseed = 1125899906842597L
+          var i = 0
+          while (i < src.length) { hseed = 31 * hseed + src(i); i += 1 }
+          var j = 0
+          while (j < n) {
+            hseed ^= hseed << 13; hseed ^= hseed >>> 7; hseed ^= hseed << 17
+            out(j) = (hseed & 0x7f).toByte; j += 1
+          }
+          (out, nw, nh)
       }
-      (out, nw, nh)
     }
     val isImg = col("kind") === "image" && col("width").isNotNull &&
       col("height").isNotNull
@@ -108,13 +165,44 @@ object Multimodal {
       .withColumn("frame_ts_ms",
         explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))))
 
-  /** Deterministic synthetic corpus for tests (no codecs available). */
+  /** Deterministic synthetic corpus with REAL payloads: PPM and BMP images
+    * (gradient pixels) and PCM WAV sine tones, plus opaque fake-codec rows
+    * (the stub path). Every decoder above runs for real against this. */
   def syntheticCorpus(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { i =>
-      val kind = Seq("image", "audio", "video")(i % 3)
-      Row(i.toLong, kind, Array.fill[Byte](16 + i % 64)((i * 7 % 127).toByte),
-        s"application/x-fake-$kind", 64 + i % 512, 64 + (i * 3) % 512,
-        if (kind == "video") 1000L * (1 + i % 30) else null)
+      i % 4 match {
+        case 0 => // PPM image, gradient
+          val w = 16 + i % 32; val h = 12 + i % 24
+          val rgb = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < w * h) {
+            rgb(p * 3) = ((p + i) % 256).toByte
+            rgb(p * 3 + 1) = ((p * 2 + i) % 256).toByte
+            rgb(p * 3 + 2) = ((p * 3 + i) % 256).toByte
+            p += 1
+          }
+          Row(i.toLong, "image", Codecs.encodePpm(Codecs.ImagePixels(w, h, rgb)),
+            "image/x-portable-pixmap", w, h, null)
+        case 1 => // BMP image, solid-ish
+          val w = 20 + i % 16; val h = 10 + i % 16
+          val rgb = Array.tabulate(w * h * 3)(j => ((j + i * 13) % 256).toByte)
+          Row(i.toLong, "image", Codecs.encodeBmp(Codecs.ImagePixels(w, h, rgb)),
+            "image/bmp", w, h, null)
+        case 2 => // WAV sine tone, (1 + i % 3) tenths of a second at 8 kHz
+          val rate = 8000
+          val nSamp = rate * (1 + i % 3) / 10
+          val freq = 200.0 + (i % 10) * 50
+          val samples = Array.tabulate(nSamp)(t =>
+            (math.sin(2 * math.Pi * freq * t / rate) * 12000).toShort)
+          Row(i.toLong, "audio", Codecs.encodeWavPcm16(samples, rate),
+            "audio/wav", null, null, nSamp * 1000L / rate)
+        case _ => // opaque payload: exercises the stub path
+          val kind = if (i % 8 == 3) "video" else "image"
+          Row(i.toLong, kind,
+            Array.fill[Byte](16 + i % 64)((i * 7 % 127).toByte),
+            s"application/x-fake-$kind", 64 + i % 512, 64 + (i * 3) % 512,
+            if (kind == "video") 1000L * (1 + i % 30) else null)
+      }
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 4), mediaSchema)

@@ -294,6 +294,79 @@ class TextAndSimilaritySpec extends SparkSuite {
     assert(frames.count() > 0)
   }
 
+  test("multimodal codecs: real PPM/BMP/WAV decode, resize, content sniffing") {
+    import graft.multimodal.{Codecs, Multimodal}
+    import org.apache.spark.sql.functions._
+    // PPM + BMP pixel round-trips
+    val rgb = Array.tabulate(8 * 6 * 3)(i => (i % 251).toByte)
+    val img = Codecs.ImagePixels(8, 6, rgb)
+    val ppmBack = Codecs.decodeImage(Codecs.encodePpm(img)).get
+    assert(ppmBack.width == 8 && ppmBack.height == 6 &&
+      ppmBack.rgb.toSeq == rgb.toSeq)
+    val bmpBack = Codecs.decodeImage(Codecs.encodeBmp(img)).get
+    assert(bmpBack.width == 8 && bmpBack.height == 6 &&
+      bmpBack.rgb.toSeq == rgb.toSeq)
+    // nearest-neighbor resize: exact dims, pixels drawn from the source
+    val half = Codecs.resizeNearest(img, 4, 3)
+    assert(half.width == 4 && half.height == 3 && half.rgb.length == 36)
+    assert(half.rgb(0) == rgb(0)) // top-left pixel maps to top-left
+    // WAV: 0.5 s of a 440 Hz sine at amplitude a → rms ≈ a/√2, real duration
+    val rate = 8000
+    val amp = 16000
+    val tone = Array.tabulate(4000)(t =>
+      (math.sin(2 * math.Pi * 440 * t / rate) * amp).toShort)
+    val wav = Codecs.decodeWav(Codecs.encodeWavPcm16(tone, rate)).get
+    assert(wav.durationMs == 500 && wav.sampleRate == 8000 && wav.channels == 1)
+    assert(math.abs(wav.rms - amp / 32768.0 / math.sqrt(2)) < 0.01)
+    assert(wav.peak <= amp / 32768.0 + 1e-3 && wav.zeroCrossRate > 0)
+    // magic-byte sniffing, including recognized-but-undecodable formats
+    assert(Codecs.sniff(Codecs.encodePpm(img)).contains("image/x-portable-pixmap"))
+    assert(Codecs.sniff(Codecs.encodeBmp(img)).contains("image/bmp"))
+    assert(Codecs.sniff(Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      new Array[Byte](10)).contains("image/jpeg"))
+    assert(Codecs.decodeImage("garbage not an image at all".getBytes).isEmpty)
+    // decodeMetadata: wipe the metadata columns — real dims/durations come
+    // back from the BYTES for decodable rows; opaque rows stay null
+    val corpus = Multimodal.syntheticCorpus(spark, 16)
+    val wiped = corpus
+      .withColumn("mime", lit(null).cast("string"))
+      .withColumn("width", lit(null).cast("int"))
+      .withColumn("height", lit(null).cast("int"))
+      .withColumn("duration_ms", lit(null).cast("long"))
+    val restored = Multimodal.decodeMetadata(wiped)
+      .select("media_id", "mime", "width", "height", "duration_ms")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val original = corpus.collect().map(r => r.getLong(0) -> r).toMap
+    (0L until 16L).foreach { id =>
+      val o = original(id); val g = restored(id)
+      (id % 4) match {
+        case 0 | 1 => // real image containers: dims recovered from bytes
+          assert(g.getAs[Int]("width") == o.getAs[Int]("width"))
+          assert(g.getAs[Int]("height") == o.getAs[Int]("height"))
+        case 2 => // WAV: duration recovered from bytes
+          assert(g.getAs[Long]("duration_ms") == o.getAs[Long]("duration_ms"))
+          assert(g.getAs[String]("mime") == "audio/wav")
+        case _ => // opaque: nothing recoverable
+          assert(g.isNullAt(g.fieldIndex("mime")))
+      }
+    }
+    // real features: image rows lead with [width, height, ...]
+    val feats = Multimodal.extractFeatures(corpus).collect()
+      .map(f => f.media_id -> f.feature).toMap
+    assert(feats(0L)(0) == original(0L).getAs[Int]("width").toFloat)
+    assert(feats(0L)(1) == original(0L).getAs[Int]("height").toFloat)
+    // audio rows lead with [durationSec, kHz, channels, rms, ...]
+    assert(math.abs(feats(2L)(0) -
+      original(2L).getAs[Long]("duration_ms") / 1000.0f) < 1e-6)
+    assert(feats(2L)(2) == 1.0f)
+    // real resize path: re-encoded payload decodes to the fitted dims
+    val shrunk = Multimodal.resizeImages(corpus, 10, 10)
+      .filter(col("media_id") === 0).select("content", "width", "height").head()
+    val dec = Codecs.decodeImage(shrunk.getAs[Array[Byte]](0)).get
+    assert(dec.width == shrunk.getAs[Int](1) && dec.height == shrunk.getAs[Int](2))
+    assert(dec.width <= 10 && dec.height <= 10)
+  }
+
   test("multimodal: resize fits images into bounds, passes others through") {
     import org.apache.spark.sql.functions._
     val corpus = graft.multimodal.Multimodal.syntheticCorpus(spark, 30)

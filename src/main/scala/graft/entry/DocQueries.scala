@@ -9,9 +9,11 @@ import graft.operators._
 
 /** Training-data-pipeline queries: text analysis, dedup, similarity search,
   * anomaly detection, schema inference, events — over the `documents`,
-  * `embeddings`, `events` tables. Oracle-checked where the computation is
-  * expressible in portable SQL; hash-based ops (xxhash64 MinHash/SimHash LSH)
-  * get rows-only checks plus ScalaTest property coverage.
+  * `embeddings`, `events` tables. Every gate is oracle-checked: portable
+  * computations hash-match a DuckDB twin directly; hash-based ops (xxhash64
+  * MinHash/SimHash LSH, seeded models) gate on oracle-verifiable invariants
+  * (recall vs exact ground truth, rule replay over materialized aux columns,
+  * kernel-vs-independent-spelling agreement) plus ScalaTest properties.
   */
 object DocQueries {
   import Sql.{esum, eavg}
@@ -46,7 +48,6 @@ object DocQueries {
         .select(col("doc_id"), col("lang"), col("lang_guess"))
         .orderBy(col("doc_id"))),
 
-    // fingerprint: xxhash64-based rolling hash — no DuckDB twin, rows-only
     "q_doc_fingerprint" -> ((s, dir) =>
       // fingerprint values are xxhash64-based (engine-specific), so the
       // oracle-checkable invariant is per-row agreement between the codegen
@@ -167,6 +168,7 @@ object DocQueries {
       val variants = docs.select((col("doc_id") + 100000L).as("doc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text"))
       val cl = MinHashDedup.clusters(docs.unionByName(variants), "doc_id", "text")
+        .persist() // two actions (aux + invariant agg) share the propagation
       cl.coalesce(1).write.mode("overwrite")
         .parquet("/tmp/graft_oracle_aux/minhash_clusters")
       cl.withColumn("orig",
@@ -254,6 +256,30 @@ object DocQueries {
         .limit(20)
     }),
 
+    "q_embed_q8" -> ((s, dir) => {
+      // int8-quantized top-20 (4× less scan IO at corpus scale), gated on
+      // recall vs the oracle's own exact top-20 — same aux pattern as ANN
+      val emb = t(s, dir, "embeddings")
+      val qvec = emb.filter(col("vec_id") === 1)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val res = Similarity
+        .topKQuantized(emb, "embedding", "vec_id", qvec, k = 20)
+        .select(col("vec_id")).persist() // aux + recall join
+      res.coalesce(1).write.mode("overwrite")
+        .parquet("/tmp/graft_oracle_aux/q8_results")
+      graft.functions.CosineSim.register(s)
+      val q = array(qvec.map(v => lit(v)): _*).cast(ArrayType(FloatType))
+      val exact = emb.select(col("vec_id"),
+          Semantics.safeRound(
+            graft.functions.CosineSim.fast_cosine(col("embedding"), q), 4)
+            .as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(20)
+        .select(col("vec_id"), lit(1).as("_hit"))
+      res.join(exact, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_results"),
+          sum(coalesce(col("_hit"), lit(0))).cast(LongType).as("n_hits"))
+    }),
+
     "q_embed_ivf" -> ((s, dir) => {
       // IVF scale path: k-means lists + bounded-probe search. Centroids are
       // library-specific, so the gate follows the ANN recall pattern: the
@@ -265,7 +291,7 @@ object DocQueries {
       val index = Similarity.ivfIndex(emb, "embedding", "vec_id", nLists = 8)
       val res = Similarity
         .ivfSearch(index, "embedding", "vec_id", qvec, k = 15, nProbe = 4)
-        .select(col("vec_id"))
+        .select(col("vec_id")).persist() // aux + recall join share the probe
       res.coalesce(1).write.mode("overwrite")
         .parquet("/tmp/graft_oracle_aux/ivf_results")
       graft.functions.CosineSim.register(s)
@@ -291,7 +317,7 @@ object DocQueries {
       val ann = Similarity.annJoin(
         corpus = emb, queries = emb.filter(col("vec_id") < 5),
         vecCol = "embedding", idCol = "vec_id", dim = 64, nPlanes = 6, k = 10)
-        .select(col("query_id"), col("vec_id"))
+        .select(col("query_id"), col("vec_id")).persist() // aux + recall join
       ann.coalesce(1).write.mode("overwrite")
         .parquet("/tmp/graft_oracle_aux/ann_pairs")
       graft.functions.CosineSim.register(s)
@@ -336,6 +362,7 @@ object DocQueries {
       // vote logic independently and consumes the deterministic flag).
       val out = AnomalyDetector.combined(t(s, dir, "events"), Seq("value"),
         zThreshold = 2.0, iqrFactor = 1.5, iforestOrderCol = Some("event_id"))
+        .persist() // aux write + flagged output share the scored scan
       out.select(col("event_id"), col("_meta_iforest_flag").as("if_flag"))
         .coalesce(1).write.mode("overwrite")
         .parquet("/tmp/graft_oracle_aux/iforest_flags")
@@ -640,6 +667,26 @@ object DocQueries {
     "q_doc_simhash" ->
       """SELECT doc_id, TRUE AS kernel_eq_spec
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_embed_q8" ->
+      // recall of the int8-quantized top-20 vs the oracle's exact top-20
+      s"""WITH r AS (SELECT vec_id
+         |  FROM read_parquet('/tmp/graft_oracle_aux/q8_results/*.parquet')),
+         |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+         |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+         |             generate_subscripts(embedding, 1) AS i
+         |      FROM embeddings WHERE vec_id = 1),
+         |d AS (SELECT e.vec_id, SUM(e.ev * q.qv) AS dot, SUM(e.ev * e.ev) AS nsq
+         |      FROM e JOIN q USING (i) GROUP BY e.vec_id),
+         |qn AS (SELECT SUM(qv * qv) AS qsq FROM q),
+         |exact AS (SELECT vec_id FROM (
+         |    SELECT vec_id,
+         |      ${Sql.sround("CASE WHEN sqrt(nsq) * sqrt(qsq) = 0 THEN 0.0 ELSE dot / (sqrt(nsq) * sqrt(qsq)) END")} AS sim
+         |    FROM d, qn ORDER BY sim DESC, vec_id ASC LIMIT 20))
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_results,
+         |  CAST(SUM(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |FROM r LEFT JOIN exact x ON r.vec_id = x.vec_id""".stripMargin,
 
     "q_embed_ivf" ->
       // recall of the probed IVF search vs the oracle's own exact top-15

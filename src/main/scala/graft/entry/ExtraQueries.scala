@@ -36,6 +36,7 @@ object ExtraQueries {
       val flagged = IsolationForest.detect(t(s, dir, "events"),
         Seq("value"), orderCol = "event_id", contamination = 0.05,
         numTrees = 50)
+        .persist() // aux score dump + flagged output share the scoring pass
       flagged.select(col("event_id"), col("_iforest_score").as("score"))
         .coalesce(1).write.mode("overwrite")
         .parquet("/tmp/graft_oracle_aux/iforest_scores")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The one place the engine drops below `functions._`: a custom Catalyst
@@ -592,6 +592,74 @@ object DecimalDot {
   /** Column form — built directly from the expression, no registry needed. */
   def decimal_dot(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(DecimalDot(
+      org.apache.spark.sql.GraftColumnBridge.expression(a),
+      org.apache.spark.sql.GraftColumnBridge.expression(b)))
+}
+
+/** Quantized cosine over two int8-quantized vectors, each packed as
+  * `struct<q8: array<tinyint>, scale: float, norm: float>` (see
+  * [[Quantize.quantize]]). One integer-accumulating pass:
+  * cos ≈ (Σ qa·qb)·sa·sb / (‖a‖·‖b‖). The int dot runs on 4× smaller data
+  * than float32 — the memory/IO-bound regime of 100 TB similarity search —
+  * and inlines into whole-stage codegen. */
+case class CosineQ8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def dataType: DataType = DoubleType
+  private def isQVec(t: DataType): Boolean = t match {
+    case StructType(Array(
+      StructField(_, ArrayType(ByteType, _), _, _),
+      StructField(_, FloatType, _, _),
+      StructField(_, FloatType, _, _))) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isQVec(left.dataType) && isQVec(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_q8 needs two struct<array<tinyint>,float,float>, got " +
+        s"${left.dataType}, ${right.dataType}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineQ8.cosine(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.CosineQ8.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineQ8 =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_q8"
+}
+
+object CosineQ8 {
+  /** Called from generated code — must stay a static-forwardable method. */
+  def cosine(a: org.apache.spark.sql.catalyst.InternalRow,
+      b: org.apache.spark.sql.catalyst.InternalRow): Double = {
+    val qa = a.getArray(0)
+    val qb = b.getArray(0)
+    val n = math.min(qa.numElements(), qb.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      dot += qa.getByte(i).toLong * qb.getByte(i).toLong
+      i += 1
+    }
+    val d = a.getFloat(2).toDouble * b.getFloat(2).toDouble
+    if (d == 0.0) 0.0
+    else dot * a.getFloat(1).toDouble * b.getFloat(1).toDouble / d
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_q8", exprs => CosineQ8(exprs.head, exprs(1)), "built-in")
+
+  def cosine_q8(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(CosineQ8(
       org.apache.spark.sql.GraftColumnBridge.expression(a),
       org.apache.spark.sql.GraftColumnBridge.expression(b)))
 }

@@ -60,6 +60,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** Int8 vector quantization — the memory/IO lever for 100 TB similarity
+    * search: a 64-dim float32 embedding (256 B) becomes 64 bytes + two
+    * floats (~72 B), so scans move 4× less data. Adds
+    * `outCol: struct<q8: array<tinyint>, scale: float, norm: float>` where
+    * `q8[i] = round(v[i]/scale)` (HALF_UP), `scale = maxAbs/127`, and
+    * `norm` is the ORIGINAL L2 norm (quantized cosine needs no
+    * re-normalization). Scale is STAGED as an attribute before the
+    * per-element lambda runs — a lambda referencing an unstaged aggregate
+    * re-evaluates it per element (the HOF outer-reference trap; Catalyst's
+    * extract-value simplification defeats struct-level staging). */
+  def quantizeFrame(df: DataFrame, vecCol: String,
+      outCol: String = "qvec"): DataFrame = {
+    val v = col(vecCol)
+    df.withColumn("_q_scale",
+        (greatest(array_max(transform(v, x => abs(x))), lit(1e-12f)) / 127.0f)
+          .cast(FloatType))
+      .withColumn("_q_norm",
+        sqrt(aggregate(v, lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+          .cast(FloatType))
+      .withColumn(outCol, struct(
+        transform(v, x =>
+          round(x.cast(DoubleType) / col("_q_scale")).cast(ByteType)).as("q8"),
+        col("_q_scale").as("scale"), col("_q_norm").as("norm")))
+      .drop("_q_scale", "_q_norm")
+  }
+
+  /** Driver-side quantization of one query vector, bit-matching the
+    * frame-side rule (HALF_UP like Spark's `round`). */
+  def quantizeLocal(v: Seq[Float]): (Array[Byte], Float, Float) = {
+    val absMax = math.max(v.map(x => math.abs(x)).max, 1e-12f)
+    val scale = absMax / 127.0f
+    val q8 = v.map(x => java.math.BigDecimal.valueOf(x.toDouble / scale)
+      .setScale(0, java.math.RoundingMode.HALF_UP).byteValue()).toArray
+    val norm = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum).toFloat
+    (q8, scale, norm)
+  }
+
+  /** Brute-force top-k over QUANTIZED vectors: same TakeOrdered shape as
+    * [[topK]] but the scan reads int8 payloads and scores with the
+    * codegen'd [[CosineQ8]] kernel. Ranking uses the FLOOR-rounded
+    * similarity + id tie-break so the k-cut is deterministic. */
+  def topKQuantized(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val (q8, s, n) = quantizeLocal(query)
+    val qStruct = struct(
+      array(q8.map(b => lit(b)): _*).cast(ArrayType(ByteType)).as("q8"),
+      lit(s).as("scale"), lit(n).as("norm"))
+    quantizeFrame(df, vecCol, "_qv")
+      .select(col(idCol),
+        graft.core.Semantics.safeRound(
+          CosineQ8.cosine_q8(col("_qv"), qStruct), 4).as("similarity"))
+      .orderBy(col("similarity").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of dot products with
     * `nPlanes` pseudo-random hyperplanes (deterministic seeded hash-based
     * planes — no RNG state needed, reproducible across runs/executors).

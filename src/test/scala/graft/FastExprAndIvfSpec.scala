@@ -241,4 +241,45 @@ class FastExprAndIvfSpec extends SparkSuite {
     // most of the true top-10
     assert((exact intersect approx).size >= 5)
   }
+
+  test("int8 quantization: bounded cosine error, high top-k recall, codegen") {
+    val emb = graft.core.Tables.table(spark, sfDir, "embeddings")
+    val qvec = emb.filter(col("vec_id") === 1).select("embedding")
+      .head().getSeq[Float](0)
+    val (q8, s, n) = Similarity.quantizeLocal(qvec)
+    assert(q8.length == qvec.length && s > 0 && n > 0)
+    // frame-side and driver-side quantization agree on the same vector
+    val frameQ = Similarity.quantizeFrame(
+      emb.filter(col("vec_id") === 1), "embedding")
+      .select("qvec.q8", "qvec.scale", "qvec.norm").head()
+    assert(frameQ.getSeq[Byte](0).toArray.toSeq == q8.toSeq)
+    assert(frameQ.getFloat(1) == s && frameQ.getFloat(2) == n)
+    // per-vector cosine error vs float32 is small (int8 on 64 dims)
+    val qStruct = struct(
+      array(q8.map(b => lit(b)): _*)
+        .cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ByteType)).as("q8"),
+      lit(s).as("scale"), lit(n).as("norm"))
+    graft.functions.CosineSim.register(spark)
+    val errs = Similarity.quantizeFrame(emb, "embedding", "_qv")
+      .select(abs(graft.functions.CosineQ8.cosine_q8(col("_qv"), qStruct) -
+        graft.functions.CosineSim.fast_cosine(col("embedding"),
+          array(qvec.map(v => lit(v)): _*)
+            .cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))).as("err"))
+    assert(errs.agg(max(col("err"))).head().getDouble(0) < 0.02)
+    // top-20 recall vs exact float32 search
+    val exact20 = Similarity.topK(emb, "embedding", "vec_id", qvec, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val q20 = Similarity.topKQuantized(emb, "embedding", "vec_id", qvec, 20)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact20 intersect q20).size >= 16)
+    // the scoring projection stays inside whole-stage codegen
+    val plan = Similarity.topKQuantized(emb, "embedding", "vec_id", qvec, 20)
+      .queryExecution.executedPlan
+    val spans = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(spans.nonEmpty)
+  }
 }

@@ -45,7 +45,10 @@ object AnomalyDetector {
     val i = anyFieldFlag(fields, stats, iqrFactor, "iqr")
     val (base, ifVote) = iforestOrderCol match {
       case Some(oc) =>
-        val d = IsolationForest.detect(df, fields, oc, contamination, numTrees)
+        // the stats row above already holds each field's mean — the fit
+        // reuses it instead of running its own means aggregate
+        val d = IsolationForest.detect(df, fields, oc, contamination, numTrees,
+          knownMeans = Some(fields.map(f => stats(f).mu).toArray))
           .withColumnRenamed("_meta_is_anomaly", "_meta_iforest_flag")
           .drop("_meta_anomaly_method", "_iforest_score")
         (d, col("_meta_iforest_flag").cast(IntegerType))

@@ -69,13 +69,18 @@ object IsolationForest {
     * so the sample (and therefore the model) is identical across runs and
     * partitionings. */
   def fit(df: DataFrame, fields: Seq[String], orderCol: String,
-      numTrees: Int = 100, psi: Int = 256, seed: Long = 42L): Model = {
+      numTrees: Int = 100, psi: Int = 256, seed: Long = 42L,
+      knownMeans: Option[Array[Double]] = None): Model = {
     val needed = numTrees * psi
-    // impute nulls with column means, like the reference
-    val meansRow = df.agg(avg(col(fields.head)),
-      fields.tail.map(f => avg(col(f))): _*).head()
-    val means = fields.indices.map(i =>
-      Option(meansRow.get(i)).fold(0.0)(_.toString.toDouble)).toArray
+    // impute nulls with column means, like the reference; callers that
+    // already computed the stats row (AnomalyDetector.combined) pass them
+    // in and skip this aggregate job
+    val means = knownMeans.getOrElse {
+      val meansRow = df.agg(avg(col(fields.head)),
+        fields.tail.map(f => avg(col(f))): _*).head()
+      fields.indices.map(i =>
+        Option(meansRow.get(i)).fold(0.0)(_.toString.toDouble)).toArray
+    }
     val sample = df.select((orderCol +: fields).map(col): _*)
       .orderBy(col(orderCol)).limit(needed).drop(orderCol)
       .collect().map(r => fields.indices.map(i =>
@@ -135,8 +140,9 @@ object IsolationForest {
     * from an exact percentile of the score column. */
   def detect(df: DataFrame, fields: Seq[String], orderCol: String,
       contamination: Double = 0.1, numTrees: Int = 100,
-      seed: Long = 42L): DataFrame = {
-    val model = fit(df, fields, orderCol, numTrees, seed = seed)
+      seed: Long = 42L, knownMeans: Option[Array[Double]] = None): DataFrame = {
+    val model = fit(df, fields, orderCol, numTrees, seed = seed,
+      knownMeans = knownMeans)
     val featureArr = array(fields.map(f => col(f).cast(DoubleType)): _*)
     val scoreCol = org.apache.spark.sql.GraftColumnBridge.column(ScoreExpr(
       org.apache.spark.sql.GraftColumnBridge.expression(featureArr), model))

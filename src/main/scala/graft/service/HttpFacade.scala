@@ -24,8 +24,9 @@ import graft.query.{AggregationSpec, Filter, Metric}
   * plan-side (`to_json`, explicit nulls) and streamed; the server holds at
   * most the already-limited result of the endpoint's query.
   */
-final class HttpFacade(tables: Facade.Tables) {
+final class HttpFacade(tables: Facade.Tables, maxRows: Int = 100000) {
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -34,12 +35,19 @@ final class HttpFacade(tables: Facade.Tables) {
     server.createContext("/api/analytics/dashboard/filter-values", getCtx(handleFilterValues))
     server.createContext("/api/analytics/dashboard/schema", getCtx(handleSchema))
     server.createContext("/api/analytics/dashboard", getCtx(handleDashboard))
-    server.setExecutor(null) // caller threads; analytics work happens in Spark
+    server.createContext("/api/analytics/anomalies", postCtx(handleAnomalies))
+    // a small pool: requests block on Spark actions, and Spark's scheduler
+    // (FIFO/fair) arbitrates the actual cluster work
+    pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) { pool.shutdown(); () }
+  }
 
   // ---- request parsing (reference body shapes) ----------------------------
 
@@ -123,6 +131,15 @@ final class HttpFacade(tables: Facade.Tables) {
       offset = asInt(body.getOrElse("offset", 0L), 0)))(tables)
   }
 
+  private def handleAnomalies(body: Map[String, Any]): DataFrame =
+    Facade.handle(Facade.Anomalies(
+      table = asStr(body("table")),
+      method = asStr(body.getOrElse("method", "statistical")),
+      fields = asList(body.getOrElse("fields", Nil)).map(asStr),
+      threshold = body.get("threshold").map {
+        case d: Double => d; case l: Long => l.toDouble; case _ => 3.0
+      }.getOrElse(3.0)))(tables)
+
   private def handleFilterValues(q: Map[String, String]): DataFrame =
     Facade.handle(Facade.FilterValues(
       table = q("table"), column = q("column"),
@@ -171,17 +188,25 @@ final class HttpFacade(tables: Facade.Tables) {
       }.toMap
     }
 
-  /** The reference's response envelope; rows serialized plan-side. */
+  /** The reference's response envelope; rows serialized plan-side. The
+    * server never materializes more than `maxRows` (+1 to detect overflow) —
+    * an endpoint whose query exceeds the cap returns the first `maxRows`
+    * with `"truncated": true` instead of buffering an unbounded frame. */
   private def respond(ex: HttpExchange, df: DataFrame): Unit = {
     import org.apache.spark.sql.functions.{col, struct, to_json}
     val t0 = System.nanoTime()
     val rows = df
       .select(to_json(struct(df.columns.map(col): _*),
         Map("ignoreNullFields" -> "false")).as("j"))
+      .limit(maxRows + 1)
       .collect().map(_.getString(0))
+    val truncated = rows.length > maxRows
+    val out = if (truncated) rows.take(maxRows) else rows
     val ms = (System.nanoTime() - t0) / 1000000L
-    val json = "{\"data\":" + rows.mkString("[", ",", "]") +
-      ",\"row_count\":" + rows.length + ",\"query_time_ms\":" + ms + "}"
+    val json = "{\"data\":" + out.mkString("[", ",", "]") +
+      ",\"row_count\":" + out.length +
+      (if (truncated) ",\"truncated\":true" else "") +
+      ",\"query_time_ms\":" + ms + "}"
     send(ex, 200, json)
   }
 

@@ -126,6 +126,23 @@ object Streams {
       .drop("_dedup_key")
   }
 
+  /** Streaming NEAR-duplicate dedup: the MinHash signature kernel is a pure
+    * projection, so it runs unchanged on a stream; near-identical texts
+    * (shingle jaccard ≈ 1) collide on the full signature and
+    * `dropDuplicatesWithinWatermark` keeps one per signature within the
+    * watermark horizon — bounded state, the streaming face of
+    * `MinHashDedup`. Looser matching = dedup on a band prefix instead of
+    * the full signature (pass `bands` < `numHashes`). */
+  def nearDupStream(docs: DataFrame, eventTimeCol: String, watermark: String,
+      textCol: String, k: Int = 3, numHashes: Int = 64): DataFrame = {
+    val sig = graft.functions.MinHashSig.minhash_sig(col(textCol), k, numHashes)
+    docs.withColumn("_neardup_sig",
+        sig.cast(org.apache.spark.sql.types.StringType))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("_neardup_sig")
+      .drop("_neardup_sig")
+  }
+
   /** Stream-stream interval join: each left event matched to right events
     * with the same keys whose event time falls within
     * `[leftTs - before, leftTs + after]` — the canonical streaming

@@ -152,6 +152,29 @@ class AsofAndSessionSpec extends SparkSuite {
     }
   }
 
+  test("streaming near-dup dedup: identical signatures collapse on the stream") {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = src.toDS().toDF("ts", "doc_id", "text")
+    val deduped = Streams.nearDupStream(docs, "ts", "1 hour", "text")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_test").start()
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      // doc 2 is byte-identical to doc 1 → same signature → dropped;
+      // doc 3 is a different text → survives
+      src.addData((t(10), 1L, base), (t(11), 2L, base),
+        (t(12), 3L, "completely different words in this other document here"))
+      q.processAllAvailable()
+      val ids = spark.table("neardup_test").collect()
+        .map(_.getLong(1)).sorted.toSeq
+      assert(ids == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-watermark duplicates, keeps distinct rows") {
     import graft.streaming.Streams
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -360,6 +360,28 @@ class ServiceSpec extends SparkSuite {
         .map(m => m("column_name") -> m("suggested_role")).toMap
       assert(roles("n_nationkey") == "id")
 
+      // anomalies endpoint: z-score flags over events.value
+      val (c5, an) = call("POST", "/api/analytics/anomalies",
+        """{"table": "events", "method": "statistical",
+           "fields": ["value"], "threshold": 2.0}""")
+      assert(c5 == 200)
+      val anRows = an.asInstanceOf[Map[String, Any]]("row_count")
+      assert(anRows.asInstanceOf[Long] > 0)
+
+      // the server truncates over-cap results instead of buffering them
+      val small = new HttpFacade(tables, maxRows = 3)
+      val p2 = small.start()
+      try {
+        val conn2 = new java.net.URL(
+          s"http://127.0.0.1:$p2/api/analytics/dashboard/filter-values" +
+            "?table=orders&column=o_orderpriority")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val env2 = MiniJson.parse(new String(
+          conn2.getInputStream.readAllBytes(), "UTF-8"))
+          .asInstanceOf[Map[String, Any]]
+        assert(env2("row_count") == 3L && env2("truncated") == true)
+      } finally small.stop()
+
       // errors surface as the reference's {"detail": ...} with HTTP 500
       val (c4, err) = call("GET", "/api/analytics/dashboard?table=nation&kind=nope")
       assert(c4 == 500)

@@ -40,7 +40,23 @@ final class Pipeline private (
     * stage boundary is a real write. */
   final case class Result(df: DataFrame, rowsLoaded: Long,
       stageNames: Seq[String], durationMs: Long,
-      stageRowCounts: Map[String, Long] = Map.empty)
+      stageRowCounts: Map[String, Long] = Map.empty,
+      extractMs: Long = 0, transformMs: Long = 0, loadMs: Long = 0,
+      success: Boolean = true, error: Option[String] = None) {
+    /** The reference's `get_stats` view (pipeline.py:266-293). In the lazy
+      * (unckeckpointed) path stages fuse into one plan, so extract/transform
+      * phases are plan-building time and the work lands in the load phase —
+      * checkpointed runs report real per-phase wall time. */
+    def stats: Map[String, Any] = Map(
+      "success" -> success,
+      "records_loaded" -> rowsLoaded,
+      "duration_ms" -> durationMs,
+      "extract_ms" -> extractMs,
+      "transform_ms" -> transformMs,
+      "load_ms" -> loadMs) ++
+      stageRowCounts.map { case (k, v) => s"transformer_$k" -> v } ++
+      error.map("error" -> _)
+  }
 
   def run(spark: SparkSession): Result = {
     import org.apache.spark.sql.Observation
@@ -51,6 +67,7 @@ final class Pipeline private (
       extracted.write.mode("overwrite").parquet(s"$dir/extracted")
       spark.read.parquet(s"$dir/extracted")
     }
+    val tExtract = System.currentTimeMillis() - t0
     // per-stage processed counts ride the SAME job via observe() metrics —
     // the reference's per-transformer stats (base_transformer.py:52-81)
     // without one extra action per stage
@@ -66,6 +83,7 @@ final class Pipeline private (
           spark.read.parquet(s"$dir/stage_$i")
         }
     }
+    val tTransform = System.currentTimeMillis() - t0 - tExtract
     val rows =
       if (sinks.isEmpty) transformed.count()
       else {
@@ -78,9 +96,23 @@ final class Pipeline private (
     val stageCounts = observations.map { case (name, obs) =>
       name -> obs.getAsJava.getOrDefault("rows", -1L).asInstanceOf[Long]
     }.toMap
-    Result(transformed, rows, stages.map(_.name),
-      System.currentTimeMillis() - t0, stageCounts)
+    val total = System.currentTimeMillis() - t0
+    Result(transformed, rows, stages.map(_.name), total, stageCounts,
+      extractMs = tExtract, transformMs = tTransform,
+      loadMs = total - tExtract - tTransform)
   }
+
+  /** `run` with the reference's catch-into-result behavior
+    * (pipeline.py:244-264): failures come back as `success = false` +
+    * `error` instead of a throw. */
+  def runSafe(spark: SparkSession): Result =
+    try run(spark)
+    catch {
+      case e: Throwable =>
+        Result(spark.emptyDataFrame, 0L, stages.map(_.name), 0L,
+          success = false,
+          error = Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+    }
 
   /** Resume from a previous run's checkpoint, skipping completed stages. */
   def resumeFrom(spark: SparkSession, dir: String, fromStage: Int): Result = {

@@ -99,4 +99,47 @@ class GoldenE2ESpec extends SparkSuite {
     assert(quarantine.count() > 0)
     assert(gold.filter(col("amount") < 0).count() == 0)
   }
+
+  test("training-data chain: clean -> dedup -> quality gate -> pack -> mix") {
+    import graft.functions.{Sampling, TextFunctions => TF}
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+    // inject near-dup noise: every 10th doc appears twice with HTML wrapping
+    val noisy = docs.select(col("doc_id"), col("source"),
+        concat(lit("<p>"), col("text"), lit("</p>")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
+          concat(lit("<p>"), col("text"), lit("</p>")).as("text")))
+    val cleaned = noisy.select(col("doc_id"), col("source"),
+      TF.cleanText(col("text")).as("text"))
+    // exact dedup on the CLEANED text collapses the injected copies
+    val deduped = graft.operators.ExactDedup(
+      cleaned.withColumn("_row_id", col("doc_id")), Seq("text"), "keep_first")
+      .drop("_row_id")
+    assert(deduped.count() == docs.count())
+    assert(deduped.filter(col("doc_id") >= 100000L).isEmpty) // first kept
+    // quality/token gate, then budget-packed windows over the survivors
+    val gated = TF.qualitySignalsTable(deduped, "text")
+      .filter(col("quality") >= 0.3)
+      .select(col("doc_id"), col("source"), col("text"))
+    val packed = TF.packDocuments(gated, "doc_id", "text", budget = 1500L,
+      autoShardWidth = 200L)
+    val perWindow = packed.groupBy("window_id").agg(sum("n_tokens").as("tok"))
+    val maxDoc = packed.agg(max("n_tokens")).head().getLong(0)
+    assert(perWindow.filter(col("tok") > 1500L + maxDoc).isEmpty)
+    // token-budget corpus mix: per-source keep fractions from budgets
+    val mixed = Sampling.mixCorpus(gated, "doc_id", "text", "source",
+      targetTokens = Map.empty, defaultTarget = 5000.0)
+    val avail = gated
+      .groupBy("source").agg(sum(TF.tokenCount(col("text"))).as("avail"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = mixed.groupBy("source").agg(sum("n_tokens").as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    // never keeps more than exists, and the hash-threshold keep is
+    // deterministic: running the mix again yields the identical set
+    got.foreach { case (src, tok) => assert(tok <= avail(src)) }
+    val again = Sampling.mixCorpus(gated, "doc_id", "text", "source",
+      targetTokens = Map.empty, defaultTarget = 5000.0)
+    assert(mixed.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
+  }
 }

@@ -20,6 +20,21 @@ class PipelineAndStreamingSpec extends SparkSuite {
     assert(result.stageRowCounts.values.forall(_ == 150L))
     val readBack = spark.read.parquet(s"$out/gold")
     assert(readBack.columns.contains("_meta_quality_score"))
+    // the reference's stats view: success, row counts, phase durations
+    val stats = result.stats
+    assert(stats("success") == true && stats("records_loaded") == 150L)
+    assert(stats.contains("transformer_quality_scorer") ||
+      result.stageNames.forall(n => stats.contains(s"transformer_$n")))
+    assert(stats("duration_ms").asInstanceOf[Long] >= 0L)
+  }
+
+  test("runSafe captures failures as success=false + error, never throws") {
+    val r = Pipeline
+      .extract(s => s.read.parquet("/nonexistent/path/xyz.parquet"))
+      .transform(NullRemover("drop"))
+      .runSafe(spark)
+    assert(!r.success && r.error.nonEmpty && r.rowsLoaded == 0L)
+    assert(r.stats("success") == false && r.stats.contains("error"))
   }
 
   test("checkpointed pipeline resumes from stage boundary") {
@@ -103,6 +118,30 @@ class PipelineAndStreamingSpec extends SparkSuite {
     // exactly one (event_type); props (n_distinct > cap) gets none
     val scans = "Scan parquet|FileScan".r.findAllIn(planWide).length
     assert(scans == 1, s"expected 1 bounded sample scan, got $scans\n$planWide")
+  }
+
+  test("intermediate store: keyed save/load with meta sidecar, list, cleanup") {
+    import graft.io.IntermediateStore
+    val base = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val store = new IntermediateStore(spark, base)
+    val region = graft.core.Tables.table(spark, sfDir, "region")
+    val n = store.save("p1_stage0", region, stage = "extract",
+      transformers = Seq("null_remover", "quality_scorer"))
+    assert(n == 5 && store.exists("p1_stage0"))
+    val (back, meta) = store.load("p1_stage0")
+    assert(back.count() == 5)
+    assert(meta.get.rows == 5 && meta.get.stage == "extract")
+    assert(meta.get.transformers == Seq("null_remover", "quality_scorer"))
+    assert(meta.get.columns == region.columns.toSeq)
+    store.save("p1_stage1", region.limit(2))
+    store.save("p2_stage0", region.limit(1))
+    assert(store.listKeys() == Seq("p1_stage0", "p1_stage1", "p2_stage0"))
+    assert(store.listKeys(Some("p1")) == Seq("p1_stage0", "p1_stage1"))
+    store.cleanup("p1")
+    assert(store.listKeys() == Seq("p2_stage0"))
+    assert(!store.exists("p1_stage0"))
+    store.delete("p2_stage0")
+    assert(store.listKeys().isEmpty)
   }
 
   test("incremental state: second scan with same files yields no new rows") {

@@ -37,8 +37,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // aux-reading oracles address files keyed by scale factor — resolve the
+    // {SF} placeholder to THIS run's data dir so a later run at another
+    // scale cannot clobber what the pending compare reads
+    val sfTag = graft.entry.Sql.sfTag(sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(graft.entry.Sql.SfPlaceholder, sfTag))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -170,7 +170,7 @@ object DocQueries {
       val cl = MinHashDedup.clusters(docs.unionByName(variants), "doc_id", "text")
         .persist() // two actions (aux + invariant agg) share the propagation
       cl.coalesce(1).write.mode("overwrite")
-        .parquet("/tmp/graft_oracle_aux/minhash_clusters")
+        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/minhash_clusters")
       cl.withColumn("orig",
           when(col("doc_id") >= 100000L, col("doc_id") - 100000L)
             .otherwise(col("doc_id")))
@@ -203,7 +203,7 @@ object DocQueries {
       // match proves the blocked join found exactly the brute-force set.
       SimHash.simhashTable(t(s, dir, "documents"), "doc_id", "text", k = 3)
         .coalesce(1).write.mode("overwrite")
-        .parquet("/tmp/graft_oracle_aux/simhash_sigs")
+        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/simhash_sigs")
       SimHash.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 3, maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))
@@ -266,7 +266,7 @@ object DocQueries {
         .topKQuantized(emb, "embedding", "vec_id", qvec, k = 20)
         .select(col("vec_id")).persist() // aux + recall join
       res.coalesce(1).write.mode("overwrite")
-        .parquet("/tmp/graft_oracle_aux/q8_results")
+        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/q8_results")
       graft.functions.CosineSim.register(s)
       val q = array(qvec.map(v => lit(v)): _*).cast(ArrayType(FloatType))
       val exact = emb.select(col("vec_id"),
@@ -293,7 +293,7 @@ object DocQueries {
         .ivfSearch(index, "embedding", "vec_id", qvec, k = 15, nProbe = 4)
         .select(col("vec_id")).persist() // aux + recall join share the probe
       res.coalesce(1).write.mode("overwrite")
-        .parquet("/tmp/graft_oracle_aux/ivf_results")
+        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/ivf_results")
       graft.functions.CosineSim.register(s)
       val q = array(qvec.map(v => lit(v)): _*).cast(ArrayType(FloatType))
       val exact = emb.select(col("vec_id"),
@@ -319,7 +319,7 @@ object DocQueries {
         vecCol = "embedding", idCol = "vec_id", dim = 64, nPlanes = 6, k = 10)
         .select(col("query_id"), col("vec_id")).persist() // aux + recall join
       ann.coalesce(1).write.mode("overwrite")
-        .parquet("/tmp/graft_oracle_aux/ann_pairs")
+        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/ann_pairs")
       graft.functions.CosineSim.register(s)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("_qemb"))
@@ -365,7 +365,7 @@ object DocQueries {
         .persist() // aux write + flagged output share the scored scan
       out.select(col("event_id"), col("_meta_iforest_flag").as("if_flag"))
         .coalesce(1).write.mode("overwrite")
-        .parquet("/tmp/graft_oracle_aux/iforest_flags")
+        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/iforest_flags")
       out.filter(col("_meta_is_anomaly"))
         .select(col("event_id"), col("value"))
         .orderBy(col("event_id"))
@@ -671,7 +671,7 @@ object DocQueries {
     "q_embed_q8" ->
       // recall of the int8-quantized top-20 vs the oracle's exact top-20
       s"""WITH r AS (SELECT vec_id
-         |  FROM read_parquet('/tmp/graft_oracle_aux/q8_results/*.parquet')),
+         |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/q8_results/*.parquet')),
          |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
          |             generate_subscripts(embedding, 1) AS i FROM embeddings),
          |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
@@ -691,7 +691,7 @@ object DocQueries {
     "q_embed_ivf" ->
       // recall of the probed IVF search vs the oracle's own exact top-15
       s"""WITH r AS (SELECT vec_id
-         |  FROM read_parquet('/tmp/graft_oracle_aux/ivf_results/*.parquet')),
+         |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/ivf_results/*.parquet')),
          |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
          |             generate_subscripts(embedding, 1) AS i FROM embeddings),
          |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
@@ -718,7 +718,7 @@ object DocQueries {
       // brute-force all pairs from the materialized signatures: the blocked
       // join must return exactly the hamming ≤ 3 set
       """WITH s AS (SELECT doc_id, simhash
-        |  FROM read_parquet('/tmp/graft_oracle_aux/simhash_sigs/*.parquet'))
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/simhash_sigs/*.parquet'))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -730,7 +730,7 @@ object DocQueries {
       // derives its OWN exact top-10 per query (the q_embed_topk-proven
       // rounded-cosine ordering), and counts candidates + hits
       s"""WITH a AS (SELECT query_id, vec_id
-         |  FROM read_parquet('/tmp/graft_oracle_aux/ann_pairs/*.parquet')),
+         |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/ann_pairs/*.parquet')),
          |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
          |             generate_subscripts(embedding, 1) AS i FROM embeddings),
          |q AS (SELECT vec_id AS query_id, CAST(unnest(embedding) AS DOUBLE) AS qv,
@@ -812,7 +812,7 @@ object DocQueries {
         |    COUNT(value) AS n
         |  FROM events),
         |f AS (SELECT event_id, if_flag
-        |      FROM read_parquet('/tmp/graft_oracle_aux/iforest_flags/*.parquet'))
+        |      FROM read_parquet('/tmp/graft_oracle_aux/{SF}/iforest_flags/*.parquet'))
         |SELECT e.event_id, e.value FROM events e JOIN f ON e.event_id = f.event_id, s
         |WHERE (CASE WHEN s.n >= 3 AND s.sigma > 0 AND e.value IS NOT NULL
         |            AND ABS(e.value - s.mu) / s.sigma > 2.0 THEN 1 ELSE 0 END)

@@ -39,7 +39,7 @@ object ExtraQueries {
         .persist() // aux score dump + flagged output share the scoring pass
       flagged.select(col("event_id"), col("_iforest_score").as("score"))
         .coalesce(1).write.mode("overwrite")
-        .parquet("/tmp/graft_oracle_aux/iforest_scores")
+        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/iforest_scores")
       flagged.filter(col("_meta_is_anomaly"))
         .select(col("event_id"), col("value"),
           floor(col("_iforest_score") * lit(10000.0) + lit(0.5))
@@ -600,7 +600,7 @@ object ExtraQueries {
       // (95th-percentile cutoff + degenerate guard) to the materialized
       // score column and must reproduce the flagged set exactly
       """WITH s AS (SELECT event_id, score
-        |  FROM read_parquet('/tmp/graft_oracle_aux/iforest_scores/*.parquet')),
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/iforest_scores/*.parquet')),
         |c AS (SELECT quantile_cont(score, 0.95) AS cut, MIN(score) AS mn,
         |             MAX(score) AS mx FROM s)
         |SELECT s.event_id, e.value,

@@ -24,4 +24,15 @@ object Sql {
   /** exact decimal sum / non-null count — matches Semantics.exactAvg. */
   def eavg(c: String): String =
     sround(s"CAST(SUM(CAST($c AS DECIMAL(38,10))) AS DOUBLE) / COUNT($c)")
+
+  /** Scale-factor tag for oracle aux-file paths: aux parquet written by the
+    * gates is keyed by the DATA DIRECTORY so a later run at another scale
+    * factor (the bench at sf0.1 after a verify at sf0.01) can never
+    * overwrite the files the pending oracle compare will read. Oracle SQL
+    * uses the `{SF}` placeholder; `Verify` substitutes the actual tag when
+    * dumping `oracle_sql.json`. */
+  def sfTag(dir: String): String =
+    java.nio.file.Paths.get(dir).getFileName.toString
+
+  val SfPlaceholder = "{SF}"
 }

@@ -51,6 +51,13 @@ object Sinks {
     val confW = org.apache.spark.util.GraftConfBridge
       .wrap(df.sparkSession.sparkContext.hadoopConfiguration)
     val tmp = path + ".inprogress"
+    // clear any stale tmp from a failed earlier run — the zero-partition
+    // (empty input) fallback below must never adopt leftover bytes
+    locally {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      val fs0 = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs0.exists(p)) fs0.delete(p, false)
+    }
     rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       val conf = org.apache.spark.util.GraftConfBridge.unwrap(confW)
       val p = new org.apache.hadoop.fs.Path(tmp)

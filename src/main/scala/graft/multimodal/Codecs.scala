@@ -211,16 +211,21 @@ object Codecs {
       var pos = 12
       var channels = 0; var rate = 0; var bits = 0
       var dataOff = -1; var dataLen = 0
-      while (pos + 8 <= bytes.length) {
+      var malformed = false
+      while (!malformed && pos + 8 <= bytes.length) {
         val id = new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val size = le32(bytes, pos + 4)
-        if (id == "fmt ") {
-          channels = le16(bytes, pos + 10)
-          rate = le32(bytes, pos + 12)
-          bits = le16(bytes, pos + 22)
-        } else if (id == "data") { dataOff = pos + 8; dataLen = size }
-        pos += 8 + size + (size & 1) // chunks are word-aligned
+        if (size < 0) malformed = true // negative chunk size must not loop
+        else {
+          if (id == "fmt ") {
+            channels = le16(bytes, pos + 10)
+            rate = le32(bytes, pos + 12)
+            bits = le16(bytes, pos + 22)
+          } else if (id == "data") { dataOff = pos + 8; dataLen = size }
+          pos += 8 + size + (size & 1) // chunks are word-aligned
+        }
       }
+      if (malformed) return None
       if (channels <= 0 || rate <= 0 || bits != 16 || dataOff < 0) return None
       val dl = math.min(dataLen, bytes.length - dataOff)
       val nSamples = dl / 2

@@ -208,6 +208,31 @@ class PipelineAndStreamingSpec extends SparkSuite {
     graft.io.Sinks.jsonArray(df.filter(col("id") < 0), empty)
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(empty)) == "[]")
+    // a stale .inprogress from a failed run is never adopted by a later
+    // empty-input write
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$empty.inprogress"), "[STALE GARBAGE")
+    graft.io.Sinks.jsonArray(df.filter(col("id") < 0), empty)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(empty)) == "[]")
+  }
+
+  test("mini json: parse/render round-trips nested values and escapes") {
+    import graft.service.MiniJson
+    val src = """{"a": [1, -2.5, true, null, "x\ny A\""],
+                 "b": {"nested": {"k": 10000000000}}, "empty": [], "eo": {}}"""
+    val v = MiniJson.parse(src).asInstanceOf[Map[String, Any]]
+    val a = v("a").asInstanceOf[List[Any]]
+    assert(a == List(1L, -2.5, true, null, "x\ny A\""))
+    assert(v("b").asInstanceOf[Map[String, Any]]("nested")
+      .asInstanceOf[Map[String, Any]]("k") == 10000000000L)
+    assert(v("empty") == Nil && v("eo") == Map.empty)
+    // render → parse is identity on the parsed model
+    assert(MiniJson.parse(MiniJson.render(v)) == v)
+    // malformed inputs throw, never hang or mis-parse
+    intercept[Exception](MiniJson.parse("""{"a": }"""))
+    intercept[Exception](MiniJson.parse("""[1,2"""))
+    intercept[Exception](MiniJson.parse("""{"a":1} trailing"""))
   }
 
   test("query service profile + filter-values on real table") {

@@ -325,6 +325,10 @@ class TextAndSimilaritySpec extends SparkSuite {
     assert(Codecs.sniff(Array[Byte](0xff.toByte, 0xd8.toByte) ++
       new Array[Byte](10)).contains("image/jpeg"))
     assert(Codecs.decodeImage("garbage not an image at all".getBytes).isEmpty)
+    // malformed WAV with a negative chunk size must return None, not hang
+    val evil = Codecs.encodeWavPcm16(Array.fill[Short](100)(5), 8000)
+    evil(16) = -1; evil(17) = -1; evil(18) = -1; evil(19) = -1 // fmt size -1
+    assert(Codecs.decodeWav(evil).isEmpty)
     // decodeMetadata: wipe the metadata columns — real dims/durations come
     // back from the BYTES for decodable rows; opaque rows stay null
     val corpus = Multimodal.syntheticCorpus(spark, 16)

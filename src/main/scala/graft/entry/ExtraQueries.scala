@@ -309,6 +309,27 @@ object ExtraQueries {
         .orderBy(col("event_type"))
     }),
 
+    // quantile sketches: same invariant shape as q_sketch_distinct — the
+    // exact quantile is cross-engine (quantile_cont parity proven by
+    // q_anomaly_iqr) and the one-pass mergeable digest must land within
+    // tolerance of it
+    "q_sketch_quantiles" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val approxQ = events.groupBy(col("event_type"))
+        .agg(graft.functions.Sketches
+          .approxQuantiles(col("value"), Seq(0.5)).as("qs"))
+        .select(col("event_type"), element_at(col("qs"), 1).as("m_approx"))
+      val exactQ = events.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("m_exact"))
+      approxQ.join(exactQ, Seq("event_type"))
+        .select(col("event_type"),
+          floor(col("m_exact") * lit(10000.0) + lit(0.5))
+            .cast(LongType).as("median_x10k"),
+          (abs(col("m_approx") - col("m_exact")) <=
+            greatest(abs(col("m_exact")) * 0.05, lit(1.0))).as("within_tol"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       // binned range join: orders falling in the first 3 days of any week —
       // equi-join on day bins + residual predicate, never a nested loop
@@ -654,6 +675,13 @@ object ExtraQueries {
         |      AS BIGINT) AS VARCHAR)
         |    ELSE '' END AS f0_x10k
         |FROM g ORDER BY media_id""".stripMargin,
+
+    "q_sketch_quantiles" ->
+      """SELECT event_type,
+        |  CAST(FLOOR(quantile_cont(value, 0.5) * 10000.0 + 0.5) AS BIGINT)
+        |    AS median_x10k,
+        |  TRUE AS within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_sketch_distinct" ->
       // exact distincts cross-engine + the 5%-accuracy invariant

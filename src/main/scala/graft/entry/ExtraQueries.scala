@@ -351,6 +351,16 @@ object ExtraQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_store_roundtrip" -> ((s, dir) => {
+      // keyed intermediate storage (§2.2/file_storage.py): save with meta
+      // sidecar, load back — the loaded frame must hash-match the source
+      val store = new graft.io.IntermediateStore(s, "/tmp/graft_store_rt")
+      store.save("verify_nation", t(s, dir, "nation"), stage = "verify")
+      val (back, meta) = store.load("verify_nation")
+      require(meta.exists(_.rows == back.count()), "meta sidecar row count")
+      back.orderBy(col("n_nationkey"))
+    }),
+
     "q_jdbc_roundtrip" -> ((s, dir) => {
       // exercises the §2.1/§2.2 JDBC source+sink (postgres_source.py /
       // sqlite_loader.py) against the embedded file-backed Derby that ships
@@ -612,6 +622,9 @@ object ExtraQueries {
         |  ON o.o_orderdate >= w.w_start
         | AND o.o_orderdate < w.w_start + INTERVAL 3 DAY
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q_store_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
 
     "q_jdbc_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",

@@ -80,7 +80,15 @@ object Sinks {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    if (!fs.exists(tmpPath)) { // zero-partition (empty) input: no task ran
+    if (!fs.exists(tmpPath)) {
+      // legitimate only when NO task ran (zero-partition empty input); if a
+      // task DID run and the driver can't see its file, the filesystem is
+      // not shared (file:// on a multi-node cluster) — fail loudly rather
+      // than silently exporting "[]" over real data
+      require(rows.rdd.getNumPartitions == 0,
+        s"executor wrote $tmp but the driver cannot see it — single-file " +
+          "JSON export needs a filesystem shared by driver and executors " +
+          "(HDFS/s3a, or local mode)")
       val o = fs.create(tmpPath, true)
       o.write("[]".getBytes(java.nio.charset.StandardCharsets.UTF_8)); o.close()
     }

@@ -79,22 +79,36 @@ object Sources {
 }
 
 /** Incremental-state API (`src/adapters/base.py:66-91`): the reference tracks
-  * a file hash + mtime; the Spark equivalent is a per-file (mtime, size)
-  * fingerprint — a rewrite within the same mtime tick still changes size or
-  * is caught on the next tick, mirroring the reference's hash+mtime without
-  * reading file bytes. A file is fresh when unseen OR its fingerprint
-  * changed (never a strict `>` watermark race). */
+  * a file hash + mtime; the default Spark equivalent is a per-file
+  * (mtime, size) fingerprint — no bytes read. A file is fresh when unseen
+  * OR its fingerprint changed (never a strict `>` watermark race). Caveat:
+  * a SAME-SIZE rewrite within the same mtime granule is invisible to the
+  * metadata fingerprint; for the reference's full content-hash semantics
+  * pass `contentHash = true` (CRC32 over the bytes — one extra read per
+  * listed file, exactly what the reference pays). */
 object IncrementalState {
   final case class State(lastModified: Long,
       filesSeen: Map[String, (Long, Long)])
   val empty: State = State(0L, Map.empty)
 
+  private def crc32(f: java.io.File): Long = {
+    val crc = new java.util.zip.CRC32()
+    val in = new java.io.FileInputStream(f)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { crc.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    crc.getValue
+  }
+
   def scanNew(spark: SparkSession, path: String, fmt: String,
-      state: State): (DataFrame, State) = {
+      state: State, contentHash: Boolean = false): (DataFrame, State) = {
     val dir = new java.io.File(path)
     val files = (if (dir.isDirectory) dir.listFiles().toSeq else Seq(dir))
       .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-    def fp(f: java.io.File): (Long, Long) = (f.lastModified, f.length)
+    def fp(f: java.io.File): (Long, Long) =
+      if (contentHash) (crc32(f), f.length) else (f.lastModified, f.length)
     val fresh = files.filter(f => !state.filesSeen.get(f.getPath).contains(fp(f)))
     val newState = State(
       files.map(_.lastModified).maxOption.getOrElse(state.lastModified),

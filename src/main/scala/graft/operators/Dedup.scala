@@ -173,11 +173,14 @@ object MinHashDedup {
     * connected candidates. One label-propagation round (bucket-min then
     * id-min) is exact for the clique-ish groups LSH usually produces;
     * duplicate CHAINS that connect only through different buckets need more
-    * rounds, so propagation iterates `propagationRounds` times (labels are
-    * monotone non-increasing; each round is one alternating bipartite min,
-    * and a round that changes nothing proves the fixpoint — for graphs of
-    * diameter d, ⌈d/2⌉+1 rounds suffice; LSH near-dup components are
-    * shallow, so the default 3 covers real corpora).
+    * rounds, so propagation iterates `propagationRounds` times. Labels are
+    * monotone non-increasing and each round extends the min label's reach
+    * by ONE doc-graph hop, so a component converges once rounds ≥ the
+    * min-id doc's eccentricity (≤ component diameter). The loop is FIXED
+    * length — no convergence action — so pick rounds for the deepest chain
+    * you care about; LSH near-dup components are clique-ish and shallow, so
+    * the default 3 covers real corpora (the connected-components property
+    * test covers a 6-doc chain with 4).
     *
     * Physical shape per round: shuffle on (band,bucket) + shuffle on id —
     * small keys, linear at any scale; the bucket table computes once. */

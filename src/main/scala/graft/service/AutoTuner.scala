@@ -141,19 +141,36 @@ final class AutoTuner(
 
   private def stateFile = statePath.map(p => java.nio.file.Paths.get(p, "history.json"))
 
+  /** Atomic write (temp + move) with the reference's degrade-on-error
+    * posture (`auto_tuner.py:374-401`): persistence failures never break
+    * recording. */
   private def saveHistory(): Unit = stateFile.foreach { f =>
-    Option(f.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    val json = MiniJson.render(history.map { case (pid, ms) =>
-      pid -> ms.map(m => Map(
-        "batch_size" -> m.batchSize, "records" -> m.records,
-        "seconds" -> m.seconds, "memory_mb" -> m.memoryMb,
-        "success" -> m.success, "error" -> m.error.orNull))
-    })
-    java.nio.file.Files.writeString(f, json)
+    try {
+      Option(f.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      val json = MiniJson.render(history.map { case (pid, ms) =>
+        pid -> ms.map(m => Map(
+          "batch_size" -> m.batchSize, "records" -> m.records,
+          "seconds" -> m.seconds, "memory_mb" -> m.memoryMb,
+          "success" -> m.success, "error" -> m.error.orNull))
+      })
+      val tmp = f.resolveSibling("history.json.tmp")
+      java.nio.file.Files.writeString(tmp, json)
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    } catch { case _: Exception => () }
   }
 
+  /** Corrupt/truncated history degrades to empty, like the reference's
+    * `_load_history` except clause (`auto_tuner.py:345-372`). */
   private def loadHistory(): Unit = stateFile
     .filter(java.nio.file.Files.exists(_)).foreach { f =>
+      try loadHistoryFrom(f)
+      catch { case _: Exception => () }
+    }
+
+  private def loadHistoryFrom(f: java.nio.file.Path): Unit = {
       val parsed = MiniJson.parse(java.nio.file.Files.readString(f))
         .asInstanceOf[Map[String, Any]]
       history = history ++ parsed.map { case (pid, runs) =>

@@ -70,10 +70,11 @@ object MiniJson {
     def str(): String = {
       expect('"')
       val sb = new StringBuilder
-      while (s.charAt(i) != '"') {
+      while ({ require(i < s.length, "unterminated string"); s.charAt(i) != '"' }) {
         val c = s.charAt(i)
         if (c == '\\') {
           i += 1
+          require(i < s.length, "unterminated escape")
           s.charAt(i) match {
             case '"' => sb += '"'
             case '\\' => sb += '\\'
@@ -84,6 +85,7 @@ object MiniJson {
             case 'r' => sb += '\r'
             case 't' => sb += '\t'
             case 'u' =>
+              require(i + 5 <= s.length, "truncated unicode escape")
               sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
               i += 4
             case other => throw new IllegalArgumentException(s"bad escape \\$other")
@@ -111,7 +113,9 @@ object MiniJson {
     case s: String => "\"" + escape(s) + "\""
     case b: Boolean => b.toString
     case d: Double =>
-      if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+      if (d.isNaN || d.isInfinite) "null" // bare NaN/Infinity is not JSON
+      else if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
     case f: Float => render(f.toDouble)
     case n: Number => n.toString
     case m: scala.collection.Map[_, _] =>

@@ -128,16 +128,21 @@ object Streams {
 
   /** Streaming NEAR-duplicate dedup: the MinHash signature kernel is a pure
     * projection, so it runs unchanged on a stream; near-identical texts
-    * (shingle jaccard ≈ 1) collide on the full signature and
+    * (shingle jaccard ≈ 1) collide on the signature and
     * `dropDuplicatesWithinWatermark` keeps one per signature within the
     * watermark horizon — bounded state, the streaming face of
-    * `MinHashDedup`. Looser matching = dedup on a band prefix instead of
-    * the full signature (pass `bands` < `numHashes`). */
+    * `MinHashDedup`. Looser matching = dedup on a signature PREFIX: pass
+    * `keyHashes` < `numHashes` (fewer hashes agreeing ⇒ lower jaccard
+    * needed to collide). */
   def nearDupStream(docs: DataFrame, eventTimeCol: String, watermark: String,
-      textCol: String, k: Int = 3, numHashes: Int = 64): DataFrame = {
+      textCol: String, k: Int = 3, numHashes: Int = 64,
+      keyHashes: Int = 64): DataFrame = {
+    require(keyHashes >= 1 && keyHashes <= numHashes,
+      s"keyHashes must be in [1, numHashes]: $keyHashes / $numHashes")
     val sig = graft.functions.MinHashSig.minhash_sig(col(textCol), k, numHashes)
-    docs.withColumn("_neardup_sig",
-        sig.cast(org.apache.spark.sql.types.StringType))
+    val key = (if (keyHashes == numHashes) sig else slice(sig, 1, keyHashes))
+      .cast(org.apache.spark.sql.types.StringType)
+    docs.withColumn("_neardup_sig", key)
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("_neardup_sig")
       .drop("_neardup_sig")

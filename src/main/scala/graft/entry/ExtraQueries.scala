@@ -376,6 +376,166 @@ object ExtraQueries {
         .orderBy(col("r_regionkey"))
     }),
 
+    "q_multi_sink" -> ((s, dir) => {
+      // §2.2 multi-destination load (pipeline_service multi-sink): ONE
+      // cached pass fans out to CSV + JSONL + parquet; every readback must
+      // agree with every other before the gate returns
+      val base = s"/tmp/graft_multisink/${Sql.sfTag(dir)}"
+      val cust = t(s, dir, "customer")
+      val result = graft.pipeline.Pipeline
+        .extract(sp => t(sp, dir, "customer"))
+        .load(df => graft.io.Sinks.csv(df, s"$base/csv"))
+        .load(df => graft.io.Sinks.jsonl(df, s"$base/jsonl"))
+        .load(df => graft.io.Sinks.parquet(df, s"$base/parquet"))
+        .run(s)
+      require(result.rowsLoaded == cust.count(), "multi-sink rowsLoaded")
+      val pq = s.read.parquet(s"$base/parquet")
+      val csvBack = graft.io.Sources.csv(s, s"$base/csv",
+        schema = Some(cust.schema))
+      val jlBack = graft.io.Sources.jsonl(s, s"$base/jsonl",
+        schema = Some(cust.schema))
+      require(csvBack.exceptAll(pq).isEmpty && pq.exceptAll(csvBack).isEmpty,
+        "csv sink drifted from parquet sink")
+      require(jlBack.exceptAll(pq).isEmpty && pq.exceptAll(jlBack).isEmpty,
+        "jsonl sink drifted from parquet sink")
+      pq.select(cust.columns.map(col): _*).orderBy(col("c_custkey"))
+    }),
+
+    "q_pipeline_resume" -> ((s, dir) => {
+      // §2.12 checkpointed pipeline + staged resume (pipeline.py's
+      // .pipeline_cache): the checkpointed run materializes each stage
+      // boundary; resumeFrom(1) restarts from the stage-0 parquet and must
+      // reproduce the full run exactly
+      val ck = s"/tmp/graft_ckpt/${Sql.sfTag(dir)}"
+      val stage0 = new TransformStage {
+        def name = "filter_high_value"
+        def apply(df: DataFrame): DataFrame =
+          df.filter(col("o_totalprice") > 150000.0)
+      }
+      val stage1 = new TransformStage {
+        def name = "derive_year"
+        def apply(df: DataFrame): DataFrame = df.select(
+          col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          year(col("o_orderdate")).as("order_year"))
+      }
+      val pipe = graft.pipeline.Pipeline
+        .extract(sp => t(sp, dir, "orders"))
+        .transform(stage0).transform(stage1)
+        .checkpointed(ck)
+      val full = pipe.run(s)
+      require(full.stageRowCounts.nonEmpty, "observe() stage counts present")
+      val resumed = pipe.resumeFrom(s, ck, fromStage = 1)
+      require(resumed.rowsLoaded == full.rowsLoaded,
+        s"resume row count ${resumed.rowsLoaded} != full ${full.rowsLoaded}")
+      resumed.df.orderBy(col("o_orderkey"))
+    }),
+
+    "q_config_pipeline" -> ((s, dir) => {
+      // §2.12 config-driven pipeline (api/models.py:28-119 →
+      // pipeline_service.py:552-667): typed config → parquet source +
+      // aggregator stage + CSV destination, run through the factory
+      import graft.service.Config._
+      val cfg = PipelineConfig(
+        source = ParquetSource(s"$dir/orders.parquet"),
+        transformers = Seq(AggregatorConf(
+          groupBy = Seq("o_orderstatus"),
+          specs = Seq(
+            ("n_orders", "o_orderkey", "count"),
+            ("min_price", "o_totalprice", "min"),
+            ("max_price", "o_totalprice", "max")))),
+        destinations = Seq(
+          CsvDest(s"/tmp/graft_cfgpipe/${Sql.sfTag(dir)}/agg_csv")))
+      val res = graft.service.Config.build(cfg).run(s)
+      require(res.stats("success") == true, "config pipeline stats")
+      require(res.rowsLoaded > 0, "config pipeline loaded rows")
+      res.df.orderBy(col("o_orderstatus"))
+    }),
+
+    "q_incremental_scan" -> ((s, dir) => {
+      // §2.1 incremental-state API (adapters/base.py:66-91): the first scan
+      // sees batch 1; after batch 2 arrives the second scan must return
+      // ONLY the new file; the union reconstructs the whole table
+      val root = new java.io.File(s"/tmp/graft_incr/${Sql.sfTag(dir)}")
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+        f.delete(); ()
+      }
+      rmrf(root)
+      val scanDir = new java.io.File(root, "in"); scanDir.mkdirs()
+      val cust = t(s, dir, "customer")
+      def drop(batch: DataFrame, name: String): Unit = {
+        val stage = new java.io.File(root, s"stage_$name")
+        batch.coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+        val part = stage.listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file in $stage"))
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(scanDir, s"$name.parquet").toPath)
+        ()
+      }
+      val even = cust.filter(col("c_custkey") % 2 === 0)
+      val odd = cust.filter(col("c_custkey") % 2 === 1)
+      drop(even, "batch1")
+      val (df1, st1) = graft.io.IncrementalState.scanNew(
+        s, scanDir.getPath, "parquet", graft.io.IncrementalState.empty)
+      drop(odd, "batch2")
+      val (df2, _) = graft.io.IncrementalState.scanNew(
+        s, scanDir.getPath, "parquet", st1)
+      require(df2.count() == odd.count(),
+        "second scan must return only the newly-arrived batch")
+      df1.unionByName(df2)
+        .select(cust.columns.map(col): _*).orderBy(col("c_custkey"))
+    }),
+
+    "q_json_auto" -> ((s, dir) => {
+      // §2.1 JSON format auto-detect (json_source.py:83-106): the same rows
+      // written as a single `[...]` array file and as JSONL must both route
+      // through jsonAuto's first-byte sniff to the right reader
+      val base = s"/tmp/graft_jsonauto/${Sql.sfTag(dir)}"
+      val nat = t(s, dir, "nation")
+      graft.io.Sinks.jsonArray(nat, s"$base/nation_array.json")
+      graft.io.Sinks.jsonl(nat, s"$base/nation_lines")
+      def cast(df: DataFrame): DataFrame =
+        nat.schema.fields.foldLeft(df) { (d, f) =>
+          d.withColumn(f.name, col(f.name).cast(f.dataType))
+        }.select(nat.columns.map(col): _*)
+      val arr = cast(graft.io.Sources.jsonAuto(s, s"$base/nation_array.json"))
+        .withColumn("src", lit("array"))
+      val lines = cast(graft.io.Sources.jsonAuto(s, s"$base/nation_lines"))
+        .withColumn("src", lit("lines"))
+      arr.unionByName(lines).orderBy(col("src"), col("n_nationkey"))
+    }),
+
+    "q_autotune" -> ((s, dir) => {
+      // §2.11 AutoTuner (auto_tuner.py:115-343): one synthetic run per
+      // batch size, all numbers derived from orders; the tuner consumes the
+      // EXACT values in the aux parquet, so DuckDB re-running the
+      // argmax + confidence + improvement formulas sees bit-identical input
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy((substring(col("o_orderpriority"), 1, 1).cast(IntegerType)
+          * 100).as("batch_size"))
+        .agg(count(lit(1)).as("records"),
+          (sum(col("o_totalprice").cast(DecimalType(38, 10))).cast(DoubleType)
+            / 1000000.0).as("seconds"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/autotune_runs")
+      val tuner = new graft.service.AutoTuner()
+      s.read.parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/autotune_runs")
+        .collect().foreach { r =>
+          tuner.recordPerformance(tuner.Metrics("p",
+            r.getAs[Int]("batch_size"), r.getAs[Long]("records"),
+            r.getAs[Double]("seconds"), memoryMb = 64.0))
+        }
+      val rec = tuner.getRecommendations("p")
+      require(rec.hasRecommendations, "tuner must recommend")
+      Seq((rec.batchSize.get,
+        math.floor(rec.confidence * 1e6 + 0.5).toLong,
+        math.floor(rec.expectedImprovementPct * 100 + 0.5).toLong))
+        .toDF("batch_size", "confidence_x1e6", "improvement_x100")
+    }),
+
     "q_query_metrics" -> ((s, dir) =>
       // the full §2.6 endpoint shape through QueryService: filters + all
       // metric fns + default first-metric-desc ordering + limit
@@ -625,6 +785,51 @@ object ExtraQueries {
 
     "q_store_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+
+    "q_multi_sink" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
+
+    "q_pipeline_resume" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year
+        |FROM orders WHERE o_totalprice > 150000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_config_pipeline" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_incremental_scan" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
+
+    "q_json_auto" ->
+      """SELECT n_nationkey, n_name, n_regionkey, 'array' AS src
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'lines' AS src
+        |FROM nation
+        |ORDER BY src, n_nationkey""".stripMargin,
+
+    "q_autotune" ->
+      """WITH r AS (
+        |  SELECT batch_size, CAST(records AS DOUBLE) / seconds AS tput
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/autotune_runs/*.parquet')),
+        |rk AS (
+        |  SELECT batch_size, tput,
+        |    ROW_NUMBER() OVER (ORDER BY tput DESC) AS rn
+        |  FROM r)
+        |SELECT
+        |  (SELECT batch_size FROM rk WHERE rn = 1) AS batch_size,
+        |  CAST(FLOOR(((LEAST(1.0, 1.0/10.0) + 1.0/(1.0+0.0)
+        |      + LEAST(1.0, ((SELECT tput FROM rk WHERE rn = 1)
+        |                    - (SELECT tput FROM rk WHERE rn = 2)) * 10))
+        |    / 3.0) * 1000000 + 0.5) AS BIGINT) AS confidence_x1e6,
+        |  CAST(FLOOR((((SELECT tput FROM rk WHERE rn = 1)
+        |               - (SELECT AVG(tput) FROM r))
+        |    / (SELECT AVG(tput) FROM r) * 100) * 100 + 0.5) AS BIGINT)
+        |    AS improvement_x100""".stripMargin,
 
     "q_jdbc_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",

@@ -167,8 +167,11 @@ object DocQueries {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val variants = docs.select((col("doc_id") + 100000L).as("doc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text"))
-      val cl = MinHashDedup.clusters(docs.unionByName(variants), "doc_id", "text")
-        .persist() // two actions (aux + invariant agg) share the propagation
+      // eager scale form: ONE corpus scan for all propagation rounds, and
+      // the returned labels are already persisted so the two actions here
+      // (aux write + invariant agg) share the propagation
+      val cl = MinHashDedup.clustersMaterialized(
+        docs.unionByName(variants), "doc_id", "text")
       cl.coalesce(1).write.mode("overwrite")
         .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/minhash_clusters")
       cl.withColumn("orig",

@@ -183,12 +183,43 @@ object MinHashDedup {
     * test covers a 6-doc chain with 4).
     *
     * Physical shape per round: shuffle on (band,bucket) + shuffle on id —
-    * small keys, linear at any scale; the bucket table computes once. */
+    * small keys, linear at any scale.
+    *
+    * This form is fully LAZY: each extra round's plan re-references the
+    * bucket table, and exchange reuse only dedupes some of those scans —
+    * fine up to mid-size corpora. When the corpus is large enough that
+    * re-scanning text dominates, use [[clustersMaterialized]], which
+    * persists the (id, band, bucket) rows so the text is scanned once
+    * regardless of rounds. */
   def clusters(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       propagationRounds: Int = 3): DataFrame = {
     require(propagationRounds >= 1, "propagationRounds must be >= 1")
+    propagate(bucketTable(df, idCol, textCol, k, numHashes, bands),
+      idCol, propagationRounds)
+  }
+
+  /** Eager scale form of [[clusters]]: persists the bucket table (tiny next
+    * to the text — ~3 small columns × bands rows per doc), materializes the
+    * labels, then releases the bucket cache. The corpus text is scanned
+    * exactly ONCE no matter how many propagation rounds run. Returns a
+    * persisted label table — caller unpersists when done. */
+  def clustersMaterialized(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      propagationRounds: Int = 3): DataFrame = {
+    require(propagationRounds >= 1, "propagationRounds must be >= 1")
     val bb = bucketTable(df, idCol, textCol, k, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val labels = propagate(bb, idCol, propagationRounds)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      labels.count()
+      labels
+    } finally { bb.unpersist(); () }
+  }
+
+  private def propagate(bb: DataFrame, idCol: String,
+      propagationRounds: Int): DataFrame = {
     val w = Window.partitionBy(col("band"), col("bucket"))
     // round 1: min id per (band,bucket), then min of those per id
     var labels = bb.withColumn("_bmin", min(col(idCol)).over(w))

@@ -74,6 +74,12 @@ class TextAndSimilaritySpec extends SparkSuite {
         propagationRounds = 5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == got)
+    // the eager single-scan form is label-for-label identical to the lazy one
+    val mat = MinHashDedup.clustersMaterialized(docs, "id", "text", k, nh,
+      bands, propagationRounds = 4)
+    val matMap = mat.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    mat.unpersist()
+    assert(matMap == got)
   }
 
   test("simhash: identical texts hash equal, hamming 0") {

@@ -113,6 +113,12 @@ object DocQueries {
           Semantics.safeRound(col("top_word_frac"), 4).as("top_word_frac"))
         .orderBy(col("doc_id"))),
 
+    "q_doc_top_ngrams" -> ((s, dir) =>
+      // corpus boilerplate stats: the 20 word 3-grams occurring in the most
+      // docs (doc frequency — the shingle kernel emits per-doc DISTINCT
+      // grams). One explode + partial-agg count + top-k; no join, no window.
+      TF.topNgrams(t(s, dir, "documents"), "text", k = 3, topN = 20)),
+
     // ---- deduplication ------------------------------------------------------
 
     "q_doc_dedup_exact" -> ((s, dir) =>
@@ -640,6 +646,22 @@ object DocQueries {
          |WHERE d.doc_id % 50 <> 0
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "q_doc_top_ngrams" ->
+      // per-doc DISTINCT 3-grams (same spelling the jaccard oracle proves
+      // equivalent to the shingle kernel), then doc-frequency top-20 with a
+      // total (doc_freq DESC, shingle) order
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 1, 1)),
+        |    i -> concat_ws(' ',
+        |      string_split_regex(trim(lower(text)), '\s+')[i],
+        |      string_split_regex(trim(lower(text)), '\s+')[i+1],
+        |      string_split_regex(trim(lower(text)), '\s+')[i+2])))) AS shingle
+        |  FROM documents)
+        |SELECT shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq
+        |FROM sh GROUP BY shingle
+        |ORDER BY doc_freq DESC, shingle LIMIT 20""".stripMargin,
 
     "q_doc_ngram_jaccard" -> {
       // word 3-shingles per doc, then blocked pairwise jaccard

@@ -90,6 +90,30 @@ object ExtraQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_embed_semdedup" -> ((s, dir) => {
+      // SemDeDup: connected components over the exact cosine ≥ 0.35 pair
+      // graph (the SAME pair construction q_embed_neardup hash-proves), one
+      // canonical survivor per component. The oracle re-derives the pairs
+      // with its own decimal dot products and closes them with a RECURSIVE
+      // CTE — so pair membership, component labels, and the keep flag are
+      // all independently verified. Scale: pairs come from a broadcast NLJ
+      // on a bounded slice here; at corpus scale the SAME components/keep
+      // code consumes LSH-candidate pairs (annJoin) instead of brute force.
+      import graft.functions.CosineSim
+      CosineSim.register(s)
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      val pairs = a.join(broadcast(b), col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(CosineSim.fast_cosine(col("ea"), col("eb")), 4)
+            .as("similarity"))
+        .filter(col("similarity") >= 0.35)
+      graft.operators.Components.keepCanonical(
+        emb.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
+        .orderBy(col("vec_id"))
+    }),
+
     // chart auto-selection is a pure function of column stats, so the
     // oracle re-derives the SAME selection from its own exact distinct
     // counts and the reference's thresholds (cat ≤ 50, pie ≤ 10), with a
@@ -593,6 +617,33 @@ object ExtraQueries {
         |JOIN norms nb ON nb.vec_id = id_b
         |WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embed_semdedup" ->
+      // same pair derivation as q_embed_neardup, then transitive closure via
+      // a recursive CTE: every vertex labeled with the min id it can reach
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings WHERE vec_id < 300),
+        |norms AS (SELECT vec_id,
+        |    sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+        |  FROM e GROUP BY vec_id),
+        |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+        |  FROM e a JOIN e b USING (i) WHERE a.vec_id < b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id),
+        |p AS (SELECT id_a, id_b FROM dots
+        |  JOIN norms na ON na.vec_id = id_a
+        |  JOIN norms nb ON nb.vec_id = id_b
+        |  WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.35),
+        |sym AS (SELECT id_a AS u, id_b AS v FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, lbl) AS (
+        |  SELECT vec_id, vec_id FROM embeddings WHERE vec_id < 300
+        |  UNION
+        |  SELECT sym.v, reach.lbl FROM sym JOIN reach ON sym.u = reach.id)
+        |SELECT id AS vec_id, MIN(lbl) AS cluster, MIN(lbl) = id AS keep
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
 
     "q_metadata_columns" ->
       """SELECT r_regionkey, r_name, FALSE AS _meta_is_anomaly,

@@ -277,6 +277,28 @@ object TextFunctions {
     perRow.join(top, Seq(idCol), "left").drop("_r_words", "_r_big")
   }
 
+  /** Corpus-level boilerplate detection: the word k-grams that appear in the
+    * MOST DOCUMENTS (document frequency, not raw term frequency — the
+    * [[shingles]] kernel already emits each doc's DISTINCT k-grams, so a
+    * k-gram repeated inside one doc counts once). The usual consumers are
+    * boilerplate strip lists (headers/footers/nav text recur across a crawl)
+    * and contamination triage.
+    *
+    * Physical shape: one projection (codegen'd shingle kernel) → explode →
+    * hash aggregate with map-side partial counts → TakeOrderedAndProject
+    * for the top-N cut. One shuffle of (shingle, partial-count) pairs, no
+    * join, no window — linear at any corpus size. The (doc_freq DESC,
+    * shingle) order is TOTAL, so the top-N cut is deterministic. */
+  def topNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int = 3, topN: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(topN > 0, s"topN must be positive: $topN")
+    df.select(explode(shingles(col(textCol), k)).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("shingle"))
+      .limit(topN)
+  }
+
   /** Passage chunking with overlap: split each document into fixed-size
     * word windows stepping by `chunkWords - overlap` — the RAG/pretraining
     * chunker. One row per chunk with `chunk_id` and `chunk_text`; documents

@@ -82,6 +82,49 @@ class TextAndSimilaritySpec extends SparkSuite {
     assert(matMap == got)
   }
 
+  test("components: chain + triangle + isolated vertex match union-find") {
+    import graft.operators.Components
+    // 0-1-2-3 path (diameter 3 forces multiple propagation rounds),
+    // 10-11-12 triangle, 20 isolated; edge direction deliberately mixed
+    val edges = Seq((1L, 0L), (1L, 2L), (3L, 2L), (10L, 11L), (12L, 11L),
+      (10L, 12L)).toDF("a", "b")
+    val verts = Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 20L).toDF("id")
+    val got = Components.labels(verts, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L)
+    assert(got == want)
+    val keep = Components.keepCanonical(verts, "id", edges, "a", "b")
+      .where(col("keep")).select(col("id")).as[Long].collect().toSet
+    assert(keep == Set(0L, 10L, 20L))
+  }
+
+  test("components: maxIters too small for a long chain fails loudly") {
+    import graft.operators.Components
+    val edges = (0L until 6L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a", "b")
+    val verts = (0L until 6L).toDF("id")
+    intercept[IllegalArgumentException] {
+      Components.labels(verts, "id", edges, "a", "b", maxIters = 2)
+    }
+    // and enough rounds converges to the single component
+    val ok = Components.labels(verts, "id", edges, "a", "b", maxIters = 10)
+      .select(col("cluster")).distinct().as[Long].collect().toSeq
+    assert(ok == Seq(0L))
+  }
+
+  test("topNgrams counts document frequency, not term frequency") {
+    // "x y z" repeats inside doc 1 but must count once for it; total order
+    // on (doc_freq DESC, shingle) breaks the tie deterministically
+    val docs = Seq(
+      (1L, "x y z a x y z"),
+      (2L, "x y z b"),
+      (3L, "q r s t")).toDF("doc_id", "text")
+    val got = TF.topNgrams(docs, "text", k = 3, topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("x y z", 2L), ("a x y", 1L), ("q r s", 1L)))
+  }
+
   test("simhash: identical texts hash equal, hamming 0") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again"),

@@ -192,6 +192,22 @@ object DocQueries {
             col("n_pairs").cast(DoubleType) * 0.95).as("recall_ge_95pct"))
     }),
 
+    "q_doc_fuzzy_keep" -> ((s, dir) => {
+      // flagship fuzzy dedup, EXACT end-to-end oracle: LSH candidates →
+      // exact Jaccard ≥ 0.8 verify → connected components → canonical
+      // survivor. The oracle brute-forces ALL pairs (feasible at gate
+      // scale) and closes them with a recursive CTE, so a banding recall
+      // miss, a verification drift, or a propagation bug all break the
+      // hash. Near-dups engineered like the minhash gate: each doc plus a
+      // drop-first-word variant (Jaccard ≥ ~0.94 — banding miss ~1e-10).
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val variants = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      MinHashDedup.fuzzyDedup(docs.unionByName(variants), "doc_id", "text",
+        threshold = 0.8)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_doc_simhash" -> ((s, dir) => {
       // same invariant shape as q_doc_fingerprint: the projection kernel
       // must agree row-for-row with the explode + 64-vote aggregate form
@@ -662,6 +678,37 @@ object DocQueries {
         |SELECT shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq
         |FROM sh GROUP BY shingle
         |ORDER BY doc_freq DESC, shingle LIMIT 20""".stripMargin,
+
+    "q_doc_fuzzy_keep" -> {
+      // brute-force ALL pairwise jaccards over docs ∪ drop-first-word
+      // variants, then transitive closure — the exact ground truth the
+      // LSH-candidate path must reproduce
+      val sh =
+        """list_distinct(list_transform(
+          |  range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 1, 1)),
+          |  i -> concat_ws(' ',
+          |    string_split_regex(trim(lower(text)), '\s+')[i],
+          |    string_split_regex(trim(lower(text)), '\s+')[i+1],
+          |    string_split_regex(trim(lower(text)), '\s+')[i+2])))""".stripMargin.replace("\n", " ")
+      s"""WITH RECURSIVE
+         |d0 AS (SELECT doc_id, text FROM documents
+         |       UNION ALL
+         |       SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1)
+         |       FROM documents),
+         |d AS (SELECT doc_id, $sh AS sh FROM d0),
+         |p AS (SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE ROUND(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         |       / len(list_distinct(a.sh || b.sh)) END, 4) >= 0.8),
+         |sym AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM d0
+         |  UNION
+         |  SELECT sym.v, reach.lbl FROM sym JOIN reach ON sym.u = reach.id)
+         |SELECT id AS doc_id, MIN(lbl) AS cluster, MIN(lbl) = id AS keep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+    },
 
     "q_doc_ngram_jaccard" -> {
       // word 3-shingles per doc, then blocked pairwise jaccard

@@ -218,6 +218,44 @@ object MinHashDedup {
     } finally { bb.unpersist(); () }
   }
 
+  /** End-to-end fuzzy dedup: LSH candidate pairs → EXACT shingle-Jaccard
+    * verification → connected components → one canonical survivor per
+    * duplicate group. Returns (idCol, cluster, keep).
+    *
+    * This is the reference's fuzzy dedup semantics (collapse each group of
+    * mutually-similar docs to one survivor) built from scale-safe pieces:
+    * candidates come from (band, bucket) equi-joins — never all pairs — and
+    * only verified pairs (Jaccard ≥ threshold, rounded like
+    * [[NgramJaccard.pairsWithinBlocks]]) become component edges. False
+    * LSH candidates cost one bounded verification row each; false
+    * negatives are the banding miss probability at the threshold
+    * (≈(1−t^r)^b — pick bands/rows for the threshold; the default 16×4 is
+    * ~5e-6 at t=0.8 and vanishing above it).
+    *
+    * Physical shape: bucket shuffle + candidate equi-join, one join to
+    * attach each side's shingle array (bounded by candidate count), then
+    * [[Components.labels]]' constant-shape propagation rounds. */
+  def fuzzyDedup(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, k: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, maxIters: Int = 30): DataFrame = {
+    val bb = bucketTable(df, idCol, textCol, k, numHashes, bands)
+    val cand = bb.as("x").join(bb.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("_ca"), col(s"y.$idCol").as("_cb"))
+      .distinct()
+    val sh = df.select(col(idCol), shingles(col(textCol), k).as("_sh"))
+    val verified = cand
+      .join(sh.select(col(idCol).as("_ca"), col("_sh").as("_sha")), "_ca")
+      .join(sh.select(col(idCol).as("_cb"), col("_sh").as("_shb")), "_cb")
+      .where(round(NgramJaccard.jaccard(col("_sha"), col("_shb")), 4)
+        >= threshold)
+      .select(col("_ca"), col("_cb"))
+    Components.keepCanonical(df.select(col(idCol)), idCol,
+      verified, "_ca", "_cb", maxIters)
+  }
+
   private def propagate(bb: DataFrame, idCol: String,
       propagationRounds: Int): DataFrame = {
     val w = Window.partitionBy(col("band"), col("bucket"))

@@ -125,6 +125,23 @@ class TextAndSimilaritySpec extends SparkSuite {
     assert(got == Seq(("x y z", 2L), ("a x y", 1L), ("q r s", 1L)))
   }
 
+  test("fuzzyDedup keeps one survivor per verified near-dup group") {
+    import graft.operators.MinHashDedup
+    val docs = Seq(
+      (1L, "spark makes big data simple and fast for everyone working today"),
+      (2L, "spark makes big data simple and fast for everyone working today"),
+      (3L, "makes big data simple and fast for everyone working today"),
+      (4L, "a completely unrelated note about gardens birds and quiet rain"),
+      (5L, "short")).toDF("doc_id", "text")
+    val got = MinHashDedup.fuzzyDedup(docs, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq.sortBy(_._1)
+    // 1≡2 exactly; 3 is 1 minus its first word (high jaccard) → one group;
+    // 4 and 5 stand alone; survivors are the min ids
+    assert(got == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true)))
+  }
+
   test("simhash: identical texts hash equal, hamming 0") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again"),

@@ -113,6 +113,14 @@ object DocQueries {
           Semantics.safeRound(col("top_word_frac"), 4).as("top_word_frac"))
         .orderBy(col("doc_id"))),
 
+    "q_doc_bm25" -> ((s, dir) =>
+      // keyword-probe ranking: BM25 top-20 for a 4-term query. The explode
+      // filters to the query terms BEFORE any shuffle; df/corpus stats are
+      // tiny broadcast aggregates; decimal-quantized score sum keeps the
+      // rounded output partial-agg-order-proof.
+      TF.bm25Rank(t(s, dir, "documents"), "doc_id", "text",
+        query = Seq("spark", "table", "join", "window"), topN = 20)),
+
     "q_doc_top_ngrams" -> ((s, dir) =>
       // corpus boilerplate stats: the 20 word 3-grams occurring in the most
       // docs (doc frequency — the shingle kernel emits per-doc DISTINCT
@@ -662,6 +670,28 @@ object DocQueries {
          |WHERE d.doc_id % 50 <> 0
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "q_doc_bm25" ->
+      // the same BM25 arithmetic, shaped identically (left-assoc chains and
+      // the +1-smoothed idf), per-term scores summed through DECIMAL(38,18)
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |tok AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, unnest(ws) AS t
+         |        FROM w),
+         |tf AS (SELECT doc_id, dl, t, CAST(COUNT(*) AS DOUBLE) AS tf
+         |       FROM tok WHERE t IN ('spark', 'table', 'join', 'window')
+         |       GROUP BY doc_id, dl, t),
+         |dfq AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dfr
+         |        FROM tf GROUP BY t),
+         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |         CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl FROM w),
+         |sc AS (SELECT tf.doc_id,
+         |    ln((st.n - dfq.dfr + 0.5) / (dfq.dfr + 0.5) + 1.0) *
+         |      (tf.tf * (1.2 + 1.0)) /
+         |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl)) AS s
+         |  FROM tf JOIN dfq ON tf.t = dfq.t, st)
+         |SELECT doc_id,
+         |  ROUND(CAST(SUM(CAST(s AS DECIMAL(38,18))) AS DOUBLE), 4) AS score
+         |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_doc_top_ngrams" ->
       // per-doc DISTINCT 3-grams (same spelling the jaccard oracle proves

@@ -299,6 +299,50 @@ object TextFunctions {
       .limit(topN)
   }
 
+  /** BM25 keyword relevance over the corpus (Robertson/Sparck-Jones idf with
+    * +1 smoothing — the Lucene form): score(d) = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·|d|/avgdl)). The curation use is keyword-probe
+    * ranking ("which docs dominate this query term set?") without an index.
+    *
+    * Physical shape: the explode is filtered to the QUERY terms before any
+    * shuffle (tf keys = docs actually containing a query term, not the
+    * corpus); document frequency and the corpus stats are one tiny
+    * aggregate each, broadcast back; the final cut is TakeOrdered on a
+    * total (score DESC, id) order. No corpus-sized shuffle anywhere.
+    * Per-term scores sum through DECIMAL(38,18) so partial-agg order can't
+    * wiggle the rounded output. */
+  def bm25Rank(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, query: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, topN: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(query.nonEmpty, "query terms must be non-empty")
+    val terms = query.map(_.toLowerCase)
+    val words = df.select(col(idCol),
+      split(trim(lower(col(textCol))), "\\s+").as("_w"))
+    val toks = words
+      .select(col(idCol), size(col("_w")).cast(DoubleType).as("_dl"),
+        explode(col("_w")).as("_t"))
+      .where(col("_t").isin(terms: _*))
+    val tf = toks.groupBy(col(idCol), col("_dl"), col("_t"))
+      .agg(count(lit(1)).cast(DoubleType).as("_tf"))
+    val dfreq = tf.groupBy(col("_t"))
+      .agg(countDistinct(col(idCol)).cast(DoubleType).as("_df"))
+    val stats = words.agg(
+      count(lit(1)).cast(DoubleType).as("_n"),
+      (sum(size(col("_w"))).cast(DoubleType) / count(lit(1))).as("_avgdl"))
+    val scored = tf.join(broadcast(dfreq), "_t")
+      .crossJoin(broadcast(stats))
+      .withColumn("_s",
+        log((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5) + 1.0) *
+          (col("_tf") * (k1 + 1.0)) /
+          (col("_tf") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl"))))
+    scored.groupBy(col(idCol))
+      .agg(round(sum(col("_s").cast(DecimalType(38, 18))).cast(DoubleType), 4)
+        .as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topN)
+  }
+
   /** Passage chunking with overlap: split each document into fixed-size
     * word windows stepping by `chunkWords - overlap` — the RAG/pretraining
     * chunker. One row per chunk with `chunk_id` and `chunk_text`; documents

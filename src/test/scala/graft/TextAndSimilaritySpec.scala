@@ -142,6 +142,21 @@ class TextAndSimilaritySpec extends SparkSuite {
       (4L, 4L, true), (5L, 5L, true)))
   }
 
+  test("bm25Rank: term-dense docs first, term-free docs absent") {
+    val docs = Seq(
+      (1L, "spark spark spark fast engine"),
+      (2L, "spark is one word among many other words here today friends"),
+      (3L, "no relevant terms at all in this document"),
+      (4L, "spark spark fast")).toDF("doc_id", "text")
+    val got = TF.bm25Rank(docs, "doc_id", "text", Seq("spark"), topN = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1).toSet == Set(1L, 2L, 4L)) // doc 3 never scores
+    assert(got == got.sortBy(r => (-r._2, r._1)))  // ranked, total order
+    // 3×tf in a 5-word doc beats 1×tf in an 11-word doc
+    val byId = got.toMap
+    assert(byId(1L) > byId(2L))
+  }
+
   test("simhash: identical texts hash equal, hamming 0") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again"),

@@ -113,6 +113,13 @@ object DocQueries {
           Semantics.safeRound(col("top_word_frac"), 4).as("top_word_frac"))
         .orderBy(col("doc_id"))),
 
+    "q_corpus_card" -> ((s, dir) =>
+      // the curator's per-slice corpus report: one full pass + tiny agg +
+      // broadcast total for the share column
+      graft.operators.CorpusStats.corpusCard(
+        t(s, dir, "documents"), "text", Seq("lang", "source"))
+        .orderBy(col("lang"), col("source"))),
+
     "q_doc_bm25" -> ((s, dir) =>
       // keyword-probe ranking: BM25 top-20 for a 4-term query. The explode
       // filters to the query terms BEFORE any shuffle; df/corpus stats are
@@ -505,6 +512,23 @@ object DocQueries {
 
   private val wordsSql = "string_split_regex(trim(lower(text)), '\\s+')"
 
+  // the composite quality score, shared by the q_doc_quality twin and the
+  // corpus-card aggregate (exact quarters — double sums stay exact)
+  private val qualityScoreSql: String = {
+    val words = wordsSql
+    val nWords = s"len($words)"
+    val stops = s"len(list_filter($words, w -> w IN ('the','and','of','to','a','in','is','it','that','for','on','with','as','or','at','by')))"
+    val charsNoSpace = s"length(replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ', ''))"
+    val punct = s"""length(regexp_replace(trim(text), '[^[:punct:]]', '', 'g'))"""
+    val punctRatio = s"CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE CAST($punct AS DOUBLE) / length(trim(text)) END"
+    val stopRatio = s"CASE WHEN $nWords = 0 THEN 0.0 ELSE CAST($stops AS DOUBLE) / $nWords END"
+    val meanWl = s"CASE WHEN $nWords = 0 THEN 0.0 ELSE CAST($charsNoSpace AS DOUBLE) / $nWords END"
+    s"""((CASE WHEN $tokenCountSql BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) +
+       | (CASE WHEN $punctRatio <= 0.2 THEN 1.0 ELSE 0.0 END) +
+       | (CASE WHEN $meanWl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+       | (CASE WHEN $stopRatio >= 0.05 THEN 1.0 ELSE 0.5 END)) / 4.0""".stripMargin.replace("\n", " ")
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_doc_tokens" ->
       s"""SELECT doc_id, $tokenCountSql AS n_tokens,
@@ -520,16 +544,11 @@ object DocQueries {
       val punctRatio = s"CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE CAST($punct AS DOUBLE) / length(trim(text)) END"
       val stopRatio = s"CASE WHEN $nWords = 0 THEN 0.0 ELSE CAST($stops AS DOUBLE) / $nWords END"
       val meanWl = s"CASE WHEN $nWords = 0 THEN 0.0 ELSE CAST($charsNoSpace AS DOUBLE) / $nWords END"
-      val nTok = tokenCountSql
       s"""SELECT doc_id,
          |  ${Sql.sround(punctRatio)} AS punct_ratio,
          |  ${Sql.sround(stopRatio)} AS stopword_ratio,
          |  ${Sql.sround(meanWl)} AS mean_word_len,
-         |  ROUND((
-         |    (CASE WHEN $nTok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) +
-         |    (CASE WHEN $punctRatio <= 0.2 THEN 1.0 ELSE 0.0 END) +
-         |    (CASE WHEN $meanWl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
-         |    (CASE WHEN $stopRatio >= 0.05 THEN 1.0 ELSE 0.5 END)) / 4.0, 4) AS quality
+         |  ROUND($qualityScoreSql, 4) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
@@ -670,6 +689,23 @@ object DocQueries {
          |WHERE d.doc_id % 50 <> 0
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "q_corpus_card" ->
+      s"""WITH per_doc AS (SELECT lang, source, $tokenCountSql AS tok,
+         |    md5(text) AS key, $qualityScoreSql AS q
+         |  FROM documents),
+         |g AS (SELECT lang, source,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(tok) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(DISTINCT key) AS BIGINT) AS n_unique,
+         |    ${Sql.sround("SUM(q) / COUNT(*)")} AS mean_quality
+         |  FROM per_doc GROUP BY lang, source)
+         |SELECT lang, source, n_docs, n_tokens,
+         |  ${Sql.sround("CAST(n_tokens AS DOUBLE) / (SELECT CAST(SUM(n_tokens) AS DOUBLE) FROM g)")} AS token_share,
+         |  n_unique,
+         |  ${Sql.sround("CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE)")} AS dup_frac,
+         |  mean_quality
+         |FROM g ORDER BY lang, source""".stripMargin,
 
     "q_doc_bm25" ->
       // the same BM25 arithmetic, shaped identically (left-assoc chains and

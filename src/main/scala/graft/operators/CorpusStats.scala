@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.core.Semantics
+import graft.functions.{TextFunctions => TF}
+
+/** Corpus-card reporting: the per-slice summary a training-data curator
+  * reads before mixing sources — document and token counts, each slice's
+  * share of the corpus token budget, exact-duplicate rate, and mean quality
+  * score. The reference surfaces these numbers piecemeal (dashboard
+  * summary/by-provider views, quality scorer); a corpus card is the
+  * training-pipeline shape of the same reporting.
+  *
+  * Physical shape: ONE full pass (token/quality kernels are projections;
+  * dup detection via md5 content key inside the same aggregate) into a
+  * small per-slice aggregate, then a broadcast of the one-row total for the
+  * share column. Group keys are low-cardinality slice labels, so the
+  * shuffle is tiny regardless of corpus size; no window, no second scan.
+  */
+object CorpusStats {
+
+  /** One row per `groupCols` slice: n_docs, n_tokens, token_share (of the
+    * whole corpus), n_unique (distinct md5 content keys), dup_frac, and
+    * mean_quality — ratios rounded via [[Semantics.safeRound]] so the
+    * numbers are engine-portable. */
+  def corpusCard(df: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "corpusCard needs at least one group column")
+    val grouped = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(col(textCol)).cast(LongType)).cast(LongType)
+          .as("n_tokens"),
+        countDistinct(md5(col(textCol))).as("n_unique"),
+        // quality is exact quarters: double partial sums stay exact, so
+        // avg is partial-agg-order-proof without a decimal detour
+        Semantics.safeRound(avg(TF.qualityScore(col(textCol))), 4)
+          .as("mean_quality"))
+    val total = grouped
+      .agg(sum(col("n_tokens")).cast(DoubleType).as("_total_tokens"))
+    grouped.crossJoin(broadcast(total))
+      .select(groupCols.map(col) ++ Seq(
+        col("n_docs"),
+        col("n_tokens"),
+        Semantics.safeRound(
+          col("n_tokens").cast(DoubleType) / col("_total_tokens"), 4)
+          .as("token_share"),
+        col("n_unique"),
+        Semantics.safeRound(
+          (col("n_docs") - col("n_unique")).cast(DoubleType) /
+            col("n_docs").cast(DoubleType), 4).as("dup_frac"),
+        col("mean_quality")): _*)
+  }
+}

@@ -354,6 +354,42 @@ object ExtraQueries {
         .orderBy(col("event_type"))
     }),
 
+    "q_sketch_heavyhitters" -> ((s, dir) => {
+      // mergeable heavy-hitter counting: per-DAY count-min sketches of user
+      // activity, rolled up per event_type by sketch UNION (no rescan), then
+      // probed at the exact top-3 users. The CMS guarantee is one-sided —
+      // estimate ∈ [exact, exact + eps·N] — so the oracle-checkable
+      // invariants are no_underestimate, the eps·N cap, and totalCount
+      // equality; exact counts and the top-3 cut are cross-engine.
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Sketches
+      val events = t(s, dir, "events")
+      val daily = events
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(Sketches.cmsAgg(col("user_id")).as("sk"))
+      val merged = daily.groupBy(col("event_type"))
+        .agg(Sketches.cmsUnion(col("sk")).as("sk"))
+      val cnt = events.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("exact_cnt").desc, col("user_id"))
+      val top = cnt.withColumn("_rk", row_number().over(w))
+        .where(col("_rk") <= 3).drop("_rk")
+      val n = events.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_n_events"))
+      val est = Sketches.cmsEstimate(col("sk"), col("user_id"))
+      top.join(broadcast(merged), "event_type")
+        .join(broadcast(n), "event_type")
+        .select(col("event_type"), col("user_id"), col("exact_cnt"),
+          (est >= col("exact_cnt")).as("no_underestimate"),
+          (est <= col("exact_cnt") +
+            ceil(lit(0.005) * col("_n_events")).cast(LongType))
+            .as("within_eps_n"),
+          (Sketches.cmsTotal(col("sk")) === col("_n_events"))
+            .as("total_matches"))
+        .orderBy(col("event_type"), col("user_id"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       // binned range join: orders falling in the first 3 days of any week —
       // equi-join on day bins + residual predicate, never a nested loop
@@ -951,6 +987,21 @@ object ExtraQueries {
         |    AS median_x10k,
         |  TRUE AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_sketch_heavyhitters" ->
+      // exact per-user counts + deterministic top-3 cut cross-engine; the
+      // sketch bounds are expected-TRUE invariants
+      """WITH c AS (SELECT event_type, user_id,
+        |    CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        |  FROM events GROUP BY event_type, user_id),
+        |r AS (SELECT event_type, user_id, exact_cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY exact_cnt DESC, user_id) AS rk
+        |  FROM c)
+        |SELECT event_type, user_id, exact_cnt,
+        |  TRUE AS no_underestimate, TRUE AS within_eps_n,
+        |  TRUE AS total_matches
+        |FROM r WHERE rk <= 3 ORDER BY event_type, user_id""".stripMargin,
 
     "q_sketch_distinct" ->
       // exact distincts cross-engine + the 5%-accuracy invariant

@@ -41,4 +41,91 @@ object Sketches {
   def approxQuantiles(c: Column, probs: Seq[Double],
       accuracy: Int = 10000): Column =
     percentile_approx(c, array(probs.map(lit): _*), lit(accuracy))
+
+  // ---- count-min: mergeable heavy-hitter counting ---------------------------
+  //
+  // Build per-shard/per-day sketches once, roll up by MERGE, then probe item
+  // frequencies without rescanning. Error is one-sided: estimate ∈
+  // [true, true + eps·N] with the configured confidence. Uses Spark's own
+  // CountMinSketch (spark-sketch module — the same structure
+  // DataFrameStatFunctions.countMinSketch builds); the aggregation is a
+  // typed Aggregator because Spark SQL ships no CMS SQL surface. The UDFs
+  // here are sketch plumbing over tiny per-group binaries, never a
+  // corpus-sized hot path.
+
+  import org.apache.spark.sql.{Encoder, Encoders}
+  import org.apache.spark.sql.expressions.Aggregator
+  import org.apache.spark.util.sketch.CountMinSketch
+
+  private def cmsToBytes(s: CountMinSketch): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    s.writeTo(out)
+    out.toByteArray
+  }
+
+  private def cmsFromBytes(b: Array[Byte]): CountMinSketch =
+    CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b))
+
+  /** Aggregator building a CMS from string items. Fixed (eps, confidence,
+    * seed) so independently-built sketches stay merge-compatible. */
+  private final class CmsBuild(eps: Double, confidence: Double, seed: Int)
+      extends Aggregator[String, CountMinSketch, Array[Byte]] {
+    def zero: CountMinSketch = CountMinSketch.create(eps, confidence, seed)
+    def reduce(b: CountMinSketch, a: String): CountMinSketch = {
+      if (a != null) b.add(a)
+      b
+    }
+    def merge(b1: CountMinSketch, b2: CountMinSketch): CountMinSketch = {
+      b1.mergeInPlace(b2)
+      b1
+    }
+    def finish(r: CountMinSketch): Array[Byte] = cmsToBytes(r)
+    def bufferEncoder: Encoder[CountMinSketch] =
+      Encoders.javaSerialization[CountMinSketch]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Aggregator unioning stored CMS binaries (same build params). */
+  private final class CmsUnion(eps: Double, confidence: Double, seed: Int)
+      extends Aggregator[Array[Byte], CountMinSketch, Array[Byte]] {
+    def zero: CountMinSketch = CountMinSketch.create(eps, confidence, seed)
+    def reduce(b: CountMinSketch, a: Array[Byte]): CountMinSketch = {
+      if (a != null) b.mergeInPlace(cmsFromBytes(a))
+      b
+    }
+    def merge(b1: CountMinSketch, b2: CountMinSketch): CountMinSketch = {
+      b1.mergeInPlace(b2)
+      b1
+    }
+    def finish(r: CountMinSketch): Array[Byte] = cmsToBytes(r)
+    def bufferEncoder: Encoder[CountMinSketch] =
+      Encoders.javaSerialization[CountMinSketch]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Per-group CMS of `c` (as string) — storable and mergeable. */
+  def cmsAgg(c: Column, eps: Double = 0.005, confidence: Double = 0.999,
+      seed: Int = 42): Column =
+    udaf(new CmsBuild(eps, confidence, seed)).apply(c.cast("string"))
+
+  /** Union stored CMS binaries built with the SAME (eps, confidence, seed). */
+  def cmsUnion(c: Column, eps: Double = 0.005, confidence: Double = 0.999,
+      seed: Int = 42): Column =
+    udaf(new CmsUnion(eps, confidence, seed)).apply(c)
+
+  /** Estimated frequency of `item` in a CMS binary. */
+  def cmsEstimate(sketch: Column, item: Column): Column = {
+    val f = udf((b: Array[Byte], s: String) =>
+      if (b == null || s == null) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(cmsFromBytes(b).estimateCount(s)))
+    f(sketch, item.cast("string"))
+  }
+
+  /** Total items a CMS binary has absorbed (the N in the eps·N bound). */
+  def cmsTotal(sketch: Column): Column = {
+    val f = udf((b: Array[Byte]) =>
+      if (b == null) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(cmsFromBytes(b).totalCount()))
+    f(sketch)
+  }
 }

@@ -32,6 +32,28 @@ class SketchSpec extends SparkSuite {
     assert(diff.isEmpty, "sketch merge is not associative with direct sketching")
   }
 
+  test("cms: sharded-build + union estimates ≥ exact with eps·N cap") {
+    val items = (1 to 400).flatMap(i => Seq.fill(1 + i % 7)(s"u${i % 50}"))
+    val df = items.zipWithIndex.map { case (u, i) => (i, u) }.toDF("i", "u")
+    val whole = df.agg(Sketches.cmsAgg(col("u")).as("sk"))
+    // build on even/odd halves, then union — same answers as one build
+    val halves = df.withColumn("h", col("i") % 2)
+      .groupBy(col("h")).agg(Sketches.cmsAgg(col("u")).as("sk"))
+    val merged = halves.agg(Sketches.cmsUnion(col("sk")).as("sk"))
+    val exact = items.groupBy(identity).map { case (u, xs) => (u, xs.size.toLong) }
+    val n = items.size.toLong
+    for ((u, c) <- exact.take(10)) {
+      val eW = whole.select(Sketches.cmsEstimate(col("sk"), lit(u)))
+        .head().getLong(0)
+      val eM = merged.select(Sketches.cmsEstimate(col("sk"), lit(u)))
+        .head().getLong(0)
+      assert(eW == eM, s"merge changed estimate for $u: $eW vs $eM")
+      assert(eM >= c, s"cms underestimated $u: $eM < $c")
+      assert(eM <= c + math.ceil(0.005 * n).toLong, s"cms blew eps·N for $u")
+    }
+    assert(merged.select(Sketches.cmsTotal(col("sk"))).head().getLong(0) == n)
+  }
+
   test("approx quantiles bracket the exact percentile") {
     val approxRow = events.agg(
       Sketches.approxQuantiles(col("value"), Seq(0.5, 0.95))).head()

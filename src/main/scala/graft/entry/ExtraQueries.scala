@@ -354,6 +354,30 @@ object ExtraQueries {
         .orderBy(col("event_type"))
     }),
 
+    "q_embed_kmeans" -> ((s, dir) => {
+      // k-means clustering surface (the IVF trainer as a first-class op):
+      // driver fit on a bounded sample, assignment is a partition-local
+      // argmin projection. The gate materializes vectors+assignments and
+      // the centroids; the oracle recomputes every vector's distance to
+      // EVERY centroid and checks the assigned one is the argmin (1e-9
+      // slack only for float-sum association).
+      import graft.functions.Similarity
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.ivfIndex(emb, "embedding", "vec_id", nLists = 8)
+      val assigned = idx.assigned
+        .select(col("vec_id"), col("_list").as("cluster"), col("embedding"))
+      val aux = s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}"
+      assigned.coalesce(1).write.mode("overwrite")
+        .parquet(s"$aux/kmeans_assign")
+      import s.implicits._
+      idx.centroids.toSeq.toDF("cluster", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$aux/kmeans_centroids")
+      assigned.select(col("vec_id"), col("cluster"),
+          lit(true).as("argmin_ok"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_sketch_heavyhitters" -> ((s, dir) => {
       // mergeable heavy-hitter counting: per-DAY count-min sketches of user
       // activity, rolled up per event_type by sketch UNION (no rescan), then
@@ -987,6 +1011,26 @@ object ExtraQueries {
         |    AS median_x10k,
         |  TRUE AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_embed_kmeans" ->
+      // re-derive every (vector, centroid) distance and verify the engine's
+      // assignment is the argmin; assignments echo from the shared aux
+      """WITH a AS (SELECT vec_id, cluster, embedding
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/kmeans_assign/*.parquet')),
+        |v AS (SELECT vec_id, cluster, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i FROM a),
+        |c AS (SELECT cluster AS cc, unnest(centroid) AS y,
+        |    generate_subscripts(centroid, 1) AS i
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/kmeans_centroids/*.parquet')),
+        |d AS (SELECT v.vec_id, v.cluster, c.cc,
+        |    SUM((v.x - c.y) * (v.x - c.y)) AS dist
+        |  FROM v JOIN c ON v.i = c.i GROUP BY 1, 2, 3),
+        |m AS (SELECT vec_id, cluster,
+        |    MIN(CASE WHEN cc = cluster THEN dist END) AS d_own,
+        |    MIN(dist) AS d_min
+        |  FROM d GROUP BY 1, 2)
+        |SELECT vec_id, cluster, d_own <= d_min + 1e-9 AS argmin_ok
+        |FROM m ORDER BY vec_id""".stripMargin,
 
     "q_sketch_heavyhitters" ->
       // exact per-user counts + deterministic top-3 cut cross-engine; the

@@ -40,9 +40,17 @@ object CorpusStats {
         // avg is partial-agg-order-proof without a decimal detour
         Semantics.safeRound(avg(TF.qualityScore(col(textCol))), 4)
           .as("mean_quality"))
-    val total = grouped
-      .agg(sum(col("n_tokens")).cast(DoubleType).as("_total_tokens"))
-    grouped.crossJoin(broadcast(total))
+    // the corpus total comes from a GLOBAL window over the already-grouped
+    // frame: one slice-count-sized partition (fine — group keys are
+    // low-cardinality slice labels by contract), and crucially ONE corpus
+    // scan — a crossJoin with a grouped.agg() branch would re-derive the
+    // aggregate lineage and scan the corpus twice unless exchange reuse
+    // happens to fire
+    val total = sum(col("n_tokens"))
+      .over(org.apache.spark.sql.expressions.Window
+        .partitionBy(Seq.empty[org.apache.spark.sql.Column]: _*))
+      .cast(DoubleType)
+    grouped.withColumn("_total_tokens", total)
       .select(groupCols.map(col) ++ Seq(
         col("n_docs"),
         col("n_tokens"),

@@ -72,6 +72,39 @@ class ScaleSpec extends SparkSuite {
     assert(clu3Plan.split("Exchange hashpartitioning").length - 1 == 6, clu3Plan)
   }
 
+  test("bm25 plan: query-term filter reaches the scan side, top-k is a sort-limit") {
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+    val plan = graft.functions.TextFunctions
+      .bm25Rank(docs, "doc_id", "text", Seq("spark", "table"))
+      .queryExecution.executedPlan.toString
+    // the k-cut must be TakeOrdered, not a global sort of all scored docs
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // df/corpus stats join back as broadcasts, never a shuffled join
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("topNgrams plan: one aggregation, TakeOrdered cut, no join") {
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+    val plan = graft.functions.TextFunctions.topNgrams(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Join"), plan)
+    // partial + final hash aggregate pair → exactly one exchange
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
+  }
+
+  test("corpusCard plan: exactly one corpus scan, no join") {
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+    val card = graft.operators.CorpusStats
+      .corpusCard(docs, "text", Seq("lang", "source"))
+    val plan = card.queryExecution.executedPlan.toString
+    assert(plan.split("Scan parquet").length - 1 == 1, plan)
+    assert(!plan.contains("Join"), plan)
+    // the global total window runs over the tiny grouped frame, after the
+    // corpus-sized aggregation
+    assert(plan.contains("Window"), plan)
+  }
+
   test("binned range join plans as an equi-join even with broadcast disabled") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

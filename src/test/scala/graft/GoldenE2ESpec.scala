@@ -142,4 +142,32 @@ class GoldenE2ESpec extends SparkSuite {
       targetTokens = Map.empty, defaultTarget = 5000.0)
     assert(mixed.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
   }
+
+  test("curation chain: fuzzy dedup -> corpus card accounts for survivors") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    // near-dup noise: every 5th doc reappears with its first word dropped
+    val noisy = docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("lang"),
+          col("source"), expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    val marked = graft.operators.MinHashDedup
+      .fuzzyDedup(noisy, "doc_id", "text", threshold = 0.7)
+    // every injected variant must be clustered with (and lose to) its base
+    val variants = marked.filter(col("doc_id") >= 100000L)
+    assert(variants.filter(col("keep")).isEmpty,
+      "an injected near-dup variant survived fuzzy dedup")
+    val survivors = noisy.join(
+      marked.filter(col("keep")).select(col("doc_id")), "doc_id")
+    // the corpus card over survivors: every original doc accounted for,
+    // shares sum to 1, dup rate reflects remaining exact dups only
+    val card = graft.operators.CorpusStats
+      .corpusCard(survivors, "text", Seq("lang", "source"))
+    assert(card.agg(sum("n_docs")).head().getLong(0) <= docs.count())
+    val shareSum = card.agg(sum("token_share")).head().getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 0.01, s"shares sum to $shareSum")
+    // boilerplate probe still works on the deduped corpus
+    assert(TF.topNgrams(survivors, "text", 3, 5).count() == 5)
+  }
 }

@@ -113,6 +113,33 @@ object DocQueries {
           Semantics.safeRound(col("top_word_frac"), 4).as("top_word_frac"))
         .orderBy(col("doc_id"))),
 
+    "q_quality_lr" -> ((s, dir) => {
+      // model-based quality filter: DISTRIBUTED MLlib logistic regression
+      // trained on weak heuristic labels; scoring is an explicit linear
+      // chain, so the oracle recomputes the signals from text, reads the
+      // learned boundary from aux, and replays the decision bit-for-bit.
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // the corpus is clean → weak labels would be all-positive; degraded
+      // twins (punctuation noise + truncation) supply the negative class
+      val degraded = docs.select((col("doc_id") + 200000L).as("doc_id"),
+        concat(lit("!!! ??? ;;; ,,, "), substring(col("text"), 1, 20))
+          .as("text"))
+      val boundary = graft.operators.QualityModel.train(
+        docs.unionByName(degraded), "doc_id", "text")
+      val w = boundary.coefficients
+      Seq((w(0), w(1), w(2), w(3), boundary.intercept))
+        .toDF("w_punct", "w_stop", "w_mwl", "w_tok", "b")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/quality_lr_coef")
+      graft.operators.QualityModel.score(docs, "doc_id", "text", boundary)
+        .select(col("doc_id"),
+          floor(col("margin") * lit(1000000.0) + lit(0.5))
+            .cast(LongType).as("margin_x1e6"),
+          col("ml_keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_corpus_card" -> ((s, dir) =>
       // the curator's per-slice corpus report: one full pass + tiny agg +
       // broadcast total for the share column
@@ -512,22 +539,30 @@ object DocQueries {
 
   private val wordsSql = "string_split_regex(trim(lower(text)), '\\s+')"
 
+  // the raw quality signals (bit-identical cross-engine — the composite's
+  // unrounded threshold comparisons hash-match), shared by the
+  // q_doc_quality twin, the corpus-card aggregate, and the LR replay
+  private val nWordsSql = s"len($wordsSql)"
+  private val punctRatioSql: String = {
+    val punct = s"""length(regexp_replace(trim(text), '[^[:punct:]]', '', 'g'))"""
+    s"CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE CAST($punct AS DOUBLE) / length(trim(text)) END"
+  }
+  private val stopRatioSql: String = {
+    val stops = s"len(list_filter($wordsSql, w -> w IN ('the','and','of','to','a','in','is','it','that','for','on','with','as','or','at','by')))"
+    s"CASE WHEN $nWordsSql = 0 THEN 0.0 ELSE CAST($stops AS DOUBLE) / $nWordsSql END"
+  }
+  private val meanWlSql: String = {
+    val charsNoSpace = s"length(replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ', ''))"
+    s"CASE WHEN $nWordsSql = 0 THEN 0.0 ELSE CAST($charsNoSpace AS DOUBLE) / $nWordsSql END"
+  }
+
   // the composite quality score, shared by the q_doc_quality twin and the
   // corpus-card aggregate (exact quarters — double sums stay exact)
-  private val qualityScoreSql: String = {
-    val words = wordsSql
-    val nWords = s"len($words)"
-    val stops = s"len(list_filter($words, w -> w IN ('the','and','of','to','a','in','is','it','that','for','on','with','as','or','at','by')))"
-    val charsNoSpace = s"length(replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ', ''))"
-    val punct = s"""length(regexp_replace(trim(text), '[^[:punct:]]', '', 'g'))"""
-    val punctRatio = s"CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE CAST($punct AS DOUBLE) / length(trim(text)) END"
-    val stopRatio = s"CASE WHEN $nWords = 0 THEN 0.0 ELSE CAST($stops AS DOUBLE) / $nWords END"
-    val meanWl = s"CASE WHEN $nWords = 0 THEN 0.0 ELSE CAST($charsNoSpace AS DOUBLE) / $nWords END"
+  private val qualityScoreSql: String =
     s"""((CASE WHEN $tokenCountSql BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) +
-       | (CASE WHEN $punctRatio <= 0.2 THEN 1.0 ELSE 0.0 END) +
-       | (CASE WHEN $meanWl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
-       | (CASE WHEN $stopRatio >= 0.05 THEN 1.0 ELSE 0.5 END)) / 4.0""".stripMargin.replace("\n", " ")
-  }
+       | (CASE WHEN $punctRatioSql <= 0.2 THEN 1.0 ELSE 0.0 END) +
+       | (CASE WHEN $meanWlSql BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+       | (CASE WHEN $stopRatioSql >= 0.05 THEN 1.0 ELSE 0.5 END)) / 4.0""".stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
     "q_doc_tokens" ->
@@ -689,6 +724,23 @@ object DocQueries {
          |WHERE d.doc_id % 50 <> 0
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "q_quality_lr" ->
+      // recompute the signals from text, read the learned boundary from
+      // aux, replay the left-associated linear decision
+      s"""WITH c AS (SELECT * FROM
+         |    read_parquet('/tmp/graft_oracle_aux/{SF}/quality_lr_coef/*.parquet')),
+         |f AS (SELECT doc_id, $punctRatioSql AS p, $stopRatioSql AS st,
+         |    $meanWlSql AS m, CAST($tokenCountSql AS DOUBLE) AS tk
+         |  FROM documents),
+         |sc AS (SELECT doc_id,
+         |    c.w_punct * p + c.w_stop * st + c.w_mwl * m + c.w_tok * tk + c.b
+         |      AS margin
+         |  FROM f, c)
+         |SELECT doc_id,
+         |  CAST(FLOOR(margin * 1000000.0 + 0.5) AS BIGINT) AS margin_x1e6,
+         |  margin >= 0.0 AS ml_keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q_corpus_card" ->
       s"""WITH per_doc AS (SELECT lang, source, $tokenCountSql AS tok,

@@ -202,4 +202,26 @@ class OperatorSpec extends SparkSuite {
   private case class Tables(s: org.apache.spark.sql.SparkSession) {
     def orders = graft.core.Tables.table(s, sfDir, "orders")
   }
+
+  test("quality LR: separates clean from garbage, deterministic, guards degenerate labels") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    val clean = (1L to 40L).map(i =>
+      (i, s"the quick brown fox number $i jumps over the lazy dog and " +
+        "walks on with a calm and steady pace for a while longer"))
+    val junk = (101L to 140L).map(i => (i, "!!! ??? ;;; ,,, x" + i))
+    val df = (clean ++ junk).toDF("doc_id", "text")
+    val b = QualityModel.train(df, "doc_id", "text")
+    val b2 = QualityModel.train(df, "doc_id", "text")
+    assert(b == b2, "training is not deterministic")
+    val scored = QualityModel.score(df, "doc_id", "text", b)
+    val keep = scored.filter(col("ml_keep")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(clean.map(_._1).toSet.subsetOf(keep), "clean docs rejected")
+    assert(junk.map(_._1).forall(i => !keep.contains(i)), "garbage kept")
+    // all-positive weak labels must fail loudly, not diverge silently
+    intercept[IllegalArgumentException] {
+      QualityModel.train(clean.toDF("doc_id", "text"), "doc_id", "text")
+    }
+  }
 }

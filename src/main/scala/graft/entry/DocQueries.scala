@@ -526,6 +526,34 @@ object DocQueries {
       src.schema.fields.foldLeft(readBack) { (df, f) =>
         df.withColumn(f.name, col(f.name).cast(f.dataType))
       }.select(src.columns.map(col): _*).orderBy(col("r_regionkey"))
+    }),
+
+    "q_orc_roundtrip" -> ((s, dir) => {
+      // the other columnar format (format_conversion.py pairs them)
+      val out = s"/tmp/graft_roundtrip/orc_supplier"
+      graft.io.Sinks.orc(t(s, dir, "supplier"), out)
+      graft.io.Sources.orc(s, out).orderBy(col("s_suppkey"))
+    }),
+
+    // ---- span-level dedup (beyond-ref: training-data curation) -------------
+
+    "q_doc_passage_dedup" -> ((s, dir) =>
+      // cross-document repeated 20-word passages removed, survivors
+      // re-stitched; the md5 passage keys make every step oracle-replayable
+      graft.functions.TextFunctions.passageDedup(
+        t(s, dir, "documents"), "doc_id", "text", passageWords = 20)
+        .orderBy(col("doc_id"))),
+
+    "q_doc_substr_dup" -> ((s, dir) => {
+      // exact-substring dedup: every 12-word window Buzhash'd; the exploded
+      // (doc, hash) form is the aux, and the oracle independently replays
+      // the shared-window test + per-doc counts from it
+      val docs = t(s, dir, "documents")
+      SubstrDedup.windows(docs, "doc_id", "text", k = 12)
+        .write.mode("overwrite")
+        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/substr_windows")
+      SubstrDedup.flags(docs, "doc_id", "text", k = 12)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1117,6 +1145,38 @@ object DocQueries {
       "SELECT * FROM nation ORDER BY n_nationkey",
 
     "q_json_array_roundtrip" ->
-      "SELECT * FROM region ORDER BY r_regionkey"
+      "SELECT * FROM region ORDER BY r_regionkey",
+
+    "q_orc_roundtrip" ->
+      "SELECT * FROM supplier ORDER BY s_suppkey",
+
+    "q_doc_passage_dedup" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |ch AS (SELECT doc_id, i AS chunk_id,
+        |    array_to_string(w[i*20+1 : i*20+20], ' ') AS chunk_text
+        |  FROM (SELECT doc_id, w,
+        |      unnest(range(0, (1 + ceil(greatest(len(w) - 20, 0) / 20.0))::int)) AS i
+        |    FROM w)),
+        |fr AS (SELECT md5(chunk_text) AS k,
+        |    (min(doc_id) <> max(doc_id)) AS boiler
+        |  FROM ch GROUP BY 1)
+        |SELECT ch.doc_id,
+        |  coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_id)
+        |    FILTER (WHERE NOT boiler), '') AS clean_text,
+        |  CAST(coalesce(sum(CASE WHEN boiler THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(CASE WHEN boiler THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed
+        |FROM ch JOIN fr ON md5(ch.chunk_text) = fr.k
+        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
+
+    "q_doc_substr_dup" ->
+      """WITH w AS (SELECT * FROM
+        |    read_parquet('/tmp/graft_oracle_aux/{SF}/substr_windows/*.parquet')),
+        |sh AS (SELECT win_hash FROM w
+        |  GROUP BY win_hash HAVING min(doc_id) <> max(doc_id))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+        |FROM w JOIN sh USING (win_hash)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

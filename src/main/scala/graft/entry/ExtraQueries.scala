@@ -273,6 +273,18 @@ object ExtraQueries {
           sum(col("n_tokens")).as("kept_tokens"))
         .orderBy(col("source"))),
 
+    "q_mix_temperature" -> ((s, dir) =>
+      // temperature-weighted data mix (alpha=0.5 flattens toward uniform);
+      // gate checks per-source kept counts + token totals — the weight
+      // arithmetic and the hash membership both replayed by the oracle
+      graft.functions.Sampling.mixCorpusTemperature(
+        t(s, dir, "documents"), "doc_id", "text", "source",
+        alpha = 0.5, totalBudget = 12000.0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("kept_tokens"))
+        .orderBy(col("source"))),
+
     "q_asof_forward" -> ((s, dir) => {
       // forward variant: each order's NEXT strictly-later order-day count
       val orders = t(s, dir, "orders")
@@ -802,6 +814,27 @@ object ExtraQueries {
          |SELECT t.source, COUNT(*) AS n_docs,
          |  CAST(SUM(t.n_tokens) AS BIGINT) AS kept_tokens
          |FROM tok t JOIN frac USING (source)
+         |WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))
+         |        AS BIGINT) % 10000 < CAST(FLOOR(f * 10000) AS BIGINT)
+         |GROUP BY t.source ORDER BY t.source""".stripMargin
+    },
+
+    "q_mix_temperature" -> {
+      val tok =
+        """CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+          |     ELSE length(trim(regexp_replace(text, '\s+', ' ', 'g')))
+          |        - length(replace(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ', ''))
+          |        + 1 END""".stripMargin.replace("\n", " ")
+      s"""WITH tok AS (SELECT doc_id, source, $tok AS n_tokens FROM documents),
+         |av AS (SELECT source, CAST(SUM(n_tokens) AS DOUBLE) AS avail
+         |  FROM tok GROUP BY source),
+         |wt AS (SELECT source, avail, POWER(avail, 0.5) AS w FROM av),
+         |fr AS (SELECT source,
+         |    LEAST(1.0, 12000.0 * w / (SELECT SUM(w) FROM wt) / avail) AS f
+         |  FROM wt)
+         |SELECT t.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(t.n_tokens) AS BIGINT) AS kept_tokens
+         |FROM tok t JOIN fr USING (source)
          |WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))
          |        AS BIGINT) % 10000 < CAST(FLOOR(f * 10000) AS BIGINT)
          |GROUP BY t.source ORDER BY t.source""".stripMargin

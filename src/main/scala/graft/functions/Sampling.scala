@@ -74,4 +74,35 @@ object Sampling {
     tok.join(broadcast(frac), Seq(sourceCol))
       .filter(hashBucket(col(idCol)) < floor(col("_keep_frac") * Buckets))
   }
+
+  /** Temperature-weighted corpus mixing: sampling weight per source is
+    * `n_i^alpha / Σ n_j^alpha` (the multilingual/multi-domain "temperature"
+    * rule — alpha=1 keeps natural proportions, alpha→0 flattens toward
+    * uniform, upsampling-free variant: a source's target never exceeds its
+    * supply). Targets are token counts against a global `totalBudget`;
+    * membership is the same identity hash as `mixCorpus`, so the kept set
+    * is engine/partitioning stable and oracle-checkable.
+    *
+    * Same shape as `mixCorpus` at scale: one tiny per-source aggregate,
+    * weights computed on that one-row-per-source frame (a scalar window
+    * over it, not the corpus), broadcast back, one filter scan. */
+  def mixCorpusTemperature(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, alpha: Double, totalBudget: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    val tok = df.withColumn("n_tokens",
+      TextFunctions.tokenCount(col(textCol)).cast(LongType))
+    val weighted = tok.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).cast(DoubleType).as("_avail"))
+      .withColumn("_w", pow(col("_avail"), lit(alpha)))
+    // normalizer via a 1-row aggregate cross-joined back (both frames are
+    // |sources|-sized — no window, no shuffle concern)
+    val frac = weighted
+      .crossJoin(broadcast(weighted.agg(sum(col("_w")).as("_wsum"))))
+      .withColumn("_keep_frac",
+        least(lit(1.0),
+          lit(totalBudget) * col("_w") / col("_wsum") / col("_avail")))
+      .select(col(sourceCol), col("_keep_frac"))
+    tok.join(broadcast(frac), Seq(sourceCol))
+      .filter(hashBucket(col(idCol)) < floor(col("_keep_frac") * Buckets))
+  }
 }

@@ -409,4 +409,69 @@ object TextFunctions {
         if (auto) col("_pack_shard") * lit(1L << 32) + local else local)
     if (auto) out.drop("_pack_shard") else out
   }
+
+  /** Passage-level exact dedup (boilerplate removal): split each document
+    * into fixed `passageWords`-word passages, drop every passage whose md5
+    * appears in more than `maxDocFreq` DISTINCT documents (headers, footers,
+    * license blocks — the cross-document repeated text that survives
+    * document-level dedup), and stitch the survivors back in order.
+    *
+    * Scale shape: one chunk explode, one aggregate on the md5 key (uniform
+    * hash — no skew), one key-join back, one per-document regroup. Two
+    * shuffles total, both on bounded-width rows; text arrays never cross a
+    * shuffle (passages travel as strings). md5 keys make every step
+    * oracle-replayable cross-engine.
+    *
+    * Output: one row per document — `clean_text` (kept passages joined by
+    * single spaces), `n_kept`, `n_removed`. */
+  def passageDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, passageWords: Int = 50,
+      maxDocFreq: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1: $maxDocFreq")
+    val chunks = chunkDocuments(
+      df.select(col(idCol), col(textCol)), textCol, passageWords)
+      .select(col(idCol), col("chunk_id"), col("chunk_text"),
+        md5(col("chunk_text")).as("_pkey"))
+    // min/max doc per key decides "appears in >1 doc" in ONE pass when
+    // maxDocFreq == 1 (no countDistinct state); general case counts docs
+    val freq =
+      if (maxDocFreq == 1)
+        chunks.groupBy(col("_pkey"))
+          .agg((min(col(idCol)) =!= max(col(idCol))).as("_boiler"))
+      else
+        chunks.groupBy(col("_pkey"))
+          .agg((countDistinct(col(idCol)) > maxDocFreq).as("_boiler"))
+    chunks.join(freq, Seq("_pkey"))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("_boiler"),
+            struct(col("chunk_id"), col("chunk_text"))))),
+          s => s.getField("chunk_text"))).as("clean_text"),
+        sum(when(col("_boiler"), 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("_boiler"), 1L).otherwise(0L)).as("n_removed"))
+  }
+
+  /** Buzhash (cyclic-polynomial) hashes of EVERY `k`-word window of the
+    * document — the relational face of exact-substring dedup (two documents
+    * share a verbatim span of ≥ k tokens iff they share a window hash,
+    * modulo hash collisions). Per-word xxhash64 is computed once and the
+    * window combine is rotate-XOR — ANSI-safe (no overflowing arithmetic)
+    * and O(1)-rollable, so a future codegen kernel can do the whole array
+    * in one O(n) pass; this Column spelling is the independent-correctness
+    * twin at O(n·k). Documents shorter than `k` words yield an empty array
+    * (no k-token claim possible). */
+  def windowHashes(words: Column, k: Int): Column = {
+    require(k >= 2 && k <= 512, s"k must be in [2, 512]: $k")
+    def rotl1(x: Column): Column =
+      shiftleft(x, 1).bitwiseOR(shiftrightunsigned(x, 63))
+    val hashed = transform(words, w => xxhash64(w))
+    val nWin = size(words) - lit(k) + lit(1)
+    // sequence(1, 0) throws under ANSI — guard the shorter-than-k case
+    when(nWin >= 1,
+      transform(sequence(lit(1), nWin, lit(1)), i =>
+        aggregate(slice(hashed, i, lit(k)), lit(0L),
+          (acc, x) => rotl1(acc).bitwiseXOR(x))))
+      .otherwise(array().cast(ArrayType(LongType)))
+  }
 }

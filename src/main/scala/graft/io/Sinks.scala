@@ -116,6 +116,16 @@ object Sinks {
       .parquet(path)
   }
 
+  /** ORC load — columnar sink with the same mode/partitioning surface as
+    * parquet (the reference's `format_conversion.py` example pairs formats
+    * symmetrically). */
+  def orc(df: DataFrame, path: String, mode: String = "overwrite",
+      partitionCols: Seq[String] = Nil, compression: String = "snappy"): Unit = {
+    val w = df.write.mode(mode).option("compression", compression)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .orc(path)
+  }
+
   /** JDBC load (`postgres_loader.py`/`sqlite_loader.py`): batched inserts via
     * the connector's batchsize; overwrite maps to drop_if_exists. */
   def jdbc(df: DataFrame, url: String, table: String,

@@ -76,6 +76,12 @@ object Sources {
   /** Parquet scan — the checkpoint/interchange format. */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** ORC scan — the other columnar interchange format
+    * (`format_conversion.py` converts between columnar formats); Spark's
+    * native vectorized ORC reader, same pushdown/pruning story as parquet. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }
 
 /** Incremental-state API (`src/adapters/base.py:66-91`): the reference tracks

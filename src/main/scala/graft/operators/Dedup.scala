@@ -406,3 +406,45 @@ object NgramJaccard {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 }
+
+/** Exact-substring dedup (the "dedup training data at span level" pass —
+  * cf. Lee et al., "Deduplicating Training Data Makes Language Models
+  * Better"): flag documents that share a VERBATIM run of ≥ `k` tokens with
+  * another document. Long quotations, mirrored articles, and licence
+  * blocks survive both document-level exact dedup and MinHash (the shared
+  * span is a small fraction of either document) — this catches them.
+  *
+  * Construction: every k-word window of every document is Buzhash-hashed
+  * (`TextFunctions.windowHashes` — stride 1, so a shared k-token span
+  * ALWAYS yields a shared window hash in both documents regardless of its
+  * offset; any stride > 1 silently misses spans whose offsets differ mod
+  * stride). Shape at scale: one explode to (doc, hash) longs — ~n_tokens
+  * rows per doc, no strings cross the shuffle — one groupBy on the uniform
+  * 64-bit key with a min≠max share test (one pass, no countDistinct state),
+  * one semi-join back. False positives are hash collisions only (~2⁻⁶⁴ per
+  * pair); no false negatives.
+  */
+object SubstrDedup {
+  /** Per-document window-hash rows: (`idCol`, `win_hash`). The reusable
+    * exploded form — `flags` consumes it, and gates materialize it as the
+    * oracle aux. */
+  def windows(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 12): DataFrame =
+    df.select(col(idCol),
+      explode(graft.functions.TextFunctions.windowHashes(
+        split(trim(regexp_replace(col(textCol), "\\s+", " ")), " "), k))
+        .as("win_hash"))
+
+  /** One row per flagged document: `n_dup_windows` = how many of its
+    * windows are shared with at least one OTHER document. */
+  def flags(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 12): DataFrame = {
+    val win = windows(df, idCol, textCol, k)
+    val shared = win.groupBy(col("win_hash"))
+      .agg((min(col(idCol)) =!= max(col(idCol))).as("_shared"))
+      .filter(col("_shared")).select(col("win_hash"))
+    win.join(shared, Seq("win_hash"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_windows"))
+  }
+}

@@ -115,6 +115,39 @@ class SketchSpec extends SparkSuite {
     assert(ids1 == ids2)
   }
 
+  test("mixCorpusTemperature: alpha=1 keeps natural proportions; flattening boosts rare sources") {
+    import graft.functions.Sampling
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+    // alpha=1 → weight ∝ supply → keep_frac identical across sources
+    // (budget·(n_i/Σn)/n_i = budget/Σn)
+    val natural = Sampling.mixCorpusTemperature(
+      docs, "doc_id", "text", "source", alpha = 1.0, totalBudget = 5000.0)
+    val fracs = natural.select("source", "_keep_frac").distinct().collect()
+      .map(_.getDouble(1))
+    assert(fracs.max - fracs.min < 1e-12,
+      s"alpha=1 must give one shared fraction: ${fracs.toSeq}")
+    // alpha<1 gives rare sources a HIGHER keep fraction than abundant ones
+    val flat = Sampling.mixCorpusTemperature(
+      docs, "doc_id", "text", "source", alpha = 0.3, totalBudget = 5000.0)
+    val bySrc = flat.select("source", "_keep_frac").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val supply = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rare = supply.minBy(_._2)._1
+    val rich = supply.maxBy(_._2)._1
+    if (supply(rare) < supply(rich)) // strict only when supplies differ
+      assert(bySrc(rare) >= bySrc(rich))
+    // budget ≥ total supply → everything kept
+    val all = Sampling.mixCorpusTemperature(
+      docs, "doc_id", "text", "source", alpha = 0.5, totalBudget = 1e12)
+    assert(all.count() == docs.count())
+    // partitioning-invariant membership, like every sampler here
+    val again = Sampling.mixCorpusTemperature(docs.repartition(7),
+      "doc_id", "text", "source", alpha = 0.3, totalBudget = 5000.0)
+    assert(again.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      flat.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("approx distinct stays shuffle-light: no distinct expansion in plan") {
     val q = events.groupBy("event_type")
       .agg(Sketches.approxDistinct(col("user_id")).as("u"))

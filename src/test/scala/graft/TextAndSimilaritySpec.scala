@@ -476,4 +476,67 @@ class TextAndSimilaritySpec extends SparkSuite {
       .select("content").collect().map(_.getAs[Array[Byte]](0).toSeq)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("passageDedup removes cross-doc repeated passages, keeps unique text") {
+    val boiler = (1 to 20).map(i => s"license$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler ${(1 to 20).map(i => s"alpha$i").mkString(" ")}"),
+      (2L, s"$boiler ${(1 to 20).map(i => s"beta$i").mkString(" ")}"),
+      (3L, (1 to 40).map(i => s"gamma$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TF.passageDedup(docs, "doc_id", "text", passageWords = 20)
+      .orderBy("doc_id").collect()
+    // docs 1/2 lose the shared license block, keep their unique passage
+    assert(out(0).getAs[String]("clean_text").startsWith("alpha1 "))
+    assert(out(0).getAs[Long]("n_removed") == 1L)
+    assert(out(0).getAs[Long]("n_kept") == 1L)
+    assert(out(1).getAs[String]("clean_text").startsWith("beta1 "))
+    // doc 3 untouched, both passages kept in original order
+    assert(out(2).getAs[String]("clean_text") ==
+      (1 to 40).map(i => s"gamma$i").mkString(" "))
+    assert(out(2).getAs[Long]("n_removed") == 0L)
+  }
+
+  test("passageDedup maxDocFreq tolerates passages up to the threshold") {
+    val common = (1 to 20).map(i => s"c$i").mkString(" ")
+    val docs = Seq((1L, common), (2L, common), (3L, common))
+      .toDF("doc_id", "text")
+    // df=3 passage survives a maxDocFreq=3 run, dies at the default 1
+    val tolerant = TF.passageDedup(docs, "doc_id", "text", 20, maxDocFreq = 3)
+    assert(tolerant.filter(col("n_removed") > 0).count() == 0)
+    val strict = TF.passageDedup(docs, "doc_id", "text", 20)
+    assert(strict.filter(col("n_kept") > 0).count() == 0)
+  }
+
+  test("windowHashes: count, shared-span equality, short-doc empty") {
+    val df = Seq(
+      (1L, "a b c d e f"), // 6 words, k=4 -> 3 windows
+      (2L, "x y a b c d e z"), // contains doc 1's "a b c d" span
+      (3L, "a b c") // shorter than k -> no windows
+    ).toDF("doc_id", "text")
+    val wins = df.select(col("doc_id"),
+      TF.windowHashes(split(col("text"), " "), 4).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(wins(1L).size == 3 && wins(2L).size == 5 && wins(3L).isEmpty)
+    // the shared 4-word span hashes identically despite different offsets
+    assert(wins(2L).contains(wins(1L).head))
+    // distinct windows hash differently (Buzhash is order-sensitive)
+    assert(wins(1L).distinct.size == 3)
+  }
+
+  test("SubstrDedup flags exactly the docs sharing a verbatim k-span") {
+    import graft.operators.SubstrDedup
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"one unique prefix here $span"),
+      (2L, s"$span totally different tail words follow now"),
+      (3L, "no shared content in this document at all whatsoever truly"),
+      // same multiset of words as the span but reordered — must NOT flag
+      (4L, (12 to 1 by -1).map(i => s"s$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val flagged = SubstrDedup.flags(docs, "doc_id", "text", k = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet == Set(1L, 2L))
+    assert(flagged(1L) == 1L && flagged(2L) == 1L)
+  }
 }

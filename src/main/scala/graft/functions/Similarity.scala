@@ -200,6 +200,59 @@ object Similarity {
   }
 
   private def nearestCentroid(vec: Column,
+      centroids: Array[(Int, Seq[Double])]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(NearestCentroidExpr(
+      org.apache.spark.sql.GraftColumnBridge.expression(vec),
+      centroids.map(_._2.toArray)))
+
+  /** Argmin over the centroid table for one vector — the static entry the
+    * generated code calls. Ascending scan with strict `<` keeps the lowest
+    * index on distance ties, matching `array_min` over (d, i) structs. */
+  def nearestList(centroids: Array[Array[Double]],
+      a: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val dim = centroids(0).length
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c)
+      var d = 0.0; var j = 0
+      while (j < dim) {
+        val t = a.getFloat(j).toDouble - ctr(j); d += t * t; j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Codegen'd centroid-argmin: the centroid table rides along as one plan
+    * reference object and each vector is assigned in one generated call.
+    * The Column-tree spelling this replaces (kept below for the regression
+    * test) builds nLists × dim nodes — at 16×64 that is a ~4000-node tree
+    * whose analysis + janino compile dominated the whole IVF gate. */
+  private[graft] case class NearestCentroidExpr(
+      child: org.apache.spark.sql.catalyst.expressions.Expression,
+      centroids: Array[Array[Double]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: org.apache.spark.sql.types.DataType = IntegerType
+    override def nullSafeEval(input: Any): Any =
+      nearestList(centroids,
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.Similarity.nearestList($ref, $c)")
+    }
+    override protected def withNewChildInternal(
+        newChild: org.apache.spark.sql.catalyst.expressions.Expression): NearestCentroidExpr =
+      copy(child = newChild)
+    override def prettyName: String = "nearest_centroid"
+  }
+
+  /** The nLists × dim Column-tree form `nearestCentroid` replaced (asserted
+    * bit-equal in FastExprAndIvfSpec — same left-to-right double
+    * accumulation, same lowest-index tie rule). */
+  private[graft] def nearestCentroidTreeForm(vec: Column,
       centroids: Array[(Int, Seq[Double])]): Column = {
     val scored = centroids.map { case (i, c) =>
       val cArr = array(c.map(lit): _*)

@@ -25,6 +25,49 @@ object IsolationForest {
 
   final case class Model(trees: Seq[Node], psi: Int, means: Array[Double]) {
     def heightLimit: Int = math.ceil(log2(psi.toDouble)).toInt
+    /** Flattened trees for the scoring hot path — recomputed lazily per
+      * executor after deserialization (cheap: one walk per tree). */
+    @transient lazy val flat: Array[FlatTree] = trees.map(FlatTree.from).toArray
+  }
+
+  /** Pointer-free tree: node i is a split when `feature(i) >= 0` (branch to
+    * `lo(i)`/`hi(i)`), else a leaf whose `leafVal(i)` is the PRECOMPUTED
+    * depth + c(size) contribution. Scoring walks int indices over primitive
+    * arrays — no per-node object dereference or virtual dispatch, which is
+    * what the 100-trees-×-every-row pass spends its time on. */
+  final case class FlatTree(feature: Array[Int], value: Array[Double],
+      lo: Array[Int], hi: Array[Int], leafVal: Array[Double]) {
+    def pathLen(row: Array[Double]): Double = {
+      var i = 0
+      while (feature(i) >= 0) i = if (row(feature(i)) < value(i)) lo(i) else hi(i)
+      leafVal(i)
+    }
+  }
+
+  object FlatTree {
+    def from(root: Node): FlatTree = {
+      val feature = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val value = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val lo = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val hi = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val leafVal = scala.collection.mutable.ArrayBuffer.empty[Double]
+      def emit(n: Node, depth: Int): Int = n match {
+        case Leaf(size) =>
+          val i = feature.length
+          feature += -1; value += 0.0; lo += -1; hi += -1
+          leafVal += depth + cFactor(size)
+          i
+        case Split(f, v, l, h) =>
+          val i = feature.length
+          feature += f; value += v; lo += -1; hi += -1; leafVal += 0.0
+          val li = emit(l, depth + 1); lo(i) = li
+          val hii = emit(h, depth + 1); hi(i) = hii
+          i
+      }
+      emit(root, 0)
+      FlatTree(feature.toArray, value.toArray, lo.toArray, hi.toArray,
+        leafVal.toArray)
+    }
   }
 
   private def log2(x: Double): Double = math.log(x) / math.log(2.0)
@@ -59,8 +102,19 @@ object IsolationForest {
         else pathLength(row, hi, depth + 1)
     }
 
-  /** Anomaly score ∈ (0,1): s = 2^(−E[h]/c(ψ)); ≥0.5 ≈ anomalous. */
+  /** Anomaly score ∈ (0,1): s = 2^(−E[h]/c(ψ)); ≥0.5 ≈ anomalous.
+    * Walks the flattened trees in tree order — bit-identical to the boxed
+    * [[pathLength]] fold (same summation order, same precomputed
+    * depth+c(size) leaf values), asserted by spec. */
   def score(model: Model, row: Array[Double]): Double = {
+    val ts = model.flat
+    var s = 0.0; var t = 0
+    while (t < ts.length) { s += ts(t).pathLen(row); t += 1 }
+    math.pow(2.0, -(s / ts.length) / cFactor(model.psi))
+  }
+
+  /** The boxed-tree spelling `score` replaced (kept as the regression twin). */
+  private[graft] def scoreBoxed(model: Model, row: Array[Double]): Double = {
     val avg = model.trees.map(t => pathLength(row, t)).sum / model.trees.size
     math.pow(2.0, -avg / cFactor(model.psi))
   }

@@ -209,6 +209,19 @@ class FastExprAndIvfSpec extends SparkSuite {
     }
   }
 
+  test("nearest_centroid kernel is bit-identical to the struct-argmin tree form") {
+    val emb = graft.core.Tables.table(spark, sfDir, "embeddings")
+    val index = Similarity.ivfIndex(emb, "embedding", "vec_id", nLists = 8)
+    // same centroid table through both spellings — assignment must agree
+    // everywhere (incl. the lowest-index distance-tie rule)
+    val mismatches = emb.select(col("vec_id"),
+        Similarity.nearestCentroidTreeForm(col("embedding"), index.centroids)
+          .as("tree"))
+      .join(index.assigned.select(col("vec_id"), col("_list")), "vec_id")
+      .filter(col("tree") =!= col("_list")).count()
+    assert(mismatches == 0)
+  }
+
   test("IVF index: self-query returns itself; probes bound the scan") {
     val emb = graft.core.Tables.table(spark, sfDir, "embeddings")
     val index = Similarity.ivfIndex(emb, "embedding", "vec_id", nLists = 8)

@@ -60,6 +60,18 @@ class ServiceSpec extends SparkSuite {
     assert(s1 == s2)
   }
 
+  test("flattened iforest scoring is bit-identical to the boxed tree walk") {
+    val data = ((1 to 300).map(i => (i.toLong, (i % 13) * 1.7, (i % 5) * 3.0)) ++
+      Seq((301L, 900.0, -700.0))).toDF("id", "a", "b")
+    val model = IsolationForest.fit(data, Seq("a", "b"), "id", numTrees = 40)
+    val rows = Seq(Array(1.7, 3.0), Array(900.0, -700.0), Array(0.0, 0.0),
+      Array(-5.5, 12.0), Array(22.1, 6.0))
+    rows.foreach { r =>
+      assert(IsolationForest.score(model, r) ==
+        IsolationForest.scoreBoxed(model, r))
+    }
+  }
+
   test("custom aggregators register and partial-aggregate correctly") {
     graft.functions.CustomAggregators.registerBuiltins(spark)
     Seq(2.0, 8.0).toDF("v").createOrReplaceTempView("ca_test")

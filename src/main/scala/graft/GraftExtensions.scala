@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, DecimalDot, TokenCount}
+import graft.functions.{CosineSim, DecimalDot, TokenCount, WindowHashes}
 
 /** Spark-native installation point for graft's codegen kernels: with
   * `spark.sql.extensions=graft.GraftExtensions` (cluster conf — static, so
@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("decimal_dot"),
       info("decimal_dot", "_FUNC_(a, b) - decimal-exact dot product of two array<float>"),
       (exprs: Seq[Expression]) => DecimalDot(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("window_hashes"),
+      info("window_hashes", "_FUNC_(words, k) - Buzhash of every k-word window, one O(n) pass"),
+      (exprs: Seq[Expression]) => WindowHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
   }
 }

@@ -663,3 +663,79 @@ object CosineQ8 {
       org.apache.spark.sql.GraftColumnBridge.expression(a),
       org.apache.spark.sql.GraftColumnBridge.expression(b)))
 }
+
+/** All k-word-window Buzhash values of a word array in ONE O(n) pass —
+  * the scan kernel behind exact-substring dedup (`SubstrDedup`). The
+  * Column spelling (`TextFunctions.windowHashes`: per-window
+  * slice+aggregate through interpreted HOFs) recomputes every window from
+  * scratch — O(n·k) hash folds; the cyclic polynomial rolls in O(1) per
+  * step (rotl1(H) ⊕ rotl_k(h_out) ⊕ h_in), so this kernel is O(n) with
+  * one word-hash each. Bit-identical to the Column form (same xxhash64
+  * seed-42 word hashes, same rotate-XOR fold; rotation counts reduce mod
+  * 64 in both spellings), asserted by FastExprAndIvfSpec.
+  */
+case class WindowHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"window_hashes needs array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WindowHashes.hashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WindowHashes.hashes($c, $k)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WindowHashes = copy(child = newChild)
+
+  override def prettyName: String = "window_hashes"
+}
+
+object WindowHashes {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** Called from generated code — must stay a static-forwardable method. */
+  def hashes(words: ArrayData, k: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = words.numElements()
+    val m = n - k + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    val h = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      val s = words.getUTF8String(j)
+      h(j) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, 42L)
+      j += 1
+    }
+    val out = new Array[Long](m)
+    var acc = 0L
+    j = 0
+    while (j < k) { acc = java.lang.Long.rotateLeft(acc, 1) ^ h(j); j += 1 }
+    out(0) = acc
+    var i = 1
+    while (i < m) {
+      acc = java.lang.Long.rotateLeft(acc, 1) ^
+        java.lang.Long.rotateLeft(h(i - 1), k) ^ h(i + k - 1)
+      out(i) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "window_hashes", exprs => WindowHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+
+  def window_hashes(words: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(WindowHashes(
+      org.apache.spark.sql.GraftColumnBridge.expression(words), k))
+}

@@ -457,12 +457,18 @@ object TextFunctions {
     * share a verbatim span of ≥ k tokens iff they share a window hash,
     * modulo hash collisions). Per-word xxhash64 is computed once and the
     * window combine is rotate-XOR — ANSI-safe (no overflowing arithmetic)
-    * and O(1)-rollable, so a future codegen kernel can do the whole array
-    * in one O(n) pass; this Column spelling is the independent-correctness
-    * twin at O(n·k). Documents shorter than `k` words yield an empty array
-    * (no k-token claim possible). */
+    * and O(1)-rollable: the codegen'd [[WindowHashes]] kernel rolls the
+    * whole array in one O(n) pass. Documents shorter than `k` words yield
+    * an empty array (no k-token claim possible). */
   def windowHashes(words: Column, k: Int): Column = {
     require(k >= 2 && k <= 512, s"k must be in [2, 512]: $k")
+    WindowHashes.window_hashes(words, k)
+  }
+
+  /** The per-window slice+aggregate Column spelling the kernel replaced —
+    * O(n·k) interpreted HOF folds; kept as the bit-equality regression
+    * twin (FastExprAndIvfSpec). */
+  private[graft] def windowHashesTreeForm(words: Column, k: Int): Column = {
     def rotl1(x: Column): Column =
       shiftleft(x, 1).bitwiseOR(shiftrightunsigned(x, 63))
     val hashed = transform(words, w => xxhash64(w))

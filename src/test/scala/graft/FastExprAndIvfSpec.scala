@@ -209,6 +209,26 @@ class FastExprAndIvfSpec extends SparkSuite {
     }
   }
 
+  test("window_hashes kernel is bit-identical to the slice+aggregate form") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+      .select(split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")
+        .as("w"))
+    for (k <- Seq(2, 12, 64, 65)) { // incl. rotation-count wraparound at 64
+      val mismatches = docs.select(
+          TF.windowHashes(col("w"), k).as("fast"),
+          TF.windowHashesTreeForm(col("w"), k).as("tree"))
+        .filter(col("fast") =!= col("tree")).count()
+      assert(mismatches == 0, s"k=$k")
+    }
+    // participates in whole-stage codegen
+    val plan = docs.select(TF.windowHashes(col("w"), 12))
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty)
+  }
+
   test("nearest_centroid kernel is bit-identical to the struct-argmin tree form") {
     val emb = graft.core.Tables.table(spark, sfDir, "embeddings")
     val index = Similarity.ivfIndex(emb, "embedding", "vec_id", nLists = 8)

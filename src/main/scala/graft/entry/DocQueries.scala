@@ -544,6 +544,12 @@ object DocQueries {
         t(s, dir, "documents"), "doc_id", "text", passageWords = 20)
         .orderBy(col("doc_id"))),
 
+    "q_source_overlap" -> ((s, dir) =>
+      // cross-source shingle contamination matrix — the split-leakage
+      // report; every cell exactly replayable (shingle sets are portable)
+      CorpusStats.sourceOverlap(t(s, dir, "documents"), "text", "source", 3)
+        .orderBy(col("g_a"), col("g_b"))),
+
     "q_doc_substr_dup" -> ((s, dir) => {
       // exact-substring dedup: every 12-word window Buzhash'd; the exploded
       // (doc, hash) form is the aux, and the oracle independently replays
@@ -1169,6 +1175,27 @@ object DocQueries {
         |  CAST(coalesce(sum(CASE WHEN boiler THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed
         |FROM ch JOIN fr ON md5(ch.chunk_text) = fr.k
         |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
+
+    "q_source_overlap" -> {
+      val sh =
+        """list_distinct(list_transform(
+          |  range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 1, 1)),
+          |  i -> concat_ws(' ',
+          |    string_split_regex(trim(lower(text)), '\s+')[i],
+          |    string_split_regex(trim(lower(text)), '\s+')[i+1],
+          |    string_split_regex(trim(lower(text)), '\s+')[i+2])))""".stripMargin.replace("\n", " ")
+      s"""WITH sh AS (SELECT DISTINCT source AS g, unnest($sh) AS sh
+         |  FROM documents),
+         |sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY g),
+         |shared AS (SELECT a.g AS g_a, b.g AS g_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM sh a JOIN sh b USING (sh) WHERE a.g < b.g GROUP BY 1, 2)
+         |SELECT s.g_a, s.g_b, s.n_shared,
+         |  ${Sql.sround("CAST(s.n_shared AS DOUBLE) / (na.n + nb.n - s.n_shared)")} AS jaccard
+         |FROM shared s
+         |JOIN sizes na ON s.g_a = na.g JOIN sizes nb ON s.g_b = nb.g
+         |ORDER BY s.g_a, s.g_b""".stripMargin
+    },
 
     "q_doc_substr_dup" ->
       """WITH w AS (SELECT * FROM

@@ -63,4 +63,40 @@ object CorpusStats {
             col("n_docs").cast(DoubleType), 4).as("dup_frac"),
         col("mean_quality")): _*)
   }
+
+  /** Cross-group contamination matrix: for every pair of corpus groups
+    * (sources, or train/test split labels), the number of DISTINCT word
+    * `k`-gram shingles they share and the shingle-set Jaccard — the
+    * leakage report a curator reads before trusting a split ("does my test
+    * set share phrasing with training data?"). One row per overlapping
+    * pair, `g_a < g_b`.
+    *
+    * Physical shape: shingle kernel projection → one distinct on
+    * (group, shingle) — vocabulary-sized, not corpus-sized — then a
+    * self-equi-join on the shingle key (≤ |groups| rows per key, so the
+    * join output is bounded by vocab · |groups|²) and a tiny pair
+    * aggregate. Group count is low-cardinality by contract; the corpus is
+    * scanned ONCE. */
+  def sourceOverlap(df: DataFrame, textCol: String, groupCol: String,
+      k: Int = 3): DataFrame = {
+    val sh = df.select(col(groupCol).as("_g"),
+        explode(graft.operators.MinHashDedup.shingles(col(textCol), k))
+          .as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("_g")).agg(count(lit(1)).as("n"))
+    val shared = sh.select(col("_g").as("g_a"), col("sh"))
+      .join(sh.select(col("_g").as("g_b"), col("sh")), Seq("sh"))
+      .filter(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("_g").as("g_a"), col("n").as("_na"))),
+        Seq("g_a"))
+      .join(broadcast(sizes.select(col("_g").as("g_b"), col("n").as("_nb"))),
+        Seq("g_b"))
+      .select(col("g_a"), col("g_b"), col("n_shared"),
+        Semantics.safeRound(col("n_shared").cast(DoubleType) /
+          (col("_na") + col("_nb") - col("n_shared")).cast(DoubleType), 4)
+          .as("jaccard"))
+  }
 }

@@ -524,6 +524,22 @@ class TextAndSimilaritySpec extends SparkSuite {
     assert(wins(1L).distinct.size == 3)
   }
 
+  test("sourceOverlap counts shared shingles and Jaccard per group pair") {
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      ("train", "alpha beta gamma delta"), // shingles: {abg, bgd}
+      ("test", "alpha beta gamma zeta"),   // shingles: {abg, bgz}
+      ("clean", "one two three four")      // disjoint
+    ).toDF("split", "text")
+    val m = CorpusStats.sourceOverlap(docs, "text", "split", 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // only the leaking pair appears; jaccard = 1 shared / 3 union
+    assert(m.keySet == Set(("test", "train")))
+    assert(m(("test", "train"))._1 == 1L)
+    assert(math.abs(m(("test", "train"))._2 - 0.3333) < 1e-9)
+  }
+
   test("SubstrDedup flags exactly the docs sharing a verbatim k-span") {
     import graft.operators.SubstrDedup
     val span = (1 to 12).map(i => s"s$i").mkString(" ")

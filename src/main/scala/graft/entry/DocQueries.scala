@@ -552,13 +552,25 @@ object DocQueries {
 
     "q_doc_substr_dup" -> ((s, dir) => {
       // exact-substring dedup: every 12-word window Buzhash'd; the exploded
-      // (doc, hash) form is the aux, and the oracle independently replays
-      // the shared-window test + per-doc counts from it
+      // (doc, pos, hash) form is the aux, and the oracle independently
+      // replays the shared-window test + per-doc counts from it
       val docs = t(s, dir, "documents")
       SubstrDedup.windows(docs, "doc_id", "text", k = 12)
         .write.mode("overwrite")
         .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/substr_windows")
       SubstrDedup.flags(docs, "doc_id", "text", k = 12)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_doc_substr_remove" -> ((s, dir) => {
+      // span REMOVAL (the Lee-et-al remedy): words covered by any shared
+      // window cut out, survivors re-stitched; the oracle rebuilds every
+      // document from the same aux windows + raw text
+      val docs = t(s, dir, "documents")
+      SubstrDedup.windows(docs, "doc_id", "text", k = 12)
+        .write.mode("overwrite")
+        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/substr_windows")
+      SubstrDedup.removeSpans(docs, "doc_id", "text", k = 12)
         .orderBy(col("doc_id"))
     })
   )
@@ -1204,6 +1216,29 @@ object DocQueries {
         |  GROUP BY win_hash HAVING min(doc_id) <> max(doc_id))
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
         |FROM w JOIN sh USING (win_hash)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_doc_substr_remove" ->
+      """WITH w AS (SELECT * FROM
+        |    read_parquet('/tmp/graft_oracle_aux/{SF}/substr_windows/*.parquet')),
+        |sh AS (SELECT win_hash FROM w
+        |  GROUP BY win_hash HAVING min(doc_id) <> max(doc_id)),
+        |st AS (SELECT DISTINCT doc_id, win_pos FROM w JOIN sh USING (win_hash)),
+        |cov AS (SELECT DISTINCT doc_id,
+        |    unnest(range(win_pos, win_pos + 12)) AS pos FROM st),
+        |words AS (SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS wd,
+        |    unnest(range(0, len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')))) AS pos
+        |  FROM documents),
+        |kept AS (SELECT wo.doc_id, wo.pos, wo.wd FROM words wo
+        |  ANTI JOIN cov ON wo.doc_id = cov.doc_id AND wo.pos = cov.pos),
+        |reb AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY pos) AS clean_text,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tokens_kept FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |  CAST(coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+        |  CAST(len(string_split(trim(regexp_replace(d.text, '\s+', ' ', 'g')), ' '))
+        |    - coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_removed
+        |FROM documents d LEFT JOIN reb r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

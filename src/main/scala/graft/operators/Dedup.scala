@@ -425,26 +425,73 @@ object NgramJaccard {
   * pair); no false negatives.
   */
 object SubstrDedup {
-  /** Per-document window-hash rows: (`idCol`, `win_hash`). The reusable
-    * exploded form — `flags` consumes it, and gates materialize it as the
-    * oracle aux. */
+  /** Per-document window-hash rows: (`idCol`, `win_pos`, `win_hash`) with
+    * `win_pos` the 0-based word offset of the window start. The reusable
+    * exploded form — `flags`/`removeSpans` consume it, and gates
+    * materialize it as the oracle aux. */
   def windows(df: DataFrame, idCol: String, textCol: String,
       k: Int = 12): DataFrame =
     df.select(col(idCol),
-      explode(graft.functions.TextFunctions.windowHashes(
+      posexplode(graft.functions.TextFunctions.windowHashes(
         split(trim(regexp_replace(col(textCol), "\\s+", " ")), " "), k))
-        .as("win_hash"))
+        .as(Seq("win_pos", "win_hash")))
+
+  /** Window hashes shared by ≥2 distinct documents — the dup-span keys. */
+  private def sharedHashes(win: DataFrame, idCol: String): DataFrame =
+    win.groupBy(col("win_hash"))
+      .agg((min(col(idCol)) =!= max(col(idCol))).as("_shared"))
+      .filter(col("_shared")).select(col("win_hash"))
 
   /** One row per flagged document: `n_dup_windows` = how many of its
     * windows are shared with at least one OTHER document. */
   def flags(df: DataFrame, idCol: String, textCol: String,
       k: Int = 12): DataFrame = {
     val win = windows(df, idCol, textCol, k)
-    val shared = win.groupBy(col("win_hash"))
-      .agg((min(col(idCol)) =!= max(col(idCol))).as("_shared"))
-      .filter(col("_shared")).select(col("win_hash"))
-    win.join(shared, Seq("win_hash"))
+    win.join(sharedHashes(win, idCol), Seq("win_hash"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_dup_windows"))
+  }
+
+  /** Cut the duplicated spans OUT (the reference pipelines' actual remedy —
+    * Lee et al. drop one copy of each duplicated span rather than the
+    * whole document): every word covered by any cross-document shared
+    * window is removed and the survivors are re-stitched in order. Every
+    * document comes back (possibly with empty `clean_text`), with
+    * `n_tokens_kept`/`n_tokens_removed` counts.
+    *
+    * Fully relational: token positions explode to (doc, pos) rows, shared
+    * window starts expand to their covered positions via one `sequence`
+    * explode, and a left-anti join keeps the surviving tokens — every join
+    * is on (doc, pos) or the uniform hash key, so the shape holds at any
+    * corpus size. */
+  def removeSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 12): DataFrame = {
+    val win = windows(df, idCol, textCol, k)
+    val starts = win.join(sharedHashes(win, idCol), Seq("win_hash"))
+      .select(col(idCol), col("win_pos"))
+    val covered = starts
+      .select(col(idCol),
+        explode(sequence(col("win_pos"), col("win_pos") + lit(k - 1)))
+          .as("pos"))
+      .distinct()
+    val words = df.select(col(idCol),
+        posexplode(split(trim(regexp_replace(col(textCol), "\\s+", " ")), " "))
+          .as(Seq("pos", "w")))
+    val kept = words.join(covered, Seq(idCol, "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w"))).as("clean_text"),
+        count(lit(1)).as("n_tokens_kept"))
+    df.select(col(idCol),
+        size(split(trim(regexp_replace(col(textCol), "\\s+", " ")), " "))
+          .cast("long").as("_n_total"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        (col("_n_total") - coalesce(col("n_tokens_kept"), lit(0L)))
+          .as("n_tokens_removed"))
   }
 }

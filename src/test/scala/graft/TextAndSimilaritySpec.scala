@@ -524,6 +524,29 @@ class TextAndSimilaritySpec extends SparkSuite {
     assert(wins(1L).distinct.size == 3)
   }
 
+  test("removeSpans cuts exactly the covered words, keeps everything else") {
+    import graft.operators.SubstrDedup
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"keep1 keep2 $span keep3"),
+      (2L, s"$span tail1 tail2 tail3"),
+      (3L, "untouched words only in this document right here now ok fine")
+    ).toDF("doc_id", "text")
+    val out = SubstrDedup.removeSpans(docs, "doc_id", "text", k = 12)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") == "keep1 keep2 keep3")
+    assert(out(0).getAs[Long]("n_tokens_removed") == 12L)
+    assert(out(1).getAs[String]("clean_text") == "tail1 tail2 tail3")
+    assert(out(2).getAs[Long]("n_tokens_removed") == 0L)
+    assert(out(2).getAs[String]("clean_text").startsWith("untouched"))
+    // doc fully made of the shared span → empty text, everything removed
+    val all = SubstrDedup.removeSpans(
+      Seq((1L, span), (2L, span)).toDF("doc_id", "text"), "doc_id", "text", 12)
+      .orderBy("doc_id").collect()
+    assert(all(0).getAs[String]("clean_text") == "")
+    assert(all(0).getAs[Long]("n_tokens_kept") == 0L)
+  }
+
   test("sourceOverlap counts shared shingles and Jaccard per group pair") {
     import graft.operators.CorpusStats
     val docs = Seq(

@@ -544,6 +544,13 @@ object DocQueries {
         t(s, dir, "documents"), "doc_id", "text", passageWords = 20)
         .orderBy(col("doc_id"))),
 
+    "q_doc_rarity" -> ((s, dir) =>
+      // unigram rarity + OOV vs the top-20 corpus vocabulary — integer
+      // counts + decimal averaging, so every cell replays exactly
+      TF.rarityScoreTable(t(s, dir, "documents"), "doc_id", "text",
+        vocabK = 20)
+        .orderBy(col("doc_id"))),
+
     "q_source_overlap" -> ((s, dir) =>
       // cross-source shingle contamination matrix — the split-leakage
       // report; every cell exactly replayable (shingle sets are portable)
@@ -1187,6 +1194,20 @@ object DocQueries {
         |  CAST(coalesce(sum(CASE WHEN boiler THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed
         |FROM ch JOIN fr ON md5(ch.chunk_text) = fr.k
         |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
+
+    "q_doc_rarity" ->
+      s"""WITH words AS (SELECT doc_id,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |  FROM documents),
+         |freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM words GROUP BY w),
+         |vocab AS (SELECT w FROM freq ORDER BY cnt DESC, w ASC LIMIT 20)
+         |SELECT wo.doc_id,
+         |  ${Sql.eavg("f.cnt")} AS mean_word_count,
+         |  ${Sql.sround("CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS oov_rate
+         |FROM words wo JOIN freq f USING (w)
+         |LEFT JOIN vocab v ON wo.w = v.w
+         |GROUP BY wo.doc_id ORDER BY wo.doc_id""".stripMargin,
 
     "q_source_overlap" -> {
       val sh =

@@ -452,6 +452,41 @@ object TextFunctions {
         sum(when(col("_boiler"), 1L).otherwise(0L)).as("n_removed"))
   }
 
+  /** Unigram rarity + out-of-vocabulary signals — the portable face of the
+    * CCNet-style "LM surprise" curation score. Per document:
+    * `mean_word_count` (exact decimal average of each word's CORPUS
+    * occurrence count — low means rare/unusual phrasing) and `oov_rate`
+    * (fraction of tokens outside the top-`vocabK` corpus vocabulary,
+    * tie-broken deterministically by (count desc, word asc) so the vocab
+    * cut is engine-stable). Integer corpus counts + decimal-exact averaging
+    * keep every value bit-portable — no float log arithmetic, unlike a
+    * literal perplexity.
+    *
+    * Physical shape: one explode to (doc, word), one count aggregate on the
+    * word key (uniform, vocabulary-sized result), top-`vocabK` via
+    * TakeOrdered on the tiny frequency frame, one join back on the word
+    * key, one per-doc aggregate. All shuffles key-uniform; the raw text
+    * never crosses one. */
+  def rarityScoreTable(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabK: Int = 1000): org.apache.spark.sql.DataFrame = {
+    val words = df.select(col(idCol),
+      explode(split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " "))
+        .as("_w"))
+    val freq = words.groupBy(col("_w")).agg(count(lit(1)).as("_cnt"))
+    val vocab = freq
+      .orderBy(col("_cnt").desc, col("_w").asc).limit(vocabK)
+      .select(col("_w"), lit(1).as("_in_vocab"))
+    words
+      .join(freq, Seq("_w"))
+      .join(broadcast(vocab), Seq("_w"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        graft.core.Semantics.exactAvg(col("_cnt")).as("mean_word_count"),
+        graft.core.Semantics.safeRound(
+          sum(when(col("_in_vocab").isNull, 1).otherwise(0)).cast(DoubleType)
+            / count(lit(1)).cast(DoubleType), 4).as("oov_rate"))
+  }
+
   /** Buzhash (cyclic-polynomial) hashes of EVERY `k`-word window of the
     * document — the relational face of exact-substring dedup (two documents
     * share a verbatim span of ≥ k tokens iff they share a window hash,

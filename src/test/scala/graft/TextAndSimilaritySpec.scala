@@ -524,6 +524,25 @@ class TextAndSimilaritySpec extends SparkSuite {
     assert(wins(1L).distinct.size == 3)
   }
 
+  test("rarityScoreTable: common words score high, OOV toggles with vocabK") {
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common rare1"),
+      (3L, "rare2 rare3")
+    ).toDF("doc_id", "text")
+    // counts: common=5, rare1/2/3=1 each
+    val out = TF.rarityScoreTable(docs, "doc_id", "text", vocabK = 1)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("mean_word_count") == 5.0)
+    assert(out(0).getAs[Double]("oov_rate") == 0.0) // all in top-1 vocab
+    assert(out(1).getAs[Double]("mean_word_count") == 3.0) // (5+1)/2
+    assert(out(1).getAs[Double]("oov_rate") == 0.5)
+    assert(out(2).getAs[Double]("oov_rate") == 1.0)
+    // vocabK covering everything → no OOV anywhere
+    val all = TF.rarityScoreTable(docs, "doc_id", "text", vocabK = 10)
+    assert(all.filter(col("oov_rate") > 0).count() == 0)
+  }
+
   test("removeSpans cuts exactly the covered words, keeps everything else") {
     import graft.operators.SubstrDedup
     val span = (1 to 12).map(i => s"s$i").mkString(" ")

@@ -524,6 +524,24 @@ class TextAndSimilaritySpec extends SparkSuite {
     assert(wins(1L).distinct.size == 3)
   }
 
+  test("chooseBanding lands the s-curve inflection near the threshold") {
+    // classic 64-hash cases: high thresholds want few bands of many rows
+    val (bHi, rHi) = MinHashDedup.chooseBanding(64, 0.9)
+    val (bLo, rLo) = MinHashDedup.chooseBanding(64, 0.3)
+    assert(bHi * rHi == 64 && bLo * rLo == 64)
+    assert(bHi < bLo) // lower threshold → more bands (more permissive)
+    // the chosen banding is actually the best factorization on offer
+    for ((b, r) <- Seq((bHi, rHi))) {
+      val err = math.abs(math.pow(1.0 / b, 1.0 / r) - 0.9)
+      val all = (1 to 64).filter(64 % _ == 0).map(x => (x, 64 / x))
+      assert(all.forall { case (b2, r2) =>
+        math.abs(math.pow(1.0 / b2, 1.0 / r2) - 0.9) >= err - 1e-12 })
+    }
+    // probability curve: steep around the inflection, monotone
+    val p = MinHashDedup.candidateProbability(_: Double, 16, 4)
+    assert(p(0.95) > 0.99 && p(0.1) < 0.01 && p(0.5) > p(0.2))
+  }
+
   test("rarityScoreTable: common words score high, OOV toggles with vocabK") {
     val docs = Seq(
       (1L, "common common common common"),

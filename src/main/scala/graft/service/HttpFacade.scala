@@ -36,6 +36,11 @@ final class HttpFacade(tables: Facade.Tables, maxRows: Int = 100000) {
     server.createContext("/api/analytics/dashboard/schema", getCtx(handleSchema))
     server.createContext("/api/analytics/dashboard", getCtx(handleDashboard))
     server.createContext("/api/analytics/anomalies", postCtx(handleAnomalies))
+    server.createContext("/api/analytics/generate-insights", postJsonCtx(handleInsights))
+    server.createContext("/api/analytics/visualizations/generate", postJsonCtx(handleVizGenerate))
+    server.createContext("/api/pipeline/unified", postJsonCtx(handlePipeline))
+    server.createContext("/health",
+      safe(ex => send(ex, 200, """{"status":"healthy"}""")))
     // a small pool: requests block on Spark actions, and Spark's scheduler
     // (FIFO/fair) arbitrates the actual cluster work
     pool = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -157,7 +162,124 @@ final class HttpFacade(tables: Facade.Tables, maxRows: Int = 100000) {
     Facade.handle(Facade.Dashboard(
       kind = q.getOrElse("kind", "summary"), table = q("table")))(tables)
 
+  /** `POST /api/analytics/generate-insights` (main.py:789-860): the
+    * engine-side profile text the reference feeds its LLM call (the call
+    * itself is out of scope — no egress). */
+  private def handleInsights(body: Map[String, Any]): String = {
+    val df = tables.resolve(asStr(body("table")))
+    val text = graft.viz.InsightProfile.profileText(df,
+      asInt(body.getOrElse("sample_rows", 1000L), 1000))
+    MiniJson.render(Map("insights" -> text, "status" -> "generated"))
+  }
+
+  /** `POST /api/analytics/visualizations/generate` (main.py:1238-1297):
+    * analyze the table, pick charts, aggregate each chart's data and return
+    * ready-to-render ECharts configs. */
+  private def handleVizGenerate(body: Map[String, Any]): String = {
+    import graft.viz.{Echarts, Visualization}
+    val df = tables.resolve(asStr(body("table")))
+    val max = asInt(body.getOrElse("max_charts", 5L), 5)
+    val charts = Visualization.selectCharts(Visualization.analyze(df), max)
+    val rendered = charts.map { cfg =>
+      val data = Visualization.dataFor(df, cfg)
+      val rows = Echarts.rowsOf(data, limit = 100)
+      val (xf, yf) = (data.columns.head,
+        data.columns.lift(1).getOrElse(data.columns.head))
+      val chart = Echarts.generate(cfg.chartType, rows, xf, yf,
+        title = Some(s"${cfg.chartType}: ${cfg.x}"))
+      s"""{"chart_type":"${cfg.chartType}","x":"${cfg.x}"""" +
+        cfg.y.map(y => s""","y":"$y"""").getOrElse("") +
+        s""","priority":${cfg.priority},"echarts":${chart.render}}"""
+    }
+    s"""{"visualizations":${rendered.mkString("[", ",", "]")},"count":${rendered.length}}"""
+  }
+
+  /** `POST /api/pipeline/unified` (main.py:102-180): full
+    * extract→transform→load from one JSON config — the reference's primary
+    * execution endpoint. Org/RAG auto-pathing is scoped out (SURVEY §2.12);
+    * sources/destinations are taken as given. */
+  private def handlePipeline(body: Map[String, Any]): String = {
+    val cfg = parsePipelineConfig(body)
+    val result = Config.build(cfg)
+      .run(org.apache.spark.sql.SparkSession.active)
+    val stages = result.stageRowCounts.map { case (k, v) =>
+      s""""${MiniJson.escape(k)}":$v""" }.mkString("{", ",", "}")
+    s"""{"pipeline_id":"${java.util.UUID.randomUUID()}","mode":"unified",""" +
+      s""""status":"completed","rows_loaded":${result.rowsLoaded},""" +
+      s""""stage_counts":$stages}"""
+  }
+
+  /** Reference request shapes (`models.py:28-120`) → `Config` ADTs. */
+  private[service] def parsePipelineConfig(body: Map[String, Any]): Config.PipelineConfig = {
+    val src = asMap(body("source"))
+    val source = asStr(src("type")) match {
+      case "csv" => Config.CsvSource(asStr(src("path")))
+      case "json" => Config.JsonSource(asStr(src("path")))
+      case "parquet" => Config.ParquetSource(asStr(src("path")))
+      case "database" | "postgresql" => Config.JdbcSource(
+        asStr(src("connection_string")), asStr(src("table_name")))
+      case other => throw new IllegalArgumentException(s"unknown source $other")
+    }
+    val transformers = asList(body.getOrElse("transformers", Nil)).map { t =>
+      val tm = asMap(t)
+      val c = asMap(tm.getOrElse("config", Map.empty))
+      asStr(tm("type")) match {
+        case "null_remover" => Config.NullRemoverConf(
+          asStr(c.getOrElse("strategy", "drop")),
+          asList(c.getOrElse("fields", Nil)).map(asStr),
+          asStr(c.getOrElse("fill_value", "")))
+        case "dedup" => Config.DeduplicatorConf(
+          asList(c.getOrElse("match_fields", Nil)).map(asStr),
+          asStr(c.getOrElse("merge_strategy", "keep_first")))
+        case "quality_scorer" => Config.QualityScorerConf(
+          asList(c.getOrElse("fields", Nil)).map(asStr),
+          c.get("min_score").collect { case d: Double => d }.getOrElse(0.5),
+          c.get("filter_low").contains(true))
+        case "anomaly_detector" => Config.AnomalyDetectorConf(
+          asStr(c.getOrElse("method", "statistical")),
+          asList(c.getOrElse("fields", Nil)).map(asStr),
+          c.get("threshold").collect { case d: Double => d }.getOrElse(3.0))
+        case "schema_inferrer" => Config.SchemaInferrerConf(
+          asList(c.getOrElse("fields", Nil)).map(asStr))
+        case "aggregator" => Config.AggregatorConf(
+          asList(c.getOrElse("group_by", Nil)).map(asStr),
+          asList(c.getOrElse("aggregations", Nil)).map { a =>
+            val am = asMap(a)
+            (asStr(am("column")), asStr(am.getOrElse("agg", "sum")),
+              asStr(am.getOrElse("alias", asStr(am("column")))))
+          })
+        case "column_remover" => Config.ColumnRemoverConf(
+          asList(c.getOrElse("columns", Nil)).map(asStr).toSet)
+        case "metadata_to_columns" => Config.MetadataToColumnsConf()
+        case other => throw new IllegalArgumentException(s"unknown transformer $other")
+      }
+    }
+    val dests = asList(body.getOrElse("destinations",
+      body.get("destination").map(List(_)).getOrElse(Nil))).map { d =>
+      val dm = asMap(d)
+      asStr(dm("type")) match {
+        case "csv" => Config.CsvDest(asStr(dm("path")))
+        case "json" => Config.JsonlDest(asStr(dm("path")))
+        case "parquet" => Config.ParquetDest(asStr(dm("path")))
+        case "sqlite" | "postgres" => Config.JdbcDest(
+          asStr(dm("connection_string")),
+          asStr(dm.getOrElse("table_name", "etl_data")))
+        case other => throw new IllegalArgumentException(s"unknown destination $other")
+      }
+    }
+    Config.PipelineConfig(source, transformers, dests)
+  }
+
   // ---- plumbing -----------------------------------------------------------
+
+  /** POST handler returning a pre-rendered JSON body (non-envelope routes). */
+  private def postJsonCtx(post: Map[String, Any] => String): com.sun.net.httpserver.HttpHandler =
+    safe { ex =>
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val parsed = if (body.trim.isEmpty) Map.empty[String, Any]
+                   else asMap(MiniJson.parse(body))
+      send(ex, 200, post(parsed))
+    }
 
   private def postCtx(post: Map[String, Any] => DataFrame): com.sun.net.httpserver.HttpHandler =
     safe { ex =>

@@ -399,6 +399,46 @@ class ServiceSpec extends SparkSuite {
       assert(c4 == 500)
       assert(err.asInstanceOf[Map[String, Any]]("detail")
         .asInstanceOf[String].nonEmpty) // amount detection fails on nation
+
+      // health probe (main.py:88)
+      val (ch, health) = call("GET", "/health")
+      assert(ch == 200 &&
+        health.asInstanceOf[Map[String, Any]]("status") == "healthy")
+
+      // insights: engine-side profile text the reference feeds its LLM
+      val (ci, ins) = call("POST", "/api/analytics/generate-insights",
+        """{"table": "orders"}""")
+      assert(ci == 200)
+      assert(ins.asInstanceOf[Map[String, Any]]("insights")
+        .asInstanceOf[String].contains("o_orderkey"))
+
+      // viz generation: ready-to-render echarts configs
+      val (cv, viz) = call("POST", "/api/analytics/visualizations/generate",
+        """{"table": "orders", "max_charts": 3}""")
+      assert(cv == 200)
+      val vizzes = viz.asInstanceOf[Map[String, Any]]("visualizations")
+        .asInstanceOf[List[Any]].map(_.asInstanceOf[Map[String, Any]])
+      assert(vizzes.nonEmpty && vizzes.size <= 3)
+      assert(vizzes.forall(v => v.contains("chart_type") &&
+        v("echarts").asInstanceOf[Map[String, Any]].contains("series")))
+
+      // unified pipeline: csv source -> null_remover + dedup -> parquet,
+      // the reference's primary POST (main.py:102)
+      val pipeDir = java.nio.file.Files.createTempDirectory("http_pipe")
+      graft.io.Sinks.csv(
+        graft.core.Tables.table(spark, sfDir, "region"), s"$pipeDir/in")
+      val (cp, pipe) = call("POST", "/api/pipeline/unified",
+        s"""{"name": "t", "mode": "unified",
+            "source": {"type": "csv", "path": "$pipeDir/in"},
+            "transformers": [
+              {"type": "null_remover", "config": {"strategy": "drop"}},
+              {"type": "dedup", "config": {"match_fields": ["r_regionkey"]}}],
+            "destinations": [{"type": "parquet", "path": "$pipeDir/out"}]}""")
+      assert(cp == 200)
+      val penv = pipe.asInstanceOf[Map[String, Any]]
+      assert(penv("status") == "completed")
+      assert(penv("rows_loaded") == 5L)
+      assert(spark.read.parquet(s"$pipeDir/out").count() == 5L)
     } finally http.stop()
   }
 }

@@ -50,23 +50,28 @@ object Config {
       destinations: Seq[DestinationConfig] = Nil,
       checkpointDir: Option[String] = None)
 
+  /** Source config → reader (shared by the unified build and the staged
+    * HTTP mode, which runs stages one at a time). */
+  def sourceFn(src: SourceConfig): SparkSession => DataFrame = src match {
+    case CsvSource(p, h, d) => s => graft.io.Sources.csv(s, p, h, d)
+    case JsonSource(p, jp) => s => graft.io.Sources.jsonArray(s, p, jp)
+    case ParquetSource(p) => s => graft.io.Sources.parquet(s, p)
+    case JdbcSource(u, t, o) => s => graft.io.Sources.jdbc(s, u, t, o)
+  }
+
+  /** Destination config → writer (shared the same way). */
+  def sinkFn(dest: DestinationConfig): DataFrame => Unit = dest match {
+    case CsvDest(p, h) => df => graft.io.Sinks.csv(df, p, h)
+    case JsonlDest(p) => df => graft.io.Sinks.jsonl(df, p)
+    case ParquetDest(p, pc) => df => graft.io.Sinks.parquet(df, p, partitionCols = pc)
+    case JdbcDest(u, t, m) => df => graft.io.Sinks.jdbc(df, u, t, m)
+  }
+
   /** Factory: config → runnable pipeline (pipeline_service.py:552-667). */
   def build(cfg: PipelineConfig): Pipeline = {
-    val sourceFn: SparkSession => DataFrame = cfg.source match {
-      case CsvSource(p, h, d) => s => graft.io.Sources.csv(s, p, h, d)
-      case JsonSource(p, jp) => s => graft.io.Sources.jsonArray(s, p, jp)
-      case ParquetSource(p) => s => graft.io.Sources.parquet(s, p)
-      case JdbcSource(u, t, o) => s => graft.io.Sources.jdbc(s, u, t, o)
-    }
     val stages: Seq[TransformStage] = cfg.transformers.map(stageFor)
-    val sinks: Seq[DataFrame => Unit] = cfg.destinations.map {
-      case CsvDest(p, h) => df => graft.io.Sinks.csv(df, p, h)
-      case JsonlDest(p) => df => graft.io.Sinks.jsonl(df, p)
-      case ParquetDest(p, pc) => df => graft.io.Sinks.parquet(df, p, partitionCols = pc)
-      case JdbcDest(u, t, m) => df => graft.io.Sinks.jdbc(df, u, t, m)
-    }
-    val base = stages.foldLeft(Pipeline.extract(sourceFn))(_ transform _)
-    val withSinks = sinks.foldLeft(base)(_ load _)
+    val base = stages.foldLeft(Pipeline.extract(sourceFn(cfg.source)))(_ transform _)
+    val withSinks = cfg.destinations.map(sinkFn).foldLeft(base)(_ load _)
     cfg.checkpointDir.fold(withSinks)(withSinks.checkpointed)
   }
 

@@ -39,6 +39,10 @@ final class HttpFacade(tables: Facade.Tables, maxRows: Int = 100000) {
     server.createContext("/api/analytics/generate-insights", postJsonCtx(handleInsights))
     server.createContext("/api/analytics/visualizations/generate", postJsonCtx(handleVizGenerate))
     server.createContext("/api/pipeline/unified", postJsonCtx(handlePipeline))
+    server.createContext("/api/pipeline/staged", safe(handleStaged))
+    server.createContext("/api/pipeline", safe(handleStatus)) // /{id}/status
+    server.createContext("/api/pipelines",
+      safe(ex => send(ex, 200, listPipelines())))
     server.createContext("/health",
       safe(ex => send(ex, 200, """{"status":"healthy"}""")))
     // a small pool: requests block on Spark actions, and Spark's scheduler
@@ -268,6 +272,127 @@ final class HttpFacade(tables: Facade.Tables, maxRows: Int = 100000) {
       }
     }
     Config.PipelineConfig(source, transformers, dests)
+  }
+
+  // ---- staged mode (main.py:183-330) --------------------------------------
+
+  /** One staged pipeline's lifecycle; stage outputs checkpoint through
+    * [[graft.io.IntermediateStore]] so each HTTP call is independent (the
+    * reference's staged mode persists between calls the same way). */
+  private final class StagedState(val name: String,
+      val cfg: Config.PipelineConfig, val storeDir: String) {
+    val createdAt: Long = System.currentTimeMillis()
+    @volatile var updatedAt: Long = createdAt
+    @volatile var extractStatus = "pending"
+    @volatile var transformStatus = "pending"
+    @volatile var loadStatus = "pending"
+    @volatile var extractRecords: Option[Long] = None
+    @volatile var transformRecords: Option[Long] = None
+    def overall: String =
+      if (Seq(extractStatus, transformStatus, loadStatus).contains("failed")) "failed"
+      else if (loadStatus == "completed") "completed"
+      else if (extractStatus == "pending") "initialized"
+      else "in_progress"
+  }
+
+  private val stagedPipelines =
+    new java.util.concurrent.ConcurrentHashMap[String, StagedState]()
+
+  private def handleStaged(ex: HttpExchange): Unit = {
+    val rest = ex.getRequestURI.getPath.stripPrefix("/api/pipeline/staged")
+      .stripPrefix("/")
+    if (rest == "init") {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val parsed = asMap(MiniJson.parse(body))
+      val id = java.util.UUID.randomUUID().toString
+      val st = new StagedState(asStr(parsed.getOrElse("name", "pipeline")),
+        parsePipelineConfig(parsed), s"/tmp/graft_staged/$id")
+      stagedPipelines.put(id, st)
+      send(ex, 200, s"""{"pipeline_id":"$id","mode":"staged",""" +
+        s""""status":"initialized","message":"staged pipeline created"}""")
+    } else rest.split("/") match {
+      case Array(id, stage) if stagedPipelines.containsKey(id) =>
+        send(ex, 200, runStage(id, stagedPipelines.get(id), stage))
+      case _ => send(ex, 404, """{"detail":"pipeline not found"}""")
+    }
+  }
+
+  private def runStage(id: String, st: StagedState, stage: String): String = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val store = new graft.io.IntermediateStore(spark, st.storeDir)
+    val t0 = System.nanoTime()
+    def done(records: Option[Long]): String = {
+      st.updatedAt = System.currentTimeMillis()
+      val secs = (System.nanoTime() - t0) / 1e9
+      s"""{"pipeline_id":"$id","stage":"$stage","status":"completed"""" +
+        records.fold("")(n => s""","records":$n""") +
+        f""","duration_seconds":$secs%.3f,"message":"$stage completed"}"""
+    }
+    try stage match {
+      case "extract" =>
+        val df = Config.sourceFn(st.cfg.source)(spark)
+        val n = store.save("extracted", df, "extract")
+        st.extractStatus = "completed"; st.extractRecords = Some(n)
+        done(Some(n))
+      case "transform" =>
+        require(st.extractStatus == "completed", "extract has not run")
+        val (df, _) = store.load("extracted")
+        val stages = st.cfg.transformers.map(Config.stageFor)
+        val out = stages.foldLeft(df)((d, s) => s(d))
+        val n = store.save("transformed", out, "transform",
+          stages.map(_.name))
+        st.transformStatus = "completed"; st.transformRecords = Some(n)
+        done(Some(n))
+      case "load" =>
+        require(st.transformStatus == "completed" ||
+          (st.cfg.transformers.isEmpty && st.extractStatus == "completed"),
+          "transform has not run")
+        val key = if (st.cfg.transformers.isEmpty) "extracted" else "transformed"
+        val (df, _) = store.load(key)
+        val cached = df.cache()
+        try st.cfg.destinations.map(Config.sinkFn).foreach(_(cached))
+        finally { cached.unpersist(); () }
+        st.loadStatus = "completed"
+        done(st.transformRecords.orElse(st.extractRecords))
+      case other =>
+        throw new IllegalArgumentException(s"unknown stage $other")
+    } catch {
+      case e: Throwable =>
+        stage match {
+          case "extract" => st.extractStatus = "failed"
+          case "transform" => st.transformStatus = "failed"
+          case _ => st.loadStatus = "failed"
+        }
+        st.updatedAt = System.currentTimeMillis()
+        throw e
+    }
+  }
+
+  private def statusJson(id: String, st: StagedState): String =
+    s"""{"pipeline_id":"$id","name":"${MiniJson.escape(st.name)}",""" +
+      s""""mode":"staged","overall_status":"${st.overall}",""" +
+      s""""extract_status":"${st.extractStatus}",""" +
+      s""""transform_status":"${st.transformStatus}",""" +
+      s""""load_status":"${st.loadStatus}"""" +
+      st.extractRecords.fold("")(n => s""","extract_records":$n""") +
+      st.transformRecords.fold("")(n => s""","transform_records":$n""") +
+      s""","created_at":${st.createdAt},"updated_at":${st.updatedAt}}"""
+
+  private def handleStatus(ex: HttpExchange): Unit = {
+    val rest = ex.getRequestURI.getPath.stripPrefix("/api/pipeline")
+      .stripPrefix("/")
+    rest.split("/") match {
+      case Array(id, "status") if stagedPipelines.containsKey(id) =>
+        send(ex, 200, statusJson(id, stagedPipelines.get(id)))
+      case _ => send(ex, 404, """{"detail":"pipeline not found"}""")
+    }
+  }
+
+  private def listPipelines(): String = {
+    import scala.jdk.CollectionConverters._
+    stagedPipelines.asScala.toSeq.sortBy(_._2.createdAt)
+      .map { case (id, st) => statusJson(id, st) }
+      .mkString("[", ",", "]")
   }
 
   // ---- plumbing -----------------------------------------------------------

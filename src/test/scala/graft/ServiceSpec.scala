@@ -439,6 +439,35 @@ class ServiceSpec extends SparkSuite {
       assert(penv("status") == "completed")
       assert(penv("rows_loaded") == 5L)
       assert(spark.read.parquet(s"$pipeDir/out").count() == 5L)
+
+      // staged mode: init -> extract -> transform -> load, one call each,
+      // stage outputs persisted between calls (main.py:183-330)
+      val (ci2, initResp) = call("POST", "/api/pipeline/staged/init",
+        s"""{"name": "staged-t",
+            "source": {"type": "csv", "path": "$pipeDir/in"},
+            "transformers": [{"type": "dedup",
+              "config": {"match_fields": ["r_regionkey"]}}],
+            "destinations": [{"type": "parquet", "path": "$pipeDir/staged_out"}]}""")
+      assert(ci2 == 200)
+      val pid = initResp.asInstanceOf[Map[String, Any]]("pipeline_id")
+        .asInstanceOf[String]
+      for (stage <- Seq("extract", "transform", "load")) {
+        val (cs, sr) = call("POST", s"/api/pipeline/staged/$pid/$stage")
+        assert(cs == 200, s"$stage failed: $sr")
+        val m = sr.asInstanceOf[Map[String, Any]]
+        assert(m("status") == "completed" && m("stage") == stage)
+      }
+      val (cst, stat) = call("GET", s"/api/pipeline/$pid/status")
+      assert(cst == 200)
+      val sm = stat.asInstanceOf[Map[String, Any]]
+      assert(sm("overall_status") == "completed")
+      assert(sm("extract_records") == 5L && sm("transform_records") == 5L)
+      assert(spark.read.parquet(s"$pipeDir/staged_out").count() == 5L)
+      // out-of-order stage call fails loudly, listing shows the pipeline
+      val (cbad, _) = call("POST", "/api/pipeline/staged/nope/extract")
+      assert(cbad == 404)
+      val (cl, listed) = call("GET", "/api/pipelines")
+      assert(cl == 200 && listed.asInstanceOf[List[Any]].nonEmpty)
     } finally http.stop()
   }
 }

@@ -384,6 +384,19 @@ final class HttpFacade(tables: Facade.Tables, maxRows: Int = 100000) {
     rest.split("/") match {
       case Array(id, "status") if stagedPipelines.containsKey(id) =>
         send(ex, 200, statusJson(id, stagedPipelines.get(id)))
+      case Array(id, "data", "preview") if stagedPipelines.containsKey(id) =>
+        // GET .../data/preview?stage=transformed&limit=100 (main.py:369)
+        val q = queryParams(ex)
+        val st = stagedPipelines.get(id)
+        val store = new graft.io.IntermediateStore(
+          org.apache.spark.sql.SparkSession.active, st.storeDir)
+        val key = q.getOrElse("stage", "transformed")
+        if (!store.exists(key))
+          send(ex, 404, s"""{"detail":"No data found for stage '$key'"}""")
+        else {
+          val (df, _) = store.load(key)
+          respond(ex, df.limit(q.get("limit").map(_.toInt).getOrElse(100)))
+        }
       case _ => send(ex, 404, """{"detail":"pipeline not found"}""")
     }
   }

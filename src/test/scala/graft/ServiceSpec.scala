@@ -463,6 +463,14 @@ class ServiceSpec extends SparkSuite {
       assert(sm("overall_status") == "completed")
       assert(sm("extract_records") == 5L && sm("transform_records") == 5L)
       assert(spark.read.parquet(s"$pipeDir/staged_out").count() == 5L)
+      // preview returns the persisted stage rows in the query envelope
+      val (cpv, pv) = call("GET",
+        s"/api/pipeline/$pid/data/preview?stage=transformed&limit=3")
+      assert(cpv == 200)
+      assert(pv.asInstanceOf[Map[String, Any]]("row_count") == 3L)
+      val (cpv404, _) = call("GET",
+        s"/api/pipeline/$pid/data/preview?stage=bogus")
+      assert(cpv404 == 404)
       // out-of-order stage call fails loudly, listing shows the pipeline
       val (cbad, _) = call("POST", "/api/pipeline/staged/nope/extract")
       assert(cbad == 404)

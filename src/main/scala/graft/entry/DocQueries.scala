@@ -544,6 +544,20 @@ object DocQueries {
         t(s, dir, "documents"), "doc_id", "text", passageWords = 20)
         .orderBy(col("doc_id"))),
 
+    "q_bpe_train" -> ((s, dir) => {
+      // distributed BPE training: 6 merge rounds over the word-type table;
+      // every round's full pair-count frame is the aux, so the oracle
+      // re-derives each argmax under the same (count desc, pair asc) total
+      // order — the selection logic is what the gate proves
+      import s.implicits._
+      val merges = graft.functions.Bpe.train(
+        t(s, dir, "documents"), "text", numMerges = 6,
+        auxDir = Some(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/bpe_pairs"))
+      merges.map(m => (m.round, m.left, m.right, m.freq))
+        .toDF("round", "merge_left", "merge_right", "freq")
+        .orderBy(col("round"))
+    }),
+
     "q_doc_rarity" -> ((s, dir) =>
       // unigram rarity + OOV vs the top-20 corpus vocabulary — integer
       // counts + decimal averaging, so every cell replays exactly
@@ -1194,6 +1208,15 @@ object DocQueries {
         |  CAST(coalesce(sum(CASE WHEN boiler THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed
         |FROM ch JOIN fr ON md5(ch.chunk_text) = fr.k
         |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
+
+    "q_bpe_train" ->
+      """WITH mx AS (SELECT _round, _a, _b, _cnt,
+        |    row_number() OVER (PARTITION BY _round
+        |      ORDER BY _cnt DESC, _a ASC, _b ASC) AS rn
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/bpe_pairs/*.parquet'))
+        |SELECT _round AS round, _a AS merge_left, _b AS merge_right,
+        |  CAST(_cnt AS BIGINT) AS freq
+        |FROM mx WHERE rn = 1 ORDER BY _round""".stripMargin,
 
     "q_doc_rarity" ->
       s"""WITH words AS (SELECT doc_id,

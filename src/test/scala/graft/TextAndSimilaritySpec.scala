@@ -524,6 +524,31 @@ class TextAndSimilaritySpec extends SparkSuite {
     assert(wins(1L).distinct.size == 3)
   }
 
+  test("BPE training picks hand-computable merges; encode round-trips") {
+    import graft.functions.Bpe
+    // types: abab(freq 2: two (a,b) pairs each), abc(freq 2), xy(freq 1)
+    // → weighted (a,b) count = 2·2 + 1·2 = 6, the clear argmax
+    val docs = Seq((1L, "abab abc abab"), (2L, "abc xy")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 3)
+    assert(merges.head.left == "a" && merges.head.right == "b")
+    assert(merges.head.freq == 6L)
+    // greedy left-to-right: "abab" with merge (a,b) -> [ab, ab]
+    val enc = docs.select(Bpe.encode(col("text"), merges).as("e"))
+      .collect().map(_.getSeq[String](0))
+    // concatenating encoded symbols reproduces the normalized text exactly
+    val roundTrip = enc.map(_.mkString(""))
+    assert(roundTrip.toSeq == Seq("abab abc abab", "abc xy"))
+    // merges compound: (a,b) → (ab,ab) → (ab,c), so whole words collapse
+    assert(enc.head == Seq("abab", " ", "abc", " ", "abab"))
+    // with only the first merge applied, the "ab" subword is visible
+    val enc1 = docs.select(Bpe.encode(col("text"), merges.take(1)).as("e"))
+      .collect().map(_.getSeq[String](0))
+    assert(enc1.head.contains("ab") && !enc1.head.contains("abab"))
+    // determinism across partitionings
+    val again = Bpe.train(docs.repartition(5), "text", numMerges = 3)
+    assert(again == merges)
+  }
+
   test("chooseBanding lands the s-curve inflection near the threshold") {
     // classic 64-hash cases: high thresholds want few bands of many rows
     val (bHi, rHi) = MinHashDedup.chooseBanding(64, 0.9)

@@ -558,6 +558,22 @@ object DocQueries {
         .orderBy(col("round"))
     }),
 
+    "q_bpe_encode" -> ((s, dir) => {
+      // encode the corpus with 6 trained merges; aux carries each doc's
+      // symbol array, and the oracle re-concatenates it — hash-matching
+      // doc_id/n_syms PROVES every encoding reconstructs its normalized
+      // text exactly (a dropped/duplicated/reordered symbol breaks it)
+      val docs = t(s, dir, "documents")
+      val merges = graft.functions.Bpe.train(docs, "text", numMerges = 6)
+      val encoded = docs.select(col("doc_id"), col("text"),
+        graft.functions.Bpe.encode(col("text"), merges).as("syms"))
+        .persist()
+      encoded.write.mode("overwrite")
+        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/bpe_encoded")
+      encoded.select(col("doc_id"), size(col("syms")).as("n_syms"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_doc_rarity" -> ((s, dir) =>
       // unigram rarity + OOV vs the top-20 corpus vocabulary — integer
       // counts + decimal averaging, so every cell replays exactly
@@ -1217,6 +1233,13 @@ object DocQueries {
         |SELECT _round AS round, _a AS merge_left, _b AS merge_right,
         |  CAST(_cnt AS BIGINT) AS freq
         |FROM mx WHERE rn = 1 ORDER BY _round""".stripMargin,
+
+    "q_bpe_encode" ->
+      """SELECT doc_id, CAST(len(syms) AS INT) AS n_syms
+        |FROM read_parquet('/tmp/graft_oracle_aux/{SF}/bpe_encoded/*.parquet')
+        |WHERE array_to_string(syms, '') =
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |ORDER BY doc_id""".stripMargin,
 
     "q_doc_rarity" ->
       s"""WITH words AS (SELECT doc_id,

@@ -57,9 +57,16 @@ object QualityModel {
     require(pos > 0 && pos < n,
       s"weak labels are single-class ($pos of $n positive) — mix degraded " +
         "negatives into the training frame")
+    // right-size the training frame: each LBFGS iteration is a
+    // treeAggregate whose cost at small-to-medium n is pure task
+    // scheduling, so aim for ~50k instances/partition (floor 4 to keep the
+    // reduction parallel; never ABOVE the existing partitioning — at
+    // billion-row scale the natural partitioning already dominates)
+    val parts = math.max(4L, math.min(n / 50000L + 1L,
+      labeled.rdd.getNumPartitions.toLong)).toInt
     val assembled = new VectorAssembler()
       .setInputCols(featureNames.toArray).setOutputCol("features")
-      .transform(labeled)
+      .transform(labeled.coalesce(parts))
     val model = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
       .setFeaturesCol("features").setLabelCol("label")

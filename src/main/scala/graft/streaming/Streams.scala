@@ -157,6 +157,29 @@ object Streams {
     * Structured Streaming requires to evict buffered rows, so per-key state
     * stays one watermark window deep regardless of stream length. Right
     * columns are suffixed `_r` so self-joins on one schema stay referable. */
+  /** Streaming corpus-quality monitor — the streaming face of
+    * `CorpusStats.corpusCard`: per (window × source) document counts, token
+    * totals, and mean quality score over an incoming document stream. All
+    * signal computation is per-row projection (the batch kernels), so the
+    * only state is the watermark-bounded windowed aggregate — the live
+    * ingest dashboard for a training-data pipeline ("is source X suddenly
+    * sending short/garbage docs?"). */
+  def qualityMonitor(docs: DataFrame, eventTimeCol: String,
+      textCol: String, sourceCol: String, window_ : String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    docs
+      .withColumn("_n_tokens", TF.tokenCount(col(textCol)).cast("long"))
+      .withColumn("_quality", TF.qualityScore(col(textCol)))
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), window_).as("w"), col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_n_tokens")).as("n_tokens"),
+        avg(col("_quality")).as("mean_quality"))
+      .select(col("w.start").as("window_start"), col(sourceCol),
+        col("n_docs"), col("n_tokens"), col("mean_quality"))
+  }
+
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, watermark: String,
       before: String = "10 minutes",

@@ -197,6 +197,31 @@ class AsofAndSessionSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming quality monitor aggregates per window x source, matches batch kernels") {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(java.sql.Timestamp, String, String)]
+    val docs = src.toDS().toDF("ts", "source", "text")
+    val mon = Streams.qualityMonitor(docs, "ts", "text", "source",
+      window_ = "10 minutes", watermark = "30 minutes")
+    val q = mon.writeStream.outputMode("update")
+      .format("memory").queryName("qmon_test").start()
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    try {
+      src.addData(
+        (t(1), "web", "the quick brown fox jumps over the lazy dog"),
+        (t(2), "web", "a short doc"),
+        (t(3), "books", "another fine document with several reasonable words"))
+      q.processAllAvailable()
+      val rows = spark.table("qmon_test").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      // token totals replay the batch kernel: 9 + 3 web tokens, 7 books
+      assert(rows.contains(("web", 2L, 12L)))
+      assert(rows.contains(("books", 1L, 7L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the window, drops outside") {
     import graft.streaming.Streams
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -91,9 +91,17 @@ object Bpe {
   }
 
   /** Encode a text column with a trained merge list: one character split +
-    * M chained merge passes, all inside one projection (no shuffle — the
-    * encoder is a pure scan at any corpus size). */
+    * the codegen'd [[BpeApply]] kernel running all M merge passes in one
+    * call, inside one projection (no shuffle — the encoder is a pure scan
+    * at any corpus size). */
   def encode(text: Column, merges: Seq[Merge]): Column =
+    BpeApply.bpe_apply(
+      split(trim(regexp_replace(lower(text), "\\s+", " ")), ""),
+      merges.map(m => (m.left, m.right)))
+
+  /** The M-chained-`aggregate` Column spelling `encode` replaced — O(M·n²)
+    * interpreted folds; kept as the bit-equality regression twin. */
+  private[graft] def encodeTreeForm(text: Column, merges: Seq[Merge]): Column =
     merges.foldLeft(split(trim(regexp_replace(lower(text), "\\s+", " ")), "")
         .as("syms")) {
       (syms, m) => applyMerge(syms, m.left, m.right)

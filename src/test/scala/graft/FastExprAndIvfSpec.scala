@@ -229,6 +229,22 @@ class FastExprAndIvfSpec extends SparkSuite {
     }.nonEmpty)
   }
 
+  test("bpe_apply kernel is bit-identical to the chained-aggregate fold") {
+    import graft.functions.Bpe
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+    val merges = Bpe.train(docs, "text", numMerges = 6)
+    val mismatches = docs.select(
+        Bpe.encode(col("text"), merges).as("fast"),
+        Bpe.encodeTreeForm(col("text"), merges).as("tree"))
+      .filter(col("fast") =!= col("tree")).count()
+    assert(mismatches == 0)
+    // in-pass re-merge edge: "aaa" under (a,a) gives [aa, a], never [aa, aa]
+    val tricky = Seq("aaa aaaa").toDF("t")
+    val m = Seq(Bpe.Merge(0, "a", "a", 0L))
+    val got = tricky.select(Bpe.encode(col("t"), m)).head().getSeq[String](0)
+    assert(got == Seq("aa", "a", " ", "aa", "aa"))
+  }
+
   test("nearest_centroid kernel is bit-identical to the struct-argmin tree form") {
     val emb = graft.core.Tables.table(spark, sfDir, "embeddings")
     val index = Similarity.ivfIndex(emb, "embedding", "vec_id", nLists = 8)

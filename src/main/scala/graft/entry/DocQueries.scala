@@ -544,6 +544,18 @@ object DocQueries {
         t(s, dir, "documents"), "doc_id", "text", passageWords = 20)
         .orderBy(col("doc_id"))),
 
+    "q_quality_calibrate" -> ((s, dir) => {
+      // budget→threshold calibration: exact 70th-percentile cutoff keeps
+      // the best ≈30%; gate checks the per-source kept counts
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TF.qualityScore(col("text")).as("q"))
+      val cutoff = QualityScorer.calibrateCutoff(scored, "q", 0.3)
+      scored.filter(col("q") >= cutoff)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     "q_bpe_train" -> ((s, dir) => {
       // distributed BPE training: 6 merge rounds over the word-type table;
       // every round's full pair-count frame is the aux, so the oracle
@@ -1224,6 +1236,13 @@ object DocQueries {
         |  CAST(coalesce(sum(CASE WHEN boiler THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed
         |FROM ch JOIN fr ON md5(ch.chunk_text) = fr.k
         |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
+
+    "q_quality_calibrate" ->
+      s"""WITH s AS (SELECT doc_id, source, $qualityScoreSql AS q FROM documents),
+         |c AS (SELECT quantile_cont(q, 0.7) AS cut FROM s)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+         |FROM s, c WHERE q >= cut
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_bpe_train" ->
       """WITH mx AS (SELECT _round, _a, _b, _cnt,

@@ -107,3 +107,20 @@ final case class QualityScorer(
     else marked
   }
 }
+
+object QualityScorer {
+  /** Calibrate a score cutoff for a TOKEN/ROW budget: the exact
+    * `(1 − targetKeepRate)` percentile of `scoreCol`, so keeping rows with
+    * `score >= cutoff` retains ≈ the target share of the corpus. The
+    * curation workflow is "keep the best 30%", not "keep score ≥ 0.5" —
+    * this turns the budget into the threshold. One exact-percentile
+    * aggregate job; ties at the cutoff keep slightly more than the target
+    * (never less). */
+  def calibrateCutoff(df: DataFrame, scoreCol: String,
+      targetKeepRate: Double): Double = {
+    require(targetKeepRate > 0 && targetKeepRate <= 1,
+      s"targetKeepRate must be in (0,1]: $targetKeepRate")
+    df.agg(expr(s"percentile(`$scoreCol`, ${1.0 - targetKeepRate})"))
+      .head().getDouble(0)
+  }
+}

@@ -36,7 +36,14 @@ object ExactDedup {
       qualityCol: String = "_meta_quality_score"): DataFrame = {
     val withId = if (df.columns.contains(rowId)) df
                  else Aggregator.withRowId(df, rowId)
-    val key = matchKey(withId, matchFields)
+    // default key = the RECORD fields: never the internal row id (it would
+    // make every row unique and silently disable dedup) and never _meta_
+    // columns (the reference keys on record.data, not metadata)
+    val fields =
+      if (matchFields.nonEmpty) matchFields
+      else df.columns.toSeq.filterNot(c =>
+        c == rowId || c.startsWith("_meta_"))
+    val key = matchKey(withId, fields)
     val w = strategy match {
       case "keep_first" => Window.partitionBy(key).orderBy(col(rowId).asc)
       case "keep_last"  => Window.partitionBy(key).orderBy(col(rowId).desc)

@@ -34,7 +34,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DecimalDot(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("window_hashes"),
       info("window_hashes", "_FUNC_(words, k) - Buzhash of every k-word window, one O(n) pass"),
-      (exprs: Seq[Expression]) => WindowHashes(exprs.head,
-        exprs(1).eval().asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => {
+        if (!exprs(1).foldable)
+          throw new IllegalArgumentException(
+            "window_hashes: k must be a literal")
+        val k = exprs(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"window_hashes: integer k required, got $other")
+        }
+        require(k >= 2 && k <= 512, s"window_hashes: k in [2, 512], got $k")
+        WindowHashes(exprs.head, k)
+      }))
   }
 }

@@ -612,9 +612,10 @@ object DocQueries {
     }),
 
     "q_doc_substr_remove" -> ((s, dir) => {
-      // span REMOVAL (the Lee-et-al remedy): words covered by any shared
-      // window cut out, survivors re-stitched; the oracle rebuilds every
-      // document from the same aux windows + raw text
+      // span REMOVAL (the Lee-et-al remedy): the canonical (min-doc) copy
+      // of each shared span survives, every other copy's words cut out;
+      // the oracle rebuilds every document from the same aux windows +
+      // raw text
       val docs = t(s, dir, "documents")
       SubstrDedup.windows(docs, "doc_id", "text", k = 12)
         .write.mode("overwrite")
@@ -1307,9 +1308,10 @@ object DocQueries {
     "q_doc_substr_remove" ->
       """WITH w AS (SELECT * FROM
         |    read_parquet('/tmp/graft_oracle_aux/{SF}/substr_windows/*.parquet')),
-        |sh AS (SELECT win_hash FROM w
+        |sh AS (SELECT win_hash, min(doc_id) AS min_doc FROM w
         |  GROUP BY win_hash HAVING min(doc_id) <> max(doc_id)),
-        |st AS (SELECT DISTINCT doc_id, win_pos FROM w JOIN sh USING (win_hash)),
+        |st AS (SELECT DISTINCT w.doc_id, w.win_pos
+        |  FROM w JOIN sh USING (win_hash) WHERE w.doc_id <> sh.min_doc),
         |cov AS (SELECT DISTINCT doc_id,
         |    unnest(range(win_pos, win_pos + 12)) AS pos FROM st),
         |words AS (SELECT doc_id,

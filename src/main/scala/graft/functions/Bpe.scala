@@ -79,11 +79,16 @@ object Bpe {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         merges += Merge(r, a, b, n)
+        val prev = types
         types = types.withColumn("_syms",
           when(array_contains(col("_syms"), a) &&
             array_contains(col("_syms"), b),
             applyMerge(col("_syms"), a, b)).otherwise(col("_syms")))
           .localCheckpoint()
+        // release the superseded round's checkpoint blocks — realistic
+        // merge counts are thousands of rounds, and without this every
+        // round pins another copy of the type table in executor storage
+        prev.unpersist()
         r += 1
       }
     }
@@ -108,10 +113,13 @@ object Bpe {
     }
 
   /** The learned subword vocabulary: every merge product plus the single
-    * characters seen in training. */
+    * characters seen in training, plus the `" "` separator symbol —
+    * `encode` works on whitespace-normalized text whose spaces survive as
+    * standalone symbols (they never merge: no trained pair contains one),
+    * so a vocab-index consumer needs the space token present. */
   def vocab(types: DataFrame, merges: Seq[Merge]): Seq[String] = {
     val chars = types.select(explode(col("_syms")).as("c"))
       .distinct().collect().map(_.getString(0))
-    (chars ++ merges.map(m => m.left + m.right)).distinct.sorted.toSeq
+    (chars ++ merges.map(m => m.left + m.right) :+ " ").distinct.sorted.toSeq
   }
 }

@@ -711,8 +711,11 @@ object WindowHashes {
     var j = 0
     while (j < n) {
       val s = words.getUTF8String(j)
-      h(j) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-        s.numBytes, 42L)
+      // null word → the raw seed, exactly xxhash64(NULL) (null children
+      // leave the running hash untouched) — matches the tree form
+      h(j) = if (s == null) 42L
+        else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
       j += 1
     }
     val out = new Array[Long](m)
@@ -751,7 +754,9 @@ object WindowHashes {
   */
 case class BpeApply(child: Expression, merges: Array[Array[String]])
     extends UnaryExpression {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // null symbols pass through unmerged (like the fold twin, whose
+  // null-valued merge condition falls to the append branch)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -781,7 +786,11 @@ object BpeApply {
     var n = syms.numElements()
     var cur = new Array[String](n)
     var i = 0
-    while (i < n) { cur(i) = syms.getUTF8String(i).toString; i += 1 }
+    while (i < n) {
+      val s = syms.getUTF8String(i)
+      cur(i) = if (s == null) null else s.toString
+      i += 1
+    }
     var m = 0
     while (m < merges.length) {
       val a = merges(m)(0); val b = merges(m)(1); val ab = a + b
@@ -797,7 +806,10 @@ object BpeApply {
     }
     val out = new Array[Any](n)
     i = 0
-    while (i < n) { out(i) = UTF8String.fromString(cur(i)); i += 1 }
+    while (i < n) {
+      out(i) = if (cur(i) == null) null else UTF8String.fromString(cur(i))
+      i += 1
+    }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 

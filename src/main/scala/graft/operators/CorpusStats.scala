@@ -79,24 +79,33 @@ object CorpusStats {
     * scanned ONCE. */
   def sourceOverlap(df: DataFrame, textCol: String, groupCol: String,
       k: Int = 3): DataFrame = {
+    // the distinct (group, shingle) frame is consumed three times (both
+    // join sides + the sizes aggregate) — persist it so the corpus scan
+    // really happens once; the result is |groups|²-bounded, so it is
+    // materialized eagerly (localCheckpoint) and the cache released before
+    // returning
     val sh = df.select(col(groupCol).as("_g"),
         explode(graft.operators.MinHashDedup.shingles(col(textCol), k))
           .as("sh"))
       .distinct()
-    val sizes = sh.groupBy(col("_g")).agg(count(lit(1)).as("n"))
-    val shared = sh.select(col("_g").as("g_a"), col("sh"))
-      .join(sh.select(col("_g").as("g_b"), col("sh")), Seq("sh"))
-      .filter(col("g_a") < col("g_b"))
-      .groupBy(col("g_a"), col("g_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(broadcast(sizes.select(col("_g").as("g_a"), col("n").as("_na"))),
-        Seq("g_a"))
-      .join(broadcast(sizes.select(col("_g").as("g_b"), col("n").as("_nb"))),
-        Seq("g_b"))
-      .select(col("g_a"), col("g_b"), col("n_shared"),
-        Semantics.safeRound(col("n_shared").cast(DoubleType) /
-          (col("_na") + col("_nb") - col("n_shared")).cast(DoubleType), 4)
-          .as("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = sh.groupBy(col("_g")).agg(count(lit(1)).as("n"))
+      val shared = sh.select(col("_g").as("g_a"), col("sh"))
+        .join(sh.select(col("_g").as("g_b"), col("sh")), Seq("sh"))
+        .filter(col("g_a") < col("g_b"))
+        .groupBy(col("g_a"), col("g_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(broadcast(sizes.select(col("_g").as("g_a"), col("n").as("_na"))),
+          Seq("g_a"))
+        .join(broadcast(sizes.select(col("_g").as("g_b"), col("n").as("_nb"))),
+          Seq("g_b"))
+        .select(col("g_a"), col("g_b"), col("n_shared"),
+          Semantics.safeRound(col("n_shared").cast(DoubleType) /
+            (col("_na") + col("_nb") - col("n_shared")).cast(DoubleType), 4)
+            .as("jaccard"))
+        .localCheckpoint()
+    } finally { sh.unpersist(); () }
   }
 }

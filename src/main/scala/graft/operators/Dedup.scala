@@ -24,10 +24,16 @@ import org.apache.spark.sql.types._
   */
 object ExactDedup {
   /** Deterministic row-content hash over the match fields (sorted by name,
-    * values stringified) — deduplicator.py:212-233. */
+    * values stringified) — deduplicator.py:212-233. The all-columns default
+    * keys on RECORD fields only: internal row ids and `_meta_`/`_dd_`
+    * bookkeeping columns are excluded (a row id in the key would make
+    * every row unique and silently disable dedup — the reference keys on
+    * record.data, never metadata). */
   def matchKey(df: DataFrame, matchFields: Seq[String]): Column = {
     val fields = (if (matchFields.nonEmpty) matchFields
-                  else df.columns.toSeq).sorted
+                  else df.columns.toSeq.filterNot(c =>
+                    c == "_row_id" || c.startsWith("_meta_") ||
+                      c.startsWith("_dd_"))).sorted
     md5(to_json(struct(fields.map(f => col(f).cast(StringType).as(f)): _*)))
   }
 
@@ -36,13 +42,12 @@ object ExactDedup {
       qualityCol: String = "_meta_quality_score"): DataFrame = {
     val withId = if (df.columns.contains(rowId)) df
                  else Aggregator.withRowId(df, rowId)
-    // default key = the RECORD fields: never the internal row id (it would
-    // make every row unique and silently disable dedup) and never _meta_
-    // columns (the reference keys on record.data, not metadata)
+    // matchKey's default excludes "_row_id"; a caller-custom rowId name
+    // must be excluded here too
     val fields =
       if (matchFields.nonEmpty) matchFields
       else df.columns.toSeq.filterNot(c =>
-        c == rowId || c.startsWith("_meta_"))
+        c == rowId || c.startsWith("_meta_") || c.startsWith("_dd_"))
     val key = matchKey(withId, fields)
     val w = strategy match {
       case "keep_first" => Window.partitionBy(key).orderBy(col(rowId).asc)
@@ -480,11 +485,13 @@ object SubstrDedup {
       .agg(count(lit(1)).as("n_dup_windows"))
   }
 
-  /** Cut the duplicated spans OUT (the reference pipelines' actual remedy —
-    * Lee et al. drop one copy of each duplicated span rather than the
-    * whole document): every word covered by any cross-document shared
-    * window is removed and the survivors are re-stitched in order. Every
-    * document comes back (possibly with empty `clean_text`), with
+  /** Cut the duplicated spans OUT, Lee-et-al style: by default ONE copy of
+    * each cross-document shared span survives (the occurrence in the
+    * lowest `idCol` holding that window — the canonical copy), and every
+    * other occurrence's words are removed and the survivors re-stitched in
+    * order. `keepFirstCopy = false` removes every copy instead (the
+    * aggressive boilerplate-purge policy). Every document comes back
+    * (possibly with empty `clean_text`), with
     * `n_tokens_kept`/`n_tokens_removed` counts.
     *
     * Fully relational: token positions explode to (doc, pos) rows, shared
@@ -493,10 +500,17 @@ object SubstrDedup {
     * is on (doc, pos) or the uniform hash key, so the shape holds at any
     * corpus size. */
   def removeSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 12): DataFrame = {
+      k: Int = 12, keepFirstCopy: Boolean = true): DataFrame = {
     val win = windows(df, idCol, textCol, k)
-    val starts = win.join(sharedHashes(win, idCol), Seq("win_hash"))
-      .select(col(idCol), col("win_pos"))
+    val sh = win.groupBy(col("win_hash"))
+      .agg(min(col(idCol)).as("_min_doc"), max(col(idCol)).as("_max_doc"))
+      .filter(col("_min_doc") =!= col("_max_doc"))
+      .select(col("win_hash"), col("_min_doc"))
+    val startsAll = win.join(sh, Seq("win_hash"))
+    val starts =
+      (if (keepFirstCopy) startsAll.filter(col(idCol) =!= col("_min_doc"))
+       else startsAll)
+        .select(col(idCol), col("win_pos"))
     val covered = starts
       .select(col(idCol),
         explode(sequence(col("win_pos"), col("win_pos") + lit(k - 1)))

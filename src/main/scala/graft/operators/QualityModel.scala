@@ -59,14 +59,18 @@ object QualityModel {
         "negatives into the training frame")
     // right-size the training frame: each LBFGS iteration is a
     // treeAggregate whose cost at small-to-medium n is pure task
-    // scheduling, so aim for ~50k instances/partition (floor 4 to keep the
-    // reduction parallel; never ABOVE the existing partitioning — at
-    // billion-row scale the natural partitioning already dominates)
-    val parts = math.max(4L, math.min(n / 50000L + 1L,
-      labeled.rdd.getNumPartitions.toLong)).toInt
+    // scheduling, so aim for ~50k instances/partition with a floor of 4
+    // to keep the reduction parallel. coalesce() can only REDUCE partition
+    // count, so a 1-2-partition input needs repartition to reach the floor
+    val current = labeled.rdd.getNumPartitions
+    val parts = math.max(4L, math.min(n / 50000L + 1L, current.toLong)).toInt
+    val sized =
+      if (current > parts) labeled.coalesce(parts)
+      else if (current < 4) labeled.repartition(4)
+      else labeled
     val assembled = new VectorAssembler()
       .setInputCols(featureNames.toArray).setOutputCol("features")
-      .transform(labeled.coalesce(parts))
+      .transform(sized)
     val model = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
       .setFeaturesCol("features").setLabelCol("label")

@@ -74,6 +74,13 @@ final class HttpFacade(tables: Facade.Tables, maxRows: Int = 100000) {
     case d: Double => d.toInt
     case _ => default
   }
+  // MiniJson parses whole-number literals as Long — a Double-only match
+  // would silently drop e.g. "threshold": 3
+  private def asDouble(v: Any, default: Double): Double = v match {
+    case d: Double => d
+    case l: Long => l.toDouble
+    case _ => default
+  }
 
   /** `{"column": c, "operator": op, "value": v}` with the reference's twelve
     * operator names (`duckdb_service.py:271-324`). */
@@ -191,8 +198,9 @@ final class HttpFacade(tables: Facade.Tables, maxRows: Int = 100000) {
         data.columns.lift(1).getOrElse(data.columns.head))
       val chart = Echarts.generate(cfg.chartType, rows, xf, yf,
         title = Some(s"${cfg.chartType}: ${cfg.x}"))
-      s"""{"chart_type":"${cfg.chartType}","x":"${cfg.x}"""" +
-        cfg.y.map(y => s""","y":"$y"""").getOrElse("") +
+      s"""{"chart_type":"${MiniJson.escape(cfg.chartType)}",""" +
+        s""""x":"${MiniJson.escape(cfg.x)}"""" +
+        cfg.y.map(y => s""","y":"${MiniJson.escape(y)}"""").getOrElse("") +
         s""","priority":${cfg.priority},"echarts":${chart.render}}"""
     }
     s"""{"visualizations":${rendered.mkString("[", ",", "]")},"count":${rendered.length}}"""
@@ -237,12 +245,12 @@ final class HttpFacade(tables: Facade.Tables, maxRows: Int = 100000) {
           asStr(c.getOrElse("merge_strategy", "keep_first")))
         case "quality_scorer" => Config.QualityScorerConf(
           asList(c.getOrElse("fields", Nil)).map(asStr),
-          c.get("min_score").collect { case d: Double => d }.getOrElse(0.5),
+          asDouble(c.getOrElse("min_score", 0.5), 0.5),
           c.get("filter_low").contains(true))
         case "anomaly_detector" => Config.AnomalyDetectorConf(
           asStr(c.getOrElse("method", "statistical")),
           asList(c.getOrElse("fields", Nil)).map(asStr),
-          c.get("threshold").collect { case d: Double => d }.getOrElse(3.0))
+          asDouble(c.getOrElse("threshold", 3.0), 3.0))
         case "schema_inferrer" => Config.SchemaInferrerConf(
           asList(c.getOrElse("fields", Nil)).map(asStr))
         case "aggregator" => Config.AggregatorConf(

@@ -586,7 +586,7 @@ class TextAndSimilaritySpec extends SparkSuite {
     assert(all.filter(col("oov_rate") > 0).count() == 0)
   }
 
-  test("removeSpans cuts exactly the covered words, keeps everything else") {
+  test("removeSpans keeps the canonical copy, cuts every other occurrence") {
     import graft.operators.SubstrDedup
     val span = (1 to 12).map(i => s"s$i").mkString(" ")
     val docs = Seq(
@@ -596,17 +596,26 @@ class TextAndSimilaritySpec extends SparkSuite {
     ).toDF("doc_id", "text")
     val out = SubstrDedup.removeSpans(docs, "doc_id", "text", k = 12)
       .orderBy("doc_id").collect()
-    assert(out(0).getAs[String]("clean_text") == "keep1 keep2 keep3")
-    assert(out(0).getAs[Long]("n_tokens_removed") == 12L)
+    // doc 1 is the lowest id holding the span → its copy survives
+    assert(out(0).getAs[String]("clean_text") == s"keep1 keep2 $span keep3")
+    assert(out(0).getAs[Long]("n_tokens_removed") == 0L)
     assert(out(1).getAs[String]("clean_text") == "tail1 tail2 tail3")
+    assert(out(1).getAs[Long]("n_tokens_removed") == 12L)
     assert(out(2).getAs[Long]("n_tokens_removed") == 0L)
     assert(out(2).getAs[String]("clean_text").startsWith("untouched"))
-    // doc fully made of the shared span → empty text, everything removed
+    // aggressive policy: every copy goes, incl. the canonical one
     val all = SubstrDedup.removeSpans(
-      Seq((1L, span), (2L, span)).toDF("doc_id", "text"), "doc_id", "text", 12)
+      Seq((1L, span), (2L, span)).toDF("doc_id", "text"), "doc_id", "text",
+      12, keepFirstCopy = false)
       .orderBy("doc_id").collect()
     assert(all(0).getAs[String]("clean_text") == "")
     assert(all(0).getAs[Long]("n_tokens_kept") == 0L)
+    // default policy on the same input: doc 1 intact, doc 2 emptied
+    val one = SubstrDedup.removeSpans(
+      Seq((1L, span), (2L, span)).toDF("doc_id", "text"), "doc_id", "text", 12)
+      .orderBy("doc_id").collect()
+    assert(one(0).getAs[String]("clean_text") == span)
+    assert(one(1).getAs[String]("clean_text") == "")
   }
 
   test("sourceOverlap counts shared shingles and Jaccard per group pair") {

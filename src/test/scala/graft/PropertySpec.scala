@@ -161,4 +161,68 @@ class PropertySpec extends SparkSuite {
       assert(viaCompile == manual)
     }
   }
+
+  private val docGen: Gen[List[(Long, String)]] = {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    Gen.listOfN(12, Gen.choose(5, 40).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" "))))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+  }
+
+  test("removeSpans conserves tokens and never touches span-free docs (property)") {
+    import graft.operators.SubstrDedup
+    import graft.functions.{TextFunctions => TF}
+    forAllSeeded(docGen, n = 5) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val out = SubstrDedup.removeSpans(df, "doc_id", "text", k = 8)
+      // kept + removed = original token count, for every doc
+      val bad = out.join(df, "doc_id")
+        .withColumn("_n", TF.tokenCount(col("text")).cast("long"))
+        .filter(col("n_tokens_kept") + col("n_tokens_removed") =!= col("_n"))
+        .count()
+      assert(bad == 0)
+      // docs with no shared window come back byte-identical (modulo
+      // whitespace normalization, which these inputs don't need)
+      val flagged = SubstrDedup.flags(df, "doc_id", "text", k = 8)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val untouched = out.join(df, "doc_id")
+        .filter(!col("doc_id").isin(flagged.toSeq: _*))
+        .filter(col("clean_text") =!= col("text")).count()
+      assert(untouched == 0)
+    }
+  }
+
+  test("passageDedup is idempotent: a second pass removes nothing (property)") {
+    import graft.functions.{TextFunctions => TF}
+    forAllSeeded(docGen, n = 5) { docs =>
+      val first = TF.passageDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text", passageWords = 8)
+      val again = TF.passageDedup(
+        first.select(col("doc_id"), col("clean_text").as("text")),
+        "doc_id", "text", passageWords = 8)
+      // passages surviving round 1 are unique across docs — round 2 must
+      // find nothing new (boilerplate removal converges in one pass)
+      assert(again.filter(col("n_removed") > 0).count() == 0)
+    }
+  }
+
+  test("windowHashes yields max(n-k+1, 0) hashes, shift-invariant (property)") {
+    import graft.functions.{TextFunctions => TF}
+    forAllSeeded(docGen, n = 3) { docs =>
+      val df = docs.toDF("doc_id", "text")
+        .withColumn("w", split(col("text"), " "))
+      val bad = df.select(size(col("w")).as("n"),
+          size(TF.windowHashes(col("w"), 8)).as("m"))
+        .filter(col("m") =!= greatest(col("n") - 7, lit(0))).count()
+      assert(bad == 0)
+      // prepending a word shifts windows but preserves the suffix hashes
+      val shifted = df.select(col("doc_id"),
+          TF.windowHashes(concat(array(lit("pre")), col("w")), 8).as("h2"),
+          TF.windowHashes(col("w"), 8).as("h1"))
+        .filter(size(col("h1")) > 0)
+        .filter(!col("h2").cast("string").contains(
+          element_at(col("h1"), 1).cast("string")))
+      assert(shifted.count() == 0)
+    }
+  }
 }

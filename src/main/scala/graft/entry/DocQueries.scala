@@ -125,8 +125,13 @@ object DocQueries {
       val degraded = docs.select((col("doc_id") + 200000L).as("doc_id"),
         concat(lit("!!! ??? ;;; ,,, "), substring(col("text"), 1, 20))
           .as("text"))
+      // 15 LBFGS iterations: the planted classes separate linearly, so the
+      // boundary converges well before the default 25 — each iteration is
+      // a full treeAggregate job and the oracle replays WHATEVER boundary
+      // is materialized, so fewer iterations trade nothing for ~40% of the
+      // gate's job count
       val boundary = graft.operators.QualityModel.train(
-        docs.unionByName(degraded), "doc_id", "text")
+        docs.unionByName(degraded), "doc_id", "text", maxIter = 15)
       val w = boundary.coefficients
       Seq((w(0), w(1), w(2), w(3), boundary.intercept))
         .toDF("w_punct", "w_stop", "w_mwl", "w_tok", "b")

@@ -57,20 +57,15 @@ object QualityModel {
     require(pos > 0 && pos < n,
       s"weak labels are single-class ($pos of $n positive) — mix degraded " +
         "negatives into the training frame")
-    // right-size the training frame: each LBFGS iteration is a
-    // treeAggregate whose cost at small-to-medium n is pure task
-    // scheduling, so aim for ~50k instances/partition with a floor of 4
-    // to keep the reduction parallel. coalesce() can only REDUCE partition
-    // count, so a 1-2-partition input needs repartition to reach the floor
-    val current = labeled.rdd.getNumPartitions
-    val parts = math.max(4L, math.min(n / 50000L + 1L, current.toLong)).toInt
-    val sized =
-      if (current > parts) labeled.coalesce(parts)
-      else if (current < 4) labeled.repartition(4)
-      else labeled
+    // the training frame keeps its natural partitioning: MLlib persists
+    // the instances RDD before iterating, so featurize runs once, and
+    // measured end-to-end any repartition/coalesce here costs more (an
+    // extra shuffle + plan compile) than the per-iteration task-scheduling
+    // it saves — at billion-row scale the natural partitioning is the
+    // right parallelism anyway
     val assembled = new VectorAssembler()
       .setInputCols(featureNames.toArray).setOutputCol("features")
-      .transform(sized)
+      .transform(labeled)
     val model = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
       .setFeaturesCol("features").setLabelCol("label")

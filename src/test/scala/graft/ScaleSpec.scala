@@ -127,6 +127,38 @@ class ScaleSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("substring-dedup plans: shared-window join is an equi-join, never a cross product") {
+    import graft.operators.SubstrDedup
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+    for (q <- Seq(SubstrDedup.flags(docs, "doc_id", "text", 12),
+        SubstrDedup.removeSpans(docs, "doc_id", "text", 12))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"), plan.take(500))
+    }
+  }
+
+  test("passageDedup plan: no unpartitioned window, no nested loop") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+    val q = TF.passageDedup(docs, "doc_id", "text", 20)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"))
+    // reconstruction groups by doc — never a global Window over the corpus
+    assert(!plan.contains("Window ["))
+  }
+
+  test("rarity scoring plan: vocab cut is a TakeOrdered, joins stay equi") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+    val q = TF.rarityScoreTable(docs, "doc_id", "text", vocabK = 20)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"))
+  }
+
   test("bucketed join plans without a shuffle exchange on the bucketed side") {
     // default warehouse (./spark-warehouse, gitignored) — the conf is static;
     // clear leftovers from prior JVMs (in-memory catalog forgets, disk doesn't)

@@ -170,4 +170,45 @@ class GoldenE2ESpec extends SparkSuite {
     // boilerplate probe still works on the deduped corpus
     assert(TF.topNgrams(survivors, "text", 3, 5).count() == 5)
   }
+
+  test("span-level chain: substr removal -> calibrated gate -> temperature mix -> leakage audit") {
+    import graft.functions.{Sampling, TextFunctions => TF}
+    import graft.operators.{CorpusStats, QualityScorer, SubstrDedup}
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    // plant a shared license block inside every 7th doc (span-level dup:
+    // document-level dedup would never catch it)
+    val boiler = (1 to 15).map(i => s"lic$i").mkString(" ")
+    val noisy = docs.withColumn("text",
+      when(col("doc_id") % 7 === 0, concat(lit(s"$boiler "), col("text")))
+        .otherwise(col("text")))
+    // 1. span removal: the canonical copy survives, every other one goes
+    val cut = SubstrDedup.removeSpans(noisy, "doc_id", "text", k = 12)
+    val stillShared = SubstrDedup.flags(
+      cut.select(col("doc_id"), col("clean_text").as("text")),
+      "doc_id", "text", k = 12).count()
+    assert(stillShared == 0, "shared spans remain after removal")
+    // total token conservation across the cut
+    val before = noisy.agg(sum(TF.tokenCount(col("text")))).head().getLong(0)
+    val keptPlusCut = cut.agg(sum(col("n_tokens_kept") + col("n_tokens_removed")))
+      .head().getLong(0)
+    assert(keptPlusCut == before)
+    // 2. quality gate calibrated to keep the best ~60%
+    val scored = cut.join(noisy.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("clean_text").as("text"))
+      .filter(TF.tokenCount(col("text")) > 0)
+      .withColumn("q", TF.qualityScore(col("text")))
+    val cutoff = QualityScorer.calibrateCutoff(scored, "q", 0.6)
+    val gated = scored.filter(col("q") >= cutoff)
+    val keepRate = gated.count().toDouble / scored.count()
+    assert(keepRate >= 0.55, s"calibrated gate kept $keepRate") // ties keep more
+    // 3. temperature mix flattens source proportions under a budget
+    val mixed = Sampling.mixCorpusTemperature(gated, "doc_id", "text",
+      "source", alpha = 0.5, totalBudget = 10000.0)
+    assert(mixed.count() > 0 && mixed.count() <= gated.count())
+    // 4. leakage audit over the mix's sources still runs end-to-end
+    val audit = CorpusStats.sourceOverlap(mixed, "text", "source", 3)
+    assert(audit.columns.toSeq ==
+      Seq("g_a", "g_b", "n_shared", "jaccard"))
+  }
 }

@@ -200,7 +200,12 @@ object IsolationForest {
     val featureArr = array(fields.map(f => col(f).cast(DoubleType)): _*)
     val scoreCol = org.apache.spark.sql.GraftColumnBridge.column(ScoreExpr(
       org.apache.spark.sql.GraftColumnBridge.expression(featureArr), model))
-    val scored = df.withColumn("_iforest_score", scoreCol)
+    // persist the scored frame: the cutoff percentile below is its first
+    // action and every caller immediately runs more actions over the same
+    // scores (flag output, aux write) — without the cache the 100-tree
+    // scoring pass runs once per action. Callers/harnesses release it via
+    // catalog.clearCache (the aux-gate convention).
+    val scored = df.withColumn("_iforest_score", scoreCol).persist()
     val statsRow = scored.agg(
       expr(s"percentile(_iforest_score, ${1.0 - contamination})"),
       min(col("_iforest_score")), max(col("_iforest_score"))).head()

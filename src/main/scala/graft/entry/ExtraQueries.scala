@@ -273,6 +273,14 @@ object ExtraQueries {
           sum(col("n_tokens")).as("kept_tokens"))
         .orderBy(col("source"))),
 
+    "q_shuffle_det" -> ((s, dir) =>
+      // deterministic training-order shuffle: the driver's hash compare is
+      // row-order-sensitive, so the first 100 rows of the shuffled order
+      // hash-encode the exact global ordering (md5 key is engine-portable)
+      graft.functions.Sampling.deterministicShuffle(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", seed = 7L)
+        .limit(100)),
+
     "q_mix_temperature" -> ((s, dir) =>
       // temperature-weighted data mix (alpha=0.5 flattens toward uniform);
       // gate checks per-source kept counts + token totals — the weight
@@ -818,6 +826,11 @@ object ExtraQueries {
          |        AS BIGINT) % 10000 < CAST(FLOOR(f * 10000) AS BIGINT)
          |GROUP BY t.source ORDER BY t.source""".stripMargin
     },
+
+    "q_shuffle_det" ->
+      """SELECT doc_id FROM documents
+        |ORDER BY md5('7#' || CAST(doc_id AS VARCHAR)), doc_id
+        |LIMIT 100""".stripMargin,
 
     "q_mix_temperature" -> {
       val tok =

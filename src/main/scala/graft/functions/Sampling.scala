@@ -75,6 +75,19 @@ object Sampling {
       .filter(hashBucket(col(idCol)) < floor(col("_keep_frac") * Buckets))
   }
 
+  /** Deterministic training-order shuffle: global order by md5(seed ++ id)
+    * — the pretraining "shuffle the corpus" pass, reproducible across
+    * engines/partitionings/runs (an RNG shuffle is none of those). A new
+    * `seed` gives an independent order (fresh epoch). The sort is a real
+    * range-partitioned global sort — Spark's TeraSort shape, no single
+    * partition anywhere; at 100 TB this is exactly the shuffle the job
+    * would otherwise pay writing shuffled shards. */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      seed: Long = 0L): DataFrame =
+    df.orderBy(
+      md5(concat_ws("#", lit(seed), col(idCol).cast(StringType))),
+      col(idCol))
+
   /** Temperature-weighted corpus mixing: sampling weight per source is
     * `n_i^alpha / Σ n_j^alpha` (the multilingual/multi-domain "temperature"
     * rule — alpha=1 keeps natural proportions, alpha→0 flattens toward

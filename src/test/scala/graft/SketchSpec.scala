@@ -115,6 +115,23 @@ class SketchSpec extends SparkSuite {
     assert(ids1 == ids2)
   }
 
+  test("deterministicShuffle: stable across partitionings, seeds give fresh epochs") {
+    import graft.functions.Sampling
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"))
+    val order1 = Sampling.deterministicShuffle(docs, "doc_id", 1L)
+      .collect().map(_.getLong(0)).toSeq
+    val order1b = Sampling.deterministicShuffle(docs.repartition(7), "doc_id", 1L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(order1 == order1b) // partitioning-invariant global order
+    val order2 = Sampling.deterministicShuffle(docs, "doc_id", 2L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(order1 != order2) // a new seed is a fresh epoch
+    assert(order1.sorted == order2.sorted) // same membership, permuted
+    // actually shuffled, not id order
+    assert(order1 != order1.sorted)
+  }
+
   test("mixCorpusTemperature: alpha=1 keeps natural proportions; flattening boosts rare sources") {
     import graft.functions.Sampling
     val docs = graft.core.Tables.table(spark, sfDir, "documents")

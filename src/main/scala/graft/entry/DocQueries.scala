@@ -616,6 +616,17 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_doc_longest_span" -> ((s, dir) => {
+      // overlap-severity report: longest verbatim shared run per flagged
+      // doc; the oracle replays the gaps-and-islands merge from the aux
+      val docs = t(s, dir, "documents")
+      SubstrDedup.windows(docs, "doc_id", "text", k = 12)
+        .write.mode("overwrite")
+        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/substr_windows")
+      SubstrDedup.longestSharedSpan(docs, "doc_id", "text", k = 12)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_doc_substr_remove" -> ((s, dir) => {
       // span REMOVAL (the Lee-et-al remedy): the canonical (min-doc) copy
       // of each shared span survives, every other copy's words cut out;
@@ -1309,6 +1320,19 @@ object DocQueries {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
         |FROM w JOIN sh USING (win_hash)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_doc_longest_span" ->
+      """WITH w AS (SELECT * FROM
+        |    read_parquet('/tmp/graft_oracle_aux/{SF}/substr_windows/*.parquet')),
+        |sh AS (SELECT win_hash FROM w
+        |  GROUP BY win_hash HAVING min(doc_id) <> max(doc_id)),
+        |st AS (SELECT DISTINCT doc_id, win_pos FROM w JOIN sh USING (win_hash)),
+        |isl AS (SELECT doc_id, win_pos,
+        |    win_pos - row_number() OVER (PARTITION BY doc_id ORDER BY win_pos) AS g
+        |  FROM st),
+        |runs AS (SELECT doc_id, g, COUNT(*) AS r FROM isl GROUP BY doc_id, g)
+        |SELECT doc_id, CAST(MAX(r) + 11 AS BIGINT) AS longest_shared_span
+        |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_doc_substr_remove" ->
       """WITH w AS (SELECT * FROM

@@ -485,6 +485,28 @@ object SubstrDedup {
       .agg(count(lit(1)).as("n_dup_windows"))
   }
 
+  /** Longest verbatim span each document shares with any other document,
+    * in words — the "how bad is the overlap" report behind a span-dedup
+    * decision (a 12-word match is a quotation; a 300-word match is a
+    * mirror). Shared window starts at consecutive positions merge into
+    * runs (gaps-and-islands: pos − row_number is constant within a run),
+    * and a run of `r` consecutive k-windows certifies a shared span of
+    * `r + k − 1` words. Windows are partitioned per document — no global
+    * window anywhere. */
+  def longestSharedSpan(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 12): DataFrame = {
+    val win = windows(df, idCol, textCol, k)
+    val starts = win.join(sharedHashes(win, idCol), Seq("win_hash"))
+      .select(col(idCol), col("win_pos")).distinct()
+    val w = Window.partitionBy(col(idCol)).orderBy(col("win_pos"))
+    starts
+      .withColumn("_isl", col("win_pos") - row_number().over(w))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(count(lit(1)).as("_run"))
+      .groupBy(col(idCol))
+      .agg((max(col("_run")) + lit(k - 1)).as("longest_shared_span"))
+  }
+
   /** Cut the duplicated spans OUT, Lee-et-al style: by default ONE copy of
     * each cross-document shared span survives (the occurrence in the
     * lowest `idCol` holding that window — the canonical copy), and every

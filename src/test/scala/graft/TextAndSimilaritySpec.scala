@@ -586,6 +586,21 @@ class TextAndSimilaritySpec extends SparkSuite {
     assert(all.filter(col("oov_rate") > 0).count() == 0)
   }
 
+  test("longestSharedSpan merges consecutive windows into the true span length") {
+    import graft.operators.SubstrDedup
+    // docs 1/2 share a verbatim 20-word run; doc 3 shares nothing
+    val span = (1 to 20).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"pre1 pre2 $span post1"),
+      (2L, s"$span completely different tail here"),
+      (3L, "nothing shared with anyone in this one at all today")
+    ).toDF("doc_id", "text")
+    val spans = SubstrDedup.longestSharedSpan(docs, "doc_id", "text", k = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 9 consecutive shared 12-windows -> 9 + 11 = the full 20-word span
+    assert(spans == Map(1L -> 20L, 2L -> 20L))
+  }
+
   test("removeSpans keeps the canonical copy, cuts every other occurrence") {
     import graft.operators.SubstrDedup
     val span = (1 to 12).map(i => s"s$i").mkString(" ")

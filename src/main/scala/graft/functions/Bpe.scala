@@ -112,6 +112,38 @@ object Bpe {
       (syms, m) => applyMerge(syms, m.left, m.right)
     }
 
+  /** Persist a merge list as one JSON artifact (the tokenizer file a
+    * training job ships with its corpus); `load` restores it for encode.
+    * Any Hadoop-visible path works (file://, s3a://, hdfs://). */
+  def save(merges: Seq[Merge], spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val json = graft.service.MiniJson.render(merges.map(m => Map(
+      "round" -> m.round.toLong, "left" -> m.left, "right" -> m.right,
+      "freq" -> m.freq)).toList)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Merge] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes =
+      try in.readAllBytes()
+      finally in.close()
+    graft.service.MiniJson
+      .parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      .asInstanceOf[List[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+      .map(m => Merge(m("round").asInstanceOf[Long].toInt,
+        m("left").asInstanceOf[String], m("right").asInstanceOf[String],
+        m("freq").asInstanceOf[Long]))
+  }
+
   /** The learned subword vocabulary: every merge product plus the single
     * characters seen in training, plus the `" "` separator symbol —
     * `encode` works on whitespace-normalized text whose spaces survive as

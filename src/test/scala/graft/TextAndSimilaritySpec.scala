@@ -547,6 +547,10 @@ class TextAndSimilaritySpec extends SparkSuite {
     // determinism across partitionings
     val again = Bpe.train(docs.repartition(5), "text", numMerges = 3)
     assert(again == merges)
+    // artifact roundtrip: saved merges reload identically and encode the same
+    val path = java.nio.file.Files.createTempDirectory("bpe").toString + "/m.json"
+    Bpe.save(merges, spark, path)
+    assert(Bpe.load(spark, path) == merges)
   }
 
   test("chooseBanding lands the s-curve inflection near the threshold") {

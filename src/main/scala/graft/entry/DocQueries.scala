@@ -617,8 +617,9 @@ object DocQueries {
     }),
 
     "q_doc_longest_span" -> ((s, dir) => {
-      // overlap-severity report: longest verbatim shared run per flagged
-      // doc; the oracle replays the gaps-and-islands merge from the aux
+      // overlap-severity report: longest corpus-shared run per flagged doc
+      // (upper bound on the single-partner span — see longestSharedSpan);
+      // the oracle replays the gaps-and-islands merge from the aux
       val docs = t(s, dir, "documents")
       SubstrDedup.windows(docs, "doc_id", "text", k = 12)
         .write.mode("overwrite")

@@ -33,10 +33,11 @@ object ExtraQueries {
     // contamination-percentile cutoff + degenerate guard, so threshold
     // logic is cross-engine verified (plus SketchSpec-style property tests)
     "q_iforest" -> ((s, dir) => {
+      // retainScored: aux score dump + flagged output share one scoring
+      // pass via detect's internal cache; Verify's clearCache releases it
       val flagged = IsolationForest.detect(t(s, dir, "events"),
         Seq("value"), orderCol = "event_id", contamination = 0.05,
-        numTrees = 50)
-        .persist() // aux score dump + flagged output share the scoring pass
+        numTrees = 50, retainScored = true)
       flagged.select(col("event_id"), col("_iforest_score").as("score"))
         .coalesce(1).write.mode("overwrite")
         .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/iforest_scores")

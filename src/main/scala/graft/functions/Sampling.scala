@@ -81,12 +81,18 @@ object Sampling {
     * `seed` gives an independent order (fresh epoch). The sort is a real
     * range-partitioned global sort — Spark's TeraSort shape, no single
     * partition anywhere; at 100 TB this is exactly the shuffle the job
-    * would otherwise pay writing shuffled shards. */
+    * would otherwise pay writing shuffled shards.
+    *
+    * The key null-propagates (`concat`, not `concat_ws`), matching SQL
+    * `||` semantics, and null keys sort LAST in both engines — so a
+    * nullable `idCol` stays cross-engine stable except among the null-id
+    * rows themselves, which share a null key and have no tiebreaker;
+    * use a non-null id for full determinism. */
   def deterministicShuffle(df: DataFrame, idCol: String,
       seed: Long = 0L): DataFrame =
     df.orderBy(
-      md5(concat_ws("#", lit(seed), col(idCol).cast(StringType))),
-      col(idCol))
+      md5(concat(lit(s"$seed#"), col(idCol).cast(StringType))).asc_nulls_last,
+      col(idCol).asc_nulls_last)
 
   /** Temperature-weighted corpus mixing: sampling weight per source is
     * `n_i^alpha / Σ n_j^alpha` (the multilingual/multi-domain "temperature"

@@ -485,19 +485,30 @@ object SubstrDedup {
       .agg(count(lit(1)).as("n_dup_windows"))
   }
 
-  /** Longest verbatim span each document shares with any other document,
-    * in words — the "how bad is the overlap" report behind a span-dedup
-    * decision (a 12-word match is a quotation; a 300-word match is a
-    * mirror). Shared window starts at consecutive positions merge into
-    * runs (gaps-and-islands: pos − row_number is constant within a run),
-    * and a run of `r` consecutive k-windows certifies a shared span of
-    * `r + k − 1` words. Windows are partitioned per document — no global
-    * window anywhere. */
+  /** Longest corpus-shared verbatim span per document, in words — the
+    * "how bad is the overlap" report behind a span-dedup decision (a
+    * 12-word match is a quotation; a 300-word match is a mirror). Shared
+    * window starts at consecutive positions merge into runs
+    * (gaps-and-islands: pos − row_number is constant within a run); a run
+    * of `r` consecutive shared k-windows certifies `r + k − 1` words every
+    * one of which sits in some window shared with another document.
+    *
+    * Semantics note: consecutive windows in a run may be shared with
+    * DIFFERENT partner documents, so the reported length is an UPPER
+    * BOUND on the longest span shared with any single document (and
+    * exactly the span `removeSpans` would treat as duplicated — the two
+    * are consistent). A partner-exact variant needs the pairwise
+    * (doc, partner) join, whose size is Σ c·(c−1) over windows shared by
+    * c docs — unbounded on boilerplate-heavy corpora — so the corpus-level
+    * bound is the scale-safe default. Windows are partitioned per
+    * document — no global window anywhere. */
   def longestSharedSpan(df: DataFrame, idCol: String, textCol: String,
       k: Int = 12): DataFrame = {
     val win = windows(df, idCol, textCol, k)
+    // (doc, win_pos) is already unique: windows() emits one row per
+    // position and sharedHashes is distinct on the key — no dedup needed
     val starts = win.join(sharedHashes(win, idCol), Seq("win_hash"))
-      .select(col(idCol), col("win_pos")).distinct()
+      .select(col(idCol), col("win_pos"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("win_pos"))
     starts
       .withColumn("_isl", col("win_pos") - row_number().over(w))

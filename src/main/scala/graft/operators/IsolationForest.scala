@@ -191,21 +191,25 @@ object IsolationForest {
 
   /** Score + flag: one partition-local pass; the model travels as a plan
     * reference object. Flag = top `contamination` share by score, cutoff
-    * from an exact percentile of the score column. */
+    * from an exact percentile of the score column.
+    *
+    * `retainScored = true` caches the scored frame so the internal cutoff
+    * job and every subsequent caller action share ONE scoring pass — but
+    * the cache is then CALLER-OWNED: release it with
+    * `spark.catalog.clearCache()` (the Verify-harness convention) when
+    * done. The default (false) leaves nothing cached — each caller action
+    * re-scores, and long-lived services leak nothing. */
   def detect(df: DataFrame, fields: Seq[String], orderCol: String,
       contamination: Double = 0.1, numTrees: Int = 100,
-      seed: Long = 42L, knownMeans: Option[Array[Double]] = None): DataFrame = {
+      seed: Long = 42L, knownMeans: Option[Array[Double]] = None,
+      retainScored: Boolean = false): DataFrame = {
     val model = fit(df, fields, orderCol, numTrees, seed = seed,
       knownMeans = knownMeans)
     val featureArr = array(fields.map(f => col(f).cast(DoubleType)): _*)
     val scoreCol = org.apache.spark.sql.GraftColumnBridge.column(ScoreExpr(
       org.apache.spark.sql.GraftColumnBridge.expression(featureArr), model))
-    // persist the scored frame: the cutoff percentile below is its first
-    // action and every caller immediately runs more actions over the same
-    // scores (flag output, aux write) — without the cache the 100-tree
-    // scoring pass runs once per action. Callers/harnesses release it via
-    // catalog.clearCache (the aux-gate convention).
-    val scored = df.withColumn("_iforest_score", scoreCol).persist()
+    val scoredPlain = df.withColumn("_iforest_score", scoreCol)
+    val scored = if (retainScored) scoredPlain.persist() else scoredPlain
     val statsRow = scored.agg(
       expr(s"percentile(_iforest_score, ${1.0 - contamination})"),
       min(col("_iforest_score")), max(col("_iforest_score"))).head()

@@ -220,8 +220,7 @@ class PropertySpec extends SparkSuite {
           TF.windowHashes(concat(array(lit("pre")), col("w")), 8).as("h2"),
           TF.windowHashes(col("w"), 8).as("h1"))
         .filter(size(col("h1")) > 0)
-        .filter(!col("h2").cast("string").contains(
-          element_at(col("h1"), 1).cast("string")))
+        .filter(!array_contains(col("h2"), element_at(col("h1"), 1)))
       assert(shifted.count() == 0)
     }
   }

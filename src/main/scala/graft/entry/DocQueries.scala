@@ -432,9 +432,12 @@ object DocQueries {
       // iForest flag is engine-specific, so the vote's third input is
       // materialized for the oracle (which re-derives z/iqr bounds and the
       // vote logic independently and consumes the deterministic flag).
+      // retainScored: the internal cutoff job, aux write and flagged
+      // output all share ONE scoring pass; Verify's clearCache releases it
       val out = AnomalyDetector.combined(t(s, dir, "events"), Seq("value"),
-        zThreshold = 2.0, iqrFactor = 1.5, iforestOrderCol = Some("event_id"))
-        .persist() // aux write + flagged output share the scored scan
+        zThreshold = 2.0, iqrFactor = 1.5, iforestOrderCol = Some("event_id"),
+        retainScored = true)
+        .persist() // aux write + flagged output share the final scan
       out.select(col("event_id"), col("_meta_iforest_flag").as("if_flag"))
         .coalesce(1).write.mode("overwrite")
         .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/iforest_flags")

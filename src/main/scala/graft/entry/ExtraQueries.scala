@@ -655,10 +655,160 @@ object ExtraQueries {
             graft.query.Metric("max", "l_quantity", "max_qty"),
             graft.query.Metric("count", "l_orderkey", "n_rows"),
             graft.query.Metric("count_distinct", "l_suppkey", "n_supp")),
-          limit = Some(10))))
+          limit = Some(10)))),
+
+    // web-curation family: a deterministic messy URL derived from
+    // (source, doc_id) — mixed case, default/explicit ports, tracking
+    // params, fragments, trailing slashes — exercises every normalization
+    // rule, and the oracle replays derivation + normalization end-to-end
+    "q_url_normalize" -> ((s, dir) => {
+      import graft.functions.UrlFunctions
+      t(s, dir, "documents")
+        .withColumn("url", syntheticUrl)
+        .select(col("doc_id"),
+          UrlFunctions.normalizeUrl(col("url")).as("url_norm"),
+          UrlFunctions.urlHost(col("url")).as("host"),
+          UrlFunctions.registeredDomain(
+            UrlFunctions.urlHost(col("url"))).as("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_domain_cap" -> ((s, dir) => {
+      import graft.functions.UrlFunctions
+      UrlFunctions.domainCapSample(
+        t(s, dir, "documents").withColumn("url", syntheticUrl),
+        "doc_id", "url", cap = 3)
+        .select(col("doc_id"), col("domain"),
+          col("domain_rank").cast(LongType).as("domain_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_domain_stats" -> ((s, dir) => {
+      import graft.functions.UrlFunctions
+      UrlFunctions.domainStats(
+        t(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "text")
+        .orderBy(col("n_docs").desc, col("domain"))
+    })
   )
 
+  /** Deterministic messy URL from (source, doc_id) — the Spark twin of
+    * [[SyntheticUrlSql]]; both sides must stay bit-identical. */
+  private def syntheticUrl: Column = {
+    val id = col("doc_id").cast(StringType)
+    concat(
+      when(col("doc_id") % 3 === 0, lit("HTTP://")).otherwise(lit("https://")),
+      when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("www.")),
+      col("source"),
+      when(col("doc_id") % 4 === 0, lit(".CO.UK")).otherwise(lit(".example.com")),
+      when(col("doc_id") % 5 === 0,
+        when(col("doc_id") % 3 === 0, lit(":80")).otherwise(lit(":443")))
+        .otherwise(lit("")),
+      lit("/docs/"), id,
+      when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("?utm_source=feed&id="), id, lit("&gclid=abc")))
+        .otherwise(concat(lit("?id="), id)),
+      when(col("doc_id") % 7 === 0, lit("#sec")).otherwise(lit("")))
+  }
+
+  /** DuckDB spelling of [[syntheticUrl]]. */
+  private val SyntheticUrlSql: String =
+    """(CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
+      |(CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END) || source ||
+      |(CASE WHEN doc_id % 4 = 0 THEN '.CO.UK' ELSE '.example.com' END) ||
+      |(CASE WHEN doc_id % 5 = 0 THEN
+      |   (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END) ELSE '' END) ||
+      |'/docs/' || CAST(doc_id AS VARCHAR) ||
+      |(CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+      |(CASE WHEN doc_id % 2 = 0 THEN
+      |   '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&gclid=abc'
+      | ELSE '?id=' || CAST(doc_id AS VARCHAR) END) ||
+      |(CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END)"""
+      .stripMargin.replace("\n", " ")
+
+  /** DuckDB replay of UrlFunctions.urlHost + registeredDomain over a
+    * column named `url` (expects CTE alias scope). */
+  private val DomainSql: String = {
+    val suffixes = graft.functions.UrlFunctions.MultiPartSuffixes
+      .map(s => s"'$s'").mkString(", ")
+    s"""host AS (SELECT *,
+       |  regexp_replace(regexp_replace(
+       |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*', 1)),
+       |    '^[^@]*@', ''), ':[0-9]+$$', '') AS host FROM urls),
+       |dom AS (SELECT *, CASE
+       |    WHEN len(string_split(host, '.')) >= 3
+       |         AND string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+       |             IN ($suffixes)
+       |      THEN string_split(host, '.')[-3] || '.' ||
+       |           string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+       |    WHEN len(string_split(host, '.')) >= 2
+       |      THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+       |    ELSE host END AS domain FROM host)"""
+      .stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_url_normalize" ->
+      s"""WITH urls AS (SELECT doc_id, $SyntheticUrlSql AS url FROM documents),
+         |$DomainSql,
+         |p AS (SELECT doc_id, url, host, domain,
+         |    regexp_replace(url, '#.*', '') AS u FROM dom),
+         |parts AS (SELECT *,
+         |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://.*', 1)) AS scheme,
+         |  regexp_replace(lower(regexp_extract(u,
+         |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*', 1)), '^[^@]*@', '') AS auth0,
+         |  regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1) AS rest
+         |  FROM p),
+         |np AS (SELECT *,
+         |  CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$$', '')
+         |       WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$$', '')
+         |       ELSE auth0 END AS auth,
+         |  regexp_extract(rest, '^([^?]*)', 1) AS path0,
+         |  regexp_extract(rest, '\\?(.*)', 1) AS query0 FROM parts),
+         |nq AS (SELECT *,
+         |  CASE WHEN length(regexp_replace(path0, '/+$$', '')) = 0 THEN '/'
+         |       ELSE regexp_replace(path0, '/+$$', '') END AS path,
+         |  regexp_replace(regexp_replace(query0,
+         |    '(?:^|&)(?:utm_[^=&]*|fbclid|gclid|ref)=[^&]*', '', 'g'),
+         |    '^&+', '') AS query FROM np)
+         |SELECT doc_id,
+         |  CASE WHEN scheme = '' THEN url
+         |       ELSE scheme || '://' || auth || path ||
+         |            (CASE WHEN query = '' THEN '' ELSE '?' || query END) END
+         |    AS url_norm,
+         |  host, domain
+         |FROM nq ORDER BY doc_id""".stripMargin,
+
+    "q_domain_cap" ->
+      s"""WITH urls AS (SELECT doc_id, $SyntheticUrlSql AS url FROM documents),
+         |$DomainSql,
+         |r AS (SELECT doc_id, domain,
+         |    ROW_NUMBER() OVER (PARTITION BY domain
+         |      ORDER BY md5('dc#' || CAST(doc_id AS VARCHAR)), doc_id)
+         |      AS domain_rank
+         |  FROM dom)
+         |SELECT doc_id, domain, CAST(domain_rank AS BIGINT) AS domain_rank
+         |FROM r WHERE domain_rank <= 3 ORDER BY doc_id""".stripMargin,
+
+    "q_domain_stats" -> {
+      val tok =
+        """CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+          |     ELSE length(trim(regexp_replace(text, '\s+', ' ', 'g')))
+          |        - length(replace(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ', ''))
+          |        + 1 END""".stripMargin.replace("\n", " ")
+      s"""WITH urls AS (SELECT doc_id, text, $SyntheticUrlSql AS url
+         |    FROM documents),
+         |$DomainSql,
+         |tok AS (SELECT domain, $tok AS n_tok FROM dom),
+         |g AS (SELECT domain, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM tok GROUP BY domain),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM g)
+         |SELECT domain, n_docs, n_tokens,
+         |  CAST(FLOOR(n_tokens * 10000.0 / tot + 0.5) AS BIGINT)
+         |    AS token_share_x10k
+         |FROM g, t ORDER BY n_docs DESC, domain""".stripMargin},
+
     "q_udaf_geomean" ->
       s"""SELECT l_returnflag,
          |  ${sround("EXP(AVG(LN(l_extendedprice)))", 2)} AS geo_price,

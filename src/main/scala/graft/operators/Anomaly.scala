@@ -39,16 +39,20 @@ object AnomalyDetector {
   def combined(df: DataFrame, fields: Seq[String],
       zThreshold: Double = 3.0, iqrFactor: Double = 1.5,
       iforestOrderCol: Option[String] = None,
-      contamination: Double = 0.1, numTrees: Int = 100): DataFrame = {
+      contamination: Double = 0.1, numTrees: Int = 100,
+      retainScored: Boolean = false): DataFrame = {
     val stats = collectStats(df, fields) // ONE stats job serves both methods
     val z = anyFieldFlag(fields, stats, zThreshold, "zscore")
     val i = anyFieldFlag(fields, stats, iqrFactor, "iqr")
     val (base, ifVote) = iforestOrderCol match {
       case Some(oc) =>
         // the stats row above already holds each field's mean — the fit
-        // reuses it instead of running its own means aggregate
+        // reuses it instead of running its own means aggregate;
+        // retainScored passes through to detect (caller-owned cache —
+        // release via catalog.clearCache, the Verify-harness convention)
         val d = IsolationForest.detect(df, fields, oc, contamination, numTrees,
-          knownMeans = Some(fields.map(f => stats(f).mu).toArray))
+          knownMeans = Some(fields.map(f => stats(f).mu).toArray),
+          retainScored = retainScored)
           .withColumnRenamed("_meta_is_anomaly", "_meta_iforest_flag")
           .drop("_meta_anomaly_method", "_iforest_score")
         (d, col("_meta_iforest_flag").cast(IntegerType))

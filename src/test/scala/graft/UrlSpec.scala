@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.UrlFunctions
+
+class UrlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] =
+    urls.toDF("u").select(UrlFunctions.normalizeUrl(col("u")))
+      .as[String].collect().toSeq
+
+  test("normalizeUrl: case, ports, fragments, tracking params, slashes") {
+    val out = norm(
+      "HTTP://WWW.Example.COM:80/A/b/?utm_source=x&id=1&gclid=z#frag",
+      "https://user:pw@Host.org:443/path/",
+      "https://host.org:8443/path",      // non-default port kept
+      "https://a.b/?utm_campaign=only",  // query becomes empty -> no "?"
+      "http://x.y",                      // empty path -> "/"
+      "not-a-url")                       // non-absolute passthrough
+    assert(out == Seq(
+      "http://www.example.com/A/b?id=1",
+      "https://host.org/path",
+      "https://host.org:8443/path",
+      "https://a.b/",
+      "http://x.y/",
+      "not-a-url"))
+  }
+
+  test("registeredDomain: multi-part suffixes, plain hosts, short hosts") {
+    val out = Seq("www.foo.co.uk", "a.b.foo.example.com", "example.com",
+        "localhost")
+      .toDF("h").select(UrlFunctions.registeredDomain(col("h")))
+      .as[String].collect().toSeq
+    assert(out == Seq("foo.co.uk", "example.com", "example.com", "localhost"))
+  }
+
+  test("domainCapSample: cap respected, salt- and partitioning-invariant") {
+    val docs = (0L until 200L).map { i =>
+      (i, s"https://www.site${i % 5}.com/p/$i", s"text $i")
+    }.toDF("doc_id", "url", "text")
+    val kept = UrlFunctions.domainCapSample(docs, "doc_id", "url", cap = 7)
+    val perDomain = kept.groupBy("domain").count().as[(String, Long)]
+      .collect().toMap
+    assert(perDomain.size == 5 && perDomain.values.forall(_ == 7L))
+    // identical survivors regardless of salt count or input partitioning
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    val ids1 = UrlFunctions.domainCapSample(docs, "doc_id", "url", 7, salts = 1)
+      .select("doc_id").as[Long].collect().toSet
+    val idsRep = UrlFunctions.domainCapSample(docs.repartition(13),
+        "doc_id", "url", 7).select("doc_id").as[Long].collect().toSet
+    assert(ids == ids1 && ids == idsRep)
+  }
+
+  test("domainStats: token shares sum to ~10000 and counts are exact") {
+    val docs = Seq(
+      (1L, "https://a.com/x", "one two three"),
+      (2L, "https://b.com/y", "four five"),
+      (3L, "https://sub.a.com/z", "six"))
+      .toDF("doc_id", "url", "text")
+    val stats = UrlFunctions.domainStats(docs, "url", "text")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(stats.map(s => (s._1, s._2, s._3)).toSeq ==
+      Seq(("a.com", 2L, 4L), ("b.com", 1L, 2L)))
+    assert(math.abs(stats.map(_._4).sum - 10000L) <= 1)
+  }
+}

@@ -642,8 +642,53 @@ object DocQueries {
         .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/substr_windows")
       SubstrDedup.removeSpans(docs, "doc_id", "text", k = 12)
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // line family: documents.text is single-line, so the gate derives a
+    // deterministic multi-line form (newline every 8 words + appended
+    // nav/caps/short junk lines keyed off doc_id) that BOTH engines spell
+    // identically, then exercises the intra-doc line passes on it
+    "q_line_dedup" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      val d = t(s, dir, "documents").withColumn("_t", multilineText)
+      d.select(col("doc_id"),
+          TF.dedupLines(col("_t")).as("clean_text"),
+          size(split(col("_t"), "\n")).cast(LongType).as("n_lines"),
+          size(array_distinct(split(col("_t"), "\n"))).cast(LongType)
+            .as("n_unique"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_line_filter" -> ((s, dir) =>
+      graft.functions.TextFunctions.lineFilterTable(
+        t(s, dir, "documents").withColumn("text", multilineText),
+        "doc_id", "text")
+        .orderBy(col("doc_id")))
   )
+
+  /** Deterministic multi-line derivation shared by the line-family gates —
+    * Spark twin of [[MultilineSql]]; both must stay bit-identical. */
+  private def multilineText: Column = concat(
+    regexp_replace(col("text"), "((\\S+ ){7}\\S+) ", "$1\n"),
+    when(col("doc_id") % 2 === 0, lit("\nClick Here")).otherwise(lit("")),
+    when(col("doc_id") % 6 === 0, lit("\nClick Here")).otherwise(lit("")),
+    when(col("doc_id") % 3 === 0, lit("\nBREAKING NEWS ALERT"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 5 === 0, lit("\nok go")).otherwise(lit("")),
+    when(col("doc_id") % 7 === 0,
+      lit("\nthis closing line has enough words to stay"))
+      .otherwise(lit("")))
+
+  /** DuckDB spelling of [[multilineText]]. */
+  private val MultilineSql: String =
+    """regexp_replace(text, '((\S+ ){7}\S+) ', '\1' || chr(10), 'g') ||
+      |(CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Click Here' ELSE '' END) ||
+      |(CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'Click Here' ELSE '' END) ||
+      |(CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'BREAKING NEWS ALERT' ELSE '' END) ||
+      |(CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'ok go' ELSE '' END) ||
+      |(CASE WHEN doc_id % 7 = 0
+      |  THEN chr(10) || 'this closing line has enough words to stay'
+      |  ELSE '' END)""".stripMargin.replace("\n", " ")
 
   // ---- DuckDB oracles --------------------------------------------------------
 
@@ -681,6 +726,51 @@ object DocQueries {
        | (CASE WHEN $stopRatioSql >= 0.05 THEN 1.0 ELSE 0.5 END)) / 4.0""".stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_line_dedup" ->
+      s"""WITH base AS (SELECT doc_id, $MultilineSql AS t FROM documents),
+         |l AS (SELECT doc_id, lines[pos] AS line, pos
+         |  FROM (SELECT doc_id, lines,
+         |      unnest(range(1, len(lines) + 1)) AS pos
+         |    FROM (SELECT doc_id, string_split(t, chr(10)) AS lines
+         |          FROM base))),
+         |u AS (SELECT doc_id, line, min(pos) AS p
+         |  FROM l GROUP BY doc_id, line),
+         |agg AS (SELECT doc_id,
+         |    string_agg(line, chr(10) ORDER BY p) AS clean_text,
+         |    CAST(count(*) AS BIGINT) AS n_unique FROM u GROUP BY doc_id),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+         |  FROM l GROUP BY doc_id)
+         |SELECT a.doc_id, a.clean_text, cnt.n_lines, a.n_unique
+         |FROM agg a JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_line_filter" -> {
+      val boiler = graft.functions.TextFunctions.boilerplateLines
+        .map(b => s"'$b'").mkString(", ")
+      s"""WITH base AS (SELECT doc_id, $MultilineSql AS t FROM documents),
+         |l AS (SELECT doc_id, lines[pos] AS line, pos
+         |  FROM (SELECT doc_id, lines,
+         |      unnest(range(1, len(lines) + 1)) AS pos
+         |    FROM (SELECT doc_id, string_split(t, chr(10)) AS lines
+         |          FROM base))),
+         |c AS (SELECT doc_id, line, pos,
+         |    trim(regexp_replace(line, '\\s+', ' ', 'g')) AS cl FROM l),
+         |k AS (SELECT doc_id, line, pos,
+         |    (CASE WHEN length(cl) = 0 THEN 0
+         |          ELSE length(cl) - length(replace(cl, ' ', '')) + 1 END) >= 3
+         |    AND NOT (length(regexp_replace(line, '[^A-Za-z]', '', 'g')) > 0
+         |         AND length(regexp_replace(line, '[^A-Z]', '', 'g')) * 10000 >
+         |             length(regexp_replace(line, '[^A-Za-z]', '', 'g')) * 6000)
+         |    AND lower(trim(line)) NOT IN ($boiler) AS keep
+         |  FROM c)
+         |SELECT doc_id,
+         |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+         |    FILTER (WHERE keep), '') AS clean_text,
+         |  CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS n_lines_kept,
+         |  CAST(coalesce(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS n_lines_removed
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin},
+
     "q_doc_tokens" ->
       s"""SELECT doc_id, $tokenCountSql AS n_tokens,
          |  length(text) AS n_chars_computed, n_chars

@@ -233,6 +233,61 @@ object TextFunctions {
     trim(regexp_replace(noCtrl, " {2,}", " "))
   }
 
+  /** Lines a line-wise filter drops on exact (lowercased, trimmed) match —
+    * the nav/footer strings that survive HTML stripping. Deliberately
+    * small and embedded, like the stopword list. */
+  val boilerplateLines: Seq[String] = Seq(
+    "click here", "read more", "accept cookies", "accept all cookies",
+    "subscribe to our newsletter", "share this article", "advertisement",
+    "all rights reserved", "terms of service", "privacy policy")
+
+  /** Within-document line dedup: first occurrence of each line survives,
+    * in original order (`array_distinct` keeps first occurrences) — the
+    * intra-doc face of [[passageDedup]], for nav menus / repeated headers
+    * that recur inside ONE page. Pure per-row expression, zero shuffle. */
+  def dedupLines(text: Column): Column =
+    array_join(array_distinct(split(text, "\n")), "\n")
+
+  /** RefinedWeb-style line-wise filtering: drop lines that are too short
+    * (< `minWords` whitespace words), mostly uppercase (> `maxUpperRatio`
+    * of alphabetic chars — integer-scaled compare, no float drift), or an
+    * exact boilerplate match ([[boilerplateLines]]). Returns the kept
+    * lines ARRAY in order ([[lineFilterTable]] rejoins and counts).
+    * Per-row expression chain — codegen'd, zero shuffle; every
+    * predicate is spelled in regex/arithmetic both Java regex and RE2
+    * agree on, so the kept set is oracle-checkable. */
+  def filterLines(text: Column, minWords: Int = 3,
+      maxUpperRatio: Double = 0.6,
+      boilerplate: Seq[String] = boilerplateLines): Column = {
+    val upperScaled = math.round(maxUpperRatio * 10000).toInt
+    filter(split(text, "\n"), l => {
+      val collapsed = trim(regexp_replace(l, "\\s+", " "))
+      val wc = when(length(collapsed) === 0, lit(0))
+        .otherwise(length(collapsed)
+          - length(regexp_replace(collapsed, " ", "")) + lit(1))
+      val up = length(regexp_replace(l, "[^A-Z]", ""))
+      val alpha = length(regexp_replace(l, "[^A-Za-z]", ""))
+      val tooUpper = alpha > 0 && up * lit(10000) > alpha * lit(upperScaled)
+      val boiler = lower(trim(l)).isin(boilerplate: _*)
+      wc >= minWords && !tooUpper && !boiler
+    })
+  }
+
+  /** Table form of the line-wise pass: `clean_text` (kept lines rejoined)
+    * plus kept/removed counts per document. The lines array and its kept
+    * filtrate are staged as real columns so each is computed once. */
+  def lineFilterTable(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minWords: Int = 3, maxUpperRatio: Double = 0.6,
+      boilerplate: Seq[String] = boilerplateLines): org.apache.spark.sql.DataFrame =
+    df.withColumn("_kept",
+        filterLines(col(textCol), minWords, maxUpperRatio, boilerplate))
+      .withColumn("_n_all", size(split(col(textCol), "\n")))
+      .select(col(idCol),
+        array_join(col("_kept"), "\n").as("clean_text"),
+        size(col("_kept")).cast(LongType).as("n_lines_kept"),
+        (col("_n_all") - size(col("_kept"))).cast(LongType)
+          .as("n_lines_removed"))
+
   /** Gopher-style repetition signals — the standard corpus filters for
     * boilerplate/spam detection in pretraining pipelines:
     *

@@ -52,6 +52,30 @@ class UrlSpec extends SparkSuite {
     assert(ids == ids1 && ids == idsRep)
   }
 
+  test("dedupLines keeps first occurrences in order") {
+    import graft.functions.{TextFunctions => TF}
+    val out = Seq("a b c\nx y\na b c\nz\nx y")
+      .toDF("t").select(TF.dedupLines(col("t"))).as[String].head()
+    assert(out == "a b c\nx y\nz")
+  }
+
+  test("filterLines drops short, shouty, and boilerplate lines") {
+    import graft.functions.{TextFunctions => TF}
+    val text = Seq(
+      "this line has plenty of words",  // kept
+      "ok go",                          // < 3 words
+      "BREAKING NEWS ALERT",            // all caps
+      "Click Here",                     // boilerplate (case-insensitive)
+      "Mixed Case line stays put",      // kept (upper ratio low)
+      "").mkString("\n")                // empty
+    val out = TF.lineFilterTable(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, String, Long, Long)].head()
+    assert(out._2 ==
+      "this line has plenty of words\nMixed Case line stays put")
+    assert(out._3 == 2L && out._4 == 4L)
+  }
+
   test("domainStats: token shares sum to ~10000 and counts are exact") {
     val docs = Seq(
       (1L, "https://a.com/x", "one two three"),

@@ -683,6 +683,31 @@ object ExtraQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // outlier capping: clamp value to its exact [p05, p95] percentiles —
+    // one stats job inlined as literals, one clamping scan; the oracle
+    // recomputes both bounds with quantile_cont and replays the clamp
+    "q_winsorize" -> ((s, dir) =>
+      Winsorizer(Seq("value"), 0.05, 0.95)(t(s, dir, "events"))
+        .select(col("event_id"),
+          when(col("value").isNull, lit(null).cast(LongType))
+            .otherwise(floor(col("value") * lit(10000.0) + lit(0.5))
+              .cast(LongType)).as("value_x10k"))
+        .orderBy(col("event_id"))),
+
+    // group-mean imputation: nulls derived deterministically (event_id %
+    // 11), filled with the per-type exact decimal mean; oracle replays
+    // derivation, mean arithmetic, and the fill
+    "q_impute_group" -> ((s, dir) => {
+      val d = t(s, dir, "events").withColumn("value",
+        when(col("event_id") % 11 === 0, lit(null).cast(DoubleType))
+          .otherwise(col("value")))
+      GroupMeanImputer(Seq("value"), Seq("event_type"))(d)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * lit(10000.0) + lit(0.5))
+            .cast(LongType).as("value_x10k"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_domain_stats" -> ((s, dir) => {
       import graft.functions.UrlFunctions
       UrlFunctions.domainStats(
@@ -749,6 +774,28 @@ object ExtraQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_winsorize" ->
+      """WITH b AS (SELECT quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi FROM events)
+        |SELECT event_id,
+        |  CASE WHEN value IS NULL THEN NULL
+        |       ELSE CAST(FLOOR(LEAST(GREATEST(value, lo), hi) * 10000 + 0.5)
+        |                 AS BIGINT) END AS value_x10k
+        |FROM events, b ORDER BY event_id""".stripMargin,
+
+    "q_impute_group" ->
+      """WITH d AS (SELECT event_id, event_type,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value
+        |  FROM events),
+        |m AS (SELECT event_type,
+        |    FLOOR((CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+        |           / COUNT(value)) * 1e6 + 0.5) / 1e6 AS mv
+        |  FROM d GROUP BY event_type)
+        |SELECT event_id, event_type,
+        |  CAST(FLOOR(COALESCE(d.value, m.mv) * 10000 + 0.5) AS BIGINT)
+        |    AS value_x10k
+        |FROM d JOIN m USING (event_type) ORDER BY event_id""".stripMargin,
+
     "q_url_normalize" ->
       s"""WITH urls AS (SELECT doc_id, $SyntheticUrlSql AS url FROM documents),
          |$DomainSql,

@@ -106,3 +106,53 @@ final case class MetadataToColumns() extends TransformStage {
       if (d.columns.contains(c)) d else d.withColumn(c, v)
     }
 }
+
+/** Winsorizer — clamp numeric fields to their exact [pLow, pHigh]
+  * percentiles, the standard outlier-capping cleaner (cap, don't drop —
+  * AnomalySplitter's gentler sibling). ONE stats job computes both bounds
+  * for every field (a single aggregate row inlined as literals — the
+  * AnomalyDetector pattern: pushdown-friendly, never a global window),
+  * then one clamping scan. Nulls stay null (`least`/`greatest` would
+  * otherwise swallow them). */
+final case class Winsorizer(fields: Seq[String],
+    pLow: Double = 0.01, pHigh: Double = 0.99) extends TransformStage {
+  require(fields.nonEmpty && pLow >= 0 && pHigh <= 1 && pLow < pHigh,
+    s"need fields and 0 <= pLow < pHigh <= 1: $pLow, $pHigh")
+  def name = "winsorizer"
+  def apply(df: DataFrame): DataFrame = {
+    val row = df.select(fields.map(f =>
+      expr(s"percentile($f, array($pLow, $pHigh))").as(f)): _*).head()
+    fields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
+      val bounds = row.getSeq[Double](i)
+      if (bounds == null) d // all-null field: nothing to clamp
+      else d.withColumn(f,
+        when(col(f).isNull, lit(null).cast(d.schema(f).dataType))
+          .otherwise(least(greatest(col(f), lit(bounds.head)),
+            lit(bounds.last))))
+    }
+  }
+}
+
+/** GroupMeanImputer — fill nulls in numeric fields with their GROUP mean
+  * (e.g. per-category), the context-aware upgrade of NullRemover's
+  * constant fill. The means are exact decimal averages
+  * (`Semantics.exactAvg` arithmetic) so the imputed values are
+  * cross-engine reproducible. One tiny per-group aggregate broadcast-joined
+  * back, one coalesce scan — no window, no corpus shuffle. */
+final case class GroupMeanImputer(fields: Seq[String],
+    groupBy: Seq[String]) extends TransformStage {
+  require(fields.nonEmpty && groupBy.nonEmpty, "need fields and group keys")
+  def name = "group_mean_imputer"
+  def apply(df: DataFrame): DataFrame = {
+    val means = df.groupBy(groupBy.map(col): _*)
+      .agg(graft.core.Semantics.exactAvg(col(fields.head), 6)
+          .as(s"_mean_${fields.head}"),
+        fields.tail.map(f =>
+          graft.core.Semantics.exactAvg(col(f), 6).as(s"_mean_$f")): _*)
+    val joined = df.join(broadcast(means), groupBy, "left")
+    fields.foldLeft(joined) { (d, f) =>
+      d.withColumn(f,
+        coalesce(col(f), col(s"_mean_$f").cast(d.schema(f).dataType)))
+    }.drop(fields.map(f => s"_mean_$f"): _*)
+  }
+}

@@ -17,6 +17,30 @@ class OperatorSpec extends SparkSuite {
     (4L, "dana", "d@x.com", 35, -100.0)  // negative salary
   ).toDF("id", "name", "email", "age", "salary")
 
+  test("Winsorizer clamps to exact percentiles, preserves nulls and rows") {
+    val df = ((1 to 100).map(i => (i.toLong, Some(i.toDouble))) :+
+      (101L, Option.empty[Double])).toDF("id", "v")
+    val out = Winsorizer(Seq("v"), 0.1, 0.9)(df)
+    val Array(lo, hi) = df.selectExpr("percentile(v, array(0.1, 0.9))")
+      .head().getSeq[Double](0).toArray
+    assert(out.count() == 101)
+    val stats = out.agg(min(col("v")), max(col("v")),
+      sum(when(col("v").isNull, 1).otherwise(0))).head()
+    assert(stats.getDouble(0) == lo && stats.getDouble(1) == hi)
+    assert(stats.getLong(2) == 1L) // the null row stayed null
+    // interior values untouched
+    assert(out.filter(col("id") === 50L).head().getDouble(1) == 50.0)
+  }
+
+  test("GroupMeanImputer fills nulls with the per-group mean only") {
+    val df = Seq(("a", Some(2.0)), ("a", Some(4.0)), ("a", None),
+      ("b", Some(10.0)), ("b", None)).toDF("g", "v")
+    val out = GroupMeanImputer(Seq("v"), Seq("g"))(df)
+      .groupBy("g").agg(sum(col("v")).as("s")).as[(String, Double)]
+      .collect().toMap
+    assert(out("a") == 9.0 && out("b") == 20.0) // 2+4+3, 10+10
+  }
+
   test("NullRemover drop: empty string counts as null") {
     val out = NullRemover("drop")(people)
     assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))

@@ -76,6 +76,27 @@ class UrlSpec extends SparkSuite {
     assert(out._3 == 2L && out._4 == 4L)
   }
 
+  test("domainCapSample plan: every window is domain-partitioned, no single-partition exchange") {
+    val docs = (0L until 100L).map(i => (i, s"https://s${i % 3}.com/$i"))
+      .toDF("doc_id", "url")
+    val q = UrlFunctions.domainCapSample(docs, "doc_id", "url", 5)
+    val plan = q.queryExecution.executedPlan.toString
+    val winLines = plan.split("\n").filter(_.contains("Window ["))
+    assert(winLines.nonEmpty && winLines.forall(_.contains("domain")),
+      plan.take(800))
+    assert(!plan.contains("SinglePartition"), plan.take(800))
+  }
+
+  test("line ops plan: pure projection, zero shuffle") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = Seq((1L, "a\nb")).toDF("doc_id", "text")
+    for (q <- Seq(TF.lineFilterTable(docs, "doc_id", "text"),
+        docs.select(TF.dedupLines(col("text"))))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(500))
+    }
+  }
+
   test("domainStats: token shares sum to ~10000 and counts are exact") {
     val docs = Seq(
       (1L, "https://a.com/x", "one two three"),

@@ -663,7 +663,24 @@ object DocQueries {
       graft.functions.TextFunctions.lineFilterTable(
         t(s, dir, "documents").withColumn("text", multilineText),
         "doc_id", "text")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // snapshot drift: "new crawl" derived deterministically from documents
+    // (drop %13 ids, append ' v2' to %17 texts, re-add %19 ids shifted) —
+    // the oracle rebuilds both snapshots and replays the full-outer
+    // hash-compare classification
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newDf = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + lit(100000L)).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+      SnapshotDiff.diff(docs, newDf, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** Deterministic multi-line derivation shared by the line-family gates —
@@ -726,6 +743,25 @@ object DocQueries {
        | (CASE WHEN $stopRatioSql >= 0.05 THEN 1.0 ELSE 0.5 END)) / 4.0""".stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS oh FROM documents),
+        |nw AS (
+        |  SELECT doc_id,
+        |      md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2'
+        |               ELSE text END) AS nh
+        |    FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, md5(text) FROM documents
+        |    WHERE doc_id % 19 = 0),
+        |j AS (SELECT COALESCE(o.doc_id, nw.doc_id) AS doc_id, oh, nh
+        |  FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN oh IS NULL THEN 'added'
+        |       WHEN nh IS NULL THEN 'removed'
+        |       WHEN oh = nh THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM j ORDER BY doc_id""".stripMargin,
+
     "q_line_dedup" ->
       s"""WITH base AS (SELECT doc_id, $MultilineSql AS t FROM documents),
          |l AS (SELECT doc_id, lines[pos] AS line, pos

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus snapshot comparison — the "what changed between crawl N and
+  * crawl N+1" report that drives incremental training-data refreshes
+  * (re-embed only `changed`, retire `removed`, dedup-check only `added`).
+  * Complements `Dedup.ExactDedup.incremental` (which deduplicates the new
+  * batch) by CLASSIFYING instead of filtering.
+  *
+  * Scale shape: each side is reduced to (id, content-md5) — a pure
+  * projection — before the full-outer join, so only 16-byte hashes cross
+  * the one shuffle on the uniform id key; document bodies never move. */
+object SnapshotDiff {
+
+  /** One row per document id present in either snapshot:
+    * `status ∈ {added, removed, changed, unchanged}` by content hash. */
+  def diff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as(idCol),
+      md5(col(contentCol).cast(StringType)).as("_old_hash"))
+    val n = newDf.select(col(idCol).as(idCol),
+      md5(col(contentCol).cast(StringType)).as("_new_hash"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_old_hash").isNull, lit("added"))
+          .when(col("_new_hash").isNull, lit("removed"))
+          .when(col("_old_hash") === col("_new_hash"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /** The four status counts — the one-line drift report. */
+  def summary(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      contentCol: String): DataFrame =
+    diff(oldDf, newDf, idCol, contentCol)
+      .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+}

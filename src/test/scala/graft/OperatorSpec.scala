@@ -41,6 +41,18 @@ class OperatorSpec extends SparkSuite {
     assert(out("a") == 9.0 && out("b") == 20.0) // 2+4+3, 10+10
   }
 
+  test("SnapshotDiff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val nw = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "text")
+    val got = SnapshotDiff.diff(old, nw, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    val counts = SnapshotDiff.summary(old, nw, "id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 4L && counts("unchanged") == 1L)
+  }
+
   test("NullRemover drop: empty string counts as null") {
     val out = NullRemover("drop")(people)
     assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))

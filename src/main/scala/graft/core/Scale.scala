@@ -77,3 +77,22 @@ object Bucketing {
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 }
+
+/** Grouped top-k without a group-by-collect or a global sort: one
+  * partitioned window whose rank filter Spark rewrites to
+  * WindowGroupLimit — per-partition heaps of size k run BEFORE the
+  * exchange, so only ≤ k·groups·partitions pre-ranked rows shuffle
+  * (the grouped twin of TakeOrderedAndProject). The tiebreak columns
+  * must make the order total or results are partitioning-dependent. */
+object TopK {
+  def perKey(df: DataFrame, keys: Seq[String], k: Int,
+      order: Seq[Column]): DataFrame = {
+    require(k > 0 && keys.nonEmpty && order.nonEmpty,
+      "need positive k, keys, and a total order")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= k)
+      .withColumnRenamed("_rank", "rank_in_key")
+  }
+}

@@ -291,12 +291,64 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_items"),
           Semantics.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("revenue"))
-        .orderBy(col("o_orderstatus")))
+        .orderBy(col("o_orderstatus"))),
+
+    // existence joins: only keys cross the shuffle, no payload duplication
+    "q_join_semi" -> ((s, dir) =>
+      t(s, dir, "customer").join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // anti vs BIG orders only — every customer has SOME order, so the
+    // unfiltered anti would be a trivially-empty (weak) gate
+    "q_join_anti" -> ((s, dir) =>
+      t(s, dir, "customer").join(
+        t(s, dir, "orders").filter(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // grouped top-k through TopK.perKey: the rank filter becomes a
+    // WindowGroupLimit (per-partition k-heaps BEFORE the exchange)
+    "q_topk_grouped" -> ((s, dir) =>
+      graft.core.TopK.perKey(
+        t(s, dir, "events").select(col("event_id"), col("event_type"),
+          col("value")),
+        Seq("event_type"), 5,
+        Seq(col("value").desc_nulls_last, col("event_id").asc))
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * lit(10000.0) + lit(0.5)).cast(LongType)
+            .as("value_x10k"),
+          col("rank_in_key").cast(LongType).as("rank_in_key"))
+        .orderBy(col("event_type"), col("rank_in_key")))
   )
 
   // ---- DuckDB oracles --------------------------------------------------------
 
   val oracleSql: Map[String, String] = Map(
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_topk_grouped" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC NULLS LAST, event_id) AS rk
+        |  FROM events)
+        |SELECT event_type, event_id,
+        |  CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS value_x10k,
+        |  CAST(rk AS BIGINT) AS rank_in_key
+        |FROM r WHERE rk <= 5
+        |ORDER BY event_type, rk""".stripMargin,
+
     "q_filter_eq" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber""".stripMargin,

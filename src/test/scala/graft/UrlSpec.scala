@@ -87,6 +87,21 @@ class UrlSpec extends SparkSuite {
     assert(!plan.contains("SinglePartition"), plan.take(800))
   }
 
+  test("TopK.perKey plans a WindowGroupLimit (pre-shuffle k-heaps)") {
+    val df = (1 to 300).map(i => (i.toLong, s"g${i % 3}", i * 1.5))
+      .toDF("id", "g", "v")
+    val q = graft.core.TopK.perKey(df, Seq("g"), 4,
+      Seq(col("v").desc_nulls_last, col("id").asc))
+    assert(q.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+    assert(q.count() == 12)
+    // exact agreement with a full-sort reference
+    val naive = df.as[(Long, String, Double)].collect().toSeq
+      .groupBy(_._2).values
+      .flatMap(g => g.sortBy(t => (-t._3, t._1)).take(4).map(_._1)).toSet
+    assert(q.select("id").as[Long].collect().toSet == naive)
+  }
+
   test("line ops plan: pure projection, zero shuffle") {
     import graft.functions.{TextFunctions => TF}
     val docs = Seq((1L, "a\nb")).toDF("doc_id", "text")

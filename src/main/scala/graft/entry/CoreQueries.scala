@@ -309,6 +309,27 @@ object CoreQueries {
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
 
+    // per-key time-series features: lag + 3-row moving average, one
+    // user-partitioned window pass (the standard feature-engineering
+    // shape; decimal-exact moving sum for cross-engine parity)
+    "q_window_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val w3 = w.rowsBetween(-2, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("prev_x10k",
+          floor(lag(col("value"), 1).over(w) * lit(10000.0) + lit(0.5))
+            .cast(LongType))
+        .withColumn("ma3_x10k",
+          floor((sum(col("value").cast(DecimalType(38, 10))).over(w3)
+              .cast(DoubleType) / count(col("value")).over(w3))
+            * lit(10000.0) + lit(0.5)).cast(LongType))
+        .select(col("user_id"), col("event_id"), col("prev_x10k"),
+          col("ma3_x10k"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // grouped top-k through TopK.perKey: the rank filter becomes a
     // WindowGroupLimit (per-partition k-heaps BEFORE the exchange)
     "q_topk_grouped" -> ((s, dir) =>
@@ -337,6 +358,19 @@ object CoreQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT user_id, event_id,
+        |  CAST(FLOOR(LAG(value, 1) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) * 10000 + 0.5)
+        |    AS BIGINT) AS prev_x10k,
+        |  CAST(FLOOR((CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER w3
+        |      AS DOUBLE) / COUNT(value) OVER w3) * 10000 + 0.5)
+        |    AS BIGINT) AS ma3_x10k
+        |FROM events
+        |WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_topk_grouped" ->
       """WITH r AS (SELECT event_type, event_id, value,

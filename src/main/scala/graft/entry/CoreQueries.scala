@@ -359,16 +359,21 @@ object CoreQueries {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
 
+    // ts ordered at MICROsecond granularity on both sides: Spark reads the
+    // nanos column via timestamp_micros(ns div 1000), so the oracle must
+    // truncate identically or a same-microsecond pair whose event_id order
+    // contradicts its nanosecond order would sort differently
     "q_window_lag" ->
       """SELECT user_id, event_id,
         |  CAST(FLOOR(LAG(value, 1) OVER
-        |    (PARTITION BY user_id ORDER BY ts, event_id) * 10000 + 0.5)
-        |    AS BIGINT) AS prev_x10k,
+        |    (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)
+        |    * 10000 + 0.5) AS BIGINT) AS prev_x10k,
         |  CAST(FLOOR((CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER w3
         |      AS DOUBLE) / COUNT(value) OVER w3) * 10000 + 0.5)
         |    AS BIGINT) AS ma3_x10k
         |FROM events
-        |WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |WINDOW w3 AS (PARTITION BY user_id
+        |  ORDER BY epoch_ns(ts) // 1000, event_id
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
 

@@ -675,8 +675,10 @@ object DocQueries {
         .withColumn("text",
           when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")))
+        // negative shifted ids can never collide with real (non-negative)
+        // doc ids at any scale factor
         .unionByName(docs.filter(col("doc_id") % 19 === 0)
-          .select((col("doc_id") + lit(100000L)).as("doc_id"), col("text"),
+          .select((-col("doc_id") - lit(1L)).as("doc_id"), col("text"),
             col("lang"), col("source"), col("n_chars")))
       SnapshotDiff.diff(docs, newDf, "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -709,11 +711,7 @@ object DocQueries {
 
   // ---- DuckDB oracles --------------------------------------------------------
 
-  private val tokenCountSql =
-    """CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
-      |     ELSE length(trim(regexp_replace(text, '\s+', ' ', 'g')))
-      |        - length(replace(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ', ''))
-      |        + 1 END""".stripMargin.replace("\n", " ")
+  private val tokenCountSql = Sql.tokenCountSql("text")
 
   private val wordsSql = "string_split_regex(trim(lower(text)), '\\s+')"
 
@@ -751,7 +749,7 @@ object DocQueries {
         |               ELSE text END) AS nh
         |    FROM documents WHERE doc_id % 13 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 100000, md5(text) FROM documents
+        |  SELECT -doc_id - 1, md5(text) FROM documents
         |    WHERE doc_id % 19 = 0),
         |j AS (SELECT COALESCE(o.doc_id, nw.doc_id) AS doc_id, oh, nh
         |  FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id)

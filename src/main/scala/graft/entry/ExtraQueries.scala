@@ -839,11 +839,7 @@ object ExtraQueries {
          |FROM r WHERE domain_rank <= 3 ORDER BY doc_id""".stripMargin,
 
     "q_domain_stats" -> {
-      val tok =
-        """CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
-          |     ELSE length(trim(regexp_replace(text, '\s+', ' ', 'g')))
-          |        - length(replace(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ', ''))
-          |        + 1 END""".stripMargin.replace("\n", " ")
+      val tok = Sql.tokenCountSql("text")
       s"""WITH urls AS (SELECT doc_id, text, $SyntheticUrlSql AS url
          |    FROM documents),
          |$DomainSql,
@@ -1005,11 +1001,7 @@ object ExtraQueries {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_mix_corpus" -> {
-      val tok =
-        """CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
-          |     ELSE length(trim(regexp_replace(text, '\s+', ' ', 'g')))
-          |        - length(replace(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ', ''))
-          |        + 1 END""".stripMargin.replace("\n", " ")
+      val tok = Sql.tokenCountSql("text")
       val target = """CASE WHEN source = 'src1' THEN 600.0
         | WHEN source = 'src2' THEN 1e9 ELSE 300.0 END"""
         .stripMargin.replace("\n", "")
@@ -1031,11 +1023,7 @@ object ExtraQueries {
         |LIMIT 100""".stripMargin,
 
     "q_mix_temperature" -> {
-      val tok =
-        """CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
-          |     ELSE length(trim(regexp_replace(text, '\s+', ' ', 'g')))
-          |        - length(replace(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ', ''))
-          |        + 1 END""".stripMargin.replace("\n", " ")
+      val tok = Sql.tokenCountSql("text")
       s"""WITH tok AS (SELECT doc_id, source, $tok AS n_tokens FROM documents),
          |av AS (SELECT source, CAST(SUM(n_tokens) AS DOUBLE) AS avail
          |  FROM tok GROUP BY source),

@@ -25,6 +25,15 @@ object Sql {
   def eavg(c: String): String =
     sround(s"CAST(SUM(CAST($c AS DECIMAL(38,10))) AS DOUBLE) / COUNT($c)")
 
+  /** DuckDB spelling of TextFunctions.tokenCount over column `c`
+    * (whitespace-run count + 1 on collapsed text) — ONE definition so
+    * every gate that replays the token kernel agrees. */
+  def tokenCountSql(c: String = "text"): String =
+    s"""CASE WHEN length(trim(regexp_replace($c, '\\s+', ' ', 'g'))) = 0 THEN 0
+       |     ELSE length(trim(regexp_replace($c, '\\s+', ' ', 'g')))
+       |        - length(replace(trim(regexp_replace($c, '\\s+', ' ', 'g')), ' ', ''))
+       |        + 1 END""".stripMargin.replace("\n", " ")
+
   /** Scale-factor tag for oracle aux-file paths: aux parquet written by the
     * gates is keyed by the DATA DIRECTORY so a later run at another scale
     * factor (the bench at sf0.1 after a verify at sf0.01) can never

@@ -258,9 +258,16 @@ object TextFunctions {
     * agree on, so the kept set is oracle-checkable. */
   def filterLines(text: Column, minWords: Int = 3,
       maxUpperRatio: Double = 0.6,
+      boilerplate: Seq[String] = boilerplateLines): Column =
+    filterLinesArr(split(text, "\n"), minWords, maxUpperRatio, boilerplate)
+
+  /** [[filterLines]] over an already-split lines array (lets callers stage
+    * the split once and derive kept + total counts from the same column). */
+  def filterLinesArr(lines: Column, minWords: Int = 3,
+      maxUpperRatio: Double = 0.6,
       boilerplate: Seq[String] = boilerplateLines): Column = {
     val upperScaled = math.round(maxUpperRatio * 10000).toInt
-    filter(split(text, "\n"), l => {
+    filter(lines, l => {
       val collapsed = trim(regexp_replace(l, "\\s+", " "))
       val wc = when(length(collapsed) === 0, lit(0))
         .otherwise(length(collapsed)
@@ -279,13 +286,13 @@ object TextFunctions {
   def lineFilterTable(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, minWords: Int = 3, maxUpperRatio: Double = 0.6,
       boilerplate: Seq[String] = boilerplateLines): org.apache.spark.sql.DataFrame =
-    df.withColumn("_kept",
-        filterLines(col(textCol), minWords, maxUpperRatio, boilerplate))
-      .withColumn("_n_all", size(split(col(textCol), "\n")))
+    df.withColumn("_lines", split(col(textCol), "\n"))
+      .withColumn("_kept",
+        filterLinesArr(col("_lines"), minWords, maxUpperRatio, boilerplate))
       .select(col(idCol),
         array_join(col("_kept"), "\n").as("clean_text"),
         size(col("_kept")).cast(LongType).as("n_lines_kept"),
-        (col("_n_all") - size(col("_kept"))).cast(LongType)
+        (size(col("_lines")) - size(col("_kept"))).cast(LongType)
           .as("n_lines_removed"))
 
   /** Gopher-style repetition signals — the standard corpus filters for

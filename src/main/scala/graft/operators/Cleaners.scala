@@ -125,10 +125,15 @@ final case class Winsorizer(fields: Seq[String],
     fields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
       val bounds = row.getSeq[Double](i)
       if (bounds == null) d // all-null field: nothing to clamp
-      else d.withColumn(f,
-        when(col(f).isNull, lit(null).cast(d.schema(f).dataType))
-          .otherwise(least(greatest(col(f), lit(bounds.head)),
-            lit(bounds.last))))
+      else {
+        // clamp in the field's own type (bounds cast first) so integer
+        // columns stay integers instead of silently widening to double
+        val dt = d.schema(f).dataType
+        d.withColumn(f,
+          when(col(f).isNull, lit(null).cast(dt))
+            .otherwise(least(greatest(col(f), lit(bounds.head).cast(dt)),
+              lit(bounds.last).cast(dt))))
+      }
     }
   }
 }
@@ -149,10 +154,15 @@ final case class GroupMeanImputer(fields: Seq[String],
           .as(s"_mean_${fields.head}"),
         fields.tail.map(f =>
           graft.core.Semantics.exactAvg(col(f), 6).as(s"_mean_$f")): _*)
-    val joined = df.join(broadcast(means), groupBy, "left")
+    // null-safe key equality: a NULL group is still a group — the plain
+    // using-columns join would silently skip its mean row
+    val meansR = groupBy.foldLeft(means)((d, k) =>
+      d.withColumnRenamed(k, s"_g_$k"))
+    val cond = groupBy.map(k => col(k) <=> col(s"_g_$k")).reduce(_ && _)
+    val joined = df.join(broadcast(meansR), cond, "left")
     fields.foldLeft(joined) { (d, f) =>
       d.withColumn(f,
         coalesce(col(f), col(s"_mean_$f").cast(d.schema(f).dataType)))
-    }.drop(fields.map(f => s"_mean_$f"): _*)
+    }.drop(fields.map(f => s"_mean_$f") ++ groupBy.map(k => s"_g_$k"): _*)
   }
 }

@@ -16,18 +16,24 @@ import org.apache.spark.sql.types._
 object SnapshotDiff {
 
   /** One row per document id present in either snapshot:
-    * `status ∈ {added, removed, changed, unchanged}` by content hash. */
+    * `status ∈ {added, removed, changed, unchanged}` by content hash.
+    * Presence is tracked with explicit flags, NOT hash nullness — a doc
+    * whose content is NULL still EXISTS in its snapshot (md5(NULL) is
+    * NULL, which would otherwise masquerade as absence), and two null
+    * contents compare as unchanged via the null-safe equality. */
   def diff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       contentCol: String): DataFrame = {
     val o = oldDf.select(col(idCol).as(idCol),
-      md5(col(contentCol).cast(StringType)).as("_old_hash"))
+      md5(col(contentCol).cast(StringType)).as("_old_hash"),
+      lit(true).as("_in_old"))
     val n = newDf.select(col(idCol).as(idCol),
-      md5(col(contentCol).cast(StringType)).as("_new_hash"))
+      md5(col(contentCol).cast(StringType)).as("_new_hash"),
+      lit(true).as("_in_new"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("_old_hash").isNull, lit("added"))
-          .when(col("_new_hash").isNull, lit("removed"))
-          .when(col("_old_hash") === col("_new_hash"), lit("unchanged"))
+        when(col("_in_old").isNull, lit("added"))
+          .when(col("_in_new").isNull, lit("removed"))
+          .when(col("_old_hash") <=> col("_new_hash"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 

@@ -53,6 +53,34 @@ class OperatorSpec extends SparkSuite {
     assert(counts.values.sum == 4L && counts("unchanged") == 1L)
   }
 
+  test("SnapshotDiff: null content is presence, not absence") {
+    val old = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Some("x"))).toDF("id", "text")
+    val nw = Seq((1L, Option.empty[String]), (3L, Some("x"))).toDF("id", "text")
+    val got = SnapshotDiff.diff(old, nw, "id", "text")
+      .as[(Long, String)].collect().toMap
+    // null==null content → unchanged; a null-content doc can be removed
+    assert(got == Map(1L -> "unchanged", 2L -> "removed", 3L -> "unchanged"))
+  }
+
+  test("GroupMeanImputer fills the NULL-key group too") {
+    val df = Seq((Option.empty[String], Some(2.0)),
+      (Option.empty[String], None), (Some("a"), Some(8.0)))
+      .toDF("g", "v")
+    val out = GroupMeanImputer(Seq("v"), Seq("g"))(df)
+    assert(out.filter(col("g").isNull).agg(sum(col("v"))).head()
+      .getDouble(0) == 4.0) // 2 + imputed 2
+    assert(out.columns.toSeq == Seq("g", "v")) // helper cols dropped
+  }
+
+  test("Winsorizer keeps integer columns integer") {
+    val df = (1 to 100).map(i => (i.toLong, i)).toDF("id", "v")
+    val out = Winsorizer(Seq("v"), 0.1, 0.9)(df)
+    assert(out.schema("v").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(out.agg(max(col("v"))).head().getInt(0) <= 91)
+  }
+
   test("NullRemover drop: empty string counts as null") {
     val out = NullRemover("drop")(people)
     assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))

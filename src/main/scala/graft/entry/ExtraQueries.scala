@@ -694,6 +694,14 @@ object ExtraQueries {
               .cast(LongType)).as("value_x10k"))
         .orderBy(col("event_id"))),
 
+    // equal-frequency discretization: quartile bucket per event — one
+    // bounds job, one comparison-sum projection; oracle recomputes the
+    // three quantile bounds and replays the bucket assignment
+    "q_quantile_bin" -> ((s, dir) =>
+      QuantileBinner("value", 4)(t(s, dir, "events"))
+        .select(col("event_id"), col("bin"))
+        .orderBy(col("event_id"))),
+
     // group-mean imputation: nulls derived deterministically (event_id %
     // 11), filled with the per-type exact decimal mean; oracle replays
     // derivation, mean arithmetic, and the fill
@@ -781,6 +789,18 @@ object ExtraQueries {
         |  CASE WHEN value IS NULL THEN NULL
         |       ELSE CAST(FLOOR(LEAST(GREATEST(value, lo), hi) * 10000 + 0.5)
         |                 AS BIGINT) END AS value_x10k
+        |FROM events, b ORDER BY event_id""".stripMargin,
+
+    "q_quantile_bin" ->
+      """WITH b AS (SELECT quantile_cont(value, 0.25) AS b1,
+        |    quantile_cont(value, 0.5) AS b2,
+        |    quantile_cont(value, 0.75) AS b3 FROM events)
+        |SELECT event_id,
+        |  CASE WHEN value IS NULL THEN NULL
+        |       ELSE CAST(1 + (CASE WHEN value >= b1 THEN 1 ELSE 0 END)
+        |                    + (CASE WHEN value >= b2 THEN 1 ELSE 0 END)
+        |                    + (CASE WHEN value >= b3 THEN 1 ELSE 0 END)
+        |              AS BIGINT) END AS bin
         |FROM events, b ORDER BY event_id""".stripMargin,
 
     "q_impute_group" ->

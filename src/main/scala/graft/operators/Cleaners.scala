@@ -166,3 +166,28 @@ final case class GroupMeanImputer(fields: Seq[String],
     }.drop(fields.map(f => s"_mean_$f") ++ groupBy.map(k => s"_g_$k"): _*)
   }
 }
+
+/** QuantileBinner — equal-frequency binning: assign each row the 1-based
+  * quantile bucket of `field` (bin b of `bins` ⇔ value ≥ the (b−1)/bins
+  * exact percentile). The standard discretization for stratified sampling
+  * and monotone feature prep. ONE stats job for all bin bounds (inlined
+  * as literals — never a percent_rank window over the corpus), then a
+  * pure comparison-sum projection at scan speed. Null values get bin
+  * null. */
+final case class QuantileBinner(field: String, bins: Int,
+    outCol: String = "bin") extends TransformStage {
+  require(bins >= 2, s"need at least 2 bins: $bins")
+  def name = s"quantile_binner($bins)"
+  def apply(df: DataFrame): DataFrame = {
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val bounds = df.select(
+      expr(s"percentile($field, array(${ps.mkString(",")}))")).head()
+      .getSeq[Double](0)
+    if (bounds == null) df.withColumn(outCol, lit(null).cast(LongType))
+    else df.withColumn(outCol,
+      when(col(field).isNull, lit(null).cast(LongType))
+        .otherwise(bounds.foldLeft(lit(1L)) { (acc, b) =>
+          acc + when(col(field) >= lit(b), 1L).otherwise(0L)
+        }))
+  }
+}

@@ -81,6 +81,17 @@ class OperatorSpec extends SparkSuite {
     assert(out.agg(max(col("v"))).head().getInt(0) <= 91)
   }
 
+  test("QuantileBinner: near-equal buckets, nulls stay null") {
+    val df = ((1 to 100).map(i => (i.toLong, Some(i.toDouble))) :+
+      (101L, Option.empty[Double])).toDF("id", "v")
+    val out = QuantileBinner("v", 4)(df)
+    val counts = out.filter(col("bin").isNotNull).groupBy("bin").count()
+      .as[(Long, Long)].collect().toMap
+    assert(counts.keySet == Set(1L, 2L, 3L, 4L))
+    assert(counts.values.forall(c => c >= 24 && c <= 26), counts.toString)
+    assert(out.filter(col("id") === 101L).head().isNullAt(2))
+  }
+
   test("NullRemover drop: empty string counts as null") {
     val out = NullRemover("drop")(people)
     assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))

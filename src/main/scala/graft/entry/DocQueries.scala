@@ -421,6 +421,14 @@ object DocQueries {
         .select(col("event_id"), col("value"), col("_meta_anomaly_method").as("method"))
         .orderBy(col("event_id"))),
 
+    "q_anomaly_robust" -> ((s, dir) =>
+      AnomalyDetector.robustZscore(t(s, dir, "events"), Seq("value"),
+        threshold = 3.0)
+        .filter(col("_meta_is_anomaly"))
+        .select(col("event_id"), col("value"),
+          col("_meta_anomaly_method").as("method"))
+        .orderBy(col("event_id"))),
+
     "q_anomaly_iqr" -> ((s, dir) =>
       AnomalyDetector.iqr(t(s, dir, "events"), Seq("value"), factor = 1.5)
         .filter(col("_meta_is_anomaly"))
@@ -1212,6 +1220,15 @@ object DocQueries {
         |FROM dots, qn
         |WHERE ROUND(dot / (sqrt(nsq) * sqrt(qsq)), 4) >= 0.2
         |ORDER BY vec_id""".stripMargin,
+
+    "q_anomaly_robust" ->
+      """WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
+        |d AS (SELECT quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM events, m)
+        |SELECT event_id, value, 'robust_zscore' AS method
+        |FROM events, m, d
+        |WHERE mad > 0 AND abs(value - med) > 3.0 * mad * 1.4826
+        |ORDER BY event_id""".stripMargin,
 
     "q_anomaly_zscore" ->
       """WITH s AS (SELECT

@@ -27,6 +27,38 @@ object AnomalyDetector {
   def iqr(df: DataFrame, fields: Seq[String], factor: Double = 1.5): DataFrame =
     flagAny(df, fields, factor, "iqr")
 
+  /** Robust z-score (median/MAD): anomaly if ANY field has
+    * |v − median| / (MAD · 1.4826) > threshold — the heavy-tail-safe
+    * sibling of `zscore` (mean/σ are themselves dragged by the outliers
+    * they hunt; median/MAD are 50%-breakdown estimators). Beyond the
+    * reference's three methods.
+    *
+    * Two bounded stats jobs (the MAD percentile needs the median first),
+    * both exact `percentile` results inlined as literal Columns — never a
+    * string round-trip, never a window — then one flagging scan.
+    * MAD = 0 fields are skipped (degenerate, like σ = 0 in zscore). */
+  def robustZscore(df: DataFrame, fields: Seq[String],
+      threshold: Double = 3.5): DataFrame = {
+    val medRow = df.select(fields.map(f =>
+      percentile(col(f).cast(DoubleType), lit(0.5)).as(f)): _*).head()
+    val meds = fields.indices.map(i =>
+      if (medRow.isNullAt(i)) None else Some(medRow.getDouble(i)))
+    val madRow = df.select(fields.zipWithIndex.map { case (f, i) =>
+      percentile(abs(col(f).cast(DoubleType)
+        - lit(meds(i).getOrElse(0.0))), lit(0.5)).as(f)
+    }: _*).head()
+    val flag = fields.zipWithIndex.map { case (f, i) =>
+      val ok = meds(i).isDefined && !madRow.isNullAt(i) &&
+        madRow.getDouble(i) > 0.0
+      if (!ok) lit(false)
+      else abs(col(f).cast(DoubleType) - lit(meds(i).get)) >
+        lit(threshold * madRow.getDouble(i) * 1.4826)
+    }.reduce(_ || _)
+    df.withColumn("_meta_is_anomaly", flag)
+      .withColumn("_meta_anomaly_method",
+        when(col("_meta_is_anomaly"), lit("robust_zscore")))
+  }
+
   /** combined (`anomaly_detector.py:326-355`): anomaly iff flagged by ≥2 of
     * {zscore, iqr, isolation forest} — the reference's full 3-method vote.
     * The iForest vote needs a stable order key for its deterministic

@@ -81,6 +81,21 @@ class OperatorSpec extends SparkSuite {
     assert(out.agg(max(col("v"))).head().getInt(0) <= 91)
   }
 
+  test("robustZscore flags far outliers, survives MAD=0, skips the mean-drag trap") {
+    import graft.operators.AnomalyDetector
+    // 20 inliers near 10 + one huge outlier: classic mean/σ drag — robust
+    // stats still flag it
+    val df = ((1 to 20).map(i => (i.toLong, 10.0 + (i % 3))) :+ (99L, 1e6))
+      .toDF("id", "v")
+    val flagged = AnomalyDetector.robustZscore(df, Seq("v"))
+      .filter(col("_meta_is_anomaly")).select("id").as[Long].collect()
+    assert(flagged.toSeq == Seq(99L))
+    // constant column → MAD 0 → nothing flagged (not everything)
+    val const = (1 to 10).map(i => (i.toLong, 5.0)).toDF("id", "v")
+    assert(AnomalyDetector.robustZscore(const, Seq("v"))
+      .filter(col("_meta_is_anomaly")).isEmpty)
+  }
+
   test("QuantileBinner: near-equal buckets, nulls stay null") {
     val df = ((1 to 100).map(i => (i.toLong, Some(i.toDouble))) :+
       (101L, Option.empty[Double])).toDF("id", "v")

@@ -694,6 +694,35 @@ object ExtraQueries {
               .cast(LongType)).as("value_x10k"))
         .orderBy(col("event_id"))),
 
+    // per-group distribution report: exact p25/p50/p95 of value per event
+    // type — ONE groupBy aggregate (partial-agg friendly), the shape a
+    // per-slice latency/quality dashboard runs at any scale
+    "q_group_percentiles" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(
+          floor(percentile(col("value"), lit(0.25)) * lit(10000.0) + lit(0.5))
+            .cast(LongType).as("p25_x10k"),
+          floor(percentile(col("value"), lit(0.5)) * lit(10000.0) + lit(0.5))
+            .cast(LongType).as("p50_x10k"),
+          floor(percentile(col("value"), lit(0.95)) * lit(10000.0) + lit(0.5))
+            .cast(LongType).as("p95_x10k"),
+          count(col("value")).as("n"))
+        .orderBy(col("event_type"))),
+
+    // partitioned-layout roundtrip: write parquet partitionBy(source),
+    // read the directory back, aggregate — exercises the partition-pruned
+    // layout every 100 TB corpus actually lives in (partition column is
+    // reconstructed from directory keys on read)
+    "q_partitioned_write" -> ((s, dir) => {
+      val out = s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/part_docs"
+      t(s, dir, "documents")
+        .write.mode("overwrite").partitionBy("source").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy(col("source"))
+    }),
+
     // equal-frequency discretization: quartile bucket per event — one
     // bounds job, one comparison-sum projection; oracle recomputes the
     // three quantile bounds and replays the bucket assignment
@@ -790,6 +819,24 @@ object ExtraQueries {
         |       ELSE CAST(FLOOR(LEAST(GREATEST(value, lo), hi) * 10000 + 0.5)
         |                 AS BIGINT) END AS value_x10k
         |FROM events, b ORDER BY event_id""".stripMargin,
+
+    "q_group_percentiles" ->
+      """SELECT event_type,
+        |  CAST(FLOOR(quantile_cont(value, 0.25) * 10000 + 0.5) AS BIGINT)
+        |    AS p25_x10k,
+        |  CAST(FLOOR(quantile_cont(value, 0.5) * 10000 + 0.5) AS BIGINT)
+        |    AS p50_x10k,
+        |  CAST(FLOOR(quantile_cont(value, 0.95) * 10000 + 0.5) AS BIGINT)
+        |    AS p95_x10k,
+        |  COUNT(value) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the write side is the operator under test; the oracle checks the
+    // roundtripped aggregate against the source table directly
+    "q_partitioned_write" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_quantile_bin" ->
       """WITH b AS (SELECT quantile_cont(value, 0.25) AS b1,

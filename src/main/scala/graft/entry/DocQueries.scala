@@ -186,6 +186,15 @@ object DocQueries {
         k = 3, threshold = 0.2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_doc_containment" -> ((s, dir) =>
+      // asymmetric near-dup: a short doc inside a long one (excerpts) —
+      // invisible to jaccard, containment ≈ 1
+      NgramJaccard.containmentPairsWithinBlocks(
+        t(s, dir, "documents"), "doc_id", "text",
+        blockKey = struct(col("lang"), col("source")),
+        k = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q_dedup_incremental" -> ((s, dir) => {
       // docs < 250 are the ingested history; the rest arrive as a new batch.
       // Survivors: first-in-batch content, never seen in history.
@@ -1074,6 +1083,26 @@ object DocQueries {
          |  SELECT sym.v, reach.lbl FROM sym JOIN reach ON sym.u = reach.id)
          |SELECT id AS doc_id, MIN(lbl) AS cluster, MIN(lbl) = id AS keep
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+    },
+
+    "q_doc_containment" -> {
+      val sh =
+        """list_distinct(list_transform(
+          |  range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 1, 1)),
+          |  i -> concat_ws(' ',
+          |    string_split_regex(trim(lower(text)), '\s+')[i],
+          |    string_split_regex(trim(lower(text)), '\s+')[i+1],
+          |    string_split_regex(trim(lower(text)), '\s+')[i+2])))""".stripMargin.replace("\n", " ")
+      s"""WITH d AS (SELECT doc_id, lang, source, $sh AS sh FROM documents)
+         |SELECT id_a, id_b, containment FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    ROUND(CASE WHEN least(len(a.sh), len(b.sh)) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         |         / least(len(a.sh), len(b.sh)) END, 4) AS containment
+         |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+         |    AND a.doc_id < b.doc_id)
+         |WHERE containment >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
     },
 
     "q_doc_ngram_jaccard" -> {

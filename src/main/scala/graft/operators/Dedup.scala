@@ -438,6 +438,35 @@ object NgramJaccard {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Asymmetric near-dup — containment |A∩B| / min(|A|,|B|): a short
+    * document quoted whole inside a long one has Jaccard ≈ |A|/|B| (tiny,
+    * invisible to [[pairsWithinBlocks]]) but containment 1.0. The
+    * excerpt/quotation detector. Identical inverted-shingle-index
+    * construction and scale shape as the Jaccard form. */
+  def containmentPairsWithinBlocks(df: DataFrame, idCol: String,
+      textCol: String, blockKey: Column, k: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val prepared = df.select(col(idCol).as("id"), blockKey.as("blk"),
+      MinHashDedup.shingles(col(textCol), k).as("sh"))
+    val sized = prepared.select(col("id"), col("blk"), col("sh"),
+      size(col("sh")).as("n_sh"))
+    val inv = sized.select(col("id"), col("blk"), col("n_sh"),
+      explode(col("sh")).as("s"))
+    val l = inv.select(col("id").as("id_a"), col("n_sh").as("na"),
+      col("blk"), col("s"))
+    val r = inv.select(col("id").as("id_b"), col("n_sh").as("nb"),
+      col("blk"), col("s"))
+    l.join(r, Seq("blk", "s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", round(
+        col("inter").cast(DoubleType)
+          / least(col("na"), col("nb")).cast(DoubleType), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
 }
 
 /** Exact-substring dedup (the "dedup training data at span level" pass —

@@ -96,6 +96,20 @@ class OperatorSpec extends SparkSuite {
       .filter(col("_meta_is_anomaly")).isEmpty)
   }
 
+  test("containment catches an excerpt that jaccard misses") {
+    import graft.operators.NgramJaccard
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val short = (10 to 19).map(i => s"w$i").mkString(" ") // verbatim slice
+    val df = Seq((1L, "b", long), (2L, "b", short)).toDF("id", "blk", "text")
+    val cont = NgramJaccard.containmentPairsWithinBlocks(
+      df, "id", "text", col("blk"), k = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.toSeq == Seq((1L, 2L, 1.0))) // all of short's shingles hit
+    val jac = NgramJaccard.pairsWithinBlocks(
+      df, "id", "text", col("blk"), k = 3, threshold = 0.5)
+    assert(jac.isEmpty) // jaccard ≈ 8/58 — invisible
+  }
+
   test("QuantileBinner: near-equal buckets, nulls stay null") {
     val df = ((1 to 100).map(i => (i.toLong, Some(i.toDouble))) :+
       (101L, Option.empty[Double])).toDF("id", "v")

@@ -694,6 +694,42 @@ object ExtraQueries {
               .cast(LongType)).as("value_x10k"))
         .orderBy(col("event_id"))),
 
+    // weekly cohort retention: first-seen week per user × activity-week
+    // offset → distinct actives. Two aggregates + one user-keyed join —
+    // the standard retention-triangle shape, no window over the corpus
+    "q_cohort_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("d")).as("c0"))
+      ev.join(cohort, Seq("user_id"))
+        .withColumn("cohort_week",
+          floor(datediff(col("c0"), lit("2024-01-01").cast(DateType))
+            / lit(7.0)).cast(LongType))
+        .withColumn("week_offset",
+          floor(datediff(col("d"), col("c0")) / lit(7.0)).cast(LongType))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // signup→purchase funnel: per-user first event times from ONE
+    // conditional aggregate, conversion = first purchase strictly after
+    // first signup (microsecond precision on both engines)
+    "q_funnel" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("s0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("p0"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(col("s0")).as("n_signed"),
+          sum(when(col("p0") > col("s0"), 1L).otherwise(0L))
+            .as("n_converted"))
+        .select(col("n_users"), col("n_signed"), col("n_converted"),
+          floor(col("n_converted") * lit(10000.0) / col("n_signed")
+            + lit(0.5)).cast(LongType).as("conv_rate_x10k"))),
+
     // per-group distribution report: exact p25/p50/p95 of value per event
     // type — ONE groupBy aggregate (partial-agg friendly), the shape a
     // per-slice latency/quality dashboard runs at any scale
@@ -819,6 +855,31 @@ object ExtraQueries {
         |       ELSE CAST(FLOOR(LEAST(GREATEST(value, lo), hi) * 10000 + 0.5)
         |                 AS BIGINT) END AS value_x10k
         |FROM events, b ORDER BY event_id""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, MIN(d) AS c0 FROM e GROUP BY user_id)
+        |SELECT
+        |  CAST(FLOOR(date_diff('day', DATE '2024-01-01', c0) / 7.0) AS BIGINT)
+        |    AS cohort_week,
+        |  CAST(FLOOR(date_diff('day', c0, d) / 7.0) AS BIGINT) AS week_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_funnel" ->
+      """WITH u AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup'
+        |        THEN epoch_ns(ts) // 1000 END) AS s0,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |        THEN epoch_ns(ts) // 1000 END) AS p0
+        |  FROM events GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users, COUNT(s0) AS n_signed,
+        |  CAST(COALESCE(SUM(CASE WHEN p0 > s0 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_converted,
+        |  CAST(FLOOR(COALESCE(SUM(CASE WHEN p0 > s0 THEN 1 ELSE 0 END), 0)
+        |    * 10000.0 / COUNT(s0) + 0.5) AS BIGINT) AS conv_rate_x10k
+        |FROM u""".stripMargin,
 
     "q_group_percentiles" ->
       """SELECT event_type,

@@ -694,6 +694,34 @@ object ExtraQueries {
               .cast(LongType)).as("value_x10k"))
         .orderBy(col("event_id"))),
 
+    // heatmap backing: 2-D histogram (value decile-width bins × hour of
+    // day) in ONE groupBy — the density-plot aggregate at any scale
+    "q_histogram2d" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(
+          floor(col("value") / lit(10.0)).cast(LongType).as("value_bin"),
+          hour(col("ts")).cast(LongType).as("hour_bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("value_bin"), col("hour_bin"))),
+
+    // rare-label collapsing: categories below a count threshold become
+    // 'OTHER' (ML-prep cardinality control) — tiny per-category aggregate
+    // broadcast back, one relabel scan, no window
+    "q_rare_labels" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val keep = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_n")).filter(col("_n") >= 2000)
+        .select(col("event_type"))
+      ev.join(broadcast(keep.withColumn("_keep", lit(true))),
+          Seq("event_type"), "left")
+        .withColumn("label",
+          when(col("_keep").isNotNull, col("event_type"))
+            .otherwise(lit("OTHER")))
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .orderBy(col("label"))
+    }),
+
     // weekly cohort retention: first-seen week per user × activity-week
     // offset → distinct actives. Two aggregates + one user-keyed join —
     // the standard retention-triangle shape, no window over the corpus
@@ -855,6 +883,21 @@ object ExtraQueries {
         |       ELSE CAST(FLOOR(LEAST(GREATEST(value, lo), hi) * 10000 + 0.5)
         |                 AS BIGINT) END AS value_x10k
         |FROM events, b ORDER BY event_id""".stripMargin,
+
+    "q_histogram2d" ->
+      """SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS value_bin,
+        |  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_bin,
+        |  COUNT(*) AS n
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_rare_labels" ->
+      """WITH k AS (SELECT event_type FROM events
+        |  GROUP BY event_type HAVING COUNT(*) >= 2000)
+        |SELECT CASE WHEN event_type IN (SELECT event_type FROM k)
+        |         THEN event_type ELSE 'OTHER' END AS label,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -694,6 +694,32 @@ object ExtraQueries {
               .cast(LongType)).as("value_x10k"))
         .orderBy(col("event_id"))),
 
+    // hierarchical totals in ONE pass: rollup produces (flag,status),
+    // (flag), and grand-total rows — partial-agg friendly, no re-scan per
+    // level (the reference's dashboard would run three queries for this)
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          Semantics.exactSum(col("l_quantity")).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("qty"))
+        .orderBy(col("flag"), col("status"))),
+
+    // argmax: the row identity attaining each group's max — max_by keyed
+    // by (value, event_id) so ties break deterministically cross-engine
+    "q_argmax" -> ((s, dir) =>
+      t(s, dir, "events").filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          max_by(col("event_id"), struct(col("value"), col("event_id")))
+            .as("top_event_id"),
+          floor(max(col("value")) * lit(10000.0) + lit(0.5))
+            .cast(LongType).as("max_value_x10k"))
+        .orderBy(col("event_type"))),
+
     // heatmap backing: 2-D histogram (value decile-width bins × hour of
     // day) in ONE groupBy — the density-plot aggregate at any scale
     "q_histogram2d" -> ((s, dir) =>
@@ -883,6 +909,26 @@ object ExtraQueries {
         |       ELSE CAST(FLOOR(LEAST(GREATEST(value, lo), hi) * 10000 + 0.5)
         |                 AS BIGINT) END AS value_x10k
         |FROM events, b ORDER BY event_id""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+         |  COALESCE(l_linestatus, 'ALL') AS status,
+         |  COUNT(*) AS n, ${Sql.esum("l_quantity")} AS qty
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY flag, status""".stripMargin,
+
+    // max_by(id, struct(value, id)) ≡ the rk=1 row under
+    // (value DESC, id DESC) — spelled as a window because DuckDB 1.0's
+    // arg_max rejects a composite ordering argument
+    "q_argmax" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id DESC) AS rk
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, event_id AS top_event_id,
+        |  CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS max_value_x10k
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     "q_histogram2d" ->
       """SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS value_bin,

@@ -694,6 +694,30 @@ object ExtraQueries {
               .cast(LongType)).as("value_x10k"))
         .orderBy(col("event_id"))),
 
+    // sorted distinct string aggregation per group (the report-cell
+    // "list the members" shape; sorted so both engines emit one canonical
+    // string)
+    "q_string_agg" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          array_join(array_sort(collect_set(col("source"))), ",")
+            .as("sources"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))),
+
+    // set algebra over query results: doc ids in the first half INTERSECT
+    // quality docs, then EXCEPT the flagged set — exercises
+    // intersect/except distinct semantics end-to-end
+    "q_setops" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val firstHalf = docs.filter(col("doc_id") < 250).select(col("doc_id"))
+      val longDocs = docs.filter(col("n_chars") >= 200).select(col("doc_id"))
+      val flagged = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+      firstHalf.intersect(longDocs).except(flagged)
+        .orderBy(col("doc_id"))
+    }),
+
     // hierarchical totals in ONE pass: rollup produces (flag,status),
     // (flag), and grand-total rows — partial-agg friendly, no re-scan per
     // level (the reference's dashboard would run three queries for this)
@@ -909,6 +933,20 @@ object ExtraQueries {
         |       ELSE CAST(FLOOR(LEAST(GREATEST(value, lo), hi) * 10000 + 0.5)
         |                 AS BIGINT) END AS value_x10k
         |FROM events, b ORDER BY event_id""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT lang,
+        |  string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_setops" ->
+      """SELECT doc_id FROM documents WHERE doc_id < 250
+        |INTERSECT
+        |SELECT doc_id FROM documents WHERE n_chars >= 200
+        |EXCEPT
+        |SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q_rollup" ->
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,

@@ -195,6 +195,28 @@ object DocQueries {
         k = 3, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // CDC merge-apply: deletes win over updates (disjoint by construction
+    // here), inserts arrive under collision-proof negative ids; the oracle
+    // rebuilds the final table from the same rules
+    "q_cdc_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val updates = docs
+        .filter(col("doc_id") % 17 === 0 && col("doc_id") % 13 =!= 0)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+        .withColumn("_op", lit("upsert"))
+      val inserts = docs.filter(col("doc_id") % 19 === 0)
+        .select((-col("doc_id") - lit(1L)).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .withColumn("_op", lit("upsert"))
+      val deletes = docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("_op", lit("delete"))
+      SnapshotDiff.applyChanges(docs,
+        updates.unionByName(inserts).unionByName(deletes), "doc_id", "_op")
+        .select(col("doc_id"), md5(col("text")).as("h"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_incremental" -> ((s, dir) => {
       // docs < 250 are the ingested history; the rest arrive as a new batch.
       // Survivors: first-in-batch content, never seen in history.
@@ -758,6 +780,18 @@ object DocQueries {
        | (CASE WHEN $stopRatioSql >= 0.05 THEN 1.0 ELSE 0.5 END)) / 4.0""".stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_cdc_apply" ->
+      """SELECT * FROM (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 17 = 0 AND doc_id % 13 <> 0
+        |        THEN text || ' v2' ELSE text END) AS h,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT -doc_id - 1, md5(text), lang, source, n_chars
+        |  FROM documents WHERE doc_id % 19 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS oh FROM documents),
         |nw AS (

@@ -42,4 +42,28 @@ object SnapshotDiff {
       contentCol: String): DataFrame =
     diff(oldDf, newDf, idCol, contentCol)
       .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+
+  /** Apply a CDC changes batch to a base table — MERGE semantics without a
+    * table format: `opCol ∈ {upsert, delete}`; an upsert replaces the base
+    * row (or inserts a new one), a delete removes it, untouched base rows
+    * pass through. Exactly one change per id (enforce upstream with
+    * `ExactDedup.incremental`-style keep-last if the feed has dups —
+    * duplicated change ids would fan the join out).
+    *
+    * One full-outer join on the uniform id key; both sides carry their
+    * payload columns once — no second scan, no window. */
+  def applyChanges(base: DataFrame, changes: DataFrame, idCol: String,
+      opCol: String): DataFrame = {
+    val payload = base.columns.filterNot(_ == idCol)
+    require(changes.columns.contains(opCol), s"changes needs $opCol")
+    val b = payload.foldLeft(base)((d, c) =>
+      d.withColumnRenamed(c, s"_b_$c"))
+    val ch = payload.foldLeft(changes)((d, c) =>
+      d.withColumnRenamed(c, s"_c_$c"))
+    b.join(ch, Seq(idCol), "full_outer")
+      .filter(col(opCol).isNull || col(opCol) =!= "delete")
+      .select(col(idCol) +: payload.map(c =>
+        when(col(opCol) === "upsert", col(s"_c_$c"))
+          .otherwise(col(s"_b_$c")).as(c)): _*)
+  }
 }

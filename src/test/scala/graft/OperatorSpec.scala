@@ -53,6 +53,15 @@ class OperatorSpec extends SparkSuite {
     assert(counts.values.sum == 4L && counts("unchanged") == 1L)
   }
 
+  test("applyChanges: upsert replaces, insert adds, delete removes, rest pass") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val changes = Seq((2L, "B", "upsert"), (4L, "d", "upsert"),
+      (3L, "ignored", "delete")).toDF("id", "text", "_op")
+    val got = SnapshotDiff.applyChanges(base, changes, "id", "_op")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 4L -> "d"))
+  }
+
   test("SnapshotDiff: null content is presence, not absence") {
     val old = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
       (3L, Some("x"))).toDF("id", "text")

@@ -764,13 +764,17 @@ case class BpeApply(child: Expression, merges: Array[Array[String]])
   }
 
   override def nullSafeEval(input: Any): Any =
-    BpeApply.apply(input.asInstanceOf[ArrayData], merges)
+    BpeApply.applyMerges(input.asInstanceOf[ArrayData], merges)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bpeMerges", merges,
       "java.lang.String[][]")
+    // NOT named `apply`: the case class inherits TreeNode.apply(Int), which
+    // suppresses the companion's static forwarder — Janino would then only
+    // see apply(int) and fail to compile, silently dropping the whole stage
+    // to interpreted mode.
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.BpeApply.apply($c, $ref)")
+      s"graft.functions.BpeApply.applyMerges($c, $ref)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeApply =
@@ -780,8 +784,9 @@ case class BpeApply(child: Expression, merges: Array[Array[String]])
 }
 
 object BpeApply {
-  /** Called from generated code — must stay a static-forwardable method. */
-  def apply(syms: ArrayData, merges: Array[Array[String]]):
+  /** Called from generated code — must stay a static-forwardable method
+    * (and must NOT be named `apply`; see doGenCode). */
+  def applyMerges(syms: ArrayData, merges: Array[Array[String]]):
       org.apache.spark.sql.catalyst.util.GenericArrayData = {
     var n = syms.numElements()
     var cur = new Array[String](n)

@@ -39,6 +39,10 @@ object Config {
   final case class CsvDest(path: String, header: Boolean = true)
     extends DestinationConfig
   final case class JsonlDest(path: String) extends DestinationConfig
+  /** Single JSON-array file — the reference's DEFAULT for destination type
+    * "json" (`pipeline_service.py:643-646`, `json_loader.py:23`). */
+  final case class JsonArrayDest(path: String, schemaSidecar: Boolean = false)
+    extends DestinationConfig
   final case class ParquetDest(path: String, partitionCols: Seq[String] = Nil)
     extends DestinationConfig
   final case class JdbcDest(url: String, table: String,
@@ -63,6 +67,8 @@ object Config {
   def sinkFn(dest: DestinationConfig): DataFrame => Unit = dest match {
     case CsvDest(p, h) => df => graft.io.Sinks.csv(df, p, h)
     case JsonlDest(p) => df => graft.io.Sinks.jsonl(df, p)
+    case JsonArrayDest(p, sc) => df =>
+      graft.io.Sinks.jsonArray(df, p, schemaSidecar = sc)
     case ParquetDest(p, pc) => df => graft.io.Sinks.parquet(df, p, partitionCols = pc)
     case JdbcDest(u, t, m) => df => graft.io.Sinks.jdbc(df, u, t, m)
   }

@@ -271,7 +271,11 @@ final class HttpFacade(tables: Facade.Tables, maxRows: Int = 100000) {
       val dm = asMap(d)
       asStr(dm("type")) match {
         case "csv" => Config.CsvDest(asStr(dm("path")))
-        case "json" => Config.JsonlDest(asStr(dm("path")))
+        // "json" = single JSON-array file, the reference default
+        // (pipeline_service.py:643-646, json_loader.py:23); line-delimited
+        // output stays reachable via the explicit "jsonl" type
+        case "json" => Config.JsonArrayDest(asStr(dm("path")))
+        case "jsonl" => Config.JsonlDest(asStr(dm("path")))
         case "parquet" => Config.ParquetDest(asStr(dm("path")))
         case "sqlite" | "postgres" => Config.JdbcDest(
           asStr(dm("connection_string")),

@@ -440,6 +440,23 @@ class ServiceSpec extends SparkSuite {
       assert(penv("rows_loaded") == 5L)
       assert(spark.read.parquet(s"$pipeDir/out").count() == 5L)
 
+      // destination type "json" writes a single JSON ARRAY file (the
+      // reference default, pipeline_service.py:643-646 + json_loader.py:23);
+      // "jsonl" is the explicit line-delimited type
+      val (cj, _) = call("POST", "/api/pipeline/unified",
+        s"""{"name": "tj", "mode": "unified",
+            "source": {"type": "csv", "path": "$pipeDir/in"},
+            "destinations": [
+              {"type": "json", "path": "$pipeDir/out.json"},
+              {"type": "jsonl", "path": "$pipeDir/out_jsonl"}]}""")
+      assert(cj == 200)
+      val arrText = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$pipeDir/out.json")), "UTF-8").trim
+      assert(arrText.startsWith("[") && arrText.endsWith("]"))
+      assert(spark.read.option("multiLine", "true")
+        .json(s"$pipeDir/out.json").count() == 5L)
+      assert(spark.read.json(s"$pipeDir/out_jsonl").count() == 5L)
+
       // staged mode: init -> extract -> transform -> load, one call each,
       // stage outputs persisted between calls (main.py:183-330)
       val (ci2, initResp) = call("POST", "/api/pipeline/staged/init",

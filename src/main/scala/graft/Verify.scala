@@ -15,6 +15,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // oracle-aux materialization is Verify-only plumbing; Bench leaves it
+    // off so its timings measure the operator, not the compare harness
+    graft.entry.Aux.enabled = true
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

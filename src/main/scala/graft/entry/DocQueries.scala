@@ -133,10 +133,9 @@ object DocQueries {
       val boundary = graft.operators.QualityModel.train(
         docs.unionByName(degraded), "doc_id", "text", maxIter = 15)
       val w = boundary.coefficients
-      Seq((w(0), w(1), w(2), w(3), boundary.intercept))
-        .toDF("w_punct", "w_stop", "w_mwl", "w_tok", "b")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/quality_lr_coef")
+      Aux.write(Seq((w(0), w(1), w(2), w(3), boundary.intercept))
+        .toDF("w_punct", "w_stop", "w_mwl", "w_tok", "b"),
+        s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/quality_lr_coef")
       graft.operators.QualityModel.score(docs, "doc_id", "text", boundary)
         .select(col("doc_id"),
           floor(col("margin") * lit(1000000.0) + lit(0.5))
@@ -256,8 +255,8 @@ object DocQueries {
       // (aux write + invariant agg) share the propagation
       val cl = MinHashDedup.clustersMaterialized(
         docs.unionByName(variants), "doc_id", "text")
-      cl.coalesce(1).write.mode("overwrite")
-        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/minhash_clusters")
+      Aux.write(cl,
+        s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/minhash_clusters")
       cl.withColumn("orig",
           when(col("doc_id") >= 100000L, col("doc_id") - 100000L)
             .otherwise(col("doc_id")))
@@ -304,9 +303,9 @@ object DocQueries {
       // xxhash64-based, so the oracle consumes the materialized signature
       // table and BRUTE-FORCES all pairs with bit_count(xor(...)) — a hash
       // match proves the blocked join found exactly the brute-force set.
-      SimHash.simhashTable(t(s, dir, "documents"), "doc_id", "text", k = 3)
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/simhash_sigs")
+      Aux.write(
+        SimHash.simhashTable(t(s, dir, "documents"), "doc_id", "text", k = 3),
+        s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/simhash_sigs")
       SimHash.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 3, maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))
@@ -368,8 +367,7 @@ object DocQueries {
       val res = Similarity
         .topKQuantized(emb, "embedding", "vec_id", qvec, k = 20)
         .select(col("vec_id")).persist() // aux + recall join
-      res.coalesce(1).write.mode("overwrite")
-        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/q8_results")
+      Aux.write(res, s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/q8_results")
       graft.functions.CosineSim.register(s)
       val q = array(qvec.map(v => lit(v)): _*).cast(ArrayType(FloatType))
       val exact = emb.select(col("vec_id"),
@@ -395,8 +393,7 @@ object DocQueries {
       val res = Similarity
         .ivfSearch(index, "embedding", "vec_id", qvec, k = 15, nProbe = 4)
         .select(col("vec_id")).persist() // aux + recall join share the probe
-      res.coalesce(1).write.mode("overwrite")
-        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/ivf_results")
+      Aux.write(res, s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/ivf_results")
       graft.functions.CosineSim.register(s)
       val q = array(qvec.map(v => lit(v)): _*).cast(ArrayType(FloatType))
       val exact = emb.select(col("vec_id"),
@@ -421,8 +418,7 @@ object DocQueries {
         corpus = emb, queries = emb.filter(col("vec_id") < 5),
         vecCol = "embedding", idCol = "vec_id", dim = 64, nPlanes = 6, k = 10)
         .select(col("query_id"), col("vec_id")).persist() // aux + recall join
-      ann.coalesce(1).write.mode("overwrite")
-        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/ann_pairs")
+      Aux.write(ann, s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/ann_pairs")
       graft.functions.CosineSim.register(s)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("_qemb"))
@@ -477,9 +473,9 @@ object DocQueries {
         zThreshold = 2.0, iqrFactor = 1.5, iforestOrderCol = Some("event_id"),
         retainScored = true)
         .persist() // aux write + flagged output share the final scan
-      out.select(col("event_id"), col("_meta_iforest_flag").as("if_flag"))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/iforest_flags")
+      Aux.write(
+        out.select(col("event_id"), col("_meta_iforest_flag").as("if_flag")),
+        s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/iforest_flags")
       out.filter(col("_meta_is_anomaly"))
         .select(col("event_id"), col("value"))
         .orderBy(col("event_id"))
@@ -611,7 +607,9 @@ object DocQueries {
       import s.implicits._
       val merges = graft.functions.Bpe.train(
         t(s, dir, "documents"), "text", numMerges = 6,
-        auxDir = Some(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/bpe_pairs"))
+        auxDir = if (Aux.enabled)
+          Some(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/bpe_pairs")
+        else None)
       merges.map(m => (m.round, m.left, m.right, m.freq))
         .toDF("round", "merge_left", "merge_right", "freq")
         .orderBy(col("round"))
@@ -624,11 +622,13 @@ object DocQueries {
       // text exactly (a dropped/duplicated/reordered symbol breaks it)
       val docs = t(s, dir, "documents")
       val merges = graft.functions.Bpe.train(docs, "text", numMerges = 6)
-      val encoded = docs.select(col("doc_id"), col("text"),
+      val base = docs.select(col("doc_id"), col("text"),
         graft.functions.Bpe.encode(col("text"), merges).as("syms"))
-        .persist()
-      encoded.write.mode("overwrite")
-        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/bpe_encoded")
+      // Verify persists so the aux dump and the n_syms output share one
+      // encode pass; the bench path encodes once with no cache at all
+      val encoded = if (Aux.enabled) base.persist() else base
+      Aux.write(encoded,
+        s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/bpe_encoded", single = false)
       encoded.select(col("doc_id"), size(col("syms")).as("n_syms"))
         .orderBy(col("doc_id"))
     }),
@@ -651,9 +651,9 @@ object DocQueries {
       // (doc, pos, hash) form is the aux, and the oracle independently
       // replays the shared-window test + per-doc counts from it
       val docs = t(s, dir, "documents")
-      SubstrDedup.windows(docs, "doc_id", "text", k = 12)
-        .write.mode("overwrite")
-        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/substr_windows")
+      Aux.write(SubstrDedup.windows(docs, "doc_id", "text", k = 12),
+        s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/substr_windows",
+        single = false)
       SubstrDedup.flags(docs, "doc_id", "text", k = 12)
         .orderBy(col("doc_id"))
     }),
@@ -663,9 +663,9 @@ object DocQueries {
       // (upper bound on the single-partner span — see longestSharedSpan);
       // the oracle replays the gaps-and-islands merge from the aux
       val docs = t(s, dir, "documents")
-      SubstrDedup.windows(docs, "doc_id", "text", k = 12)
-        .write.mode("overwrite")
-        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/substr_windows")
+      Aux.write(SubstrDedup.windows(docs, "doc_id", "text", k = 12),
+        s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/substr_windows",
+        single = false)
       SubstrDedup.longestSharedSpan(docs, "doc_id", "text", k = 12)
         .orderBy(col("doc_id"))
     }),
@@ -676,9 +676,9 @@ object DocQueries {
       // the oracle rebuilds every document from the same aux windows +
       // raw text
       val docs = t(s, dir, "documents")
-      SubstrDedup.windows(docs, "doc_id", "text", k = 12)
-        .write.mode("overwrite")
-        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/substr_windows")
+      Aux.write(SubstrDedup.windows(docs, "doc_id", "text", k = 12),
+        s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/substr_windows",
+        single = false)
       SubstrDedup.removeSpans(docs, "doc_id", "text", k = 12)
         .orderBy(col("doc_id"))
     }),

@@ -38,9 +38,9 @@ object ExtraQueries {
       val flagged = IsolationForest.detect(t(s, dir, "events"),
         Seq("value"), orderCol = "event_id", contamination = 0.05,
         numTrees = 50, retainScored = true)
-      flagged.select(col("event_id"), col("_iforest_score").as("score"))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/iforest_scores")
+      Aux.write(
+        flagged.select(col("event_id"), col("_iforest_score").as("score")),
+        s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/iforest_scores")
       flagged.filter(col("_meta_is_anomaly"))
         .select(col("event_id"), col("value"),
           floor(col("_iforest_score") * lit(10000.0) + lit(0.5))
@@ -388,12 +388,10 @@ object ExtraQueries {
       val assigned = idx.assigned
         .select(col("vec_id"), col("_list").as("cluster"), col("embedding"))
       val aux = s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}"
-      assigned.coalesce(1).write.mode("overwrite")
-        .parquet(s"$aux/kmeans_assign")
+      Aux.write(assigned, s"$aux/kmeans_assign")
       import s.implicits._
-      idx.centroids.toSeq.toDF("cluster", "centroid")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$aux/kmeans_centroids")
+      Aux.write(idx.centroids.toSeq.toDF("cluster", "centroid"),
+        s"$aux/kmeans_centroids")
       assigned.select(col("vec_id"), col("cluster"),
           lit(true).as("argmin_ok"))
         .orderBy(col("vec_id"))
@@ -618,17 +616,18 @@ object ExtraQueries {
       // EXACT values in the aux parquet, so DuckDB re-running the
       // argmax + confidence + improvement formulas sees bit-identical input
       import s.implicits._
-      t(s, dir, "orders")
+      val runs = t(s, dir, "orders")
         .groupBy((substring(col("o_orderpriority"), 1, 1).cast(IntegerType)
           * 100).as("batch_size"))
         .agg(count(lit(1)).as("records"),
           (sum(col("o_totalprice").cast(DecimalType(38, 10))).cast(DoubleType)
             / 1000000.0).as("seconds"))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/autotune_runs")
+      // the decimal-accumulated aggregation is deterministic and parquet
+      // preserves IEEE bits, so collecting the frame directly feeds the
+      // tuner the same values the oracle reads back from the aux dump
+      Aux.write(runs, s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/autotune_runs")
       val tuner = new graft.service.AutoTuner()
-      s.read.parquet(s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/autotune_runs")
-        .collect().foreach { r =>
+      runs.collect().foreach { r =>
           tuner.recordPerformance(tuner.Metrics("p",
             r.getAs[Int]("batch_size"), r.getAs[Long]("records"),
             r.getAs[Double]("seconds"), memoryMb = 64.0))
@@ -828,7 +827,8 @@ object ExtraQueries {
     // layout every 100 TB corpus actually lives in (partition column is
     // reconstructed from directory keys on read)
     "q_partitioned_write" -> ((s, dir) => {
-      val out = s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/part_docs"
+      // not an oracle aux — the partitioned write IS the benched operator
+      val out = s"/tmp/graft_roundtrip/${Sql.sfTag(dir)}/part_docs"
       t(s, dir, "documents")
         .write.mode("overwrite").partitionBy("source").parquet(out)
       s.read.parquet(out)

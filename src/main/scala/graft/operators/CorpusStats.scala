@@ -71,41 +71,40 @@ object CorpusStats {
     * set share phrasing with training data?"). One row per overlapping
     * pair, `g_a < g_b`.
     *
-    * Physical shape: shingle kernel projection → one distinct on
-    * (group, shingle) — vocabulary-sized, not corpus-sized — then a
-    * self-equi-join on the shingle key (≤ |groups| rows per key, so the
-    * join output is bounded by vocab · |groups|²) and a tiny pair
-    * aggregate. Group count is low-cardinality by contract; the corpus is
-    * scanned ONCE. */
+    * Physical shape: ONE corpus-scale shuffle. The shingle kernel feeds a
+    * `groupBy(xxhash64(shingle)).agg(collect_set(group))` — the shuffle key
+    * is 8 bytes instead of a k-word string, and map-side partial
+    * collect_set dedups before the exchange — then each shingle's group
+    * set explodes into ordered pairs INCLUDING the (g,g) diagonal, so one
+    * tiny |groups|²-bounded aggregate yields both the shared counts and
+    * every group's shingle-set size (the diagonal row). No self-join, no
+    * corpus persist; the pair frame is materialized eagerly
+    * (localCheckpoint, |groups|² rows) so deriving sizes + shared from it
+    * cannot rescan the corpus. */
   def sourceOverlap(df: DataFrame, textCol: String, groupCol: String,
       k: Int = 3): DataFrame = {
-    // the distinct (group, shingle) frame is consumed three times (both
-    // join sides + the sizes aggregate) — persist it so the corpus scan
-    // really happens once; the result is |groups|²-bounded, so it is
-    // materialized eagerly (localCheckpoint) and the cache released before
-    // returning
-    val sh = df.select(col(groupCol).as("_g"),
+    val pairs = df.select(col(groupCol).as("_g"),
         explode(graft.operators.MinHashDedup.shingles(col(textCol), k))
-          .as("sh"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val sizes = sh.groupBy(col("_g")).agg(count(lit(1)).as("n"))
-      val shared = sh.select(col("_g").as("g_a"), col("sh"))
-        .join(sh.select(col("_g").as("g_b"), col("sh")), Seq("sh"))
-        .filter(col("g_a") < col("g_b"))
-        .groupBy(col("g_a"), col("g_b"))
-        .agg(count(lit(1)).as("n_shared"))
-      shared
-        .join(broadcast(sizes.select(col("_g").as("g_a"), col("n").as("_na"))),
-          Seq("g_a"))
-        .join(broadcast(sizes.select(col("_g").as("g_b"), col("n").as("_nb"))),
-          Seq("g_b"))
-        .select(col("g_a"), col("g_b"), col("n_shared"),
-          Semantics.safeRound(col("n_shared").cast(DoubleType) /
-            (col("_na") + col("_nb") - col("n_shared")).cast(DoubleType), 4)
-            .as("jaccard"))
-        .localCheckpoint()
-    } finally { sh.unpersist(); () }
+          .as("_sh"))
+      .groupBy(xxhash64(col("_sh")).as("_h"))
+      .agg(collect_set(col("_g")).as("_gs"))
+      .select(explode(expr(
+        """flatten(transform(_gs, a ->
+          |  transform(filter(_gs, b -> b >= a), b ->
+          |    named_struct('g_a', a, 'g_b', b))))""".stripMargin)).as("_p"))
+      .groupBy(col("_p.g_a").as("g_a"), col("_p.g_b").as("g_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .localCheckpoint()
+    val sizes = pairs.filter(col("g_a") === col("g_b"))
+      .select(col("g_a").as("_g"), col("n_shared").as("n"))
+    pairs.filter(col("g_a") < col("g_b"))
+      .join(broadcast(sizes.select(col("_g").as("g_a"), col("n").as("_na"))),
+        Seq("g_a"))
+      .join(broadcast(sizes.select(col("_g").as("g_b"), col("n").as("_nb"))),
+        Seq("g_b"))
+      .select(col("g_a"), col("g_b"), col("n_shared"),
+        Semantics.safeRound(col("n_shared").cast(DoubleType) /
+          (col("_na") + col("_nb") - col("n_shared")).cast(DoubleType), 4)
+          .as("jaccard"))
   }
 }

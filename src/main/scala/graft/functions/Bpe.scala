@@ -58,11 +58,16 @@ object Bpe {
     * the type table + a 1-row argmax collect + a merge projection applied
     * only to types containing the pair. `auxDir`, when set, materializes
     * every round's full pair-count table (the oracle re-derives each
-    * argmax from it). The type table is localCheckpointed per round so the
-    * iterative plan stays constant-size. */
+    * argmax from it). The type table is checkpointed per round so the
+    * iterative plan stays constant-size; `ckpt` picks where that state
+    * lives — [[graft.core.Checkpoints.Reliable]] for a cluster run (see
+    * Checkpoints' scaladoc). */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-      auxDir: Option[String] = None): Seq[Merge] = {
-    var types = typeTable(df, textCol).localCheckpoint()
+      auxDir: Option[String] = None,
+      ckpt: graft.core.Checkpoints.Mode = graft.core.Checkpoints.Local)
+      : Seq[Merge] = {
+    import graft.core.Checkpoints
+    var types = Checkpoints.cut(typeTable(df, textCol), ckpt)
     val merges = Seq.newBuilder[Merge]
     var r = 0
     var exhausted = false
@@ -80,14 +85,15 @@ object Bpe {
           top(0).getLong(2))
         merges += Merge(r, a, b, n)
         val prev = types
-        types = types.withColumn("_syms",
+        types = Checkpoints.cut(types.withColumn("_syms",
           when(array_contains(col("_syms"), a) &&
             array_contains(col("_syms"), b),
-            applyMerge(col("_syms"), a, b)).otherwise(col("_syms")))
-          .localCheckpoint()
+            applyMerge(col("_syms"), a, b)).otherwise(col("_syms"))), ckpt)
         // release the superseded round's checkpoint blocks — realistic
         // merge counts are thousands of rounds, and without this every
         // round pins another copy of the type table in executor storage
+        // (no-op under Reliable: checkpoint files are cleaned by Spark's
+        // reference tracker, not by unpersist)
         prev.unpersist()
         r += 1
       }

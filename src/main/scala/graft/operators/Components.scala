@@ -34,16 +34,21 @@ object Components {
     * values must be non-null and orderable (min() picks the canonical
     * label).
     *
-    * Each round's label table is `localCheckpoint`ed: iterative self-joins
+    * Each round's label table is checkpointed: iterative self-joins
     * OTHERWISE nest the previous round's plan inside the next round's join
     * (attribute-id collisions between `sym` and a labels frame DERIVED from
     * `sym` mis-bind the join condition, and plan size grows per round until
     * the optimizer itself OOMs — observed live, not hypothetical).
     * Truncating lineage keeps every round's plan the same constant shape:
-    * one shuffle keyed on the edge endpoint + one label join. */
+    * one shuffle keyed on the edge endpoint + one label join. `ckpt` picks
+    * where truncated state lives — [[graft.core.Checkpoints.Reliable]] for
+    * a real cluster run (see Checkpoints' scaladoc). */
   def labels(vertices: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 30): DataFrame = {
+      maxIters: Int = 30,
+      ckpt: graft.core.Checkpoints.Mode = graft.core.Checkpoints.Local)
+      : DataFrame = {
+    import graft.core.Checkpoints
     require(maxIters >= 1, "maxIters must be >= 1")
     val sym = edges.select(col(srcCol).as("_u"), col(dstCol).as("_v"))
       .unionByName(edges.select(col(dstCol).as("_u"), col(srcCol).as("_v")))
@@ -51,18 +56,19 @@ object Components {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = vertices.select(col(idCol).as("_id"), col(idCol).as("_lbl"))
-        .localCheckpoint()
+      var labels = Checkpoints.cut(
+        vertices.select(col(idCol).as("_id"), col(idCol).as("_lbl")), ckpt)
       var converged = false
       var i = 0
       while (!converged && i < maxIters) {
         // min label over each vertex's neighbors, then fold into own label
         val nbrMin = sym.join(labels, sym("_u") === labels("_id"))
           .groupBy(col("_v")).agg(min(col("_lbl")).as("_nbr"))
-        val next = labels.join(nbrMin, labels("_id") === nbrMin("_v"), "left")
-          .select(col("_id"), col("_lbl"),
-            least(col("_lbl"), coalesce(col("_nbr"), col("_lbl"))).as("_new"))
-          .localCheckpoint()
+        val next = Checkpoints.cut(
+          labels.join(nbrMin, labels("_id") === nbrMin("_v"), "left")
+            .select(col("_id"), col("_lbl"),
+              least(col("_lbl"), coalesce(col("_nbr"), col("_lbl"))).as("_new")),
+          ckpt)
         val changed = next.where(col("_new") < col("_lbl")).count()
         labels = next.select(col("_id"), col("_new").as("_lbl"))
         converged = changed == 0L
@@ -80,7 +86,9 @@ object Components {
     * one". Downstream keeps `keep` rows and drops the rest. */
   def keepCanonical(vertices: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 30): DataFrame =
-    labels(vertices, idCol, edges, srcCol, dstCol, maxIters)
+      maxIters: Int = 30,
+      ckpt: graft.core.Checkpoints.Mode = graft.core.Checkpoints.Local)
+      : DataFrame =
+    labels(vertices, idCol, edges, srcCol, dstCol, maxIters, ckpt)
       .withColumn("keep", col("cluster") === col(idCol))
 }

@@ -159,6 +159,44 @@ class ScaleSpec extends SparkSuite {
       !plan.contains("BroadcastNestedLoop"))
   }
 
+  test("iterative ops produce identical results under Local and Reliable checkpointing") {
+    // the Reliable path is what a 100 TB cluster run needs (localCheckpoint
+    // state dies with an executor); both modes must be pure policy — same
+    // fixpoint labels, same trained merges
+    import graft.core.Checkpoints
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    try {
+      val verts = (1L to 12L).toDF("id")
+      // two chains (1-2-3-4, 5-6) + isolated vertices
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+        .toDF("src", "dst")
+      val local = graft.operators.Components
+        .labels(verts, "id", edges, "src", "dst", ckpt = Checkpoints.Local)
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      val reliable = graft.operators.Components
+        .labels(verts, "id", edges, "src", "dst", ckpt = Checkpoints.Reliable)
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      assert(local == reliable)
+
+      val docs = Seq("the cat sat", "the cat ran", "a cat sat on the mat")
+        .toDF("text")
+      val mLocal = graft.functions.Bpe
+        .train(docs, "text", numMerges = 3, ckpt = Checkpoints.Local)
+      val mReliable = graft.functions.Bpe
+        .train(docs, "text", numMerges = 3, ckpt = Checkpoints.Reliable)
+      assert(mLocal == mReliable)
+      // reliable rounds really wrote filesystem checkpoints
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "Reliable mode must write checkpoint files")
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(ckptDir))
+    }
+  }
+
   test("bucketed join plans without a shuffle exchange on the bucketed side") {
     // default warehouse (./spark-warehouse, gitignored) — the conf is static;
     // clear leftovers from prior JVMs (in-memory catalog forgets, disk doesn't)

@@ -89,10 +89,26 @@ object TopK {
       order: Seq[Column]): DataFrame = {
     require(k > 0 && keys.nonEmpty && order.nonEmpty,
       "need positive k, keys, and a total order")
+    // withColumn silently REPLACES an existing column — a caller frame
+    // that already carries the output name would be corrupted, so refuse
+    require(!df.columns.contains("rank_in_key"),
+      "perKey adds output column 'rank_in_key' but the frame already " +
+        "has one — rename it first")
+    val rk = Names.fresh("_rank", df.columns)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("_rank", row_number().over(w))
-      .filter(col("_rank") <= k)
-      .withColumnRenamed("_rank", "rank_in_key")
+    df.withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= k)
+      .withColumnRenamed(rk, "rank_in_key")
+  }
+}
+
+/** Helper-column naming: a fresh name that cannot collide with anything
+  * already on the caller's frame (withColumn replaces silently). */
+object Names {
+  def fresh(base: String, existing: Seq[String]): String = {
+    val cols = existing.toSet
+    if (!cols(base)) base
+    else Iterator.from(1).map(i => s"$base$i").find(c => !cols(c)).get
   }
 }

@@ -104,20 +104,29 @@ object UrlFunctions {
   def domainCapSample(df: DataFrame, idCol: String, urlCol: String,
       cap: Int, salts: Int = 64): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
+    // withColumn replaces silently: refuse if the OUTPUT names are taken,
+    // and pick collision-free names for the internal helpers
+    Seq("domain", "domain_rank").foreach { c =>
+      require(!df.columns.contains(c),
+        s"domainCapSample adds output column '$c' but the frame already " +
+          "has one — rename it first")
+    }
+    val keyC = graft.core.Names.fresh("_key", df.columns)
+    val r1C = graft.core.Names.fresh("_r1", df.columns)
     val key = md5(concat(lit("dc#"), col(idCol).cast(StringType)))
     val withD = df
       .withColumn("domain", registeredDomain(urlHost(col(urlCol))))
-      .withColumn("_key", key)
+      .withColumn(keyC, key)
     val pre = Window.partitionBy(col("domain"),
         pmod(xxhash64(col(idCol)), lit(salts)))
-      .orderBy(col("_key"), col(idCol))
+      .orderBy(col(keyC), col(idCol))
     val fin = Window.partitionBy(col("domain"))
-      .orderBy(col("_key"), col(idCol))
+      .orderBy(col(keyC), col(idCol))
     withD
-      .withColumn("_r1", row_number().over(pre)).filter(col("_r1") <= cap)
+      .withColumn(r1C, row_number().over(pre)).filter(col(r1C) <= cap)
       .withColumn("domain_rank", row_number().over(fin))
       .filter(col("domain_rank") <= cap)
-      .drop("_r1", "_key")
+      .drop(r1C, keyC)
   }
 
   /** Per-domain corpus report: docs, tokens, token share — the "which

@@ -126,13 +126,27 @@ final case class Winsorizer(fields: Seq[String],
       val bounds = row.getSeq[Double](i)
       if (bounds == null) d // all-null field: nothing to clamp
       else {
-        // clamp in the field's own type (bounds cast first) so integer
-        // columns stay integers instead of silently widening to double
+        // clamp in the field's own type so integer columns stay integers
+        // instead of silently widening to double. An integral field can't
+        // hold a fractional percentile, so its clamp uses ceil(lo) /
+        // floor(hi) — the nearest representable values INSIDE the exact
+        // [lo, hi] band (a raw cast would TRUNCATE, pushing a positive lo
+        // below the band). Residual deviation: a clamped value can land up
+        // to one unit tighter than the true percentile, and if NO integer
+        // lies in [lo, hi] everything clamps to floor(hi).
         val dt = d.schema(f).dataType
+        val integral = dt match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+        val (lo, hi) =
+          if (integral)
+            (lit(math.ceil(bounds.head)).cast(dt),
+              lit(math.floor(bounds.last)).cast(dt))
+          else (lit(bounds.head).cast(dt), lit(bounds.last).cast(dt))
         d.withColumn(f,
           when(col(f).isNull, lit(null).cast(dt))
-            .otherwise(least(greatest(col(f), lit(bounds.head).cast(dt)),
-              lit(bounds.last).cast(dt))))
+            .otherwise(least(greatest(col(f), lo), hi)))
       }
     }
   }

@@ -82,12 +82,16 @@ class OperatorSpec extends SparkSuite {
     assert(out.columns.toSeq == Seq("g", "v")) // helper cols dropped
   }
 
-  test("Winsorizer keeps integer columns integer") {
+  test("Winsorizer keeps integer columns integer, bounds stay inside the band") {
     val df = (1 to 100).map(i => (i.toLong, i)).toDF("id", "v")
     val out = Winsorizer(Seq("v"), 0.1, 0.9)(df)
     assert(out.schema("v").dataType ==
       org.apache.spark.sql.types.IntegerType)
-    assert(out.agg(max(col("v"))).head().getInt(0) <= 91)
+    // exact percentiles of 1..100 at (0.1, 0.9) are (10.9, 90.1): the
+    // integral clamp must use ceil(lo)=11 / floor(hi)=90 — a truncating
+    // cast would let 10 (< 10.9, outside the band) survive as the floor
+    val (mn, mx) = out.agg(min(col("v")), max(col("v"))).as[(Int, Int)].head()
+    assert(mn == 11 && mx == 90)
   }
 
   test("robustZscore flags far outliers, survives MAD=0, skips the mean-drag trap") {

@@ -640,6 +640,18 @@ object DocQueries {
         vocabK = 20)
         .orderBy(col("doc_id"))),
 
+    "q_doc_lm_score" -> ((s, dir) => {
+      // CCNet-style bigram-LM quality scoring: train add-one-smoothed LM
+      // on the lang='en' slice, score EVERY doc by avg negative
+      // log-likelihood. Counts are exact integers; ln terms sum through
+      // DECIMAL(38,18) (the proven BM25 pattern) so avg_nll replays
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.NgramLm.train(
+        docs.filter(col("lang") === "en"), "text")
+      graft.operators.NgramLm.score(docs, "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_source_overlap" -> ((s, dir) =>
       // cross-source shingle contamination matrix — the split-leakage
       // report; every cell exactly replayable (shingle sets are portable)
@@ -1498,6 +1510,41 @@ object DocQueries {
          |FROM words wo JOIN freq f USING (w)
          |LEFT JOIN vocab v ON wo.w = v.w
          |GROUP BY wo.doc_id ORDER BY wo.doc_id""".stripMargin,
+
+    "q_doc_lm_score" -> {
+      // identical bigram spelling + add-one smoothing + DECIMAL(38,18)
+      // term sum as the Spark side; the whole LM (train counts, V, OOV
+      // flags, NLL) re-derives from raw text
+      val bgs = """list_transform(
+        |  range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1)),
+        |  i -> concat_ws(' ',
+        |    string_split_regex(trim(lower(text)), '\s+')[i],
+        |    string_split_regex(trim(lower(text)), '\s+')[i+1]))"""
+        .stripMargin.replace("\n", " ")
+      s"""WITH uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |    FROM documents WHERE lang = 'en') GROUP BY w),
+         |vsz AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+         |bi AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest($bgs) AS g FROM documents WHERE lang = 'en')
+         |  GROUP BY g),
+         |inst AS (SELECT doc_id, unnest($bgs) AS bg FROM documents),
+         |terms AS (SELECT i.doc_id, i.bg, bi.c AS cbg,
+         |    ln((CAST(COALESCE(bi.c, 0) AS DOUBLE) + 1.0) /
+         |       (CAST(COALESCE(uni.c, 0) AS DOUBLE) + vsz.v)) AS term
+         |  FROM inst i
+         |  LEFT JOIN bi ON i.bg = bi.g
+         |  LEFT JOIN uni ON split_part(i.bg, ' ', 1) = uni.w, vsz)
+         |SELECT d.doc_id,
+         |  CAST(COUNT(s.bg) AS BIGINT) AS n_bigrams,
+         |  CAST(COALESCE(SUM(CASE WHEN s.bg IS NOT NULL AND s.cbg IS NULL
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_oov,
+         |  CASE WHEN COUNT(s.bg) > 0 THEN
+         |    ROUND(CAST(-SUM(CAST(s.term AS DECIMAL(38,18))) AS DOUBLE)
+         |      / COUNT(s.bg), 4) END AS avg_nll
+         |FROM documents d LEFT JOIN terms s ON d.doc_id = s.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    },
 
     "q_source_overlap" -> {
       val sh =

@@ -341,4 +341,31 @@ class OperatorSpec extends SparkSuite {
       QualityModel.train(clean.toDF("doc_id", "text"), "doc_id", "text")
     }
   }
+
+  test("NgramLm: in-domain docs score lower NLL than OOV text, edge docs stay NULL") {
+    import graft.operators.NgramLm
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "a cat and a dog sat down")).toDF("doc_id", "text")
+    val model = NgramLm.train(train, "text")
+    val target = Seq(
+      (10L, "the cat sat on the rug"), // all bigrams in-domain
+      (11L, "zqx vbn plm okn ijb"),    // fully out-of-domain
+      (12L, "single"),                 // no bigram -> NULL score
+      (13L, "the cat")                 // one bigram, seen
+    ).toDF("doc_id", "text")
+    val out = NgramLm.score(target, "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(byId(10L)._2 == 0L)                 // no OOV bigrams
+    assert(byId(11L)._2 == byId(11L)._1)       // every bigram OOV
+    assert(byId(12L) == ((0L, 0L, None)))      // no bigrams -> NULL NLL
+    assert(byId(13L)._1 == 1L && byId(13L)._2 == 0L)
+    val nll10 = byId(10L)._3.get.asInstanceOf[Double]
+    val nll11 = byId(11L)._3.get.asInstanceOf[Double]
+    assert(nll10 < nll11, s"in-domain $nll10 must beat OOV $nll11")
+  }
 }

@@ -534,6 +534,32 @@ object ExtraQueries {
       resumed.df.orderBy(col("o_orderkey"))
     }),
 
+    "q_pipeline_stats" -> ((s, dir) => {
+      // §2.10 TransformStage observe() stats, ORACLE-gated: the lazy fused
+      // pipeline's per-stage observe() row counts and the loaded total are
+      // plain filter cardinalities DuckDB re-derives — proving the metrics
+      // ride the real data flow (a pushdown THROUGH CollectMetrics or a
+      // double-count would break the hash)
+      import s.implicits._
+      val highValue = new graft.operators.TransformStage {
+        def name = "high_value"
+        def apply(df: DataFrame): DataFrame =
+          df.filter(col("o_totalprice") > 100000.0)
+      }
+      val urgent = new graft.operators.TransformStage {
+        def name = "urgent"
+        def apply(df: DataFrame): DataFrame =
+          df.filter(col("o_orderpriority") === "1-URGENT")
+      }
+      val r = graft.pipeline.Pipeline
+        .extract(sp => t(sp, dir, "orders"))
+        .transform(highValue).transform(urgent)
+        .run(s)
+      (r.stageRowCounts.toSeq.map { case (k, v) => (s"stage_$k", v) } :+
+        (("records_loaded", r.rowsLoaded)))
+        .toDF("metric", "n_rows").orderBy(col("metric"))
+    }),
+
     "q_config_pipeline" -> ((s, dir) => {
       // §2.12 config-driven pipeline (api/models.py:28-119 →
       // pipeline_service.py:552-667): typed config → parquet source +
@@ -1393,6 +1419,19 @@ object ExtraQueries {
         |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year
         |FROM orders WHERE o_totalprice > 150000.0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_pipeline_stats" ->
+      """SELECT 'records_loaded' AS metric, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM orders
+        |  WHERE o_totalprice > 100000.0 AND o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT 'stage_high_value', CAST(COUNT(*) AS BIGINT)
+        |  FROM orders WHERE o_totalprice > 100000.0
+        |UNION ALL
+        |SELECT 'stage_urgent', CAST(COUNT(*) AS BIGINT)
+        |  FROM orders
+        |  WHERE o_totalprice > 100000.0 AND o_orderpriority = '1-URGENT'
+        |ORDER BY metric""".stripMargin,
 
     "q_config_pipeline" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,

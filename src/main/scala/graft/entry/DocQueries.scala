@@ -640,6 +640,19 @@ object DocQueries {
         vocabK = 20)
         .orderBy(col("doc_id"))),
 
+    "q_doc_char_entropy" -> ((s, dir) =>
+      // gibberish detector: character-distribution entropy per doc —
+      // exact char counts, decimal-summed log2 terms (BM25 pattern)
+      TF.charEntropyTable(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "q_doc_blocklist" -> ((s, dir) =>
+      // badwords screening: exact token match vs a broadcast blocklist;
+      // integer counts, fully replayable
+      TF.blocklistTable(t(s, dir, "documents"), "doc_id", "text",
+        Seq("data", "model", "free", "test"))
+        .orderBy(col("doc_id"))),
+
     "q_doc_lm_score" -> ((s, dir) => {
       // CCNet-style bigram-LM quality scoring: train add-one-smoothed LM
       // on the lang='en' slice, score EVERY doc by avg negative
@@ -1510,6 +1523,29 @@ object DocQueries {
          |FROM words wo JOIN freq f USING (w)
          |LEFT JOIN vocab v ON wo.w = v.w
          |GROUP BY wo.doc_id ORDER BY wo.doc_id""".stripMargin,
+
+    "q_doc_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS len,
+        |    unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE length(text) > 0),
+        |cnt AS (SELECT doc_id, len, c, CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM ch GROUP BY 1, 2, 3),
+        |sc AS (SELECT doc_id,
+        |    ROUND(CAST(-SUM(CAST(n / len * log2(n / len)
+        |      AS DECIMAL(38,18))) AS DOUBLE), 4) AS char_entropy
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id, sc.char_entropy
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_doc_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    w -> w IN ('data', 'model', 'free', 'test'))) AS BIGINT)
+        |    AS n_blocked,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    w -> w IN ('data', 'model', 'free', 'test'))) > 0 AS blocked
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_doc_lm_score" -> {
       // identical bigram spelling + add-one smoothing + DECIMAL(38,18)

@@ -549,6 +549,49 @@ object TextFunctions {
             / count(lit(1)).cast(DoubleType), 4).as("oov_rate"))
   }
 
+  /** Character-distribution entropy in bits/char — the gibberish detector:
+    * natural text sits ~4-4.5 bits, keyboard mash / base64 blobs / repeated
+    * filler land far outside, so the score feeds the same cutoff machinery
+    * as [[qualityScore]]. Docs with empty text are kept with NULL entropy.
+    *
+    * Physical shape: one char explode → count aggregate on (id, char) —
+    * key cardinality ≤ |doc| · |alphabet|, uniform — then a per-doc
+    * aggregate over the alphabet-sized count frame; the raw text never
+    * crosses a shuffle. Entropy terms sum through DECIMAL(38,18) (the BM25
+    * pattern) so the rounded score is partial-agg-order-proof. Char = UTF-16
+    * code unit; identical to codepoints for BMP text (all fixtures). */
+  def charEntropyTable(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val cnt = df
+      .select(col(idCol), length(col(textCol)).cast(DoubleType).as("_len"),
+        explode(split(col(textCol), "")).as("_c"))
+      .filter(col("_len") > 0)
+      .groupBy(col(idCol), col("_len"), col("_c"))
+      .agg(count(lit(1)).cast(DoubleType).as("_n"))
+    val scored = cnt.groupBy(col(idCol))
+      .agg(round(
+        (-sum((col("_n") / col("_len") * log2(col("_n") / col("_len")))
+          .cast(DecimalType(38, 18)))).cast(DoubleType), 4)
+        .as("char_entropy"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+  }
+
+  /** Token-blocklist screening — the badwords/URL-blocklist filter every
+    * crawl pipeline runs before anything model-based: exact token match
+    * against a small broadcast-literal blocklist (word-boundary semantics —
+    * "class" never matches a blocked "ass"). Returns per-doc blocked-token
+    * count and the flag; integer outputs, exactly oracle-replayable. */
+  def blocklistTable(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, blocklist: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must be non-empty")
+    val blocked = array(blocklist.map(w => lit(w.toLowerCase)): _*)
+    val ws = split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " ")
+    df.select(col(idCol),
+      size(filter(ws, w => array_contains(blocked, w))).cast(LongType)
+        .as("n_blocked"))
+      .withColumn("blocked", col("n_blocked") > 0)
+  }
+
   /** Buzhash (cyclic-polynomial) hashes of EVERY `k`-word window of the
     * document — the relational face of exact-substring dedup (two documents
     * share a verbatim span of ≥ k tokens iff they share a window hash,

@@ -342,6 +342,37 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("charEntropy: uniform=log2(k), single-char=0, gibberish beats prose, empty=NULL") {
+    import graft.functions.{TextFunctions => TF}
+    val df = Seq(
+      (1L, "abab"),              // 2 symbols uniform -> exactly 1 bit
+      (2L, "aaaa"),              // degenerate -> 0 bits
+      (3L, "the cat sat on the mat and then sat down again"),
+      (4L, "qZx9!kP2@mW7#vB4$nT6"), // keyboard mash -> high entropy
+      (5L, "")                   // empty -> NULL, row kept
+    ).toDF("id", "t")
+    val out = TF.charEntropyTable(df, "id", "t").orderBy("id").collect()
+    assert(out.length == 5)
+    assert(out(0).getDouble(1) == 1.0)
+    assert(out(1).getDouble(1) == 0.0)
+    val prose = out(2).getDouble(1); val mash = out(3).getDouble(1)
+    assert(prose < mash, s"prose $prose must be below mash $mash")
+    assert(out(4).isNullAt(1))
+  }
+
+  test("blocklist: word-boundary token match, counts occurrences") {
+    import graft.functions.{TextFunctions => TF}
+    val df = Seq(
+      (1L, "Free stuff FREE now"),     // case-folded: 2 hits
+      (2L, "freedom carefree freely"), // substrings never match
+      (3L, "all clean here")
+    ).toDF("id", "t")
+    val out = TF.blocklistTable(df, "id", "t", Seq("free", "spam"))
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(1), r.getBoolean(2))).toSeq ==
+      Seq((2L, true), (0L, false), (0L, false)))
+  }
+
   test("NgramLm: in-domain docs score lower NLL than OOV text, edge docs stay NULL") {
     import graft.operators.NgramLm
     val train = Seq(

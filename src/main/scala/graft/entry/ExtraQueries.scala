@@ -757,6 +757,80 @@ object ExtraQueries {
           col("n"), col("qty"))
         .orderBy(col("flag"), col("status"))),
 
+    "q_cube" -> ((s, dir) =>
+      // cube = rollup + the per-status slices and the transposed margins;
+      // same null→'ALL' labeling as q_rollup
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          Semantics.exactSum(col("l_quantity")).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("qty"))
+        .orderBy(col("flag"), col("status"))),
+
+    "q_window_ntile" -> ((s, dir) => {
+      // distribution windows: ntile/percent_rank/cume_dist under a total
+      // (value, event_id) order per type; rank ratios are exact rationals
+      // so the x10k floor is engine-portable
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          ntile(4).over(w).as("quartile"),
+          floor(percent_rank().over(w) * lit(10000.0) + lit(0.5))
+            .cast(LongType).as("pctrank_x10k"),
+          floor(cume_dist().over(w) * lit(10000.0) + lit(0.5))
+            .cast(LongType).as("cumedist_x10k"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_join_full" -> ((s, dir) => {
+      // full-outer completeness: disjoint filters leave unmatched rows on
+      // BOTH sides; keys are unique per side so the output is deterministic
+      val cust = t(s, dir, "customer")
+        .filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"),
+          floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast(LongType)
+            .as("acctbal_x100"))
+      val ords = t(s, dir, "orders")
+        .filter(col("o_custkey") % 3 =!= 1)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      cust.join(ords, cust("c_custkey") === ords("o_custkey"), "full")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("acctbal_x100"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("custkey"))
+    }),
+
+    "q_events_gapfill" -> ((s, dir) => {
+      // time-series resample with zero-fill: the dense per-type hourly
+      // grid dashboards need — a tiny (type × hour-span) generated frame
+      // left-joined to the real hourly aggregate; no window, no corpus
+      // self-join, grid size is span-bounded not corpus-bounded
+      val ev = t(s, dir, "events")
+      val hourly = ev.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val grid = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("h"))
+      grid.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     // argmax: the row identity attaining each group's max — max_by keyed
     // by (value, event_id) so ties break deterministically cross-engine
     "q_argmax" -> ((s, dir) =>
@@ -981,6 +1055,53 @@ object ExtraQueries {
          |FROM lineitem
          |GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY flag, status""".stripMargin,
+
+    "q_cube" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+         |  COALESCE(l_linestatus, 'ALL') AS status,
+         |  COUNT(*) AS n, ${Sql.esum("l_quantity")} AS qty
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY flag, status""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT event_id, event_type,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  CAST(FLOOR(percent_rank() OVER w * 10000 + 0.5) AS BIGINT)
+        |    AS pctrank_x10k,
+        |  CAST(FLOOR(cume_dist() OVER w * 10000 + 0.5) AS BIGINT)
+        |    AS cumedist_x10k
+        |FROM events WHERE value IS NOT NULL
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_join_full" ->
+      """WITH cust AS (SELECT c_custkey,
+        |    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_x100
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |ords AS (SELECT o_custkey, COUNT(*) AS n_orders
+        |  FROM orders WHERE o_custkey % 3 <> 1 GROUP BY o_custkey)
+        |SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+        |  c.acctbal_x100,
+        |  CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders
+        |FROM cust c FULL OUTER JOIN ords o ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q_events_gapfill" ->
+      """WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+        |    date_trunc('hour', MAX(ts)) AS h1 FROM events),
+        |grid AS (SELECT t.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM events) t,
+        |    b, LATERAL (SELECT unnest(generate_series(b.h0, b.h1,
+        |      INTERVAL 1 HOUR)) AS h) g),
+        |hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    COUNT(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT grid.event_type,
+        |  strftime(grid.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CAST(COALESCE(hourly.n, 0) AS BIGINT) AS n
+        |FROM grid LEFT JOIN hourly
+        |  ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+        |ORDER BY grid.event_type, hour""".stripMargin,
 
     // max_by(id, struct(value, id)) ≡ the rk=1 row under
     // (value DESC, id DESC) — spelled as a window because DuckDB 1.0's

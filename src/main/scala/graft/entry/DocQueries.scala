@@ -640,6 +640,20 @@ object DocQueries {
         vocabK = 20)
         .orderBy(col("doc_id"))),
 
+    "q_doc_accent_fold" -> ((s, dir) => {
+      // unicode accent folding: derive accented text deterministically
+      // (a→ä, e→é), fold it back with the codegen'd NFD+strip kernel; the
+      // oracle folds the same derivation with utf8proc strip_accents, so a
+      // hash match proves the two unicode implementations agree
+      graft.functions.AccentFold.register(s)
+      val accented = regexp_replace(
+        regexp_replace(col("text"), "a", "ä"), "e", "é")
+      t(s, dir, "documents").select(col("doc_id"),
+          length(accented).as("n_chars_accented"),
+          graft.functions.AccentFold.accent_fold(accented).as("folded"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_doc_char_entropy" -> ((s, dir) =>
       // gibberish detector: character-distribution entropy per doc —
       // exact char counts, decimal-summed log2 terms (BM25 pattern)
@@ -1523,6 +1537,14 @@ object DocQueries {
          |FROM words wo JOIN freq f USING (w)
          |LEFT JOIN vocab v ON wo.w = v.w
          |GROUP BY wo.doc_id ORDER BY wo.doc_id""".stripMargin,
+
+    "q_doc_accent_fold" ->
+      """SELECT doc_id,
+        |  CAST(length(replace(replace(text, 'a', chr(228)), 'e', chr(233)))
+        |    AS BIGINT) AS n_chars_accented,
+        |  strip_accents(replace(replace(text, 'a', chr(228)), 'e', chr(233)))
+        |    AS folded
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_doc_char_entropy" ->
       """WITH ch AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS len,

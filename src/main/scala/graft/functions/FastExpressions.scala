@@ -823,3 +823,63 @@ object BpeApply {
       org.apache.spark.sql.GraftColumnBridge.expression(syms),
       merges.map(p => Array(p._1, p._2)).toArray))
 }
+
+/** Unicode accent folding — NFD-decompose then drop every combining mark,
+  * the `strip_accents` every crawl-normalization pass runs before
+  * tokenization ("café" → "cafe"). Java's `Normalizer` NFD + mark removal
+  * produces byte-identical output to utf8proc-based engines for
+  * decomposable Latin text (cross-checked against the DuckDB oracle by
+  * `q_doc_accent_fold`). Pure-ASCII inputs short-circuit without
+  * allocating — at corpus scale most documents never pay the
+  * normalization cost. */
+case class AccentFold(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"accent_fold needs a string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    AccentFold.fold(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.AccentFold.fold($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): AccentFold =
+    copy(child = newChild)
+
+  override def prettyName: String = "accent_fold"
+}
+
+object AccentFold {
+  private val Marks = java.util.regex.Pattern.compile("\\p{M}+")
+
+  /** Called from generated code — must stay a static-forwardable method
+    * (no overload sharing the name, see the BpeApply round-2 lesson). */
+  def fold(s: UTF8String): UTF8String = {
+    // ASCII fast path: NFD is identity and no marks exist — return the
+    // input buffer untouched
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      if ((org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0x80) != 0)
+        ascii = false
+      i += 1
+    }
+    if (ascii) s
+    else {
+      val d = java.text.Normalizer.normalize(s.toString,
+        java.text.Normalizer.Form.NFD)
+      UTF8String.fromString(Marks.matcher(d).replaceAll(""))
+    }
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "accent_fold", exprs => AccentFold(exprs.head), "built-in")
+
+  def accent_fold(c: Column): Column = call_function("accent_fold", c)
+}

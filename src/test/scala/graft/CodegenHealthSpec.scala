@@ -135,6 +135,23 @@ class CodegenHealthSpec extends SparkSuite {
     }
   }
 
+  test("accent_fold compiles") {
+    AccentFold.register(spark)
+    assertCompiles("accent_fold") {
+      text.select(AccentFold.accent_fold(
+        regexp_replace(col("t"), "o", "ö")))
+    }
+  }
+
+  test("accent_fold folds decomposables, short-circuits ASCII, keeps CJK") {
+    AccentFold.register(spark)
+    val rows = Seq("café über år", "plain ascii", "中文")
+      .toDF("t").select(AccentFold.accent_fold(col("t"))).collect()
+    assert(rows(0).getString(0) == "cafe uber ar")
+    assert(rows(1).getString(0) == "plain ascii")
+    assert(rows(2).getString(0) == "中文")
+  }
+
   test("bpe_apply compiles (regression: static forwarder suppressed by TreeNode.apply)") {
     assertCompiles("bpe_apply") {
       text.select(BpeApply.bpe_apply(split(col("t"), ""),

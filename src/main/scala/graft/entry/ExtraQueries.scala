@@ -147,6 +147,20 @@ object ExtraQueries {
         .orderBy(col("media_id"))
     }),
 
+    "q_multimodal_neardup" -> ((s, dir) => {
+      // perceptual-hash image dedup: decode PPM payloads → aHash → blocked
+      // hamming pairs. The twin corpus engineers each base image's ONLY
+      // near-dup to be its perturbed copy (id + 10000), so the exact pair
+      // list is arithmetic the oracle generates without decoding anything —
+      // a codec drift, hash instability, or blocking recall miss all
+      // change the pair set
+      val corpus = graft.multimodal.Multimodal.twinImageCorpus(s, 60)
+      val sigs = graft.multimodal.Multimodal.imageAHash(corpus)
+      SimHash.sigPairs(sigs, "media_id", "ahash", maxDist = 3)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"))
+    }),
+
     "q_metadata_columns" -> ((s, dir) =>
       // MetadataToColumns guarantees the _meta_* column set exists
       MetadataToColumns()(t(s, dir, "region"))
@@ -1627,6 +1641,12 @@ object ExtraQueries {
         |  UNION ALL SELECT 'box', 4, 'event_type', 'value', '' FROM st
         |    WHERE d_et <= 50)
         |ORDER BY priority DESC, chart_type, x, y""".stripMargin,
+
+    "q_multimodal_neardup" ->
+      // the twin invariant IS the ground truth: every base image pairs
+      // with exactly its id+10000 twin and nothing else
+      """SELECT CAST(i AS BIGINT) AS id_a, CAST(i + 10000 AS BIGINT) AS id_b
+        |FROM range(60) t(i) ORDER BY id_a""".stripMargin,
 
     "q_multimodal_features" ->
       // arithmetic ground truth for the synthetic corpus: container sizes

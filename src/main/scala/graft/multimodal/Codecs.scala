@@ -170,6 +170,36 @@ object Codecs {
     ImagePixels(newW, newH, out)
   }
 
+  /** Average-hash perceptual fingerprint: nearest-resize to 8×8, integer
+    * grayscale (r+g+b)/3, one bit per cell = gray > mean. Near-identical
+    * images differ in a few bits; unrelated images land ~32 apart — feed
+    * the result to `SimHash.sigPairs` for blocked near-dup search. All
+    * integer arithmetic except the final mean compare (exact: sum/64.0 is
+    * a double with ≤ 6 fractional bits), so the hash is deterministic
+    * across JVMs and platforms. */
+  def aHash(img: ImagePixels): Long = {
+    val small = resizeNearest(img, 8, 8)
+    val gray = new Array[Int](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      val r = small.rgb(i * 3) & 0xff
+      val g = small.rgb(i * 3 + 1) & 0xff
+      val b = small.rgb(i * 3 + 2) & 0xff
+      gray(i) = (r + g + b) / 3
+      sum += gray(i)
+      i += 1
+    }
+    val mean = sum.toDouble / 64.0
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      if (gray(i) > mean) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
   /** Aspect-preserving fit into maxW×maxH, never upscaling. */
   def fitWithin(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
     val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))

@@ -207,4 +207,59 @@ object Multimodal {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 4), mediaSchema)
   }
+
+  /** Noise-image corpus with engineered near-duplicate twins: base image
+    * `i` is LCG-pseudo-random 16×16 RGB (values in [32, 159] so the twin
+    * perturbation can never clamp); twin `i + 10000` adds +16/−16 to the
+    * two channels of one pixel — gray sum unchanged, so the aHash mean is
+    * identical and at most the touched cell's bit flips. Every base pairs
+    * with exactly its twin under hamming ≤ 3 while unrelated noise images
+    * sit ~32 bits apart — the invariant `q_multimodal_neardup`'s oracle
+    * replays arithmetically. */
+  def twinImageCorpus(spark: SparkSession, n: Int): DataFrame = {
+    val w = 16; val h = 16
+    def pixels(i: Int): Array[Byte] = {
+      val rgb = new Array[Byte](w * h * 3)
+      var seed = i.toLong * 2654435761L + 99991L
+      var j = 0
+      while (j < rgb.length) {
+        seed = seed * 1103515245L + 12345L
+        rgb(j) = (32 + ((seed >>> 16) & 0x7F)).toByte
+        j += 1
+      }
+      rgb
+    }
+    val rows = (0 until n).flatMap { i =>
+      val base = pixels(i)
+      val twin = base.clone()
+      val p = (i % (w * h)) * 3
+      twin(p) = (twin(p) + 16).toByte      // in [48, 175] — no wrap
+      twin(p + 1) = (twin(p + 1) - 16).toByte // in [16, 143] — no wrap
+      Seq(
+        Row(i.toLong, "image",
+          Codecs.encodePpm(Codecs.ImagePixels(w, h, base)),
+          "image/x-portable-pixmap", w, h, null),
+        Row(i + 10000L, "image",
+          Codecs.encodePpm(Codecs.ImagePixels(w, h, twin)),
+          "image/x-portable-pixmap", w, h, null))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 4), mediaSchema)
+  }
+
+  /** Perceptual-hash table: decode each image payload and project its
+    * [[Codecs.aHash]] — one partition-local pass over the binary column,
+    * no shuffle; undecodable payloads are dropped. Feed to
+    * `SimHash.sigPairs` for blocked near-dup image search. */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, content) =>
+        Codecs.decodeImage(Option(content).getOrElse(Array.emptyByteArray))
+          .map(img => (id, Codecs.aHash(img)))
+      })
+      .toDF("media_id", "ahash")
+  }
 }

@@ -368,23 +368,29 @@ object SimHash {
     * exact hamming filter then prunes false candidates. Same construction
     * as MinHash-LSH banding, but over signature bits. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, maxDist: Int = 3): DataFrame = {
+      k: Int = 3, maxDist: Int = 3): DataFrame =
+    sigPairs(simhashTable(df, idCol, textCol, k), idCol, "simhash", maxDist)
+
+  /** Generic near-dup pairs over ANY (id, 64-bit signature) frame — the
+    * same pigeonhole blocking simhash uses, reusable for image perceptual
+    * hashes or any other 64-bit fingerprint. */
+  def sigPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxDist: Int): DataFrame = {
     val nBlocks = maxDist + 1
     val width = 64 / nBlocks
-    val sigs = simhashTable(df, idCol, textCol, k)
     val blocks = explode(array((0 until nBlocks).map { b =>
       struct(lit(b).as("blk"),
         // block b = bits [b*width, (b+1)*width); last block takes the rest
-        shiftrightunsigned(col("simhash"), b * width)
+        shiftrightunsigned(col(sigCol), b * width)
           .bitwiseAND(lit(if (b == nBlocks - 1) -1L >>> (b * width)
                           else (1L << width) - 1)).as("v"))
     }: _*))
-    val keyed = sigs.select(col(idCol), col("simhash"), blocks.as("bb"))
-      .select(col(idCol), col("simhash"),
+    val keyed = sigs.select(col(idCol), col(sigCol), blocks.as("bb"))
+      .select(col(idCol), col(sigCol),
         col("bb.blk").as("blk"), col("bb.v").as("v"))
-    val a = keyed.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
+    val a = keyed.select(col(idCol).as("id_a"), col(sigCol).as("sig_a"),
       col("blk"), col("v"))
-    val b = keyed.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),
+    val b = keyed.select(col(idCol).as("id_b"), col(sigCol).as("sig_b"),
       col("blk"), col("v"))
     a.join(b, Seq("blk", "v"))
       .filter(col("id_a") < col("id_b"))

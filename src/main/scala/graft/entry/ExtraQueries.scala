@@ -147,6 +147,24 @@ object ExtraQueries {
         .orderBy(col("media_id"))
     }),
 
+    "q_fuzzy_match" -> ((s, dir) => {
+      // entity resolution: suppliers vs a deterministically typo'd copy
+      // (one char deleted at a key-dependent position). The blocked join
+      // must find EXACTLY the pairs DuckDB's brute-force cross join +
+      // levenshtein finds — including incidental near-collisions between
+      // different suppliers' serial-number names
+      val sup = t(s, dir, "supplier")
+      val a = sup.select(col("s_suppkey").as("id_a"),
+        col("s_name").as("name_a"))
+      val b = sup.select((col("s_suppkey") + 100000L).as("id_b"),
+        concat(expr("substring(s_name, 1, CAST(s_suppkey % 10 + 4 AS INT))"),
+          expr("substring(s_name, CAST(s_suppkey % 10 + 6 AS INT), 1000)"))
+          .as("name_b"))
+      graft.operators.FuzzyMatch.editDistanceJoin(
+        a, b, "id_a", "name_a", "id_b", "name_b", maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_multimodal_neardup" -> ((s, dir) => {
       // perceptual-hash image dedup: decode PPM payloads → aHash → blocked
       // hamming pairs. The twin corpus engineers each base image's ONLY
@@ -1641,6 +1659,22 @@ object ExtraQueries {
         |  UNION ALL SELECT 'box', 4, 'event_type', 'value', '' FROM st
         |    WHERE d_et <= 50)
         |ORDER BY priority DESC, chart_type, x, y""".stripMargin,
+
+    "q_fuzzy_match" ->
+      // brute-force ground truth: every (supplier, typo'd-copy) pair
+      // within edit distance 1 — the blocked q-gram join must reproduce
+      // this set exactly
+      """WITH a AS (SELECT s_suppkey AS id_a, s_name AS name_a
+        |  FROM supplier),
+        |b AS (SELECT s_suppkey + 100000 AS id_b,
+        |    concat(substr(s_name, 1, CAST(s_suppkey % 10 + 4 AS INT)),
+        |      substr(s_name, CAST(s_suppkey % 10 + 6 AS INT), 1000))
+        |      AS name_b
+        |  FROM supplier)
+        |SELECT id_a, id_b,
+        |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+        |FROM a, b WHERE levenshtein(name_a, name_b) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_multimodal_neardup" ->
       // the twin invariant IS the ground truth: every base image pairs

@@ -373,6 +373,23 @@ class OperatorSpec extends SparkSuite {
       Seq((2L, true), (0L, false), (0L, false)))
   }
 
+  test("FuzzyMatch: finds all pairs within maxDist, none beyond, short strings too") {
+    import graft.operators.FuzzyMatch
+    val a = Seq((1L, "jonathan smith"), (2L, "alice cooper"), (3L, "bo"))
+      .toDF("id_a", "name_a")
+    val b = Seq(
+      (10L, "jonathon smith"),  // 1 substitution from 1
+      (11L, "alice coopers"),   // 1 insertion from 2
+      (12L, "alicia cooper"),   // 2 edits from 2 -> excluded at maxDist=1
+      (13L, "bo"),              // exact short-string match for 3
+      (14L, "completely other")
+    ).toDF("id_b", "name_b")
+    val got = FuzzyMatch
+      .editDistanceJoin(a, b, "id_a", "name_a", "id_b", "name_b", maxDist = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 11L), (3L, 13L)))
+  }
+
   test("NgramLm: in-domain docs score lower NLL than OOV text, edge docs stay NULL") {
     import graft.operators.NgramLm
     val train = Seq(

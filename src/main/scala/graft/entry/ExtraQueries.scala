@@ -789,6 +789,33 @@ object ExtraQueries {
           col("n"), col("qty"))
         .orderBy(col("flag"), col("status"))),
 
+    "q_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS surface (the asymmetric slices cube can't
+      // express alone): per-(flag,status), per-flag, and grand total only
+      t(s, dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+      s.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+          |  COALESCE(l_linestatus, 'ALL') AS status,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS qty
+          |FROM _gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |  (l_returnflag), ())
+          |ORDER BY flag, status""".stripMargin)
+    }),
+
+    "q_salted_agg" -> ((s, dir) => {
+      // skew tooling under oracle: the two-phase salted aggregation must
+      // equal the plain GROUP BY exactly — decimal partial sums make the
+      // re-aggregation associativity-proof
+      graft.core.Skew.saltedAggregate(t(s, dir, "lineitem"),
+        col("l_returnflag"), saltBuckets = 8,
+        sums = Seq("qty" -> col("l_quantity").cast(DecimalType(38, 10))))
+        .select(col("_key").as("l_returnflag"), col("n"),
+          col("qty").cast(DoubleType).as("qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q_cube" -> ((s, dir) =>
       // cube = rollup + the per-status slices and the transposed margins;
       // same null→'ALL' labeling as q_rollup
@@ -1087,6 +1114,20 @@ object ExtraQueries {
          |FROM lineitem
          |GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY flag, status""".stripMargin,
+
+    "q_grouping_sets" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+         |  COALESCE(l_linestatus, 'ALL') AS status,
+         |  COUNT(*) AS n, ${Sql.esum("l_quantity")} AS qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         |  (l_returnflag), ())
+         |ORDER BY flag, status""".stripMargin,
+
+    "q_salted_agg" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n, ${Sql.esum("l_quantity")} AS qty
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
 
     "q_cube" ->
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,

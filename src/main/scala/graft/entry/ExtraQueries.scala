@@ -789,6 +789,16 @@ object ExtraQueries {
           col("n"), col("qty"))
         .orderBy(col("flag"), col("status"))),
 
+    "q_zorder" -> ((s, dir) =>
+      // Morton curve value for 2-D data skipping: pure bit arithmetic,
+      // replayed bit-for-bit by the oracle (11 bits per dim here since the
+      // quantized keys are < 2048)
+      t(s, dir, "events").select(col("event_id"),
+        graft.core.ZOrder.zValue2(
+          col("user_id") % 2048, col("event_id") % 2048, bits = 11)
+          .as("zval"))
+        .orderBy(col("event_id"))),
+
     "q_grouping_sets" -> ((s, dir) => {
       // explicit GROUPING SETS surface (the asymmetric slices cube can't
       // express alone): per-(flag,status), per-flag, and grand total only
@@ -1114,6 +1124,15 @@ object ExtraQueries {
          |FROM lineitem
          |GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY flag, status""".stripMargin,
+
+    "q_zorder" ->
+      // bit-interleave replay: disjoint bit positions make sum == OR
+      """SELECT event_id,
+        |  CAST(list_sum(list_transform(range(11), b ->
+        |    ((((user_id % 2048) >> b) & 1) << (2 * b)) +
+        |    ((((event_id % 2048) >> b) & 1) << (2 * b + 1))))
+        |  AS BIGINT) AS zval
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_grouping_sets" ->
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,

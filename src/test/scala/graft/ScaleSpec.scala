@@ -159,6 +159,28 @@ class ScaleSpec extends SparkSuite {
       !plan.contains("BroadcastNestedLoop"))
   }
 
+  test("z-order layout bounds BOTH dimensions per partition; plain sort only one") {
+    import graft.core.ZOrder
+    // uniform 64x64 grid of keys
+    val df = spark.range(4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).as("y"))
+    def avgYRange(d: org.apache.spark.sql.DataFrame): Double = {
+      val r = d.withColumn("p", spark_partition_id())
+        .groupBy("p").agg((max("y") - min("y")).as("ry"))
+        .agg(avg("ry")).head().getDouble(0)
+      r
+    }
+    val zordered = ZOrder.clusterBy2(df, "x", "y", numPartitions = 16, bits = 6)
+    val xsorted = df.repartitionByRange(16, col("x"))
+    val zr = avgYRange(zordered)
+    val xr = avgYRange(xsorted)
+    // x-sorted partitions span essentially the whole y range; z-order
+    // partitions cover a tight rectangle in both dims
+    assert(zr < xr / 2, s"z-order avg y-range $zr not < half of x-sort $xr")
+    // and the layout is only a re-ordering: same rows survive
+    assert(zordered.count() == 4096)
+  }
+
   test("iterative ops produce identical results under Local and Reliable checkpointing") {
     // the Reliable path is what a 100 TB cluster run needs (localCheckpoint
     // state dies with an executor); both modes must be pure policy — same

@@ -179,6 +179,17 @@ object ExtraQueries {
         .orderBy(col("id_a"))
     }),
 
+    "q_multimodal_audio_neardup" -> ((s, dir) => {
+      // audio twin of q_multimodal_neardup: decode WAV → energy-profile
+      // fingerprint → blocked hamming pairs; the engineered pair list is
+      // the oracle's arithmetic ground truth
+      val corpus = graft.multimodal.Multimodal.twinAudioCorpus(s, 40)
+      val sigs = graft.multimodal.Multimodal.audioFingerprints(corpus)
+      SimHash.sigPairs(sigs, "media_id", "afp", maxDist = 3)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"))
+    }),
+
     "q_metadata_columns" -> ((s, dir) =>
       // MetadataToColumns guarantees the _meta_* column set exists
       MetadataToColumns()(t(s, dir, "region"))
@@ -1741,6 +1752,10 @@ object ExtraQueries {
       // with exactly its id+10000 twin and nothing else
       """SELECT CAST(i AS BIGINT) AS id_a, CAST(i + 10000 AS BIGINT) AS id_b
         |FROM range(60) t(i) ORDER BY id_a""".stripMargin,
+
+    "q_multimodal_audio_neardup" ->
+      """SELECT CAST(i AS BIGINT) AS id_a, CAST(i + 10000 AS BIGINT) AS id_b
+        |FROM range(40) t(i) ORDER BY id_a""".stripMargin,
 
     "q_multimodal_features" ->
       // arithmetic ground truth for the synthetic corpus: container sizes

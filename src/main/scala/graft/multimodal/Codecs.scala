@@ -279,6 +279,66 @@ object Codecs {
     } catch { case _: Throwable => None }
   }
 
+  /** Raw PCM samples (all channels interleaved) of a 16-bit WAV — the
+    * sample-level twin of [[decodeWav]]'s stats pass. */
+  def decodeWavSamples(bytes: Array[Byte]): Option[Array[Short]] = {
+    if (!sniff(bytes).contains("audio/wav")) return None
+    try {
+      var pos = 12
+      var bits = 0; var dataOff = -1; var dataLen = 0
+      var malformed = false
+      while (!malformed && pos + 8 <= bytes.length) {
+        val id = new String(bytes, pos, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val size = le32(bytes, pos + 4)
+        if (size < 0) malformed = true
+        else {
+          if (id == "fmt ") bits = le16(bytes, pos + 22)
+          else if (id == "data") { dataOff = pos + 8; dataLen = size }
+          pos += 8 + size + (size & 1)
+        }
+      }
+      if (malformed || bits != 16 || dataOff < 0) return None
+      val dl = math.min(dataLen, bytes.length - dataOff)
+      val out = new Array[Short](dl / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = le16(bytes, dataOff + i * 2).toShort
+        i += 1
+      }
+      Some(out)
+    } catch { case _: Throwable => None }
+  }
+
+  /** Energy-profile audio fingerprint, the aHash analog: 64 equal frames,
+    * one bit per frame = mean |sample| above the across-frame mean. Robust
+    * to tiny sample perturbations, far apart for unrelated envelopes; all
+    * integer/double arithmetic deterministic across platforms. Returns
+    * None for audio shorter than 64 samples. */
+  def audioFingerprint(samples: Array[Short]): Option[Long] = {
+    val n = samples.length
+    if (n < 64) return None
+    val energy = new Array[Double](64)
+    var f = 0
+    while (f < 64) {
+      val from = f * n / 64
+      val until = (f + 1) * n / 64
+      var s = 0.0
+      var i = from
+      while (i < until) { s += math.abs(samples(i).toDouble); i += 1 }
+      energy(f) = s / math.max(1, until - from)
+      f += 1
+    }
+    val mean = energy.sum / 64.0
+    var h = 0L
+    f = 0
+    while (f < 64) {
+      if (energy(f) > mean) h |= (1L << f)
+      f += 1
+    }
+    Some(h)
+  }
+
   def encodeWavPcm16(samples: Array[Short], sampleRate: Int,
       channels: Int = 1): Array[Byte] = {
     val dataLen = samples.length * 2

@@ -247,6 +247,62 @@ object Multimodal {
       spark.sparkContext.parallelize(rows.toIndexedSeq, 4), mediaSchema)
   }
 
+  /** Noise-audio corpus with engineered near-duplicate twins: base clip
+    * `i` is LCG noise gated by a two-level per-frame envelope (bits sit
+    * far from the fingerprint's mean-energy threshold), twin `i + 10000`
+    * perturbs one sample by +64 — every base pairs with exactly its twin
+    * under hamming ≤ 3. */
+  def twinAudioCorpus(spark: SparkSession, n: Int): DataFrame = {
+    val nSamp = 4096
+    def clip(i: Int): Array[Short] = {
+      val s = new Array[Short](nSamp)
+      var seed = i.toLong * 2654435761L + 777L
+      var j = 0
+      while (j < nSamp) {
+        val frame = j * 64 / nSamp
+        // per-frame two-level gain: splitmix64-finalized (i, frame) key —
+        // a single-multiply hash correlates across clips and produced
+        // cross-clip near-matches
+        var z = i.toLong * 1000003L + frame + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        val loud = (((z ^ (z >>> 31)) >>> 7) & 1L) == 1L
+        seed = seed * 1103515245L + 12345L
+        val noise = ((seed >>> 16) & 0x1FFF).toInt - 4096 // [-4096, 4095]
+        s(j) = (if (loud) noise * 4 else noise / 4).toShort
+        j += 1
+      }
+      s
+    }
+    val rows = (0 until n).flatMap { i =>
+      val base = clip(i)
+      val twin = base.clone()
+      twin(i % nSamp) = (twin(i % nSamp) + 64).toShort
+      Seq(
+        Row(i.toLong, "audio", Codecs.encodeWavPcm16(base, 8000),
+          "audio/wav", null, null, nSamp * 1000L / 8000),
+        Row(i + 10000L, "audio", Codecs.encodeWavPcm16(twin, 8000),
+          "audio/wav", null, null, nSamp * 1000L / 8000))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 4), mediaSchema)
+  }
+
+  /** Audio fingerprint table — [[Codecs.audioFingerprint]] over decoded
+    * PCM, per-partition, no shuffle; undecodable/too-short payloads drop. */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, content) =>
+        Codecs.decodeWavSamples(Option(content).getOrElse(Array.emptyByteArray))
+          .flatMap(Codecs.audioFingerprint)
+          .map(fp => (id, fp))
+      })
+      .toDF("media_id", "afp")
+  }
+
   /** Perceptual-hash table: decode each image payload and project its
     * [[Codecs.aHash]] — one partition-local pass over the binary column,
     * no shuffle; undecodable payloads are dropped. Feed to

@@ -800,6 +800,51 @@ object ExtraQueries {
           col("n"), col("qty"))
         .orderBy(col("flag"), col("status"))),
 
+    "q_scd2" -> ((s, dir) =>
+      // type-2 history from the event change log: one lead() window keyed
+      // on the entity; validity bounds out as formatted strings (null
+      // upper bound → ''), timestamps never cross an engine boundary raw
+      graft.operators.Scd2.fromChangeLog(
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        "user_id", "ts", tiebreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss")
+            .as("valid_from"),
+          coalesce(date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss"),
+            lit("")).as("valid_to"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("event_id"))),
+
+    "q_scd2_snapshot" -> ((s, dir) => {
+      // point-in-time reproduction: the dimension as a pipeline running at
+      // 2024-01-15 would have read it — exactly one version per key seen
+      // before the cut, none after
+      val hist = graft.operators.Scd2.fromChangeLog(
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        "user_id", "ts", tiebreak = Seq("event_id"))
+      graft.operators.Scd2.snapshotAt(hist,
+          lit("2024-01-15 00:00:00").cast(TimestampType))
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * lit(10000.0) + lit(0.5)).cast(LongType)
+            .as("value_x10k"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_expectations" -> ((s, dir) => {
+      // table-level contract check: 5 rules, ONE aggregate pass; counts
+      // are exact integers the oracle re-derives rule by rule
+      import graft.operators.Expectations.{Rule, check}
+      check(t(s, dir, "lineitem"), Seq(
+        Rule("qty_in_range", col("l_quantity").between(1, 50)),
+        Rule("discount_in_range", col("l_discount").between(0, 0.1)),
+        Rule("flag_valid", col("l_returnflag").isin("A", "N", "R")),
+        Rule("price_positive", col("l_extendedprice") > 0),
+        Rule("tax_nonneg", col("l_tax") >= 0)))
+        .orderBy(col("rule"))
+    }),
+
     "q_zorder" -> ((s, dir) =>
       // Morton curve value for 2-D data skipping: pure bit arithmetic,
       // replayed bit-for-bit by the oracle (11 bits per dim here since the
@@ -1135,6 +1180,48 @@ object ExtraQueries {
          |FROM lineitem
          |GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY flag, status""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  COALESCE(strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S'), '')
+        |    AS valid_to,
+        |  LEAD(ts) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_scd2_snapshot" ->
+      """WITH h AS (SELECT user_id, event_id, value, ts AS valid_from,
+        |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS value_x10k
+        |FROM h
+        |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+        |ORDER BY user_id""".stripMargin,
+
+    "q_expectations" -> {
+      def rule(name: String, pred: String) =
+        s"""SELECT '$name' AS rule,
+           |  CAST(SUM(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_pass,
+           |  CAST(SUM(CASE WHEN $pred THEN 0 ELSE 1 END) AS BIGINT)
+           |    AS n_fail,
+           |  ${Sql.sround(
+          s"CAST(SUM(CASE WHEN $pred THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")}
+           |    AS pass_rate
+           |FROM lineitem""".stripMargin
+      Seq(
+        rule("discount_in_range", "l_discount BETWEEN 0 AND 0.1"),
+        rule("flag_valid", "l_returnflag IN ('A', 'N', 'R')"),
+        rule("price_positive", "l_extendedprice > 0"),
+        rule("qty_in_range", "l_quantity BETWEEN 1 AND 50"),
+        rule("tax_nonneg", "COALESCE(l_tax >= 0, FALSE)"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY rule")
+    },
 
     "q_zorder" ->
       // bit-interleave replay: disjoint bit positions make sum == OR

@@ -800,6 +800,13 @@ object ExtraQueries {
           col("n"), col("qty"))
         .orderBy(col("flag"), col("status"))),
 
+    "q_corr_matrix" -> ((s, dir) =>
+      // pairwise Pearson over the lineitem numerics: all moments in ONE
+      // decimal-exact aggregate pass, matrix assembled from the stats row
+      graft.operators.Correlation.matrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_a"), col("col_b"))),
+
     "q_scd2" -> ((s, dir) =>
       // type-2 history from the event change log: one lead() window keyed
       // on the entity; validity bounds out as formatted strings (null
@@ -1180,6 +1187,30 @@ object ExtraQueries {
          |FROM lineitem
          |GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY flag, status""".stripMargin,
+
+    "q_corr_matrix" -> {
+      // identical moment formula: decimal-exact sums, double assembly
+      def ds(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(38,10))) AS DOUBLE)"
+      def corr(a: String, b: String) = Sql.sround(
+        s"""(n * ${"p_" + a + "_" + b} - s_$a * s_$b) /
+           | (sqrt(n * q_$a - s_$a * s_$a) * sqrt(n * q_$b - s_$b * s_$b))"""
+          .stripMargin.replace("\n", ""))
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val sums = cols.map(c => s"${ds(c)} AS s_$c") ++
+        cols.map(c => s"${ds(s"$c * $c")} AS q_$c") ++
+        (for { i <- cols.indices; j <- cols.indices if i < j }
+          yield s"${ds(s"${cols(i)} * ${cols(j)}")} AS p_${cols(i)}_${cols(j)}")
+      val pairsSql = (for { i <- cols.indices; j <- cols.indices if i < j }
+        yield s"SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b, " +
+          s"${corr(cols(i), cols(j))} AS corr FROM m")
+        .mkString("", " UNION ALL ", "")
+      s"""WITH m AS (SELECT ${sums.mkString(", ")},
+         |    CAST(COUNT(*) AS DOUBLE) AS n
+         |  FROM lineitem
+         |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+         |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL)
+         |$pairsSql ORDER BY col_a, col_b""".stripMargin
+    },
 
     "q_scd2" ->
       """SELECT user_id, event_id,

@@ -29,21 +29,42 @@ object FuzzyMatch {
 
   /** Pairs (leftId, rightId, dist) with `levenshtein ≤ maxDist`, complete
     * for strings with more than `maxDist·q` surviving q-grams. Column
-    * names must be distinct across the two inputs. */
+    * names must be distinct across the two inputs.
+    *
+    * Candidates come through PREFIX FILTERING (Chaudhuri et al.), not the
+    * naive every-shared-gram join: strings within distance `d` share at
+    * least `max(|A|,|B|) − d·q` distinct grams, so under a GLOBAL gram
+    * order (document frequency asc, gram asc) their `d·q + 1`-length
+    * prefixes must intersect. Blocking only on prefix grams keeps blocks
+    * rare-gram-sized — serial-number corpora where one gram ("000")
+    * appears in EVERY string would otherwise degenerate to the full cross
+    * product (observed: 25 s → sub-second on the supplier gate). */
   def editDistanceJoin(left: DataFrame, right: DataFrame,
       leftId: String, leftCol: String, rightId: String, rightCol: String,
       maxDist: Int, q: Int = 3): DataFrame = {
     require(maxDist >= 0 && q >= 2, s"need maxDist >= 0, q >= 2: $maxDist, $q")
-    val lg = left.select(col(leftId), col(leftCol),
+    val prefixLen = maxDist * q + 1
+    val lg = left.select(col(leftId).as("_lid"), col(leftCol).as("_ls"),
       explode(qgrams(leftCol, q)).as("_g"))
-    val rg = right.select(col(rightId), col(rightCol),
+    val rg = right.select(col(rightId).as("_rid"), col(rightCol).as("_rs"),
       explode(qgrams(rightCol, q)).as("_g"))
-    lg.join(rg, Seq("_g"))
-      .select(col(leftId), col(leftCol), col(rightId), col(rightCol))
+    // one global gram order shared by both sides: df over the union
+    val df = lg.select(col("_g")).unionByName(rg.select(col("_g")))
+      .groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+    def prefix(grams: DataFrame, idC: String, strC: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idC)).orderBy(col("_df"), col("_g"))
+      grams.join(df, Seq("_g"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= prefixLen)
+        .select(col(idC), col(strC), col("_g"))
+    }
+    prefix(lg, "_lid", "_ls").join(prefix(rg, "_rid", "_rs"), Seq("_g"))
+      .select(col("_lid"), col("_ls"), col("_rid"), col("_rs"))
       .distinct() // candidates: one row per pair, not per shared gram
       .withColumn("dist",
-        levenshtein(col(leftCol), col(rightCol)).cast(IntegerType))
+        levenshtein(col("_ls"), col("_rs")).cast(IntegerType))
       .filter(col("dist") <= maxDist)
-      .select(col(leftId), col(rightId), col("dist"))
+      .select(col("_lid").as(leftId), col("_rid").as(rightId), col("dist"))
   }
 }

@@ -640,6 +640,16 @@ object DocQueries {
         vocabK = 20)
         .orderBy(col("doc_id"))),
 
+    "q_pps_sample" -> ((s, dir) =>
+      // weighted (PPS) sampling by document size: exact integer boundary
+      // crossings on a partitioned prefix sum — every selection decision
+      // replayable bit-for-bit, unlike any RNG- or reservoir-key sampler
+      graft.functions.Sampling.ppsSample(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", n = 50L, seed = 7L)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     "q_doc_accent_fold" -> ((s, dir) => {
       // unicode accent folding: derive accented text deterministically
       // (a→ä, e→é), fold it back with the codegen'd NFD+strip kernel; the
@@ -1537,6 +1547,17 @@ object DocQueries {
          |FROM words wo JOIN freq f USING (w)
          |LEFT JOIN vocab v ON wo.w = v.w
          |GROUP BY wo.doc_id ORDER BY wo.doc_id""".stripMargin,
+
+    "q_pps_sample" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |    SUM(n_chars) OVER (
+        |      ORDER BY md5(concat('pps7#', CAST(doc_id AS VARCHAR))),
+        |        doc_id) AS cum,
+        |    SUM(n_chars) OVER () AS total
+        |  FROM documents)
+        |SELECT doc_id, n_chars FROM c
+        |WHERE ((cum - n_chars) * 50) // total < (cum * 50) // total
+        |ORDER BY doc_id""".stripMargin,
 
     "q_doc_accent_fold" ->
       """SELECT doc_id,

@@ -124,4 +124,61 @@ object Sampling {
     tok.join(broadcast(frac), Seq(sourceCol))
       .filter(hashBucket(col(idCol)) < floor(col("_keep_frac") * Buckets))
   }
+
+  /** Systematic probability-proportional-to-size sampling: draw ≈`n` rows
+    * with inclusion probability ∝ an INTEGER `weightCol` (token counts,
+    * byte sizes) — the exact-arithmetic alternative to A-Res reservoir
+    * keys (`u^(1/w)` needs per-row transcendentals whose last-ulp
+    * differences make a cross-engine top-n cut irreproducible; boundary
+    * crossings on integer cumulative sums are bit-exact everywhere).
+    *
+    * Rows are laid on a line in md5(seed, id) order, each owning a
+    * segment of its weight; a row is selected iff its segment crosses a
+    * multiple of total/n — so P(select) = n·w/W exactly (rows heavier
+    * than the stride are always selected, the standard PPS caveat).
+    *
+    * Scale shape: the prefix sum is PARTITIONED — the first hex char of
+    * the order key buckets rows 16 ways in key-prefix order, the running
+    * sum windows within buckets, and 16-row bucket offsets broadcast
+    * back. No global window, no driver loop; two tiny aggregates + one
+    * windowed scan. */
+  def ppsSample(df: DataFrame, idCol: String, weightCol: String,
+      n: Long, seed: Long = 0L): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(lit(s"pps$seed#"), col(idCol).cast(StringType)))
+    val keyed = df
+      .withColumn("_pps_key", key)
+      .withColumn("_pps_b", substring(col("_pps_key"), 1, 1))
+      .withColumn("_pps_w", col(weightCol).cast(LongType))
+    val wLocal = Window.partitionBy(col("_pps_b"))
+      .orderBy(col("_pps_key"), col(idCol))
+    val local = keyed.withColumn("_pps_cum", sum(col("_pps_w")).over(wLocal))
+    // 16-row offsets: total weight of every bucket strictly before this
+    // one in key order (buckets are key prefixes, so bucket order IS key
+    // order); the same tiny frame yields the grand total
+    val totals = keyed.groupBy(col("_pps_b"))
+      .agg(sum(col("_pps_w")).as("_pps_bw"))
+    // triangle join instead of an unpartitioned window — the frame is 16
+    // rows, but the suite-wide plan-hygiene gate (rightly) bans global
+    // windows without an explicit justification
+    val offsets = totals.select(col("_pps_b"), col("_pps_bw"))
+      .join(totals.select(col("_pps_b").as("_pb2"), col("_pps_bw").as("_pw2")),
+        col("_pb2") < col("_pps_b"), "left")
+      .groupBy(col("_pps_b"))
+      .agg(coalesce(sum(col("_pw2")), lit(0L)).as("_pps_off"))
+    val grand = totals.agg(sum(col("_pps_bw")).as("_pps_total"))
+    local
+      .join(broadcast(offsets), Seq("_pps_b"))
+      .crossJoin(broadcast(grand))
+      .withColumn("_pps_gcum", col("_pps_off") + col("_pps_cum"))
+      // segment (gcum - w, gcum] crosses a stride boundary iff the two
+      // endpoint quotients of (pos · n) div total differ — pure integer
+      // arithmetic (caveat: pos·n must fit a long; at W·n beyond 2^63
+      // switch the multiply to decimal)
+      .filter(expr(s"((_pps_gcum - _pps_w) * $n) div _pps_total " +
+        s"< (_pps_gcum * $n) div _pps_total"))
+      .drop("_pps_key", "_pps_b", "_pps_w", "_pps_cum", "_pps_off",
+        "_pps_gcum", "_pps_total")
+  }
 }

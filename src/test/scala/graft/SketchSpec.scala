@@ -132,6 +132,27 @@ class SketchSpec extends SparkSuite {
     assert(order1 != order1.sorted)
   }
 
+  test("ppsSample: ~n rows, heavy items always in, partitioning-invariant") {
+    import graft.functions.Sampling
+    // total = 999·10 + 1000 = 10990, stride = total/20 ≈ 550: the whale
+    // (1000 > stride) is certain; light rows supply the other ~18 draws
+    val rows = (1L to 1000L).map(i => (i, if (i == 7L) 1000L else 10L))
+    val df = rows.toDF("id", "w")
+    val picked = Sampling.ppsSample(df, "id", "w", n = 20L, seed = 3L)
+      .select("id").as[Long].collect().toSet
+    assert(picked.contains(7L))
+    // distinct picks = n minus the whale's extra boundary crossings
+    assert(picked.size >= 15 && picked.size <= 21, s"got ${picked.size}")
+    val repart = Sampling.ppsSample(df.repartition(7), "id", "w", 20L, 3L)
+      .select("id").as[Long].collect().toSet
+    assert(picked == repart) // identity-ordered line: partitioning-proof
+    // zero-weight rows can never be selected
+    val withZero = Sampling.ppsSample(
+      df.withColumn("w", when(col("id") <= 500, 0L).otherwise(col("w"))),
+      "id", "w", 20L, 3L).select("id").as[Long].collect()
+    assert(withZero.forall(_ > 500))
+  }
+
   test("mixCorpusTemperature: alpha=1 keeps natural proportions; flattening boosts rare sources") {
     import graft.functions.Sampling
     val docs = graft.core.Tables.table(spark, sfDir, "documents")

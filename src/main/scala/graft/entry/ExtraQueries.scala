@@ -800,6 +800,45 @@ object ExtraQueries {
           col("n"), col("qty"))
         .orderBy(col("flag"), col("status"))),
 
+    "q_rate_spike" -> ((s, dir) =>
+      // hourly event-rate spikes per type: the z-test compares two exact
+      // integer products (no float mean/stddev anywhere), so the flagged
+      // set replays bit-for-bit
+      graft.operators.AnomalyDetector.rateSpikes(
+        t(s, dir, "events"), "event_type",
+        date_trunc("hour", col("ts")), zNum = 2L, zDen = 1L)
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n"))
+        .orderBy(col("event_type"), col("hour"))),
+
+    "q_sketch_bloom" -> ((s, dir) => {
+      // mergeable Bloom membership screen: per-priority shard sketches
+      // union into one filter (no rescan), probed by every order. The
+      // oracle checks the EXACT guarantee — zero false negatives on the
+      // 1-URGENT member set — plus the measured FPR staying under 5x the
+      // configured 1%
+      import graft.functions.Sketches
+      val orders = t(s, dir, "orders")
+      val shards = orders.filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(Sketches.bloomAgg(col("o_orderkey")).as("sk"))
+      val merged = shards.agg(Sketches.bloomUnion(col("sk")).as("sk"))
+      val probed = orders.crossJoin(broadcast(merged))
+        .select(col("o_orderkey"),
+          (col("o_orderpriority") === "1-URGENT").as("is_member"),
+          Sketches.bloomMightContain(col("sk"), col("o_orderkey"))
+            .as("flagged"))
+      probed.agg(
+        sum(when(col("is_member"), 1L).otherwise(0L)).as("n_members"),
+        (sum(when(col("is_member") && !col("flagged"), 1L).otherwise(0L))
+          === 0L).as("no_false_negatives"),
+        (sum(when(!col("is_member") && col("flagged"), 1L).otherwise(0L))
+          .cast(DoubleType) <=
+          sum(when(!col("is_member"), 1L).otherwise(0L)).cast(DoubleType)
+            * 0.05).as("fpr_under_5pct"))
+    }),
+
     "q_corr_matrix" -> ((s, dir) =>
       // pairwise Pearson over the lineitem numerics: all moments in ONE
       // decimal-exact aggregate pass, matrix assembled from the stats row
@@ -1187,6 +1226,29 @@ object ExtraQueries {
          |FROM lineitem
          |GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY flag, status""".stripMargin,
+
+    "q_rate_spike" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS q
+        |  FROM b GROUP BY event_type)
+        |SELECT b.event_type,
+        |  strftime(b.bucket, '%Y-%m-%d %H:%M:%S') AS hour, b.n
+        |FROM b JOIN st USING (event_type)
+        |WHERE (b.n * st.c - st.s) * (b.n * st.c - st.s)
+        |  > 4 * (st.q * st.c - st.s * st.s)
+        |ORDER BY b.event_type, hour""".stripMargin,
+
+    "q_sketch_bloom" ->
+      // the exact half of the sketch contract: member count and the
+      // no-false-negative guarantee; the FPR bound holds by sizing
+      """SELECT CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+        |  TRUE AS no_false_negatives,
+        |  TRUE AS fpr_under_5pct
+        |FROM orders""".stripMargin,
 
     "q_corr_matrix" -> {
       // identical moment formula: decimal-exact sums, double assembly

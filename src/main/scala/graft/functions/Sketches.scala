@@ -128,4 +128,77 @@ object Sketches {
       else java.lang.Long.valueOf(cmsFromBytes(b).totalCount()))
     f(sketch)
   }
+
+  // ---- Bloom filter: mergeable membership screens ---------------------------
+  // The decontamination / blocklist primitive at 100 TB: build per-shard
+  // Bloom binaries, union them without rescanning, broadcast the result and
+  // screen a corpus with zero false NEGATIVES (the guarantee the oracle
+  // checks exactly) and a bounded false-positive rate.
+
+  import org.apache.spark.util.sketch.BloomFilter
+
+  private def bloomToBytes(s: BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    s.writeTo(out)
+    out.toByteArray
+  }
+
+  private def bloomFromBytes(b: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+
+  /** Same (expectedItems, fpp) on every shard keeps binaries
+    * merge-compatible; Spark's implementation hashes with a fixed seed, so
+    * sketches are deterministic across runs and partitionings. */
+  private final class BloomBuild(expectedItems: Long, fpp: Double)
+      extends Aggregator[String, BloomFilter, Array[Byte]] {
+    def zero: BloomFilter = BloomFilter.create(expectedItems, fpp)
+    def reduce(b: BloomFilter, a: String): BloomFilter = {
+      if (a != null) b.putString(a)
+      b
+    }
+    def merge(b1: BloomFilter, b2: BloomFilter): BloomFilter = {
+      b1.mergeInPlace(b2)
+      b1
+    }
+    def finish(r: BloomFilter): Array[Byte] = bloomToBytes(r)
+    def bufferEncoder: Encoder[BloomFilter] =
+      Encoders.javaSerialization[BloomFilter]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  private final class BloomUnion(expectedItems: Long, fpp: Double)
+      extends Aggregator[Array[Byte], BloomFilter, Array[Byte]] {
+    def zero: BloomFilter = BloomFilter.create(expectedItems, fpp)
+    def reduce(b: BloomFilter, a: Array[Byte]): BloomFilter = {
+      if (a != null) b.mergeInPlace(bloomFromBytes(a))
+      b
+    }
+    def merge(b1: BloomFilter, b2: BloomFilter): BloomFilter = {
+      b1.mergeInPlace(b2)
+      b1
+    }
+    def finish(r: BloomFilter): Array[Byte] = bloomToBytes(r)
+    def bufferEncoder: Encoder[BloomFilter] =
+      Encoders.javaSerialization[BloomFilter]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Per-group Bloom filter of `c` (as string) — storable and mergeable. */
+  def bloomAgg(c: Column, expectedItems: Long = 100000L,
+      fpp: Double = 0.01): Column =
+    udaf(new BloomBuild(expectedItems, fpp)).apply(c.cast("string"))
+
+  /** Union stored Bloom binaries built with the SAME (expectedItems, fpp). */
+  def bloomUnion(c: Column, expectedItems: Long = 100000L,
+      fpp: Double = 0.01): Column =
+    udaf(new BloomUnion(expectedItems, fpp)).apply(c)
+
+  /** Membership probe: false means definitely absent; true means present
+    * or a false positive (rate ≤ fpp when sized honestly). */
+  def bloomMightContain(sketch: Column, item: Column): Column = {
+    val f = udf((b: Array[Byte], s: String) =>
+      if (b == null || s == null) null.asInstanceOf[java.lang.Boolean]
+      else java.lang.Boolean.valueOf(bloomFromBytes(b).mightContainString(s)))
+    f(sketch, item.cast("string"))
+  }
 }

@@ -166,6 +166,32 @@ object AnomalyDetector {
     df.schema.fields.collect {
       case StructField(n, _: NumericType, _, _) if !n.startsWith("_meta_") => n
     }.toSeq
+
+  /** Per-group RATE-spike detection over event streams: bucket events into
+    * `bucketExpr` periods per `groupCol`, flag buckets whose count sits
+    * more than `zNum/zDen` population standard deviations from the group
+    * mean. The z-test runs in EXACT INTEGER arithmetic — with c buckets,
+    * count sum S and square-sum Q, z² = (n·c − S)²/(Q·c − S²), so
+    * `|z| > zNum/zDen` is the integer comparison
+    * `zDen²·(n·c − S)² > zNum²·(Q·c − S²)` — the flag set is
+    * bit-reproducible in any engine,
+    * no float mean/stddev ever materializes. One bucket aggregate + one
+    * tiny per-group stats broadcast; counts must stay within long range
+    * after squaring (cast up to decimal beyond ~3·10⁹·buckets). */
+  def rateSpikes(df: DataFrame, groupCol: String, bucketExpr: Column,
+      zNum: Long = 2L, zDen: Long = 1L): DataFrame = {
+    require(zNum > 0 && zDen > 0, "z threshold must be positive")
+    val buckets = df.groupBy(col(groupCol), bucketExpr.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val stats = buckets.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_c"), sum(col("n")).as("_s"),
+        sum(col("n") * col("n")).as("_q"))
+    val dev = col("n") * col("_c") - col("_s") // c·(n − mean), integer
+    buckets.join(broadcast(stats), Seq(groupCol))
+      .filter(lit(zDen * zDen) * dev * dev >
+        lit(zNum * zNum) * (col("_q") * col("_c") - col("_s") * col("_s")))
+      .select(col(groupCol), col("bucket"), col("n"))
+  }
 }
 
 /** AnomalySplitter (`src/transformers/routing/anomaly_splitter.py`): route on

@@ -285,6 +285,23 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_doc_incremental_neardup" -> ((s, dir) => {
+      // ingest-time fuzzy screen: index the existing corpus once, then ask
+      // for each new doc whether it near-dups ANYTHING indexed. New batch =
+      // drop-first-word variants (must match their origin) + letter-rotated
+      // fresh docs (must not match). Oracle brute-forces new×old Jaccard.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val index = MinHashDedup.buildNearDupIndex(docs, "doc_id", "text")
+      val variants = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      val fresh = docs.select((col("doc_id") + 200000L).as("doc_id"),
+        translate(col("text"), "abcdefghij", "bcdefghija").as("text"))
+      MinHashDedup.incrementalNearDup(
+        variants.unionByName(fresh), "doc_id", "text", index,
+        threshold = 0.8)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_doc_simhash" -> ((s, dir) => {
       // same invariant shape as q_doc_fingerprint: the projection kernel
       // must agree row-for-row with the explode + 64-vote aggregate form
@@ -1263,6 +1280,34 @@ object DocQueries {
       // expects ≥95% of (doc, near-identical-variant) pairs co-clustered
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS recall_ge_95pct
         |FROM documents""".stripMargin,
+
+    "q_doc_incremental_neardup" -> {
+      val sh =
+        """list_distinct(list_transform(
+          |  range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 1, 1)),
+          |  i -> concat_ws(' ',
+          |    string_split_regex(trim(lower(text)), '\s+')[i],
+          |    string_split_regex(trim(lower(text)), '\s+')[i+1],
+          |    string_split_regex(trim(lower(text)), '\s+')[i+2])))"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH old AS (SELECT doc_id, $sh AS sh FROM documents),
+         |n0 AS (SELECT doc_id + 100000 AS doc_id,
+         |    substr(text, strpos(text, ' ') + 1) AS text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000,
+         |    translate(text, 'abcdefghij', 'bcdefghija') FROM documents),
+         |newd AS (SELECT doc_id, $sh AS sh FROM n0),
+         |m AS (SELECT n.doc_id AS nid, MIN(o.doc_id) AS mid
+         |  FROM newd n JOIN old o ON ROUND(
+         |    CASE WHEN len(list_distinct(n.sh || o.sh)) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(n.sh, x -> list_contains(o.sh, x)))
+         |        AS DOUBLE) / len(list_distinct(n.sh || o.sh)) END, 4) >= 0.8
+         |  GROUP BY n.doc_id)
+         |SELECT n0.doc_id, m.mid IS NOT NULL AS is_dup,
+         |  CAST(COALESCE(m.mid, -1) AS BIGINT) AS match_id
+         |FROM n0 LEFT JOIN m ON n0.doc_id = m.nid
+         |ORDER BY n0.doc_id""".stripMargin
+    },
 
     "q_doc_simhash_pairs" ->
       // brute-force all pairs from the materialized signatures: the blocked

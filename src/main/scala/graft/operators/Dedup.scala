@@ -289,6 +289,53 @@ object MinHashDedup {
       verified, "_ca", "_cb", maxIters)
   }
 
+  /** Persisted LSH index over an already-curated corpus: band buckets for
+    * candidate generation plus per-doc shingle sets for exact
+    * verification. Both frames are plain DataFrames — write them to
+    * parquet once and every future batch screens against them without
+    * touching the indexed corpus's raw text again. */
+  final case class NearDupIndex(buckets: DataFrame, shingleSets: DataFrame)
+
+  def buildNearDupIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16): NearDupIndex =
+    NearDupIndex(
+      bucketTable(df, idCol, textCol, k, numHashes, bands),
+      df.select(col(idCol), shingles(col(textCol), k).as("_sh")))
+
+  /** Incremental fuzzy screen — the ingest-time question "is this new
+    * document a near-dup of ANYTHING already in the corpus": new docs'
+    * band buckets equi-join the index's buckets (only colliding docs
+    * become candidates — never new×indexed), each candidate verifies by
+    * exact shingle Jaccard, and every new doc comes back with
+    * (`is_dup`, `match_id` = smallest matching indexed id, -1 if none).
+    * Same banding parameters as the index build or candidates are
+    * garbage. */
+  def incrementalNearDup(newDocs: DataFrame, idCol: String, textCol: String,
+      index: NearDupIndex, threshold: Double = 0.8, k: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val nb = bucketTable(newDocs, idCol, textCol, k, numHashes, bands)
+    val cand = nb.select(col(idCol).as("_nid"), col("band"), col("bucket"))
+      .join(index.buckets
+        .select(col(idCol).as("_oid"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("_nid"), col("_oid"))
+      .distinct()
+    val nsh = newDocs.select(col(idCol).as("_nid"),
+      shingles(col(textCol), k).as("_nsh"))
+    val matches = cand
+      .join(nsh, Seq("_nid"))
+      .join(index.shingleSets
+        .select(col(idCol).as("_oid"), col("_sh").as("_osh")), Seq("_oid"))
+      .where(round(NgramJaccard.jaccard(col("_nsh"), col("_osh")), 4)
+        >= threshold)
+      .groupBy(col("_nid")).agg(min(col("_oid")).as("_mid"))
+    newDocs.select(col(idCol))
+      .join(matches.select(col("_nid").as(idCol), col("_mid")), Seq(idCol),
+        "left")
+      .select(col(idCol), col("_mid").isNotNull.as("is_dup"),
+        coalesce(col("_mid"), lit(-1L)).as("match_id"))
+  }
+
   private def propagate(bb: DataFrame, idCol: String,
       propagationRounds: Int): DataFrame = {
     val w = Window.partitionBy(col("band"), col("bucket"))

@@ -48,6 +48,10 @@ object DocQueries {
         .select(col("doc_id"), col("lang"), col("lang_guess"))
         .orderBy(col("doc_id"))),
 
+    "q_tfidf" -> ((s, dir) =>
+      TF.tfidfTable(t(s, dir, "documents"), "doc_id", "text", vocabK = 100)
+        .orderBy(col("doc_id"), col("term"))),
+
     "q_doc_fingerprint" -> ((s, dir) =>
       // fingerprint values are xxhash64-based (engine-specific), so the
       // oracle-checkable invariant is per-row agreement between the codegen
@@ -959,6 +963,19 @@ object DocQueries {
          |  CASE WHEN (${folded._1}) > 0 THEN (${folded._2}) ELSE 'unknown' END AS lang_guess
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "q_tfidf" ->
+      s"""WITH base AS (SELECT doc_id, $wordsSql AS l FROM documents),
+         |w AS (SELECT doc_id, unnest(l) AS term FROM base),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |vocab AS (SELECT term, df FROM dfreq
+         |  ORDER BY df DESC, term ASC LIMIT 100),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT t.doc_id, t.term,
+         |  ${Sql.sround("t.tf * (ln((n.n + 1.0) / (v.df + 1.0)) + 1.0)")} AS tfidf
+         |FROM tf t JOIN vocab v ON t.term = v.term CROSS JOIN n
+         |ORDER BY t.doc_id, t.term""".stripMargin,
 
     "q_redact_pii" -> {
       val email = TF.piiPatterns.toMap.apply("email")

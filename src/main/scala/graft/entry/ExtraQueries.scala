@@ -28,6 +28,22 @@ object ExtraQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // nested-struct flattening: build the deep shape in-plan (the testdata
+    // is flat parquet), flatten it back, and let the oracle check that the
+    // leaf paths surface with the right names, order, and values. The
+    // flatten itself is pure projection — Catalyst collapses struct-build +
+    // field-access so the plan never materializes the struct.
+    "q_nested_flatten" -> ((s, dir) => {
+      val nested = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        struct(
+          col("o_custkey").as("custkey"),
+          struct(col("o_orderstatus").as("status"),
+            col("o_totalprice").as("total")).as("info")).as("cust"),
+        col("o_orderpriority"))
+      graft.functions.Nested.flatten(nested).orderBy(col("o_orderkey"))
+    }),
+
     // scores are library-specific, but the flagging RULE is not: the oracle
     // consumes the materialized score column and independently applies the
     // contamination-percentile cutoff + degenerate guard, so threshold
@@ -823,11 +839,15 @@ object ExtraQueries {
       val shards = orders.filter(col("o_orderpriority") === "1-URGENT")
         .groupBy(col("o_orderstatus"))
         .agg(Sketches.bloomAgg(col("o_orderkey")).as("sk"))
-      val merged = shards.agg(Sketches.bloomUnion(col("sk")).as("sk"))
-      val probed = orders.crossJoin(broadcast(merged))
+      // the merged screen is ONE bounded row (a fitted model, like the
+      // iForest trees) — collect it and ship the bytes in the probe
+      // closure, deserialized once per executor rather than per row
+      val screen = shards.agg(Sketches.bloomUnion(col("sk")).as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+      val probed = orders
         .select(col("o_orderkey"),
           (col("o_orderpriority") === "1-URGENT").as("is_member"),
-          Sketches.bloomMightContain(col("sk"), col("o_orderkey"))
+          Sketches.bloomMightContain(screen, col("o_orderkey"))
             .as("flagged"))
       probed.agg(
         sum(when(col("is_member"), 1L).otherwise(0L)).as("n_members"),
@@ -1196,6 +1216,12 @@ object ExtraQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_nested_flatten" ->
+      """SELECT o_orderkey, o_custkey AS cust_custkey,
+        |  o_orderstatus AS cust_info_status, o_totalprice AS cust_info_total,
+        |  o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q_winsorize" ->
       """WITH b AS (SELECT quantile_cont(value, 0.05) AS lo,
         |    quantile_cont(value, 0.95) AS hi FROM events)

@@ -592,6 +592,32 @@ object TextFunctions {
       .withColumn("blocked", col("n_blocked") > 0)
   }
 
+  /** TF-IDF weights against the deterministic top-`vocabK` corpus
+    * vocabulary — the classical sparse featurizer (and the exact-arithmetic
+    * sibling of [[bm25Rank]]: same explode → count shapes, per-cell weight
+    * instead of per-query score). Smoothed idf = ln((N+1)/(df+1)) + 1, so
+    * a term in every document still carries signal. One corpus explode,
+    * one (doc, term) count, one vocab-sized doc-frequency aggregate
+    * broadcast back — the raw text never crosses a shuffle. */
+  def tfidfTable(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabK: Int = 1000): org.apache.spark.sql.DataFrame = {
+    val words = df.select(col(idCol),
+      explode(split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " "))
+        .as("_w"))
+    val tf = words.groupBy(col(idCol), col("_w"))
+      .agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy(col("_w"))
+      .agg(count(lit(1)).as("_df"))
+    val vocab = dfreq.orderBy(col("_df").desc, col("_w").asc).limit(vocabK)
+    val nDocs = df.select(col(idCol)).agg(count(lit(1)).as("_n"))
+    tf.join(broadcast(vocab), Seq("_w"))
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("_w").as("term"),
+        graft.core.Semantics.safeRound(col("_tf") *
+          (log((col("_n").cast(DoubleType) + 1.0) /
+            (col("_df").cast(DoubleType) + 1.0)) + 1.0), 4).as("tfidf"))
+  }
+
   /** Buzhash (cyclic-polynomial) hashes of EVERY `k`-word window of the
     * document — the relational face of exact-substring dedup (two documents
     * share a verbatim span of ≥ k tokens iff they share a window hash,

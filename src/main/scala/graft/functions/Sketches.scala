@@ -193,9 +193,31 @@ object Sketches {
       fpp: Double = 0.01): Column =
     udaf(new BloomUnion(expectedItems, fpp)).apply(c)
 
-  /** Membership probe: false means definitely absent; true means present
-    * or a false positive (rate ≤ fpp when sized honestly). */
-  def bloomMightContain(sketch: Column, item: Column): Column = {
+  /** Membership probe against a FIXED screen: the filter bytes ship in the
+    * task closure and deserialize ONCE per executor (`@transient lazy`),
+    * so the per-row cost is just the k hash probes. This is the 100 TB
+    * screening shape — a per-row `bloomFromBytes` would rebuild the
+    * multi-MB bitset for every record of the corpus. */
+  private final class BloomProbe(bytes: Array[Byte])
+      extends (String => java.lang.Boolean) with Serializable {
+    @transient private lazy val filter = bloomFromBytes(bytes)
+    def apply(s: String): java.lang.Boolean =
+      if (s == null) null else Boolean.box(filter.mightContainString(s))
+  }
+
+  /** Probe `item` against a built screen (bytes from [[bloomAgg]] /
+    * [[bloomUnion]] — one bounded row, collected like any fitted model).
+    * false = definitely absent; true = present or a false positive (rate
+    * ≤ fpp when sized honestly). */
+  def bloomMightContain(sketchBytes: Array[Byte], item: Column): Column = {
+    val f = udf(new BloomProbe(sketchBytes))
+    f(item.cast("string"))
+  }
+
+  /** Row-pair probe for ad-hoc joins where the sketch varies per row.
+    * Deserializes per row — use [[bloomMightContain]] with fixed bytes for
+    * corpus screening. */
+  def bloomMightContainCol(sketch: Column, item: Column): Column = {
     val f = udf((b: Array[Byte], s: String) =>
       if (b == null || s == null) null.asInstanceOf[java.lang.Boolean]
       else java.lang.Boolean.valueOf(bloomFromBytes(b).mightContainString(s)))

@@ -28,6 +28,52 @@ object ExtraQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // bucketed co-located join: both sides land in bucket-sorted parquet
+    // tables keyed on the join column, so the join itself needs NO Exchange
+    // (ScaleSpec asserts the shuffle-free plan) — the layout every
+    // repeatedly-joined 100 TB fact/dim pair should live in. The write IS
+    // the operator, so it stays inside the benched closure deliberately.
+    "q_bucketed_join" -> ((s, dir) => {
+      import graft.io.Sinks
+      val base = "/tmp/graft_bucketed/" + Sql.sfTag(dir)
+      Sinks.bucketedTable(t(s, dir, "orders"), "graft_b_orders",
+        s"$base/orders", Seq("o_custkey"), 8)
+      Sinks.bucketedTable(t(s, dir, "customer"), "graft_b_customer",
+        s"$base/customer", Seq("c_custkey"), 8)
+      s.table("graft_b_orders")
+        .join(s.table("graft_b_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          Semantics.exactSum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // schema-evolution read: two ingest batches with divergent columns
+    // (the long-lived-corpus reality) union into one frame via footer
+    // merging; columns a batch lacks surface as null without rewriting it
+    "q_schema_merge" -> ((s, dir) => {
+      import graft.io.Sources
+      val docs = t(s, dir, "documents")
+      val base = "/tmp/graft_evolve/" + Sql.sfTag(dir)
+      docs.filter(col("doc_id") < 250).select(col("doc_id"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$base/b1")
+      docs.filter(col("doc_id") >= 250).select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$base/b2")
+      Sources.parquetMergeSchema(s, s"$base/b1", s"$base/b2")
+        .orderBy(col("doc_id"))
+    }),
+
+    // unpivot/melt: wide metric columns to (id, metric, val) long form —
+    // pure per-row expansion, zero shuffle
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast(DoubleType).as("p_size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size")), "metric", "val")
+        .orderBy(col("p_partkey"), col("metric"))),
+
     // nested-struct flattening: build the deep shape in-plan (the testdata
     // is flat parquet), flatten it back, and let the oracle check that the
     // leaf paths surface with the right names, order, and values. The
@@ -1216,6 +1262,27 @@ object ExtraQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_bucketed_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |  ${esum("o_totalprice")} AS total_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_schema_merge" ->
+      """SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS lang
+        |FROM documents WHERE doc_id < 250
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS BIGINT), lang
+        |FROM documents WHERE doc_id >= 250
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
+
     "q_nested_flatten" ->
       """SELECT o_orderkey, o_custkey AS cust_custkey,
         |  o_orderstatus AS cust_info_status, o_totalprice AS cust_info_total,

@@ -82,6 +82,15 @@ object Sources {
     * native vectorized ORC reader, same pushdown/pruning story as parquet. */
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Schema-evolution scan: union the schemas of every parquet footer under
+    * `paths` (long-lived corpora add columns across ingest batches; a plain
+    * read keys on one random footer and silently drops the others' columns).
+    * Columns absent from a batch surface as null — the columnar reader
+    * fills them without rewriting old files. Footer merging is a bounded
+    * metadata job, not a data scan. */
+  def parquetMergeSchema(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 }
 
 /** Incremental-state API (`src/adapters/base.py:66-91`): the reference tracks

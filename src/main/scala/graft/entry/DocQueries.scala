@@ -52,6 +52,31 @@ object DocQueries {
       TF.tfidfTable(t(s, dir, "documents"), "doc_id", "text", vocabK = 100)
         .orderBy(col("doc_id"), col("term"))),
 
+    "q_feature_hash" -> ((s, dir) =>
+      graft.functions.Featurize.hashFeatures(
+        t(s, dir, "documents"), "doc_id", "text", numBuckets = 512)
+        .orderBy(col("doc_id"), col("bucket"))),
+
+    "q_label_index" -> ((s, dir) =>
+      graft.functions.Featurize.labelIndex(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "source_idx")
+        .select(col("doc_id"), col("source"), col("source_idx"))
+        .orderBy(col("doc_id"))),
+
+    "q_extract_entities" -> ((s, dir) => {
+      // entities injected deterministically (the corpus text is synthetic
+      // word salad), then mined back out as structured rows
+      val raw = concat(lit("Reach "), col("c_name"), lit(" at "),
+        lower(regexp_replace(col("c_name"), "[#0]", "")),
+        lit("@mail.example, tel (555) 123-4567, SSN 123-45-6789, "),
+        lit("card 4111 1111 1111 1111."))
+      TF.extractEntities(
+        t(s, dir, "customer").select(col("c_custkey"), raw.as("raw")),
+        "c_custkey", "raw", TF.piiPatterns)
+        .orderBy(col("c_custkey"), col("kind"), col("n"))
+    }),
+
     "q_doc_fingerprint" -> ((s, dir) =>
       // fingerprint values are xxhash64-based (engine-specific), so the
       // oracle-checkable invariant is per-row agreement between the codegen
@@ -962,6 +987,38 @@ object DocQueries {
       s"""SELECT doc_id, lang,
          |  CASE WHEN (${folded._1}) > 0 THEN (${folded._2}) ELSE 'unknown' END AS lang_guess
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_feature_hash" ->
+      s"""WITH w AS (SELECT doc_id, unnest($wordsSql) AS word FROM documents)
+         |SELECT doc_id,
+         |  CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 512 AS bucket,
+         |  count(*) AS w
+         |FROM w GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+
+    "q_label_index" ->
+      """WITH d AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+        |r AS (SELECT source,
+        |    ROW_NUMBER() OVER (ORDER BY c DESC, source ASC) - 1 AS source_idx
+        |  FROM d)
+        |SELECT doc_id, t.source, r.source_idx
+        |FROM documents t JOIN r ON t.source = r.source
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_extract_entities" -> {
+      val raw = """'Reach ' || c_name || ' at ' ||
+        | lower(regexp_replace(c_name, '[#0]', '', 'g')) ||
+        | '@mail.example, tel (555) 123-4567, SSN 123-45-6789, card 4111 1111 1111 1111.'"""
+        .stripMargin.replace("\n", "")
+      val kinds = TF.piiPatterns.map { case (kind, re) =>
+        s"""SELECT c_custkey, '$kind' AS kind,
+           |  unnest(range(1, len(regexp_extract_all(raw, '$re')) + 1)) AS n,
+           |  unnest(regexp_extract_all(raw, '$re')) AS entity FROM d"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d AS (SELECT c_custkey, $raw AS raw FROM customer)
+         |SELECT c_custkey, kind, n, entity FROM ($kinds)
+         |ORDER BY c_custkey, kind, n""".stripMargin
     },
 
     "q_tfidf" ->

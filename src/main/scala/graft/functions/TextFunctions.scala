@@ -618,6 +618,26 @@ object TextFunctions {
             (col("_df").cast(DoubleType) + 1.0)) + 1.0), 4).as("tfidf"))
   }
 
+  /** Structured entity extraction: every match of every named pattern as
+    * one output row (id, kind, n, entity), n = 1-based occurrence index
+    * within (doc, kind). ONE text scan builds an array of per-kind match
+    * lists, then two explodes unfold it — the scan cost does not grow with
+    * the number of patterns, and nothing shuffles. The relational face of
+    * [[redactPii]]: redact masks in place, extract pulls the structured
+    * values out (link graphs, contact mining, PII inventories). */
+  def extractEntities(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      patterns: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val perKind = array(patterns.map { case (kind, re) =>
+      struct(lit(kind).as("kind"),
+        regexp_extract_all(col(textCol), lit(re), lit(0)).as("ms"))
+    }: _*)
+    df.select(col(idCol), explode(perKind).as("_e"))
+      .select(col(idCol), col("_e.kind").as("kind"),
+        posexplode(col("_e.ms")).as(Seq("_p", "entity")))
+      .select(col(idCol), col("kind"), (col("_p") + 1).as("n"), col("entity"))
+  }
+
   /** Buzhash (cyclic-polynomial) hashes of EVERY `k`-word window of the
     * document — the relational face of exact-substring dedup (two documents
     * share a verbatim span of ≥ k tokens iff they share a window hash,

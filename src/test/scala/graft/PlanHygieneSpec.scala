@@ -32,7 +32,10 @@ class PlanHygieneSpec extends SparkSuite {
     // corpusCard: token-share total over the per-slice aggregate — one
     // row per (lang, source) slice; the global window trades a second
     // corpus scan (crossJoin-with-agg form) for a slice-count partition
-    "q_corpus_card" -> "global sum over per-slice aggregate (bounded rows)"
+    "q_corpus_card" -> "global sum over per-slice aggregate (bounded rows)",
+    // labelIndex: rank over the category dictionary — one row per distinct
+    // category, bounded by label cardinality, never corpus size
+    "q_label_index" -> "rank over category dictionary (bounded rows)"
   )
 
   private final class WarnBuffer

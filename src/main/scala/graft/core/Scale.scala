@@ -59,6 +59,25 @@ object Skew {
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedFact.join(broadcast(replicatedDim), Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Key-skew diagnostic: the top-`topK` keys by row count with their share
+    * of the table — the report that tells you BEFORE a 100 TB run whether a
+    * groupBy/join key needs salting (one hot key owning 30% of the rows
+    * means one straggler task owns 30% of the shuffle). One aggregate +
+    * TakeOrdered on the key-cardinality frame + a 1-row total broadcast;
+    * (count desc, key asc) is a total order so the cut is deterministic. */
+  def report(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val total = df.agg(count(lit(1)).as("_total"))
+    counts.orderBy(col("n").desc, col(keyCol).asc).limit(topK)
+      .crossJoin(broadcast(total))
+      .select(col(keyCol), col("n"),
+        Semantics.safeRound(
+          col("n").cast(org.apache.spark.sql.types.DoubleType) /
+            col("_total").cast(org.apache.spark.sql.types.DoubleType), 6)
+          .as("share"))
+      .orderBy(col("n").desc, col(keyCol).asc)
+  }
 }
 
 /** Bucketing: pre-shuffling a table ON DISK by join key so repeated joins
@@ -66,13 +85,18 @@ object Skew {
   * shuffle once; every subsequent join saves one. The 100 TB pattern for
   * fact-to-fact joins that broadcast can't cover. */
 object Bucketing {
-  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int): Unit =
-    df.write.mode("overwrite")
-      .bucketBy(buckets, bucketCol)
-      .sortBy(bucketCol)
-      .format("parquet")
-      .saveAsTable(table)
+  /** Bucket-sorted parquet table keyed on `bucketCols`. Two tables bucketed
+    * on their join keys with the SAME bucket count sort-merge-join with NO
+    * Exchange on either side. `path` makes the table external — the layout
+    * a long-lived 100 TB corpus should own, surviving catalog drops. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int, path: Option[String] = None): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)

@@ -57,6 +57,13 @@ object DocQueries {
         t(s, dir, "documents"), "doc_id", "text", numBuckets = 512)
         .orderBy(col("doc_id"), col("bucket"))),
 
+    "q_word_pmi" -> ((s, dir) =>
+      TF.cooccurrencePmi(t(s, dir, "documents"), "doc_id", "text",
+        window = 2, topK = 100)),
+
+    "q_skew_report" -> ((s, dir) =>
+      graft.core.Skew.report(t(s, dir, "events"), "event_type", topK = 10)),
+
     "q_label_index" -> ((s, dir) =>
       graft.functions.Featurize.labelIndex(
         t(s, dir, "documents").select(col("doc_id"), col("source")),
@@ -995,6 +1002,34 @@ object DocQueries {
          |  CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 512 AS bucket,
          |  count(*) AS w
          |FROM w GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+
+    "q_word_pmi" ->
+      s"""WITH base AS (SELECT doc_id, $wordsSql AS l FROM documents),
+         |w AS (SELECT doc_id, unnest(l) AS w,
+         |    unnest(range(0, len(l))) AS pos FROM base),
+         |nw AS (SELECT count(*) AS nw FROM w),
+         |uni AS (SELECT w, count(*) AS cw FROM w GROUP BY 1),
+         |p AS (SELECT a.w AS wa, b.w AS wb FROM w a JOIN w b
+         |  ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2)),
+         |np AS (SELECT count(*) AS np FROM p),
+         |top AS (SELECT wa, wb, count(*) AS cab FROM p GROUP BY 1, 2
+         |  ORDER BY cab DESC, wa ASC, wb ASC LIMIT 100)
+         |SELECT t.wa, t.wb, t.cab,
+         |  ${Sql.sround("ln(CAST(t.cab * nw.nw * nw.nw AS DOUBLE) / CAST(np.np * ua.cw * ub.cw AS DOUBLE))")} AS pmi
+         |FROM top t
+         |JOIN uni ua ON t.wa = ua.w
+         |JOIN uni ub ON t.wb = ub.w
+         |CROSS JOIN nw CROSS JOIN np
+         |ORDER BY t.cab DESC, t.wa ASC, t.wb ASC""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS total FROM events)
+        |SELECT event_type, n,
+        |  FLOOR((CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    AS share
+        |FROM c CROSS JOIN t
+        |ORDER BY n DESC, event_type ASC LIMIT 10""".stripMargin,
 
     "q_label_index" ->
       """WITH d AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),

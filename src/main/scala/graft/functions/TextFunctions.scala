@@ -618,6 +618,49 @@ object TextFunctions {
             (col("_df").cast(DoubleType) + 1.0)) + 1.0), 4).as("tfidf"))
   }
 
+  /** Word co-occurrence with PMI over ±`window` positions — the classical
+    * collocation/phrase-mining signal (and the count table word-vector
+    * methods factorize). Ordered pairs (wa at pos, wb at pos+k, k ≤ window)
+    * via an equi-join on (doc, pos+k) — positional joins, never a string
+    * cross product; counts are exact integers, PMI's log ratio is a product
+    * of longs on each side of one double division. Top `topK` pairs by
+    * (count desc, wa, wb) — a total order, so the cut is deterministic.
+    * Corpus cost is `window` × the explode — keep the window small (2-5);
+    * at 100 TB persist the positions frame if the planner rescans it. */
+  def cooccurrencePmi(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int = 2,
+      topK: Int = 100): org.apache.spark.sql.DataFrame = {
+    val words = df.select(col(idCol).as("_id"),
+      posexplode(split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")),
+        " ")).as(Seq("pos", "w")))
+    val nw = words.agg(count(lit(1)).as("nw"))
+    val uni = words.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val pairs = words
+      .select(col("_id"), col("pos"), col("w").as("wa"))
+      .withColumn("_k", explode(array((1 to window).map(lit(_)): _*)))
+      .select(col("_id"), (col("pos") + col("_k")).as("_pos2"), col("wa"))
+      .join(words.select(col("_id"), col("pos").as("_pos2"),
+        col("w").as("wb")),
+        Seq("_id", "_pos2"))
+    val np = pairs.agg(count(lit(1)).as("np"))
+    val top = pairs.groupBy(col("wa"), col("wb"))
+      .agg(count(lit(1)).as("cab"))
+      .orderBy(col("cab").desc, col("wa").asc, col("wb").asc)
+      .limit(topK)
+    top
+      .join(broadcast(uni.select(col("w").as("wa"), col("cw").as("ca"))),
+        Seq("wa"))
+      .join(broadcast(uni.select(col("w").as("wb"), col("cw").as("cb"))),
+        Seq("wb"))
+      .crossJoin(broadcast(nw)).crossJoin(broadcast(np))
+      .select(col("wa"), col("wb"), col("cab"),
+        graft.core.Semantics.safeRound(
+          log((col("cab") * col("nw") * col("nw")).cast(DoubleType) /
+            (col("np") * col("ca") * col("cb")).cast(DoubleType)), 4)
+          .as("pmi"))
+      .orderBy(col("cab").desc, col("wa").asc, col("wb").asc)
+  }
+
   /** Structured entity extraction: every match of every named pattern as
     * one output row (id, kind, n, entity), n = 1-based occurrence index
     * within (doc, kind). ONE text scan builds an array of per-kind match

@@ -135,23 +135,12 @@ object Sinks {
       .option("batchsize", options.getOrElse("batchsize", "1000"))
       .options(options).save()
 
-  /** Bucketed, bucket-sorted parquet table: the co-located-join layout for
-    * repeatedly-joined 100 TB fact/dim pairs. Two tables bucketed on their
-    * join keys with the SAME bucket count join with NO Exchange on either
-    * side (Spark reuses the bucketing as the join distribution), turning
-    * every subsequent join of the pair from a full shuffle into a per-bucket
-    * local sort-merge. External table at `path`, so data survives catalog
-    * drops and re-registration is cheap. */
+  /** Bucketed, bucket-sorted parquet table — the co-located-join layout for
+    * repeatedly-joined fact/dim pairs. See [[graft.core.Bucketing]]. */
   def bucketedTable(df: DataFrame, table: String, path: String,
-      bucketCols: Seq[String], numBuckets: Int): Unit = {
-    val s = df.sparkSession
-    s.sql(s"DROP TABLE IF EXISTS `$table`")
-    df.write.mode("overwrite").format("parquet")
-      .option("path", path)
-      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .saveAsTable(table)
-  }
+      bucketCols: Seq[String], numBuckets: Int): Unit =
+    graft.core.Bucketing.writeBucketed(df, table, bucketCols, numBuckets,
+      Some(path))
 
   /** Multi-destination load (`pipeline_core.py:82-134`): same frame to N
     * sinks; cache once so the upstream computes once, then N write actions. */

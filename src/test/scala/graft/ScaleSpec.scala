@@ -50,29 +50,6 @@ class ScaleSpec extends SparkSuite {
     assert(plan.split("Exchange hashpartitioning").length - 1 == 2, plan)
   }
 
-  test("bucketed tables join with zero exchanges") {
-    val dir = "/tmp/graft_bucketed_spec"
-    graft.io.Sinks.bucketedTable(
-      graft.core.Tables.table(spark, sfDir, "orders"),
-      "spec_b_orders", s"$dir/orders", Seq("o_custkey"), 4)
-    graft.io.Sinks.bucketedTable(
-      graft.core.Tables.table(spark, sfDir, "customer"),
-      "spec_b_customer", s"$dir/customer", Seq("c_custkey"), 4)
-    // force the sort-merge path (broadcast would trivially skip exchanges
-    // on the small side only); bucketing must eliminate BOTH
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val j = spark.table("spec_b_orders")
-        .join(spark.table("spec_b_customer"),
-          col("o_custkey") === col("c_custkey"))
-      val plan = j.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin"), plan.take(800))
-      assert(!plan.contains("Exchange"), plan.take(800))
-      assert(j.count() > 0)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-  }
-
   test("kernel signature stages plan without a shuffle") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.table(spark, sfDir, "documents")
@@ -259,9 +236,11 @@ class ScaleSpec extends SparkSuite {
     val orders = graft.core.Tables.table(spark, sfDir, "orders")
     val lineitem = graft.core.Tables.table(spark, sfDir, "lineitem")
     Bucketing.writeBucketed(
-      orders.withColumnRenamed("o_orderkey", "key"), "orders_b", "key", 4)
+      orders.withColumnRenamed("o_orderkey", "key"), "orders_b",
+      Seq("key"), 4)
     Bucketing.writeBucketed(
-      lineitem.withColumnRenamed("l_orderkey", "key"), "lineitem_b", "key", 4)
+      lineitem.withColumnRenamed("l_orderkey", "key"), "lineitem_b",
+      Seq("key"), 4)
     // force the shuffle-join path (tiny test tables would broadcast and the
     // planner would skip bucketing entirely)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")

@@ -64,6 +64,29 @@ object DocQueries {
     "q_skew_report" -> ((s, dir) =>
       graft.core.Skew.report(t(s, dir, "events"), "event_type", topK = 10)),
 
+    "q_pagerank" -> ((s, dir) => {
+      // deterministic citation graph over the (contiguous) doc-id space:
+      // each doc links to (7·id+1) mod N and (13·id+5) mod N; ranks in
+      // integer micro-units so the result is bit-exact cross-engine
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val cnt = docs.agg(count(lit(1)).as("_n"))
+      val link = (a: Long, b: Long) => docs.crossJoin(broadcast(cnt))
+        .select(col("doc_id").as("src"),
+          pmod(col("doc_id") * a + b, col("_n")).as("dst"))
+      PageRank.run(link(7L, 1L).union(link(13L, 5L)), "src", "dst",
+        iterations = 3)
+        .orderBy(col("id"))
+    }),
+
+    "q_seasonal_spikes" -> ((s, dir) =>
+      AnomalyDetector.seasonalSpikes(
+        t(s, dir, "events"), "event_type",
+        date_trunc("hour", col("ts")), b => hour(b), mNum = 3L, mDen = 2L)
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("season"), col("n"))
+        .orderBy(col("event_type"), col("hour"))),
+
     "q_label_index" -> ((s, dir) =>
       graft.functions.Featurize.labelIndex(
         t(s, dir, "documents").select(col("doc_id"), col("source")),
@@ -1021,6 +1044,50 @@ object DocQueries {
          |JOIN uni ub ON t.wb = ub.w
          |CROSS JOIN nw CROSS JOIN np
          |ORDER BY t.cab DESC, t.wa ASC, t.wb ASC""".stripMargin,
+
+    "q_pagerank" -> {
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (SELECT nodes.id,
+           |  base.b + CAST(FLOOR((85 * COALESCE(s.s, 0)) / 100.0) AS BIGINT)
+           |    AS rank
+           |  FROM nodes CROSS JOIN base
+           |  LEFT JOIN (SELECT e.dst AS id,
+           |      SUM(CAST(FLOOR(CAST(p.rank AS DOUBLE) / d._deg) AS BIGINT))
+           |        AS s
+           |    FROM e JOIN $prev p ON e.src = p.id
+           |    JOIN deg d ON e.src = d.id
+           |    GROUP BY e.dst) s ON nodes.id = s.id)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |e AS (SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+         |        FROM documents, nn
+         |      UNION ALL
+         |      SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |deg AS (SELECT src AS id, count(*) AS _deg FROM e GROUP BY 1),
+         |base AS (SELECT
+         |    CAST(FLOOR(1000000 * 15 / (100.0 * n)) AS BIGINT) AS b,
+         |    CAST(FLOOR(1000000.0 / n) AS BIGINT) AS r0 FROM nn),
+         |r0 AS (SELECT id, (SELECT r0 FROM base) AS rank FROM nodes),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT id, rank FROM r3 ORDER BY id""".stripMargin
+    },
+
+    "q_seasonal_spikes" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, EXTRACT(hour FROM bucket) AS season,
+        |    bucket, n FROM b),
+        |st AS (SELECT event_type, season, count(*) AS c, SUM(n) AS sn
+        |  FROM s GROUP BY 1, 2)
+        |SELECT s.event_type,
+        |  strftime(s.bucket, '%Y-%m-%d %H:%M:%S') AS hour, s.season, s.n
+        |FROM s JOIN st ON s.event_type = st.event_type
+        |  AND s.season = st.season
+        |WHERE s.n * st.c * 2 > 3 * st.sn
+        |ORDER BY s.event_type, hour""".stripMargin,
 
     "q_skew_report" ->
       """WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),

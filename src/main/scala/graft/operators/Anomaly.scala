@@ -192,6 +192,28 @@ object AnomalyDetector {
         lit(zNum * zNum) * (col("_q") * col("_c") - col("_s") * col("_s")))
       .select(col(groupCol), col("bucket"), col("n"))
   }
+
+  /** Seasonal-baseline spike detection: a bucket is anomalous when its
+    * count exceeds `mNum/mDen` × the mean of buckets sharing its SEASON
+    * (same hour-of-day, same day-of-week …), so a nightly batch job's 3am
+    * surge stops tripping the global-mean detector while a real 3am spike
+    * still fires. `seasonOf` maps a bucket value to its season.
+    * `n > m·mean` is compared as `n·c·mDen > mNum·S` — all integers, so
+    * the flag set replays bit-for-bit in any engine. One bucket aggregate
+    * + one tiny (group, season) stats broadcast. */
+  def seasonalSpikes(df: DataFrame, groupCol: String, bucketExpr: Column,
+      seasonOf: Column => Column,
+      mNum: Long = 2L, mDen: Long = 1L): DataFrame = {
+    require(mNum > 0 && mDen > 0, "spike multiple must be positive")
+    val buckets = df.groupBy(col(groupCol), bucketExpr.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("season", seasonOf(col("bucket")))
+    val stats = buckets.groupBy(col(groupCol), col("season"))
+      .agg(count(lit(1)).as("_c"), sum(col("n")).as("_s"))
+    buckets.join(broadcast(stats), Seq(groupCol, "season"))
+      .filter(col("n") * col("_c") * lit(mDen) > lit(mNum) * col("_s"))
+      .select(col(groupCol), col("bucket"), col("season"), col("n"))
+  }
 }
 
 /** AnomalySplitter (`src/transformers/routing/anomaly_splitter.py`): route on

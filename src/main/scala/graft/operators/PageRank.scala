@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import graft.core.Checkpoints
+
+/** Distributed PageRank over an edge list in FIXED-POINT integer
+  * arithmetic: ranks live in `unit` micro-units (BIGINT), per-edge
+  * contributions are `floor(rank / out_degree)`, damping is
+  * `floor(85·s / 100)` — every step is integer-exact, so the result is
+  * bit-identical across engines, partitionings, and aggregation orders
+  * (floating-point power iteration is none of those; the tiny systematic
+  * floor loss is the price, bounded by iterations·(deg+2) units ≈ 1e-4
+  * of total mass per round at the default unit).
+  *
+  * Each round is one (src) equi-join + one (dst) aggregate + one left join
+  * back onto the node set — all hash-partitioned on node id, no window, no
+  * cross product. Lineage is cut per round ([[Checkpoints]]): Local for
+  * single-node, Reliable for cluster runs where executors can die.
+  *
+  * Nodes with no out-edges (dangling) leak their mass by design — the
+  * standard simplification; add a sink-redistribution round if the graph
+  * has many.
+  */
+object PageRank {
+
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, unit: Long = 1000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      mode: Checkpoints.Mode = Checkpoints.Local): DataFrame = {
+    require(iterations >= 1 && unit > 0 && dampNum > 0 && dampDen > dampNum,
+      s"bad PageRank params: iterations=$iterations unit=$unit " +
+        s"damping=$dampNum/$dampDen")
+    val src = col(srcCol).as("id")
+    val dst = col(dstCol).as("id")
+    val nodes = edges.select(src).union(edges.select(dst)).distinct()
+    val deg = edges.groupBy(col(srcCol).as("id"))
+      .agg(count(lit(1)).as("_deg"))
+    // the only driver-side values: two bounded scalars
+    val n = nodes.count()
+    val r0 = unit / n                                  // floor init mass
+    val base = (unit * (dampDen - dampNum)) / (dampDen * n) // floor (1-d)/N
+
+    var ranks = nodes.select(col("id"), lit(r0).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .select(col(srcCol).as("id"), col(dstCol).as("_dst"))
+        .join(ranks, Seq("id"))
+        .join(deg, Seq("id"))
+        .select(col("_dst").as("id"),
+          floor(col("rank").cast(DoubleType) / col("_deg").cast(DoubleType))
+            .cast(LongType).as("_c"))
+        .groupBy(col("id")).agg(sum(col("_c")).as("_s"))
+      val next = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) +
+            floor((lit(dampNum) * coalesce(col("_s"), lit(0L)))
+              .cast(DoubleType) / lit(dampDen).cast(DoubleType))
+              .cast(LongType)).as("rank"))
+      ranks = Checkpoints.cut(next, mode)
+    }
+    ranks
+  }
+}

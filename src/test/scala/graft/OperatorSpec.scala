@@ -416,4 +416,45 @@ class OperatorSpec extends SparkSuite {
     val nll11 = byId(11L)._3.get.asInstanceOf[Double]
     assert(nll10 < nll11, s"in-domain $nll10 must beat OOV $nll11")
   }
+
+  test("PageRank: hub outranks spokes, mass nearly conserved, repartition-invariant") {
+    // star: every spoke points at the hub, hub points at spoke 1
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L))
+      .toDF("src", "dst")
+    val ranks = graft.operators.PageRank.run(edges, "src", "dst",
+      iterations = 5)
+    val byId = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(0L) > byId(1L), s"hub must outrank fed spoke: $byId")
+    assert(byId(1L) > byId(2L), s"fed spoke must outrank leaves: $byId")
+    assert(byId(2L) == byId(3L) && byId(3L) == byId(4L),
+      s"symmetric leaves must tie exactly: $byId")
+    // fixed-point floors only ever LOSE mass, and only a little
+    val total = byId.values.sum
+    assert(total <= 1000000L && total > 900000L, s"mass: $total")
+    // integer arithmetic => bit-identical under any partitioning
+    val re = graft.operators.PageRank.run(edges.repartition(7), "src", "dst",
+      iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == byId)
+  }
+
+  test("seasonalSpikes: seasonal surge is quiet, off-season surge fires") {
+    import java.sql.Timestamp
+    // every day at 03:00 has 10 events (seasonal norm); day 5 at 12:00 has
+    // 10 too, but 12:00's seasonal mean is 1 -> only 12:00 flags
+    val rows = (for {
+      day <- 1 to 6
+      i <- 1 to 10
+    } yield (s"2024-01-0$day 03:00:00", "batch", i)) ++
+      (for (day <- 1 to 6; i <- 1 to (if (day == 5) 10 else 1))
+        yield (s"2024-01-0$day 12:00:00", "batch", i))
+    val df = rows.toDF("ts_s", "event_type", "i")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = graft.operators.AnomalyDetector.seasonalSpikes(
+      df, "event_type", date_trunc("hour", col("ts")), b => hour(b),
+      mNum = 3L, mDen = 2L)
+      .select(col("season"), col("n")).collect()
+    assert(out.length == 1, s"exactly one spike expected: ${out.toSeq}")
+    assert(out.head.getInt(0) == 12 && out.head.getLong(1) == 10L)
+  }
 }

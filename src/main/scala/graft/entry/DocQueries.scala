@@ -87,6 +87,29 @@ object DocQueries {
           col("season"), col("n"))
         .orderBy(col("event_type"), col("hour"))),
 
+    "q_cusum_drift" -> ((s, dir) =>
+      AnomalyDetector.cusumDrift(
+        t(s, dir, "events"), "event_type",
+        date_trunc("hour", col("ts")), hNum = 1L, hDen = 20L)
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n"), col("cusum"))
+        .orderBy(col("event_type"), col("hour"))),
+
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.functions.Similarity.hardNegatives(
+        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+        "label", k = 5)
+        .orderBy(col("anchor_id"), col("rank_in_key"))
+    }),
+
+    "q_normalize_group" -> ((s, dir) =>
+      GroupNormalizer.zscore(
+        t(s, dir, "events"), "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("z"))
+        .orderBy(col("event_id"))),
+
     "q_label_index" -> ((s, dir) =>
       graft.functions.Featurize.labelIndex(
         t(s, dir, "documents").select(col("doc_id"), col("source")),
@@ -1088,6 +1111,61 @@ object DocQueries {
         |  AND s.season = st.season
         |WHERE s.n * st.c * 2 > 3 * st.sn
         |ORDER BY s.event_type, hour""".stripMargin,
+
+    "q_cusum_drift" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS c, SUM(n) AS s
+        |  FROM b GROUP BY 1),
+        |cu AS (SELECT b.event_type, b.bucket, b.n, st.s,
+        |    SUM(b.n * st.c - st.s) OVER (PARTITION BY b.event_type
+        |      ORDER BY b.bucket) AS cusum
+        |  FROM b JOIN st USING (event_type))
+        |SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  n, cusum
+        |FROM cu WHERE abs(cusum) * 20 > 1 * s
+        |ORDER BY event_type, hour""".stripMargin,
+
+    "q_hard_negatives" -> {
+      val sim = Sql.sround("CASE WHEN sqrt(d.nsqa) * sqrt(d.nsqc) = 0 " +
+        "THEN 0.0 ELSE d.dot / (sqrt(d.nsqa) * sqrt(d.nsqc)) END")
+      s"""WITH a AS (SELECT vec_id AS anchor_id, label AS albl,
+         |    CAST(unnest(embedding) AS DOUBLE) AS av,
+         |    generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings WHERE vec_id < 3),
+         |c AS (SELECT vec_id AS cand_id, label AS clbl,
+         |    CAST(unnest(embedding) AS DOUBLE) AS cv,
+         |    generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings),
+         |d AS (SELECT a.anchor_id, c.cand_id,
+         |    SUM(a.av * c.cv) AS dot, SUM(a.av * a.av) AS nsqa,
+         |    SUM(c.cv * c.cv) AS nsqc
+         |  FROM a JOIN c ON a.i = c.i AND a.albl <> c.clbl
+         |  GROUP BY 1, 2),
+         |r AS (SELECT d.anchor_id, d.cand_id, $sim AS similarity
+         |  FROM d),
+         |rk AS (SELECT anchor_id, cand_id, similarity,
+         |    ROW_NUMBER() OVER (PARTITION BY anchor_id
+         |      ORDER BY similarity DESC, cand_id ASC) AS rank_in_key
+         |  FROM r)
+         |SELECT anchor_id, cand_id, similarity, rank_in_key FROM rk
+         |WHERE rank_in_key <= 5
+         |ORDER BY anchor_id, rank_in_key""".stripMargin
+    },
+
+    "q_normalize_group" ->
+      s"""WITH st AS (SELECT event_type,
+         |    CAST(COUNT(value) AS DOUBLE) AS n,
+         |    CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS s,
+         |    CAST(SUM(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE) AS q
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_id, e.event_type,
+         |  CASE WHEN e.value IS NULL THEN NULL
+         |       WHEN sqrt(st.n * st.q - st.s * st.s) / st.n = 0 THEN 0.0
+         |       ELSE ${Sql.sround("(e.value - st.s / st.n) / (sqrt(st.n * st.q - st.s * st.s) / st.n)")}
+         |  END AS z
+         |FROM events e JOIN st USING (event_type)
+         |ORDER BY e.event_id""".stripMargin,
 
     "q_skew_report" ->
       """WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),

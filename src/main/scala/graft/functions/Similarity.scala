@@ -60,6 +60,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * `k` most-similar corpus vectors carrying a DIFFERENT label — the
+    * near-misses a retrieval/rerank model learns the most from. Anchors
+    * broadcast against the corpus (cost = |anchors| × one corpus scan —
+    * keep the anchor set bounded, mine in batches at 100 TB), similarity
+    * quantized via safeRound so the per-anchor top-k cut is engine- and
+    * order-deterministic, then WindowGroupLimit takes k per anchor BEFORE
+    * any shuffle concentrates rows. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int,
+      scale: Int = 4): DataFrame = {
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(vecCol).as("_avec"), col(labelCol).as("_albl"))
+    val scored = corpus
+      .select(col(idCol).as("cand_id"), col(vecCol).as("_cvec"),
+        col(labelCol).as("_clbl"))
+      .crossJoin(broadcast(a))
+      .filter(col("_clbl") =!= col("_albl"))
+      .select(col("anchor_id"), col("cand_id"),
+        graft.core.Semantics.safeRound(
+          fastCosine(corpus, col("_cvec"), col("_avec")), scale)
+          .as("similarity"))
+    graft.core.TopK.perKey(scored, Seq("anchor_id"), k,
+      Seq(col("similarity").desc, col("cand_id").asc))
+      .select(col("anchor_id"), col("cand_id"), col("similarity"),
+        col("rank_in_key"))
+  }
+
   /** Int8 vector quantization — the memory/IO lever for 100 TB similarity
     * search: a 64-dim float32 embedding (256 B) becomes 64 bytes + two
     * floats (~72 B), so scans move 4× less data. Adds

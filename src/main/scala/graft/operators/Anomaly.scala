@@ -214,6 +214,30 @@ object AnomalyDetector {
       .filter(col("n") * col("_c") * lit(mDen) > lit(mNum) * col("_s"))
       .select(col(groupCol), col("bucket"), col("season"), col("n"))
   }
+
+  /** CUSUM drift detection: per group, the running sum of scaled
+    * deviations `Σ(nᵢ·c − S)` over time-ordered buckets (c buckets, total
+    * S — so each term is c·(nᵢ − mean), kept integer). A sustained level
+    * shift accumulates where a lone spike washes out — the complement of
+    * the point detectors. Flags buckets where `|cusum|·hDen > hNum·S`
+    * (drift exceeding hNum/hDen of total mass). Integer throughout ⇒
+    * bit-reproducible; one bucket aggregate + tiny stats broadcast + ONE
+    * group-partitioned window. */
+  def cusumDrift(df: DataFrame, groupCol: String, bucketExpr: Column,
+      hNum: Long = 1L, hDen: Long = 4L): DataFrame = {
+    require(hNum > 0 && hDen > 0, "drift threshold must be positive")
+    val buckets = df.groupBy(col(groupCol), bucketExpr.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val stats = buckets.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_c"), sum(col("n")).as("_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("bucket").asc)
+    buckets.join(broadcast(stats), Seq(groupCol))
+      .withColumn("cusum",
+        sum(col("n") * col("_c") - col("_s")).over(w))
+      .filter(abs(col("cusum")) * lit(hDen) > lit(hNum) * col("_s"))
+      .select(col(groupCol), col("bucket"), col("n"), col("cusum"))
+  }
 }
 
 /** AnomalySplitter (`src/transformers/routing/anomaly_splitter.py`): route on

@@ -205,3 +205,34 @@ final case class QuantileBinner(field: String, bins: Int,
         }))
   }
 }
+
+/** GroupNormalizer — per-group z-score standardization: the feature-prep
+  * step that puts every slice's numerics on one scale before modeling or
+  * cross-slice anomaly comparison. Moments accumulate as DECIMAL(38,10)
+  * (products formed in double first — IEEE-exact — then quantized, the
+  * [[Correlation]] pattern), so partial-aggregation order cannot move the
+  * result; z assembles in double from the exact sums and rounds via
+  * safeRound. Population σ; a degenerate group (σ = 0) yields z = 0;
+  * null values keep a null z. One tiny per-group aggregate broadcast back
+  * — no corpus window. */
+object GroupNormalizer {
+  def zscore(df: DataFrame, groupCol: String, valueCol: String,
+      outCol: String = "z", scale: Int = 4): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists — rename it first")
+    val v = col(valueCol)
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(v).cast(DoubleType).as("_zn"),
+      sum(v.cast(DecimalType(38, 10))).cast(DoubleType).as("_zs"),
+      sum((v * v).cast(DecimalType(38, 10))).cast(DoubleType).as("_zq"))
+    val sigma = sqrt(col("_zn") * col("_zq") - col("_zs") * col("_zs")) /
+      col("_zn")
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn(outCol,
+        when(v.isNull, lit(null).cast(DoubleType))
+          .otherwise(when(sigma === 0, 0.0)
+            .otherwise(graft.core.Semantics.safeRound(
+              (v - col("_zs") / col("_zn")) / sigma, scale))))
+      .drop("_zn", "_zs", "_zq")
+  }
+}

@@ -80,6 +80,43 @@ object Skew {
   }
 }
 
+/** Join-fanout guardrail: the pre-flight audit that catches an exploding
+  * join BEFORE it runs. An equi-join's output per key is |left(k)|·|right(k)|
+  * — one unexpected many-to-many key (dirty dim, default id, null sentinel
+  * materialized as a value) turns a 100 TB join into a storage-filling
+  * cross blow-up. The audit is two key-count aggregates and a tiny
+  * key-cardinality join — trivial next to the join it protects. */
+object SafeJoin {
+  /** Worst `topK` join keys by produced-row count. */
+  def fanoutStats(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, topK: Int = 10): DataFrame = {
+    val lc = left.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val rc = right.groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    lc.join(rc, Seq("key"))
+      .withColumn("out_rows", col("n_left") * col("n_right"))
+      .orderBy(col("out_rows").desc, col("key").asc)
+      .limit(topK)
+  }
+
+  /** The join, but it throws if any key would fan out beyond
+    * `maxOutPerKey` rows — fail in seconds, not after hours of shuffle. */
+  def checked(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, maxOutPerKey: Long,
+      joinType: String = "inner"): DataFrame = {
+    val worst = fanoutStats(left, right, leftKey, rightKey, topK = 1)
+      .select(col("key").cast(org.apache.spark.sql.types.StringType),
+        col("out_rows")).collect()
+    worst.headOption.foreach { r =>
+      require(r.getLong(1) <= maxOutPerKey,
+        s"join fanout guard: key '${r.getString(0)}' would produce " +
+          s"${r.getLong(1)} rows (cap $maxOutPerKey)")
+    }
+    left.join(right, col(leftKey) === col(rightKey), joinType)
+  }
+}
+
 /** Bucketing: pre-shuffling a table ON DISK by join key so repeated joins
   * and aggregations on that key run exchange-free. The write pays one
   * shuffle once; every subsequent join saves one. The 100 TB pattern for

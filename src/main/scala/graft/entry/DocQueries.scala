@@ -854,6 +854,23 @@ object DocQueries {
 
     // snapshot drift: "new crawl" derived deterministically from documents
     // (drop %13 ids, append ' v2' to %17 texts, re-add %19 ids shifted) —
+    "q_join_fanout" -> ((s, dir) =>
+      graft.core.SafeJoin.fanoutStats(
+        t(s, dir, "lineitem"), t(s, dir, "orders"),
+        "l_orderkey", "o_orderkey", topK = 10)),
+
+    "q_snapshot_drift" -> ((s, dir) => {
+      // same changed-snapshot construction as q_snapshot_diff; drift
+      // quantifies HOW changed each surviving changed doc is
+      val docs = t(s, dir, "documents")
+      val newDf = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      ContentDrift.changedJaccard(docs, newDf, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // the oracle rebuilds both snapshots and replays the full-outer
     // hash-compare classification
     "q_snapshot_diff" -> ((s, dir) => {
@@ -939,6 +956,43 @@ object DocQueries {
         |  SELECT -doc_id - 1, md5(text), lang, source, n_chars
         |  FROM documents WHERE doc_id % 19 = 0)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_join_fanout" ->
+      """WITH lc AS (SELECT l_orderkey AS key, count(*) AS n_left
+        |  FROM lineitem GROUP BY 1),
+        |rc AS (SELECT o_orderkey AS key, count(*) AS n_right
+        |  FROM orders GROUP BY 1)
+        |SELECT lc.key, lc.n_left, rc.n_right,
+        |  lc.n_left * rc.n_right AS out_rows
+        |FROM lc JOIN rc ON lc.key = rc.key
+        |ORDER BY out_rows DESC, lc.key ASC LIMIT 10""".stripMargin,
+
+    "q_snapshot_drift" ->
+      s"""WITH nw AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END
+         |      AS text
+         |  FROM documents WHERE doc_id % 13 <> 0),
+         |ch AS (SELECT o.doc_id, o.text AS otext, nw.text AS ntext
+         |  FROM documents o JOIN nw ON o.doc_id = nw.doc_id
+         |  WHERE md5(o.text) <> md5(nw.text)),
+         |ow AS (SELECT DISTINCT doc_id,
+         |    unnest(string_split_regex(trim(lower(otext)), '\\s+')) AS w
+         |  FROM ch),
+         |nww AS (SELECT DISTINCT doc_id,
+         |    unnest(string_split_regex(trim(lower(ntext)), '\\s+')) AS w
+         |  FROM ch),
+         |no AS (SELECT doc_id, count(*) AS n_old FROM ow GROUP BY 1),
+         |nn AS (SELECT doc_id, count(*) AS n_new FROM nww GROUP BY 1),
+         |ni AS (SELECT ow.doc_id, count(*) AS n_shared
+         |  FROM ow JOIN nww ON ow.doc_id = nww.doc_id AND ow.w = nww.w
+         |  GROUP BY 1)
+         |SELECT no.doc_id, no.n_old, nn.n_new,
+         |  COALESCE(ni.n_shared, 0) AS n_shared,
+         |  ${Sql.sround("CAST(COALESCE(ni.n_shared, 0) AS DOUBLE) / CAST(no.n_old + nn.n_new - COALESCE(ni.n_shared, 0) AS DOUBLE)")}
+         |    AS jaccard
+         |FROM no JOIN nn ON no.doc_id = nn.doc_id
+         |LEFT JOIN ni ON no.doc_id = ni.doc_id
+         |ORDER BY no.doc_id""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS oh FROM documents),

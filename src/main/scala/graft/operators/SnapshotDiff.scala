@@ -67,3 +67,39 @@ object SnapshotDiff {
           .otherwise(col(s"_b_$c")).as(c)): _*)
   }
 }
+
+/** Token-level drift for documents [[SnapshotDiff.diff]] marks `changed`:
+  * HOW different is the new text, not just that it differs. Word-set
+  * Jaccard per changed doc — near 1.0 means a template tweak (keep the
+  * embedding, skip re-annotation), near 0.0 means a rewrite (full
+  * re-process). Ids reduce to (id, hash) before any join; word sets
+  * explode ONLY for the changed slice, so cost tracks churn, not corpus
+  * size. */
+object ContentDrift {
+  def changedJaccard(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String, scale: Int = 4): DataFrame = {
+    def words(df: DataFrame) = df.select(col(idCol),
+      explode(split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")),
+        " ")).as("_w")).distinct()
+    val changed = oldDf
+      .select(col(idCol), md5(col(textCol)).as("_oh"))
+      .join(newDf.select(col(idCol), md5(col(textCol)).as("_nh")),
+        Seq(idCol))
+      .filter(col("_oh") =!= col("_nh"))
+      .select(col(idCol))
+    val ow = words(oldDf.join(changed, Seq(idCol)))
+    val nw = words(newDf.join(changed, Seq(idCol)))
+    val no = ow.groupBy(col(idCol)).agg(count(lit(1)).as("n_old"))
+    val nn = nw.groupBy(col(idCol)).agg(count(lit(1)).as("n_new"))
+    val ni = ow.join(nw, Seq(idCol, "_w"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    no.join(nn, Seq(idCol))
+      .join(ni, Seq(idCol), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .select(col(idCol), col("n_old"), col("n_new"), col("n_shared"),
+        graft.core.Semantics.safeRound(
+          col("n_shared").cast(DoubleType) /
+            (col("n_old") + col("n_new") - col("n_shared"))
+              .cast(DoubleType), scale).as("jaccard"))
+  }
+}

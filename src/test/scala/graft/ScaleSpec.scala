@@ -50,6 +50,20 @@ class ScaleSpec extends SparkSuite {
     assert(plan.split("Exchange hashpartitioning").length - 1 == 2, plan)
   }
 
+  test("SafeJoin.checked passes a sane join and throws on an exploding key") {
+    val left = (1 to 100).map(i => (i % 10, i)).toDF("k", "x")
+    val dim = (0 to 9).map(i => (i, s"d$i")).toDF("k2", "name")
+    // 10 left rows × 1 right row per key = fanout 10: passes at cap 10
+    val ok = graft.core.SafeJoin.checked(left, dim, "k", "k2", 10L)
+    assert(ok.count() == 100)
+    // hot key: one right key duplicated 50× -> fanout 500 trips the guard
+    val dupDim = dim.union(Seq.fill(49)((3, "dup")).toDF("k2", "name"))
+    val e = intercept[IllegalArgumentException] {
+      graft.core.SafeJoin.checked(left, dupDim, "k", "k2", 100L)
+    }
+    assert(e.getMessage.contains("fanout"), e.getMessage)
+  }
+
   test("kernel signature stages plan without a shuffle") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.table(spark, sfDir, "documents")

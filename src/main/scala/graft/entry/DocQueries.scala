@@ -859,6 +859,30 @@ object DocQueries {
         t(s, dir, "lineitem"), t(s, dir, "orders"),
         "l_orderkey", "o_orderkey", topK = 10)),
 
+    "q_phrase_search" -> ((s, dir) => {
+      // phrase set = the first 3 words of every 50th doc; search the whole
+      // corpus for token-aligned occurrences via the window-hash equi-join
+      val docs = t(s, dir, "documents")
+      val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      val phrases = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("phrase_id"),
+          concat_ws(" ", slice(split(norm, " "), 1, 3)).as("phrase"))
+        .filter(size(split(col("phrase"), " ")) === 3)
+      TF.multiPhraseSearch(docs, "doc_id", "text", phrases,
+        "phrase_id", "phrase")
+        .orderBy(col("doc_id"), col("phrase_id"))
+    }),
+
+    "q_compact" -> ((s, dir) => {
+      // fragment the corpus into 64 tiny files, compact to ~1000-row
+      // files, prove the data survived the swap byte-for-byte
+      val base = "/tmp/graft_compact/" + Sql.sfTag(dir)
+      t(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(base)
+      graft.io.Compact.rewrite(s, base, targetRowsPerFile = 1000L)
+      graft.io.Sources.parquet(s, base).orderBy(col("doc_id"))
+    }),
+
     "q_snapshot_drift" -> ((s, dir) => {
       // same changed-snapshot construction as q_snapshot_diff; drift
       // quantifies HOW changed each surviving changed doc is
@@ -956,6 +980,21 @@ object DocQueries {
         |  SELECT -doc_id - 1, md5(text), lang, source, n_chars
         |  FROM documents WHERE doc_id % 19 = 0)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_phrase_search" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |ph AS (SELECT doc_id AS phrase_id,
+        |    array_to_string(string_split(t, ' ')[1:3], ' ') AS p
+        |  FROM n WHERE doc_id % 50 = 0 AND len(string_split(t, ' ')) >= 3)
+        |SELECT n.doc_id, ph.phrase_id
+        |FROM n JOIN ph ON strpos(' ' || n.t || ' ', ' ' || ph.p || ' ') > 0
+        |ORDER BY n.doc_id, ph.phrase_id""".stripMargin,
+
+    "q_compact" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_join_fanout" ->
       """WITH lc AS (SELECT l_orderkey AS key, count(*) AS n_left

@@ -694,6 +694,49 @@ object TextFunctions {
     WindowHashes.window_hashes(words, k)
   }
 
+  /** Multi-phrase exact search: which documents contain which phrases,
+    * token-aligned, for an ARBITRARILY LARGE phrase set in one pass per
+    * distinct phrase length — the scalable alternative to per-row
+    * `contains` loops (which cost |docs|·|phrases| string scans). Each
+    * doc's k-word [[windowHashes]] equi-join the phrase's own window hash
+    * (so only hash-colliding (doc, phrase) candidates ever pair up), then
+    * an exact space-padded containment check on the candidate discards
+    * collisions. Single-word phrases join the exploded word stream
+    * directly. The distinct-length driver collect is bounded by the
+    * longest phrase, not the data. */
+  def multiPhraseSearch(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, phrases: org.apache.spark.sql.DataFrame,
+      phraseIdCol: String,
+      phraseCol: String): org.apache.spark.sql.DataFrame = {
+    def norm(c: Column) = trim(regexp_replace(lower(c), "\\s+", " "))
+    val p = phrases.select(col(phraseIdCol).as("_pid"),
+      norm(col(phraseCol)).as("_p"))
+      .withColumn("_k", size(split(col("_p"), " ")))
+    val d = docs.select(col(idCol), norm(col(textCol)).as("_t"))
+    val lengths = p.select(col("_k")).distinct().collect()
+      .map(_.getInt(0)).filter(_ >= 1).sorted
+    val verified = (k: org.apache.spark.sql.DataFrame) => k
+      .filter(instr(concat(lit(" "), col("_t"), lit(" ")),
+        concat(lit(" "), col("_p"), lit(" "))) > 0)
+      .select(col(idCol), col("_pid").as(phraseIdCol))
+    lengths.map { k =>
+      val pk = p.filter(col("_k") === k)
+      if (k == 1)
+        verified(d
+          .withColumn("_w", explode(split(col("_t"), " ")))
+          .join(pk, col("_w") === col("_p")))
+      else
+        verified(d
+          .withColumn("_h",
+            explode(windowHashes(split(col("_t"), " "), k)))
+          .join(pk.withColumn("_h",
+            element_at(windowHashes(split(col("_p"), " "), k), 1)),
+            Seq("_h")))
+    }.reduceOption(_ union _)
+      .map(_.distinct())
+      .getOrElse(docs.sparkSession.emptyDataFrame)
+  }
+
   /** The per-window slice+aggregate Column spelling the kernel replaced —
     * O(n·k) interpreted HOF folds; kept as the bit-equality regression
     * twin (FastExprAndIvfSpec). */

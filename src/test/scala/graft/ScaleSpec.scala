@@ -50,6 +50,21 @@ class ScaleSpec extends SparkSuite {
     assert(plan.split("Exchange hashpartitioning").length - 1 == 2, plan)
   }
 
+  test("Compact rewrites a fragmented directory to the expected file count") {
+    val dir = "/tmp/graft_compact_spec"
+    val src = (1 to 5000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    src.repartition(40).write.mode("overwrite").parquet(dir)
+    val (rows, before, after) =
+      graft.io.Compact.rewrite(spark, dir, targetRowsPerFile = 1000L)
+    assert(rows == 5000L && before == 40 && after == 5,
+      s"(rows=$rows before=$before after=$after)")
+    // data survives the swap
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 5000L)
+    assert(back.agg(sum(col("id"))).head().getLong(0) ==
+      src.agg(sum(col("id"))).head().getLong(0))
+  }
+
   test("SafeJoin.checked passes a sane join and throws on an exploding key") {
     val left = (1 to 100).map(i => (i % 10, i)).toDF("k", "x")
     val dim = (0 to 9).map(i => (i, s"d$i")).toDF("k2", "name")

@@ -115,6 +115,35 @@ object Streams {
     * watermark passes them, so 100 TB/day of events needs state for one
     * watermark window, not for history. Dedup key defaults to the same
     * md5-of-sorted-fields content hash the batch operator uses. */
+  final case class Change(id: Long, ts: java.sql.Timestamp, op: String,
+      value: Double)
+  final case class LatestState(tsMs: Long, op: String, value: Double)
+  final case class CurrentRow(id: Long, value: Double, alive: Boolean,
+      ts_ms: Long)
+
+  /** Streaming CDC materialization: an upsert/delete change stream folded
+    * into per-key CURRENT state — the live twin of the batch
+    * `SnapshotDiff.applyChanges` (q_cdc_apply). State per key is one small
+    * (ts, op, value) tuple regardless of stream length; each incoming
+    * micro-batch emits the key's new current row (update-mode sink keeps
+    * the latest). Later timestamps win; equal timestamps resolve by op
+    * string order (delete < insert < update ⇒ update wins) — a total
+    * order, so replays and reorderings converge to the same state. */
+  def cdcLatestState(changes: Dataset[Change])(
+      implicit spark: SparkSession): Dataset[CurrentRow] = {
+    import spark.implicits._
+    changes.groupByKey(_.id)
+      .mapGroupsWithState[LatestState, CurrentRow](
+        GroupStateTimeout.NoTimeout) {
+        (id: Long, it: Iterator[Change], state: GroupState[LatestState]) =>
+          val candidates = state.getOption.iterator ++
+            it.map(c => LatestState(c.ts.getTime, c.op, c.value))
+          val winner = candidates.maxBy(l => (l.tsMs, l.op))
+          state.update(winner)
+          CurrentRow(id, winner.value, winner.op != "delete", winner.tsMs)
+      }
+  }
+
   def dedupStream(events: DataFrame, eventTimeCol: String, watermark: String,
       matchFields: Seq[String] = Nil): DataFrame = {
     val keyed = events.withColumn("_dedup_key",

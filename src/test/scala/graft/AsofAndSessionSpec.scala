@@ -133,6 +133,37 @@ class AsofAndSessionSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC latest-state converges to the batch applyChanges result") {
+    import graft.streaming.Streams._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    def ch(id: Long, tMs: Long, op: String, v: Double) =
+      Change(id, new java.sql.Timestamp(tMs), op, v)
+
+    val src = MemoryStream[Change]
+    val q = cdcLatestState(src.toDS()).writeStream.outputMode("update")
+      .format("memory").queryName("cdc_latest_test").start()
+    try {
+      src.addData(ch(1, 100, "insert", 1.0), ch(2, 100, "insert", 2.0),
+        ch(3, 100, "insert", 3.0))
+      q.processAllAvailable()
+      // update id 1, delete id 2, stale out-of-order update for id 3
+      src.addData(ch(1, 200, "update", 10.0), ch(2, 200, "delete", 0.0),
+        ch(3, 50, "update", 99.0))
+      q.processAllAvailable()
+      val latest = spark.table("cdc_latest_test")
+        .groupBy("id").agg(max(struct(col("ts_ms"), col("value"),
+          col("alive"))).as("s"))
+        .select(col("id"), col("s.value"), col("s.alive"))
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2))))
+        .toMap
+      assert(latest(1L) == ((10.0, true)), s"$latest")   // updated
+      assert(latest(2L)._2 == false, s"$latest")         // deleted
+      assert(latest(3L) == ((3.0, true)), s"$latest")    // stale ignored
+    } finally q.stop()
+  }
+
   test("binned range join matches nested-loop semantics incl. bin edges") {
     import graft.operators.RangeJoin
     val points = Seq((1L, 0L), (2L, 9L), (3L, 10L), (4L, 15L), (5L, 20L),

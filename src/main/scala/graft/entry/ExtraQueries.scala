@@ -28,6 +28,22 @@ object ExtraQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    "q_kfold" -> ((s, dir) =>
+      graft.functions.Sampling.kFold(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", k = 5)
+        .orderBy(col("doc_id"))),
+
+    "q_benford" -> ((s, dir) =>
+      graft.operators.Audit.benford(t(s, dir, "orders"), "o_totalprice")),
+
+    "q_chi_square" -> ((s, dir) =>
+      graft.operators.Audit.chiSquareCells(
+        t(s, dir, "documents"), "lang", "source")),
+
+    "q_kanon" -> ((s, dir) =>
+      graft.operators.Audit.kAnonymityRisk(
+        t(s, dir, "documents"), Seq("lang", "source"), k = 10L)),
+
     // bucketed co-located join: both sides land in bucket-sorted parquet
     // tables keyed on the join column, so the join itself needs NO Exchange
     // (ScaleSpec asserts the shuffle-free plan) — the layout every
@@ -1262,6 +1278,47 @@ object ExtraQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_kfold" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5('fold#' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 5 AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_benford" -> {
+      val pexp = "ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)"
+      s"""WITH d AS (SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+         |      AS VARCHAR), 1, 1) AS digit
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1),
+         |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+         |t AS (SELECT SUM(n) AS total FROM c)
+         |SELECT digit, n,
+         |  ${Sql.sround("CAST(n AS DOUBLE) / CAST(total AS DOUBLE)")} AS observed,
+         |  ${Sql.sround(pexp)} AS expected,
+         |  ${Sql.sround(s"POW(CAST(n AS DOUBLE) - ($pexp) * CAST(total AS DOUBLE), 2) / (($pexp) * CAST(total AS DOUBLE))")}
+         |    AS chi2_term
+         |FROM c CROSS JOIN t ORDER BY digit""".stripMargin
+    },
+
+    "q_chi_square" -> {
+      val e = "CAST(ra * cb AS DOUBLE) / CAST(tt AS DOUBLE)"
+      s"""WITH cells AS (SELECT lang, source, count(*) AS n
+         |  FROM documents GROUP BY 1, 2),
+         |r AS (SELECT lang, count(*) AS ra FROM documents GROUP BY 1),
+         |c AS (SELECT source, count(*) AS cb FROM documents GROUP BY 1),
+         |t AS (SELECT count(*) AS tt FROM documents)
+         |SELECT cells.lang, cells.source, cells.n,
+         |  ${Sql.sround(e)} AS expected,
+         |  ${Sql.sround(s"POW(CAST(n AS DOUBLE) - ($e), 2) / ($e)")}
+         |    AS chi2_term
+         |FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+         |ORDER BY cells.lang, cells.source""".stripMargin
+    },
+
+    "q_kanon" ->
+      """SELECT lang, source, count(*) AS n FROM documents
+        |GROUP BY 1, 2 HAVING count(*) < 10
+        |ORDER BY lang, source, n""".stripMargin,
+
     "q_bucketed_join" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
          |  ${esum("o_totalprice")} AS total_price

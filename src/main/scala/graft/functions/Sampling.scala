@@ -37,6 +37,19 @@ object Sampling {
       when(hashBucket(col(idCol)) < (testFraction * Buckets).toLong, "test")
         .otherwise("train"))
 
+  /** Deterministic k-fold assignment: fold = md5(seed ++ id) mod k — the
+    * cross-validation splitter. Same identity-hash contract as the
+    * sampler: engine-, partitioning-, and rerun-stable, and a row's fold
+    * never changes as the corpus grows (no global row numbering). */
+  def kFold(df: DataFrame, idCol: String, k: Int,
+      seed: String = "fold"): DataFrame = {
+    require(k >= 2, s"need at least 2 folds: $k")
+    df.withColumn("fold",
+      conv(substring(md5(concat(lit(s"$seed#"),
+        col(idCol).cast(StringType))), 1, 8), 16, 10)
+        .cast(LongType) % k)
+  }
+
   /** Per-stratum fractions (e.g. downsample the dominant language, keep all
     * of a rare one): threshold looked up from a literal map — still one
     * scan, no shuffle. */

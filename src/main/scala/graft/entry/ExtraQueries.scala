@@ -28,6 +28,37 @@ object ExtraQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    "q_wma" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.TimeSeries.weightedMovingSum(
+        hourly, "event_type", "bucket", "n", Seq(4L, 2L, 1L))
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n"), col("wsum"), col("wmass"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
+    "q_assoc_rules" -> ((s, dir) =>
+      graft.operators.MarketBasket.pairRules(
+        t(s, dir, "events"), "user_id", "event_type")),
+
+    "q_rate_cap" -> ((s, dir) => {
+      // at most 3 events per (user, hour), chosen by identity-hash order —
+      // the deterministic throttle; WindowGroupLimit cuts per key before
+      // any shuffle concentrates a hot user's rows
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          date_trunc("day", col("ts")).as("bucket"))
+      graft.core.TopK.perKey(ev, Seq("user_id", "bucket"), 3,
+        Seq(conv(substring(md5(concat(lit("rc#"),
+          col("event_id").cast(StringType))), 1, 8), 16, 10)
+          .cast(LongType).asc, col("event_id").asc))
+        .select(col("event_id"), col("rank_in_key"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_kfold" -> ((s, dir) =>
       graft.functions.Sampling.kFold(
         t(s, dir, "documents").select(col("doc_id")), "doc_id", k = 5)
@@ -1278,6 +1309,47 @@ object ExtraQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_wma" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, bucket, n,
+        |    LAG(n, 1) OVER (PARTITION BY event_type ORDER BY bucket) AS l1,
+        |    LAG(n, 2) OVER (PARTITION BY event_type ORDER BY bucket) AS l2
+        |  FROM h)
+        |SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS hour, n,
+        |  4 * n + 2 * COALESCE(l1, 0) + 1 * COALESCE(l2, 0) AS wsum,
+        |  4 + CASE WHEN l1 IS NULL THEN 0 ELSE 2 END
+        |    + CASE WHEN l2 IS NULL THEN 0 ELSE 1 END AS wmass
+        |FROM l ORDER BY event_type, hour""".stripMargin,
+
+    "q_assoc_rules" ->
+      s"""WITH it AS (SELECT DISTINCT user_id AS b, event_type AS i
+         |  FROM events),
+         |ic AS (SELECT i, count(*) AS ci FROM it GROUP BY 1),
+         |nb AS (SELECT count(DISTINCT b) AS nb FROM it),
+         |p AS (SELECT a.i AS ia, c.i AS ib, count(*) AS n_pair
+         |  FROM it a JOIN it c ON a.b = c.b AND a.i < c.i GROUP BY 1, 2)
+         |SELECT p.ia AS item_a, p.ib AS item_b, p.n_pair,
+         |  ${Sql.sround("CAST(n_pair AS DOUBLE) / CAST(nb AS DOUBLE)")}
+         |    AS support,
+         |  ${Sql.sround("CAST(n_pair AS DOUBLE) / CAST(ca.ci AS DOUBLE)")}
+         |    AS confidence,
+         |  ${Sql.sround("CAST(n_pair * nb AS DOUBLE) / CAST(ca.ci * cb.ci AS DOUBLE)")}
+         |    AS lift
+         |FROM p JOIN ic ca ON p.ia = ca.i JOIN ic cb ON p.ib = cb.i
+         |CROSS JOIN nb ORDER BY item_a, item_b""".stripMargin,
+
+    "q_rate_cap" ->
+      """WITH e AS (SELECT event_id, user_id, date_trunc('day', ts) AS bucket
+        |  FROM events),
+        |r AS (SELECT event_id, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id, bucket
+        |    ORDER BY CAST(('0x' || substr(md5('rc#' ||
+        |      CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT), event_id) AS rk
+        |  FROM e)
+        |SELECT event_id, rk AS rank_in_key FROM r WHERE rk <= 3
+        |ORDER BY event_id""".stripMargin,
+
     "q_kfold" ->
       """SELECT doc_id,
         |  CAST(('0x' || substr(md5('fold#' || CAST(doc_id AS VARCHAR)), 1, 8))

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed time-series smoothing in exact integer arithmetic. A weighted
+  * moving average over a FIXED trailing window is a dot product with the
+  * lag vector — expressible as one partitioned window pass, no recursion,
+  * no floats: emit the integer numerator `Σ wᵢ·v_{t−i}` and the weight
+  * mass actually present `Σ wᵢ·[v_{t−i} exists]`, and let the consumer
+  * divide (or compare cross-series) however it wants. Exact, replayable,
+  * and series-start-honest — early buckets carry their smaller true mass
+  * instead of a silently-rescaled average.
+  */
+object TimeSeries {
+
+  /** @param weights newest-first (weights(0) multiplies the current row). */
+  def weightedMovingSum(df: DataFrame, keyCol: String, bucketCol: String,
+      valueCol: String, weights: Seq[Long]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_ > 0),
+      "need positive newest-first weights")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol).asc)
+    val lags: Seq[(Column, Long)] = weights.zipWithIndex.map {
+      case (wt, i) => (lag(col(valueCol), i).over(w), wt)
+    }
+    val num = lags.map { case (l, wt) => coalesce(l, lit(0L)) * lit(wt) }
+      .reduce(_ + _)
+    val den = lags.map { case (l, wt) =>
+      when(l.isNotNull, lit(wt)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    df.select(col(keyCol), col(bucketCol), col(valueCol),
+      num.as("wsum"), den.as("wmass"))
+  }
+}

@@ -30,6 +30,35 @@ object ZOrder {
     }.reduce((a, c) => a.bitwiseOR(c))
   }
 
+  /** N-dimensional Morton value: bit i of column j lands at position
+    * `i·n + j`. `bits·n ≤ 63` keeps the value in a signed long — at 3
+    * columns that's 21 bits (2M distinct quantized values) per dimension,
+    * plenty for file-level skipping. Same portable bit arithmetic as
+    * [[zValue2]]. */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, "need at least two columns")
+    require(bits >= 1 && bits * cols.size <= 63,
+      s"bits*cols must fit a signed long: $bits*${cols.size}")
+    val n = cols.size
+    val parts = for {
+      (c, j) <- cols.zipWithIndex
+      b <- 0 until bits
+    } yield shiftleft(
+      shiftrightunsigned(c.cast(LongType), b).bitwiseAND(lit(1L)),
+      b * n + j)
+    parts.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** [[clusterBy2]] generalized: range-partition + sort on the N-dim curve. */
+  def clusterByN(df: DataFrame, colNames: Seq[String], numPartitions: Int,
+      bits: Int): DataFrame = {
+    val z = Names.fresh("_zorder", df.columns)
+    df.withColumn(z, zValueN(colNames.map(col), bits))
+      .repartitionByRange(numPartitions, col(z))
+      .sortWithinPartitions(col(z))
+      .drop(z)
+  }
+
   /** Re-layout `df` for two-dimensional data skipping: range-partition on
     * the curve value (one shuffle — the same cost a plain sort pays), sort
     * within partitions, drop the helper column. Write the result with any

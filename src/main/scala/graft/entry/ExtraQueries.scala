@@ -1014,6 +1014,34 @@ object ExtraQueries {
           .as("zval"))
         .orderBy(col("event_id"))),
 
+    "q_zorder3" -> ((s, dir) =>
+      // 3-D curve: bit i of column j lands at i*3+j
+      t(s, dir, "events").select(col("event_id"),
+        graft.core.ZOrder.zValueN(Seq(
+          col("user_id") % 1024, col("event_id") % 1024,
+          hour(col("ts")).cast(LongType) % 1024), bits = 10)
+          .as("zval"))
+        .orderBy(col("event_id"))),
+
+    "q_incr_agg" -> ((s, dir) => {
+      // three-batch incremental fold with a parquet state roundtrip; the
+      // oracle is the ONE-SHOT global aggregate — proving the monoid law
+      // the nightly rollup depends on
+      val ev = t(s, dir, "events")
+      val base = "/tmp/graft_incragg/" + Sql.sfTag(dir)
+      graft.operators.IncrementalAgg.update(None,
+        ev.filter(col("event_id") % 3 === 0), Seq("event_type"), "value")
+        .write.mode("overwrite").parquet(base)
+      val s2 = graft.operators.IncrementalAgg.update(
+        Some(s.read.parquet(base)),
+        ev.filter(col("event_id") % 3 === 1), Seq("event_type"), "value")
+      graft.operators.IncrementalAgg.update(Some(s2),
+        ev.filter(col("event_id") % 3 === 2), Seq("event_type"), "value")
+        .select(col("event_type"), col("n"),
+          round(col("total").cast(DoubleType), 4).as("total"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_grouping_sets" -> ((s, dir) => {
       // explicit GROUPING SETS surface (the asymmetric slices cube can't
       // express alone): per-(flag,status), per-flag, and grand total only
@@ -1546,6 +1574,20 @@ object ExtraQueries {
         |    ((((event_id % 2048) >> b) & 1) << (2 * b + 1))))
         |  AS BIGINT) AS zval
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_zorder3" ->
+      """SELECT event_id,
+        |  CAST(list_sum(list_transform(range(10), b ->
+        |    ((((user_id % 1024) >> b) & 1) << (3 * b)) +
+        |    ((((event_id % 1024) >> b) & 1) << (3 * b + 1)) +
+        |    (((((EXTRACT(hour FROM ts)) % 1024) >> b) & 1) << (3 * b + 2))))
+        |  AS BIGINT) AS zval
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_incr_agg" ->
+      s"""SELECT event_type, COUNT(value) AS n,
+         |  ${Sql.esum("value")} AS total
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_grouping_sets" ->
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,

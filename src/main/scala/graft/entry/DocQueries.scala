@@ -61,6 +61,26 @@ object DocQueries {
       TF.cooccurrencePmi(t(s, dir, "documents"), "doc_id", "text",
         window = 2, topK = 100)),
 
+    "q_distinctive_terms" -> ((s, dir) =>
+      CorpusStats.distinctiveTerms(t(s, dir, "documents"), "text", "lang",
+        topK = 10, minCount = 5L)
+        .orderBy(col("lang"), col("rank_in_key"))),
+
+    "q_scd2_lookup" -> ((s, dir) => {
+      // probe each event 30 minutes later: which value was current then?
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val hist = Scd2.fromChangeLog(ev, "user_id", "ts",
+        tiebreak = Seq("event_id"))
+        .select(col("user_id"), col("value").as("value_at"),
+          col("valid_from"), col("valid_to"))
+      val probes = ev.select(col("event_id").as("probe_id"), col("user_id"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("pts"))
+      Scd2.pointInTime(hist, probes, "user_id", "pts")
+        .select(col("probe_id"), col("value_at"))
+        .orderBy(col("probe_id"))
+    }),
+
     "q_skew_report" -> ((s, dir) =>
       graft.core.Skew.report(t(s, dir, "events"), "event_type", topK = 10)),
 
@@ -1204,6 +1224,37 @@ object DocQueries {
         |  AND s.season = st.season
         |WHERE s.n * st.c * 2 > 3 * st.sn
         |ORDER BY s.event_type, hour""".stripMargin,
+
+    "q_distinctive_terms" ->
+      s"""WITH w AS (SELECT lang, unnest($wordsSql) AS word FROM documents),
+         |cgw AS (SELECT lang, word, count(*) AS c_gw FROM w GROUP BY 1, 2),
+         |ng AS (SELECT lang, SUM(c_gw) AS ng FROM cgw GROUP BY 1),
+         |cw AS (SELECT word, SUM(c_gw) AS cw FROM cgw GROUP BY 1),
+         |t AS (SELECT SUM(ng) AS nt FROM ng),
+         |sc AS (SELECT cgw.lang, cgw.word, cgw.c_gw,
+         |    ${Sql.sround("ln(CAST(c_gw + 1 AS DOUBLE) / CAST(ng - c_gw + 1 AS DOUBLE)) - ln(CAST(cw - c_gw + 1 AS DOUBLE) / CAST((nt - ng) - (cw - c_gw) + 1 AS DOUBLE))")}
+         |      AS score
+         |  FROM cgw JOIN ng USING (lang) JOIN cw USING (word) CROSS JOIN t
+         |  WHERE c_gw >= 5),
+         |rk AS (SELECT lang, word, c_gw, score,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY score DESC, word ASC) AS rank_in_key FROM sc)
+         |SELECT lang, word, c_gw, score, rank_in_key FROM rk
+         |WHERE rank_in_key <= 10
+         |ORDER BY lang, rank_in_key""".stripMargin,
+
+    "q_scd2_lookup" ->
+      """WITH h AS (SELECT user_id, value AS value_at, ts AS valid_from,
+        |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to
+        |  FROM events),
+        |p AS (SELECT event_id AS probe_id, user_id,
+        |    ts + INTERVAL 30 MINUTE AS pts FROM events)
+        |SELECT p.probe_id, h.value_at
+        |FROM p LEFT JOIN h ON p.user_id = h.user_id
+        |  AND h.valid_from <= p.pts
+        |  AND (h.valid_to IS NULL OR p.pts < h.valid_to)
+        |ORDER BY p.probe_id""".stripMargin,
 
     "q_cusum_drift" ->
       """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,

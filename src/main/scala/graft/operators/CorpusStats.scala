@@ -81,6 +81,44 @@ object CorpusStats {
     * corpus persist; the pair frame is materialized eagerly
     * (localCheckpoint, |groups|² rows) so deriving sizes + shared from it
     * cannot rescan the corpus. */
+  /** Distinctive terms per slice — smoothed log-odds of a word inside the
+    * slice vs the rest of the corpus (the "what makes source A different"
+    * report; raw per-slice frequency just surfaces stopwords). Odds on
+    * both sides use +1 smoothing over exact integer counts, so the only
+    * float op is one ln of an integer ratio — engine-portable after
+    * safeRound. Counts flow explode → (group, word) aggregate → two joins
+    * on vocab-sized frames (the word-marginal join stays a plain shuffle
+    * join — at corpus scale the vocabulary can exceed broadcast range);
+    * the top-k cut runs on the ROUNDED score so rank boundaries are
+    * deterministic cross-engine. */
+  def distinctiveTerms(df: DataFrame, textCol: String, groupCol: String,
+      topK: Int = 10, minCount: Long = 5L, scale: Int = 4): DataFrame = {
+    val words = df.select(col(groupCol),
+      explode(split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")),
+        " ")).as("word"))
+    val cgw = words.groupBy(col(groupCol), col("word"))
+      .agg(count(lit(1)).as("c_gw"))
+    val ng = cgw.groupBy(col(groupCol)).agg(sum(col("c_gw")).as("_ng"))
+    val cw = cgw.groupBy(col("word")).agg(sum(col("c_gw")).as("_cw"))
+    val total = ng.agg(sum(col("_ng")).as("_nt"))
+    val inOdds = (col("c_gw") + 1).cast(DoubleType) /
+      (col("_ng") - col("c_gw") + 1).cast(DoubleType)
+    val restC = col("_cw") - col("c_gw")
+    val restN = col("_nt") - col("_ng")
+    val outOdds = (restC + 1).cast(DoubleType) /
+      (restN - restC + 1).cast(DoubleType)
+    val scored = cgw.filter(col("c_gw") >= minCount)
+      .join(broadcast(ng), Seq(groupCol))
+      .join(cw, Seq("word"))
+      .crossJoin(broadcast(total))
+      .select(col(groupCol), col("word"), col("c_gw"),
+        Semantics.safeRound(log(inOdds) - log(outOdds), scale).as("score"))
+    graft.core.TopK.perKey(scored, Seq(groupCol), topK,
+      Seq(col("score").desc, col("word").asc))
+      .select(col(groupCol), col("word"), col("c_gw"), col("score"),
+        col("rank_in_key"))
+  }
+
   def sourceOverlap(df: DataFrame, textCol: String, groupCol: String,
       k: Int = 3): DataFrame = {
     val pairs = df.select(col(groupCol).as("_g"),

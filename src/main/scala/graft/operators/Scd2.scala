@@ -39,4 +39,26 @@ object Scd2 {
   def snapshotAt(history: DataFrame, ts: Column): DataFrame =
     history.filter(col("valid_from") <= ts &&
       (col("valid_to").isNull || col("valid_to") > ts))
+
+  /** Point-in-time enrichment: each probe row picks the version valid at
+    * ITS OWN timestamp — the per-row generalization of [[snapshotAt]] and
+    * the classic "join facts to the dimension as it was" problem. Rides
+    * [[AsofJoin.backward]] on `valid_from` (union + one keyed window pass
+    * — never the interval join that explodes to |versions| rows per probe
+    * before pruning), then nulls out versions whose validity CLOSED before
+    * the probe (possible when history has retention gaps; with contiguous
+    * validity the guard is a no-op). History payload columns must not
+    * collide with probe columns — select/rename first. */
+  def pointInTime(history: DataFrame, probes: DataFrame, keyCol: String,
+      probeTsCol: String): DataFrame = {
+    val payload = history.columns.toSeq
+      .filterNot(c => c == keyCol || c == "valid_from" || c == "valid_to")
+    val joined = AsofJoin.backward(probes, history, Seq(keyCol),
+      probeTsCol, "valid_from")
+    val expired =
+      col("valid_to").isNotNull && col("valid_to") <= col(probeTsCol)
+    payload.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(expired, lit(null)).otherwise(col(c)))
+    }
+  }
 }

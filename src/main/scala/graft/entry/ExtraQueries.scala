@@ -59,6 +59,19 @@ object ExtraQueries {
         .orderBy(col("event_id"))
     }),
 
+    "q_sorted_neighborhood" -> ((s, dir) =>
+      graft.operators.FuzzyMatch.sortedNeighborhoodJoin(
+        t(s, dir, "part").select(col("p_partkey"), col("p_name")),
+        "p_partkey", "p_name", window = 3, maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_psi_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Audit.psiDrift(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1), "value", bins = 10)
+    }),
+
     "q_kfold" -> ((s, dir) =>
       graft.functions.Sampling.kFold(
         t(s, dir, "documents").select(col("doc_id")), "doc_id", k = 5)
@@ -1377,6 +1390,46 @@ object ExtraQueries {
         |  FROM e)
         |SELECT event_id, rk AS rank_in_key FROM r WHERE rk <= 3
         |ORDER BY event_id""".stripMargin,
+
+    "q_sorted_neighborhood" ->
+      """WITH r AS (SELECT p_partkey AS id, p_name AS s,
+        |    substr(p_name, 1, 1) AS blk FROM part),
+        |rk AS (SELECT id, s, blk,
+        |    ROW_NUMBER() OVER (PARTITION BY blk ORDER BY s, id) AS r
+        |  FROM r),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    levenshtein(a.s, b.s) AS dist
+        |  FROM rk a JOIN rk b ON a.blk = b.blk
+        |    AND b.r - a.r BETWEEN 1 AND 3)
+        |SELECT id_a, id_b, dist FROM p WHERE dist <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_psi_drift" -> {
+      val ps = (1 until 10).map(i => i / 10.0)
+      val bsel = ps.zipWithIndex.map { case (p, i) =>
+        s"quantile_cont(value, $p) AS b$i" }.mkString(", ")
+      def binExpr = "1 " + ps.indices.map(i =>
+        s"+ CASE WHEN value >= b.b$i THEN 1 ELSE 0 END").mkString(" ")
+      val pTerm = "CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)"
+      val qTerm = "CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE)"
+      s"""WITH r AS (SELECT value FROM events
+         |  WHERE event_id % 2 = 0 AND value IS NOT NULL),
+         |c AS (SELECT value FROM events
+         |  WHERE event_id % 2 = 1 AND value IS NOT NULL),
+         |b AS (SELECT $bsel FROM r),
+         |rc AS (SELECT $binExpr AS bin, count(*) AS n_ref
+         |  FROM r, b GROUP BY 1),
+         |cc AS (SELECT $binExpr AS bin, count(*) AS n_cur
+         |  FROM c, b GROUP BY 1),
+         |j AS (SELECT COALESCE(rc.bin, cc.bin) AS bin,
+         |    COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+         |  FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin),
+         |t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM j)
+         |SELECT bin, n_ref, n_cur,
+         |  ${Sql.sround(s"(($pTerm) - ($qTerm)) * ln(($pTerm) / ($qTerm))")}
+         |    AS psi_term
+         |FROM j CROSS JOIN t ORDER BY bin""".stripMargin
+    },
 
     "q_kfold" ->
       """SELECT doc_id,

@@ -71,6 +71,47 @@ object Audit {
       .orderBy(col(aCol), col(bCol))
   }
 
+  /** Population stability index between a reference and a current sample
+    * of one numeric column — the standard "did the distribution move"
+    * monitor for scores/features between pipeline runs. Bins are the
+    * reference sample's exact `bins`-quantiles (driver literals — one
+    * stats job, the [[QuantileBinner]] pattern, never a corpus window),
+    * counts are exact integers with +1 smoothing so empty current bins
+    * stay finite, and each bin emits its PSI term
+    * `(p−q)·ln(p/q)` — sum them for the headline number (rule of thumb:
+    * > 0.25 = major shift). */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int = 10, scale: Int = 4): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins: $bins")
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val bounds = ref.select(
+      expr(s"percentile($valueCol, array(${ps.mkString(",")}))")).head()
+      .getSeq[Double](0)
+    require(bounds != null, "reference sample has no non-null values")
+    def binCol = bounds.foldLeft(lit(1L)) { (acc, b) =>
+      acc + when(col(valueCol) >= lit(b), 1L).otherwise(0L)
+    }
+    def counts(df: DataFrame, out: String) =
+      df.filter(col(valueCol).isNotNull)
+        .select(binCol.as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    val joined = counts(ref, "n_ref")
+      .join(counts(cur, "n_cur"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_ref")).as("_tr"),
+      sum(col("n_cur")).as("_tc"))
+    val p = (col("n_ref") + 1).cast(DoubleType) /
+      (col("_tr") + bins).cast(DoubleType)
+    val q = (col("n_cur") + 1).cast(DoubleType) /
+      (col("_tc") + bins).cast(DoubleType)
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        Semantics.safeRound((p - q) * log(p / q), scale).as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
   /** k-anonymity risk report: quasi-identifier combinations shared by
     * fewer than `k` rows — the groups whose members a release would
     * re-identify. One aggregate on the quasi-id tuple. */

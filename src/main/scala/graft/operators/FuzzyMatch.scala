@@ -67,4 +67,38 @@ object FuzzyMatch {
       .filter(col("dist") <= maxDist)
       .select(col("_lid").as(leftId), col("_rid").as(rightId), col("dist"))
   }
+
+  /** Blocked sorted-neighborhood join — the other classic ER blocking
+    * strategy: sort records within a cheap block (first char here), then
+    * compare each record only with its `window` successors in sort order.
+    * Complements [[editDistanceJoin]]: q-gram blocking recalls pairs that
+    * SHARE substrings anywhere; sorted-neighborhood recalls pairs whose
+    * sort keys collate near each other (common-prefix families) at a hard
+    * O(n·window) candidate bound per block. Candidates come from a
+    * rank+k equi-join (k = 1..window) — positional, never a cross product
+    * — and verify by exact edit distance. Windows/ranks are per-block, so
+    * every window is partitioned. */
+  def sortedNeighborhoodJoin(df: DataFrame, idCol: String, strCol: String,
+      window: Int, maxDist: Int): DataFrame = {
+    require(window >= 1 && maxDist >= 0,
+      s"need window >= 1, maxDist >= 0: $window, $maxDist")
+    val ranked = df.select(col(idCol).as("_id"), col(strCol).as("_s"))
+      .withColumn("_blk", substring(col("_s"), 1, 1))
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_blk")).orderBy(col("_s").asc, col("_id").asc)))
+    val pairs = ranked
+      .withColumn("_k",
+        explode(array((1 to window).map(lit(_)): _*)))
+      .select(col("_blk"), (col("_r") + col("_k")).as("_r2"),
+        col("_id").as("id_a"), col("_s").as("_sa"))
+      .join(ranked.select(col("_blk"), col("_r").as("_r2"),
+        col("_id").as("id_b"), col("_s").as("_sb")),
+        Seq("_blk", "_r2"))
+    pairs
+      .withColumn("dist",
+        levenshtein(col("_sa"), col("_sb")).cast(IntegerType))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

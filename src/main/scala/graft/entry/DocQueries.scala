@@ -130,6 +130,14 @@ object DocQueries {
         .select(col("event_id"), col("event_type"), col("z"))
         .orderBy(col("event_id"))),
 
+    "q_embed_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.functions.Similarity.centroidDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "label", "embedding")
+        .orderBy(col("label"))
+    }),
+
     "q_label_index" -> ((s, dir) =>
       graft.functions.Featurize.labelIndex(
         t(s, dir, "documents").select(col("doc_id"), col("source")),
@@ -1295,6 +1303,25 @@ object DocQueries {
          |SELECT anchor_id, cand_id, similarity, rank_in_key FROM rk
          |WHERE rank_in_key <= 5
          |ORDER BY anchor_id, rank_in_key""".stripMargin
+    },
+
+    "q_embed_drift" -> {
+      def cent(filt: String, out: String) =
+        s"""SELECT label, i AS dim,
+           |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE)
+           |    / COUNT(v) AS $out
+           |FROM (SELECT label, unnest(embedding) AS v,
+           |    generate_subscripts(embedding, 1) AS i
+           |  FROM embeddings WHERE $filt)
+           |GROUP BY 1, 2""".stripMargin
+      s"""WITH ca AS (${cent("vec_id % 2 = 0", "ma")}),
+         |cb AS (${cent("vec_id % 2 = 1", "mb")}),
+         |j AS (SELECT ca.label,
+         |    CAST((ca.ma - cb.mb) * (ca.ma - cb.mb) AS DECIMAL(38,18)) AS sq
+         |  FROM ca JOIN cb ON ca.label = cb.label AND ca.dim = cb.dim)
+         |SELECT label, COUNT(*) AS n_dims,
+         |  ${Sql.sround("sqrt(CAST(SUM(sq) AS DOUBLE))")} AS drift
+         |FROM j GROUP BY label ORDER BY label""".stripMargin
     },
 
     "q_normalize_group" ->

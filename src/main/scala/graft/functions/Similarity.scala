@@ -88,6 +88,36 @@ object Similarity {
         col("rank_in_key"))
   }
 
+  /** Per-group centroid drift between two embedding snapshots: the L2
+    * distance between each group's mean vectors — the embedding-space
+    * "did this source move" monitor (re-crawl shifted the content, the
+    * encoder changed, a poisoned slice appeared). Means are elementwise
+    * decimal-exact (posexplode → per-(group, dim) decimal sum / count —
+    * aggregation order can't drift them); squared diffs quantize to
+    * DECIMAL(38,18) before the cross-dim sum (the BM25/LM pattern), so
+    * the distance replays bit-for-bit. Cost: two explodes to
+    * |groups|·dims aggregates — no pairwise anything. */
+  def centroidDrift(a: DataFrame, b: DataFrame, groupCol: String,
+      vecCol: String, scale: Int = 4): DataFrame = {
+    def centroid(df: DataFrame, out: String) = df
+      .select(col(groupCol),
+        posexplode(col(vecCol)).as(Seq("_dim", "_v")))
+      .groupBy(col(groupCol), col("_dim"))
+      .agg((sum(col("_v").cast(DoubleType)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 10)))
+        .cast(DoubleType) / count(col("_v"))).as(out))
+    val d = col("_ma") - col("_mb")
+    centroid(a, "_ma").join(centroid(b, "_mb"), Seq(groupCol, "_dim"))
+      .select(col(groupCol),
+        (d * d).cast(org.apache.spark.sql.types.DecimalType(38, 18))
+          .as("_sq"))
+      .groupBy(col(groupCol))
+      .agg(graft.core.Semantics.safeRound(
+        sqrt(sum(col("_sq")).cast(DoubleType)), scale).as("drift"),
+        count(lit(1)).as("n_dims"))
+      .select(col(groupCol), col("n_dims"), col("drift"))
+  }
+
   /** Int8 vector quantization — the memory/IO lever for 100 TB similarity
     * search: a 64-dim float32 embedding (256 B) becomes 64 bytes + two
     * floats (~72 B), so scans move 4× less data. Adds

@@ -59,6 +59,18 @@ object ExtraQueries {
         .orderBy(col("event_id"))
     }),
 
+    "q_info_gain" -> ((s, dir) =>
+      graft.operators.Audit.infoGain(
+        t(s, dir, "documents"), "source", "lang")),
+
+    "q_fd_violations" -> ((s, dir) =>
+      graft.operators.Audit.fdViolations(
+        t(s, dir, "orders"), Seq("o_custkey"), "o_orderpriority")),
+
+    "q_group_mad" -> ((s, dir) =>
+      graft.operators.Audit.groupMad(
+        t(s, dir, "events"), "event_type", "value")),
+
     "q_sorted_neighborhood" -> ((s, dir) =>
       graft.operators.FuzzyMatch.sortedNeighborhoodJoin(
         t(s, dir, "part").select(col("p_partkey"), col("p_name")),
@@ -1390,6 +1402,45 @@ object ExtraQueries {
         |  FROM e)
         |SELECT event_id, rk AS rank_in_key FROM r WHERE rk <= 3
         |ORDER BY event_id""".stripMargin,
+
+    "q_info_gain" -> {
+      def term(p: String, c: String) =
+        s"FLOOR((CAST($p AS DOUBLE) / CAST($c AS DOUBLE) * " +
+          s"ln(CAST($p AS DOUBLE) / CAST($c AS DOUBLE))) * 1e12 + 0.5) / 1e12"
+      s"""WITH n AS (SELECT count(*) AS n FROM documents),
+         |hl AS (SELECT CAST(-SUM(CAST(t AS DECIMAL(38,15))) AS DOUBLE) AS hl
+         |  FROM (SELECT ${term("cl", "n.n")} AS t
+         |    FROM (SELECT lang, count(*) AS cl FROM documents GROUP BY 1),
+         |      n)),
+         |hc AS (SELECT CAST(-SUM(CAST(t AS DECIMAL(38,15))) AS DOUBLE) AS hc
+         |  FROM (SELECT ${term("cfl", "n.n")
+            .replace("ln(CAST(cfl AS DOUBLE) / CAST(n.n AS DOUBLE))",
+              "ln(CAST(cfl AS DOUBLE) / CAST(cf AS DOUBLE))")} AS t
+         |    FROM (SELECT source, lang, count(*) AS cfl
+         |        FROM documents GROUP BY 1, 2) x
+         |      JOIN (SELECT source, count(*) AS cf
+         |        FROM documents GROUP BY 1) y USING (source), n))
+         |SELECT 'source' AS feature, 'lang' AS label,
+         |  ${Sql.sround("hl")} AS h_label, ${Sql.sround("hc")} AS h_cond,
+         |  ${Sql.sround("hl - hc")} AS info_gain
+         |FROM hl CROSS JOIN hc""".stripMargin
+    },
+
+    "q_fd_violations" ->
+      """SELECT o_custkey, count(*) AS n_rows,
+        |  count(DISTINCT o_orderpriority) AS n_rhs
+        |FROM orders GROUP BY 1 HAVING count(DISTINCT o_orderpriority) > 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_group_mad" ->
+      s"""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+         |  FROM events GROUP BY 1),
+         |d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+         |  FROM events e JOIN m USING (event_type))
+         |SELECT event_type,
+         |  ${Sql.sround("ANY_VALUE(med)")} AS median,
+         |  ${Sql.sround("quantile_cont(dev, 0.5)")} AS mad
+         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_sorted_neighborhood" ->
       """WITH r AS (SELECT p_partkey AS id, p_name AS s,

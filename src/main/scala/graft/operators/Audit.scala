@@ -112,6 +112,73 @@ object Audit {
       .orderBy(col("bin"))
   }
 
+  /** Information gain of a categorical feature against a label:
+    * `H(label) − H(label | feature)` — the feature-selection score (does
+    * source predict language?). Entropy terms are each ONE double formula
+    * over exact integer counts, quantized (safeRound 12) and summed
+    * through DECIMAL(38,15) so the category-order of the sum can't drift
+    * the result. Three tiny aggregates; nothing wider than the
+    * feature × label contingency. */
+  def infoGain(df: DataFrame, featureCol: String, labelCol: String,
+      scale: Int = 4): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 15)
+    val n = df.agg(count(lit(1)).as("_n"))
+    val hLabel = df.groupBy(col(labelCol)).agg(count(lit(1)).as("_cl"))
+      .crossJoin(broadcast(n))
+      .select(Semantics.safeRound(
+        col("_cl").cast(DoubleType) / col("_n").cast(DoubleType) *
+          log(col("_cl").cast(DoubleType) / col("_n").cast(DoubleType)), 12)
+        .cast(dec).as("_t"))
+      .agg((-sum(col("_t"))).cast(DoubleType).as("_hl"))
+    val hCond = df.groupBy(col(featureCol), col(labelCol))
+      .agg(count(lit(1)).as("_cfl"))
+      .join(broadcast(df.groupBy(col(featureCol))
+        .agg(count(lit(1)).as("_cf"))), Seq(featureCol))
+      .crossJoin(broadcast(n))
+      .select(Semantics.safeRound(
+        col("_cfl").cast(DoubleType) / col("_n").cast(DoubleType) *
+          log(col("_cfl").cast(DoubleType) / col("_cf").cast(DoubleType)),
+        12).cast(dec).as("_t"))
+      .agg((-sum(col("_t"))).cast(DoubleType).as("_hc"))
+    hLabel.crossJoin(hCond)
+      .select(lit(featureCol).as("feature"), lit(labelCol).as("label"),
+        Semantics.safeRound(col("_hl"), scale).as("h_label"),
+        Semantics.safeRound(col("_hc"), scale).as("h_cond"),
+        Semantics.safeRound(col("_hl") - col("_hc"), scale).as("info_gain"))
+  }
+
+  /** Functional-dependency violation report: left-hand-side values that
+    * map to MORE than one right-hand-side value — the profiling primitive
+    * behind "order id should determine status" style rules. One aggregate
+    * on the LHS with an exact distinct count. */
+  def fdViolations(df: DataFrame, lhs: Seq[String],
+      rhs: String): DataFrame = {
+    require(lhs.nonEmpty, "need at least one LHS column")
+    df.groupBy(lhs.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(rhs)).as("n_rhs"))
+      .filter(col("n_rhs") > 1)
+      .orderBy(lhs.map(col(_).asc): _*)
+  }
+
+  /** Per-group median and MAD (median absolute deviation) — the robust
+    * location/scale report heavy-tailed metrics need (mean/stddev get
+    * dragged by one outlier). Two grouped EXACT percentile aggregates
+    * with a broadcast join between them; interpolated medians match
+    * `quantile_cont` in any engine. */
+  def groupMad(df: DataFrame, groupCol: String, valueCol: String,
+      scale: Int = 4): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
+    df.join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol), col("_med"),
+        abs(col(valueCol) - col("_med")).as("_dev"))
+      .groupBy(col(groupCol))
+      .agg(Semantics.safeRound(first(col("_med")), scale).as("median"),
+        Semantics.safeRound(expr("percentile(_dev, 0.5)"), scale).as("mad"))
+      .orderBy(col(groupCol))
+  }
+
   /** k-anonymity risk report: quasi-identifier combinations shared by
     * fewer than `k` rows — the groups whose members a release would
     * re-identify. One aggregate on the quasi-id tuple. */

@@ -130,6 +130,20 @@ object DocQueries {
         .select(col("event_id"), col("event_type"), col("z"))
         .orderBy(col("event_id"))),
 
+    "q_rrf" -> ((s, dir) => {
+      // hybrid ranking: quality-rank ∪ length-rank fused in rank space
+      import graft.functions.Ranking
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TF.qualityScore(col("text")).as("q"), col("n_chars"))
+      val a = Ranking.boundedRank(scored,
+        Seq(col("q").desc, col("doc_id").asc), 100)
+        .select(col("doc_id"), col("rank"))
+      val b = Ranking.boundedRank(scored,
+        Seq(col("n_chars").desc, col("doc_id").asc), 100)
+        .select(col("doc_id"), col("rank"))
+      Ranking.rrfFuse(Seq(a, b), "doc_id")
+    }),
+
     "q_embed_drift" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.functions.Similarity.centroidDrift(
@@ -1304,6 +1318,20 @@ object DocQueries {
          |WHERE rank_in_key <= 5
          |ORDER BY anchor_id, rank_in_key""".stripMargin
     },
+
+    "q_rrf" ->
+      s"""WITH s AS (SELECT doc_id, $qualityScoreSql AS q, n_chars
+         |  FROM documents),
+         |a AS (SELECT doc_id, r AS rank FROM (SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY q DESC, doc_id ASC) AS r FROM s)
+         |  WHERE r <= 100),
+         |b AS (SELECT doc_id, r AS rank FROM (SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS r
+         |  FROM s) WHERE r <= 100)
+         |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         |  ${Sql.sround("COALESCE(1.0 / (60 + a.rank), 0.0) + COALESCE(1.0 / (60 + b.rank), 0.0)", 6)} AS rrf
+         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+         |ORDER BY rrf DESC, doc_id ASC""".stripMargin,
 
     "q_embed_drift" -> {
       def cent(filt: String, out: String) =

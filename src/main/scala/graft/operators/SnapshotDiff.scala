@@ -103,3 +103,25 @@ object ContentDrift {
               .cast(DoubleType), scale).as("jaccard"))
   }
 }
+
+/** Schema drift between two ingest batches — the metadata face of
+  * [[SnapshotDiff]]: which columns appeared, vanished, or changed type.
+  * Pure driver-side schema comparison (schemas are bounded metadata); the
+  * report frame is for joining into run logs. */
+object SchemaDrift {
+  def diff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val o = oldDf.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val n = newDf.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows =
+      (n.keySet -- o.keySet).toSeq.sorted.map(c =>
+        (c, "added", null: String, n(c))) ++
+      (o.keySet -- n.keySet).toSeq.sorted.map(c =>
+        (c, "removed", o(c), null: String)) ++
+      (o.keySet & n.keySet).toSeq.sorted.collect {
+        case c if o(c) != n(c) => (c, "type_changed", o(c), n(c))
+      }
+    val spark = oldDf.sparkSession
+    import spark.implicits._
+    rows.toDF("column", "status", "old_type", "new_type")
+  }
+}

@@ -438,6 +438,19 @@ class OperatorSpec extends SparkSuite {
     assert(re == byId)
   }
 
+  test("SchemaDrift reports added, removed, and type-changed columns") {
+    val a = Seq((1L, "x", 1.0)).toDF("id", "name", "score")
+    val b = Seq((1L, 1, true)).toDF("id", "score", "flag")
+    val d = graft.operators.SchemaDrift.diff(a, b)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), Option(r.getString(2)), Option(r.getString(3)))))
+      .toMap
+    assert(d("flag") == (("added", None, Some("boolean"))))
+    assert(d("name") == (("removed", Some("string"), None)))
+    assert(d("score") == (("type_changed", Some("double"), Some("int"))))
+    assert(!d.contains("id"))
+  }
+
   test("seasonalSpikes: seasonal surge is quiet, off-season surge fires") {
     import java.sql.Timestamp
     // every day at 03:00 has 10 events (seasonal norm); day 5 at 12:00 has

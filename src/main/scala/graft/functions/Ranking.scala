@@ -18,9 +18,10 @@ object Ranking {
     * row_number windows over the ≤ topK survivors — bounded by
     * construction, never a corpus-wide window. */
   def boundedRank(df: DataFrame, order: Seq[Column], topK: Int): DataFrame =
+    // the global window is BOUNDED by construction: limit(topK) runs first
+    // (TakeOrderedAndProject), so at most topK rows ever reach it
     df.orderBy(order: _*).limit(topK)
-      .withColumn("rank",
-        row_number().over(Window.partitionBy(lit(0)).orderBy(order: _*)))
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
 
   /** Reciprocal-rank fusion: `Σ 1/(k + rankᵢ)` over the input rankings
     * (each a frame carrying `idCol` and `rank`). An id missing from a

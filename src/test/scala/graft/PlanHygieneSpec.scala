@@ -35,7 +35,10 @@ class PlanHygieneSpec extends SparkSuite {
     "q_corpus_card" -> "global sum over per-slice aggregate (bounded rows)",
     // labelIndex: rank over the category dictionary — one row per distinct
     // category, bounded by label cardinality, never corpus size
-    "q_label_index" -> "rank over category dictionary (bounded rows)"
+    "q_label_index" -> "rank over category dictionary (bounded rows)",
+    // boundedRank: row_number over the ≤ topK survivors of a preceding
+    // TakeOrdered limit — bounded by construction, not corpus size
+    "q_rrf" -> "rank over TakeOrdered top-K frame (bounded rows)"
   )
 
   private final class WarnBuffer

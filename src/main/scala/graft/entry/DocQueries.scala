@@ -130,6 +130,24 @@ object DocQueries {
         .select(col("event_id"), col("event_type"), col("z"))
         .orderBy(col("event_id"))),
 
+    "q_markov" -> ((s, dir) =>
+      graft.operators.TimeSeries.transitions(
+        t(s, dir, "events"), "user_id",
+        Seq(col("ts").asc, col("event_id").asc), "event_type")),
+
+    "q_bpe_roundtrip" -> ((s, dir) => {
+      // losslessness closure: concatenating the BPE tokens reproduces the
+      // normalized character stream exactly — the oracle derives the
+      // normalized text independently, so a single dropped or duplicated
+      // symbol anywhere in train/encode breaks the hash
+      val docs = t(s, dir, "documents")
+      val merges = graft.functions.Bpe.train(docs, "text", numMerges = 6)
+      docs.select(col("doc_id"),
+        array_join(graft.functions.Bpe.encode(col("text"), merges), "")
+          .as("t"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_rrf" -> ((s, dir) => {
       // hybrid ranking: quality-rank ∪ length-rank fused in rank space
       import graft.functions.Ranking
@@ -1318,6 +1336,24 @@ object DocQueries {
          |WHERE rank_in_key <= 5
          |ORDER BY anchor_id, rank_in_key""".stripMargin
     },
+
+    "q_markov" ->
+      s"""WITH l AS (SELECT user_id, event_type,
+         |    LAG(event_type, 1) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS from_state
+         |  FROM events),
+         |p AS (SELECT from_state, event_type AS to_state, count(*) AS n
+         |  FROM l WHERE from_state IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT from_state, SUM(n) AS tot FROM p GROUP BY 1)
+         |SELECT p.from_state, p.to_state, p.n,
+         |  ${Sql.sround("CAST(p.n AS DOUBLE) / CAST(t.tot AS DOUBLE)")} AS p
+         |FROM p JOIN t USING (from_state)
+         |ORDER BY p.from_state, p.to_state""".stripMargin,
+
+    "q_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_rrf" ->
       s"""WITH s AS (SELECT doc_id, $qualityScoreSql AS q, n_chars

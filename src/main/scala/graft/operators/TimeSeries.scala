@@ -15,6 +15,32 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** First-order Markov transition matrix over per-key ordered state
+    * sequences — the behavioral-flow report (which event follows which,
+    * per user, aggregated corpus-wide). One per-key lag window + one
+    * (from, to) aggregate; probabilities are exact counts over exact
+    * row-total counts, rounded. `order` must totally order each key's
+    * rows (add an id tie-break). */
+  def transitions(df: DataFrame, keyCol: String, order: Seq[Column],
+      stateCol: String, scale: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val pairs = df
+      .withColumn("_from", lag(col(stateCol), 1).over(w))
+      .filter(col("_from").isNotNull)
+      .groupBy(col("_from").as("from_state"),
+        col(stateCol).as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_state"))
+      .agg(sum(col("n")).as("_tot"))
+    pairs.join(broadcast(totals), Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n"),
+        graft.core.Semantics.safeRound(
+          col("n").cast(org.apache.spark.sql.types.DoubleType) /
+            col("_tot").cast(org.apache.spark.sql.types.DoubleType), scale)
+          .as("p"))
+      .orderBy(col("from_state"), col("to_state"))
+  }
+
   /** @param weights newest-first (weights(0) multiplies the current row). */
   def weightedMovingSum(df: DataFrame, keyCol: String, bucketCol: String,
       valueCol: String, weights: Seq[Long]): DataFrame = {

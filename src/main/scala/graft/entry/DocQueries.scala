@@ -939,7 +939,7 @@ object DocQueries {
       val base = "/tmp/graft_compact/" + Sql.sfTag(dir)
       t(s, dir, "documents").repartition(64)
         .write.mode("overwrite").parquet(base)
-      graft.io.Compact.rewrite(s, base, targetRowsPerFile = 1000L)
+      graft.io.Compact.rewrite(s, base, targetBytesPerFile = 256L * 1024)
       graft.io.Sources.parquet(s, base).orderBy(col("doc_id"))
     }),
 

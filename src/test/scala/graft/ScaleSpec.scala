@@ -54,10 +54,13 @@ class ScaleSpec extends SparkSuite {
     val dir = "/tmp/graft_compact_spec"
     val src = (1 to 5000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
     src.repartition(40).write.mode("overwrite").parquet(dir)
-    val (rows, before, after) =
-      graft.io.Compact.rewrite(spark, dir, targetRowsPerFile = 1000L)
-    assert(rows == 5000L && before == 40 && after == 5,
-      s"(rows=$rows before=$before after=$after)")
+    // target a quarter of the fragmented total: expect ~4-5 output files
+    val fragBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val (bytes, before, after) =
+      graft.io.Compact.rewrite(spark, dir, targetBytesPerFile = fragBytes / 4)
+    assert(bytes == fragBytes && before == 40, s"(bytes=$bytes before=$before)")
+    assert(after >= 4 && after <= 5, s"after=$after")
     // data survives the swap
     val back = spark.read.parquet(dir)
     assert(back.count() == 5000L)

@@ -135,6 +135,15 @@ object DocQueries {
         t(s, dir, "events"), "user_id",
         Seq(col("ts").asc, col("event_id").asc), "event_type")),
 
+    "q_group_trend" -> ((s, dir) =>
+      graft.operators.TimeSeries.groupTrend(
+        t(s, dir, "events"), "event_type", "ts", "value")),
+
+    "q_key_discovery" -> ((s, dir) =>
+      graft.operators.Audit.keyCandidates(t(s, dir, "orders"),
+        Seq(Seq("o_orderkey"), Seq("o_custkey"),
+          Seq("o_custkey", "o_orderdate")))),
+
     "q_bpe_roundtrip" -> ((s, dir) => {
       // losslessness closure: concatenating the BPE tokens reproduces the
       // normalized character stream exactly — the oracle derives the
@@ -1349,6 +1358,40 @@ object DocQueries {
          |  ${Sql.sround("CAST(p.n AS DOUBLE) / CAST(t.tot AS DOUBLE)")} AS p
          |FROM p JOIN t USING (from_state)
          |ORDER BY p.from_state, p.to_state""".stripMargin,
+
+    "q_group_trend" ->
+      s"""WITH r AS (SELECT event_type, CAST(epoch(ts) AS BIGINT) AS xt,
+         |    value AS y FROM events WHERE value IS NOT NULL),
+         |m0 AS (SELECT event_type, MIN(xt) AS t0 FROM r GROUP BY 1),
+         |x AS (SELECT r.event_type, r.xt - m0.t0 AS x, r.y
+         |  FROM r JOIN m0 USING (event_type)),
+         |mo AS (SELECT event_type,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(x) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+         |  FROM x GROUP BY 1)
+         |SELECT event_type, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+         |       ELSE ${Sql.sround("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)}
+         |  END AS slope_per_sec,
+         |  ${Sql.sround("sy / n")} AS mean
+         |FROM mo ORDER BY event_type""".stripMargin,
+
+    "q_key_discovery" -> {
+      def cand(label: String, distinctExpr: String) =
+        s"""SELECT '$label' AS candidate, COUNT(*) AS n_rows,
+           |  $distinctExpr AS n_distinct,
+           |  COUNT(*) = $distinctExpr AS is_key FROM orders""".stripMargin
+      s"""${cand("o_custkey", "COUNT(DISTINCT o_custkey)")}
+         |UNION ALL
+         |${cand("o_custkey,o_orderdate",
+           "COUNT(DISTINCT (o_custkey, o_orderdate))")}
+         |UNION ALL
+         |${cand("o_orderkey", "COUNT(DISTINCT o_orderkey)")}
+         |ORDER BY candidate""".stripMargin
+    },
 
     "q_bpe_roundtrip" ->
       """SELECT doc_id,

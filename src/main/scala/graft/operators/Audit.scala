@@ -179,6 +179,22 @@ object Audit {
       .orderBy(col(groupCol))
   }
 
+  /** Candidate-key discovery: for each proposed column set, is it unique?
+    * Exact distinct counts per candidate (one aggregate each — candidates
+    * are a bounded hand-list, not a search) with the duplicate count —
+    * the schema-profiling step before declaring a merge/join key. */
+  def keyCandidates(df: DataFrame,
+      candidates: Seq[Seq[String]]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate key")
+    candidates.map { cols =>
+      df.agg(count(lit(1)).as("n_rows"),
+        countDistinct(cols.head, cols.tail: _*).as("n_distinct"))
+        .select(lit(cols.mkString(",")).as("candidate"),
+          col("n_rows"), col("n_distinct"),
+          (col("n_rows") === col("n_distinct")).as("is_key"))
+    }.reduce(_ unionByName _).orderBy(col("candidate"))
+  }
+
   /** k-anonymity risk report: quasi-identifier combinations shared by
     * fewer than `k` rows — the groups whose members a release would
     * re-identify. One aggregate on the quasi-id tuple. */

@@ -15,6 +15,43 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Per-group OLS trend (slope per second + mean level): the "is this
+    * metric drifting up" report, one grouped aggregate of exact moments.
+    * x is recentered to seconds-from-group-min FIRST (keeps x² sums in
+    * long range and conditions the arithmetic), y-moments accumulate as
+    * DECIMAL(38,10) ([[graft.operators.Correlation]] pattern), and the
+    * slope assembles in double from the exact sums — engine-replayable
+    * after rounding. Degenerate groups (single point / zero x-variance)
+    * yield null slope. */
+  def groupTrend(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val rows = df.filter(col(valueCol).isNotNull)
+    val mins = rows.groupBy(col(groupCol))
+      .agg(min(unix_timestamp(col(tsCol))).as("_t0"))
+    val m = rows.join(broadcast(mins), Seq(groupCol))
+      .select(col(groupCol),
+        (unix_timestamp(col(tsCol)) - col("_t0")).as("_x"),
+        col(valueCol).as("_y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast(DoubleType).as("_n"),
+        sum(col("_x")).cast(DoubleType).as("_sx"),
+        // per-row x² fits a long; the SUM may not — decimal accumulation
+        sum((col("_x") * col("_x")).cast(DecimalType(38, 0)))
+          .cast(DoubleType).as("_sxx"),
+        sum(col("_y").cast(DecimalType(38, 10))).cast(DoubleType).as("_sy"),
+        sum((col("_x") * col("_y")).cast(DecimalType(38, 10)))
+          .cast(DoubleType).as("_sxy"))
+    val den = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val slope = (col("_n") * col("_sxy") - col("_sx") * col("_sy")) / den
+    m.select(col(groupCol), col("_n").cast("long").as("n"),
+      when(den === 0, lit(null).cast(DoubleType))
+        .otherwise(graft.core.Semantics.safeRound(slope, scale))
+        .as("slope_per_sec"),
+      graft.core.Semantics.safeRound(col("_sy") / col("_n"), 4).as("mean"))
+      .orderBy(col(groupCol))
+  }
+
   /** First-order Markov transition matrix over per-key ordered state
     * sequences — the behavioral-flow report (which event follows which,
     * per user, aggregated corpus-wide). One per-key lag window + one

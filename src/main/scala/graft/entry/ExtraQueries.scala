@@ -392,6 +392,27 @@ object ExtraQueries {
           col("n_events"), col("total_value"))
         .orderBy(col("user_id"), col("session_start"))),
 
+    "q_asof_nearest" -> ((s, dir) => {
+      // whichever neighboring order-day aggregate is CLOSER in time —
+      // strictly excluding the row's own day so the choice is non-trivial
+      val orders = t(s, dir, "orders")
+      val daily = orders
+        .groupBy(col("o_custkey"), col("o_orderdate").as("near_date"))
+        .agg(count(lit(1)).as("near_n"))
+      AsofJoin.nearest(
+        left = orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate")),
+        right = daily, keys = Seq("o_custkey"),
+        leftTs = "o_orderdate", rightTs = "near_date", strict = true)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+            .as("order_date"),
+          date_format(col("near_date"), "yyyy-MM-dd HH:mm:ss")
+            .as("near_date"),
+          col("near_n"), col("asof_dir"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       // as-of join: every order gets its customer's most recent STRICTLY
       // earlier order-day aggregate (union + keyed window — one shuffle,
@@ -2033,6 +2054,37 @@ object ExtraQueries {
          |  COUNT(*) AS n_events, ${esum("value")} AS total_value
          |FROM s GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_asof_nearest" ->
+      """WITH daily AS (
+        |  SELECT o_custkey, o_orderdate AS nd, COUNT(*) AS nn
+        |  FROM orders GROUP BY 1, 2),
+        |b AS (SELECT l.o_orderkey, d.nd AS b_date, d.nn AS b_n
+        |  FROM orders l ASOF LEFT JOIN daily d
+        |    ON l.o_custkey = d.o_custkey AND l.o_orderdate > d.nd),
+        |f AS (SELECT l.o_orderkey, d.nd AS f_date, d.nn AS f_n
+        |  FROM orders l ASOF LEFT JOIN daily d
+        |    ON l.o_custkey = d.o_custkey AND l.o_orderdate < d.nd),
+        |j AS (SELECT l.o_orderkey, l.o_orderdate, b.b_date, b.b_n,
+        |    f.f_date, f.f_n,
+        |    CASE WHEN b.b_date IS NULL AND f.f_date IS NULL THEN NULL
+        |         WHEN f.f_date IS NULL THEN 'b'
+        |         WHEN b.b_date IS NULL THEN 'f'
+        |         WHEN epoch(l.o_orderdate) - epoch(b.b_date)
+        |            <= epoch(f.f_date) - epoch(l.o_orderdate) THEN 'b'
+        |         ELSE 'f' END AS asof_dir
+        |  FROM orders l
+        |  LEFT JOIN b ON l.o_orderkey = b.o_orderkey
+        |  LEFT JOIN f ON l.o_orderkey = f.o_orderkey)
+        |SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
+        |  strftime(CASE WHEN asof_dir = 'b' THEN b_date
+        |    WHEN asof_dir = 'f' THEN f_date END,
+        |    '%Y-%m-%d %H:%M:%S') AS near_date,
+        |  CASE WHEN asof_dir = 'b' THEN b_n
+        |    WHEN asof_dir = 'f' THEN f_n END AS near_n,
+        |  asof_dir
+        |FROM j ORDER BY o_orderkey""".stripMargin,
 
     "q_asof_join" ->
       s"""WITH daily AS (

@@ -100,4 +100,41 @@ object AsofJoin {
       leftCols.map(c => col(s"_asof_l.$c").as(c)) ++
         rightPayload.map(c => col(s"_asof_m.$c").as(c)): _*)
   }
+
+  /** Nearest as-of: for each left row, whichever of the backward and
+    * forward matches is closer in time (ties go backward) — sensor/event
+    * alignment when "most recent" is the wrong default. Composes the two
+    * directional joins (each the linear union+window construction; the
+    * left frame rides through both), so cost is two keyed window passes,
+    * still no range cross product. Output = left columns + the chosen
+    * right payload under its original names + `asof_dir`
+    * ('b'/'f'/null). */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      strict: Boolean = false): DataFrame = {
+    val rightPayload = right.columns.toSeq.filterNot(keys.contains)
+    def prefixed(p: String) = right.select(
+      keys.map(col) ++ rightPayload.map(c => col(c).as(s"$p$c")): _*)
+    val bwd = backward(left, prefixed("_b_"), keys, leftTs,
+      s"_b_$rightTs", strict)
+    val both = forward(bwd, prefixed("_f_"), keys, leftTs,
+      s"_f_$rightTs", strict)
+    val bTs = col(s"_b_$rightTs"); val fTs = col(s"_f_$rightTs")
+    val lTs = col(leftTs)
+    // subtraction works for timestamps (DayTimeInterval) and numerics
+    // alike, and intervals compare — no epoch cast needed
+    val db = lTs - bTs
+    val df = fTs - lTs
+    val dir = when(bTs.isNull && fTs.isNull, lit(null).cast("string"))
+      .when(fTs.isNull, "b").when(bTs.isNull, "f")
+      .when(db <= df, "b").otherwise("f")
+    val withDir = both.withColumn("asof_dir", dir)
+    withDir.select(
+      left.columns.toSeq.map(col) ++
+        rightPayload.map(c =>
+          when(col("asof_dir") === "b", col(s"_b_$c"))
+            .when(col("asof_dir") === "f", col(s"_f_$c"))
+            .as(c)) :+
+        col("asof_dir"): _*)
+  }
 }

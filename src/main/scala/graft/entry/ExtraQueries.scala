@@ -392,6 +392,37 @@ object ExtraQueries {
           col("n_events"), col("total_value"))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // composition: session windows become BASKETS and the co-occurrence
+    // rules run per session, not per user — "what happens together in one
+    // sitting" (the user-level twin is q_assoc_rules)
+    "q_session_baskets" -> ((s, dir) => {
+      // sessionize per USER ONLY (an extra grouping key would split the
+      // gap-merge), then explode the bounded per-session item set
+      val inc = t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(collect_set(col("event_type")).as("_items"))
+        .select(concat(col("user_id"), lit("#"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss")).as("basket"),
+          explode(col("_items")).as("item"))
+      graft.operators.MarketBasket.pairRules(inc, "basket", "item")
+    }),
+
+    "q_share_parent" -> ((s, dir) => {
+      // percent-of-parent in a two-level hierarchy: cell counts + a tiny
+      // parent aggregate joined back (never a corpus window)
+      val cell = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+      val parent = cell.groupBy(col("l_returnflag"))
+        .agg(sum(col("n")).as("_pn"))
+      cell.join(broadcast(parent), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          Semantics.safeRound(col("n").cast(DoubleType) /
+            col("_pn").cast(DoubleType), 6).as("share_of_flag"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     "q_asof_nearest" -> ((s, dir) => {
       // whichever neighboring order-day aggregate is CLOSER in time —
       // strictly excluding the row's own day so the choice is non-trivial
@@ -2054,6 +2085,41 @@ object ExtraQueries {
          |  COUNT(*) AS n_events, ${esum("value")} AS total_value
          |FROM s GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_session_baskets" ->
+      s"""WITH o AS (
+         |  SELECT user_id, ts, event_type,
+         |    CASE WHEN (epoch_ns(ts) // 1000) - LAG(epoch_ns(ts) // 1000)
+         |         OVER (PARTITION BY user_id ORDER BY ts) < 1800000000
+         |         THEN 0 ELSE 1 END AS new_s
+         |  FROM events),
+         |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |        ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+         |it AS (SELECT DISTINCT user_id || '#' || CAST(sid AS VARCHAR) AS b,
+         |    event_type AS i FROM s),
+         |ic AS (SELECT i, count(*) AS ci FROM it GROUP BY 1),
+         |nb AS (SELECT count(DISTINCT b) AS nb FROM it),
+         |p AS (SELECT a.i AS ia, c.i AS ib, count(*) AS n_pair
+         |  FROM it a JOIN it c ON a.b = c.b AND a.i < c.i GROUP BY 1, 2)
+         |SELECT p.ia AS item_a, p.ib AS item_b, p.n_pair,
+         |  ${Sql.sround("CAST(n_pair AS DOUBLE) / CAST(nb AS DOUBLE)")}
+         |    AS support,
+         |  ${Sql.sround("CAST(n_pair AS DOUBLE) / CAST(ca.ci AS DOUBLE)")}
+         |    AS confidence,
+         |  ${Sql.sround("CAST(n_pair * nb AS DOUBLE) / CAST(ca.ci * cb.ci AS DOUBLE)")}
+         |    AS lift
+         |FROM p JOIN ic ca ON p.ia = ca.i JOIN ic cb ON p.ib = cb.i
+         |CROSS JOIN nb ORDER BY item_a, item_b""".stripMargin,
+
+    "q_share_parent" ->
+      s"""WITH cell AS (SELECT l_returnflag, l_linestatus, count(*) AS n
+         |  FROM lineitem GROUP BY 1, 2),
+         |pt AS (SELECT l_returnflag, SUM(n) AS pn FROM cell GROUP BY 1)
+         |SELECT cell.l_returnflag, cell.l_linestatus, cell.n,
+         |  ${Sql.sround("CAST(cell.n AS DOUBLE) / CAST(pt.pn AS DOUBLE)", 6)}
+         |    AS share_of_flag
+         |FROM cell JOIN pt USING (l_returnflag)
+         |ORDER BY cell.l_returnflag, cell.l_linestatus""".stripMargin,
 
     "q_asof_nearest" ->
       """WITH daily AS (

@@ -84,6 +84,23 @@ object DocQueries {
     "q_skew_report" -> ((s, dir) =>
       graft.core.Skew.report(t(s, dir, "events"), "event_type", topK = 10)),
 
+    "q_readability" -> ((s, dir) =>
+      TF.readabilityTable(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "q_negative_edges" -> ((s, dir) => {
+      // negatives for the same citation graph q_pagerank ranks
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val cnt = docs.agg(count(lit(1)).as("_n"))
+      val link = (a: Long, b: Long) => docs.crossJoin(broadcast(cnt))
+        .select(col("doc_id").as("src"),
+          pmod(col("doc_id") * a + b, col("_n")).as("dst"))
+      PageRank.negativeEdges(link(7L, 1L).union(link(13L, 5L)),
+        "src", "dst", k = 2, nNodes = n)
+        .orderBy(col("src"), col("dst"))
+    }),
+
     "q_pagerank" -> ((s, dir) => {
       // deterministic citation graph over the (contiguous) doc-id space:
       // each doc links to (7·id+1) mod N and (13·id+5) mod N; ranks in
@@ -1229,6 +1246,36 @@ object DocQueries {
          |JOIN uni ub ON t.wb = ub.w
          |CROSS JOIN nw CROSS JOIN np
          |ORDER BY t.cab DESC, t.wa ASC, t.wb ASC""".stripMargin,
+
+    "q_readability" ->
+      s"""SELECT doc_id, ${Sql.tokenCountSql()} AS n_words,
+         |  GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+         |  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables,
+         |  CASE WHEN ${Sql.tokenCountSql()} = 0 THEN NULL
+         |    ELSE ${Sql.sround(
+            s"206.835 - 1.015 * (CAST(${Sql.tokenCountSql()} AS DOUBLE) / " +
+            s"CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE)) - " +
+            s"84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) / " +
+            s"CAST(${Sql.tokenCountSql()} AS DOUBLE))")}
+         |  END AS flesch
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_negative_edges" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e AS (SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+        |        FROM documents, nn
+        |      UNION ALL
+        |      SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn),
+        |c AS (SELECT DISTINCT s.doc_id AS src,
+        |    CAST(('0x' || substr(md5('neg#' || CAST(s.doc_id AS VARCHAR)
+        |      || '_' || CAST(i.i AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % nn.n AS dst
+        |  FROM documents s, (SELECT unnest([0, 1]) AS i) i, nn)
+        |SELECT c.src, c.dst FROM c
+        |WHERE c.src <> c.dst
+        |  AND NOT EXISTS (SELECT 1 FROM e
+        |    WHERE e.src = c.src AND e.dst = c.dst)
+        |ORDER BY c.src, c.dst""".stripMargin,
 
     "q_pagerank" -> {
       def iter(prev: String, cur: String) =

@@ -694,6 +694,29 @@ object TextFunctions {
     WindowHashes.window_hashes(words, k)
   }
 
+  /** Flesch-style readability signals: words, sentence runs ([.!?]+,
+    * floored at 1 — streaming text often drops terminal punctuation),
+    * vowel-group syllable proxy, and the classic
+    * `206.835 − 1.015·(w/s) − 84.6·(syl/w)` score. Pure per-row regex
+    * counts (integers) plus one double formula — zero shuffle,
+    * engine-replayable. Empty documents yield null. */
+  def readabilityTable(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val words = tokenCount(col(textCol))
+    val sents = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))), lit(1))
+    val syl = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0)))
+    val score = lit(206.835) -
+      lit(1.015) * (words.cast(DoubleType) / sents.cast(DoubleType)) -
+      lit(84.6) * (syl.cast(DoubleType) / words.cast(DoubleType))
+    df.select(col(idCol), words.as("n_words"), sents.as("n_sents"),
+      syl.as("n_syllables"),
+      when(words === 0, lit(null).cast(DoubleType))
+        .otherwise(graft.core.Semantics.safeRound(score, 4))
+        .as("flesch"))
+  }
+
   /** Multi-phrase exact search: which documents contain which phrases,
     * token-aligned, for an ARBITRARILY LARGE phrase set in one pass per
     * distinct phrase length — the scalable alternative to per-row

@@ -62,4 +62,25 @@ object PageRank {
     }
     ranks
   }
+
+  /** Deterministic negative sampling for link prediction: `k` candidate
+    * non-neighbors per source from the md5 identity hash (engine- and
+    * rerun-stable, so train/eval negatives never silently reshuffle),
+    * with real edges and self-loops removed by one left-anti join.
+    * Node ids are assumed dense in [0, nNodes) — remap first if not. */
+  def negativeEdges(edges: org.apache.spark.sql.DataFrame, srcCol: String,
+      dstCol: String, k: Int, nNodes: Long,
+      seed: String = "neg"): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && nNodes > 1, s"need k >= 1, nNodes > 1: $k, $nNodes")
+    val cand = edges.select(col(srcCol)).distinct()
+      .withColumn("_i", explode(array((0 until k).map(lit(_)): _*)))
+      .select(col(srcCol),
+        (conv(substring(md5(concat(lit(s"$seed#"),
+          col(srcCol).cast(org.apache.spark.sql.types.StringType),
+          lit("_"), col("_i"))), 1, 8), 16, 10)
+          .cast(LongType) % nNodes).as(dstCol))
+      .filter(col(srcCol) =!= col(dstCol))
+    cand.join(edges.select(col(srcCol), col(dstCol)),
+      Seq(srcCol, dstCol), "left_anti").distinct()
+  }
 }

@@ -88,6 +88,33 @@ object DocQueries {
       TF.readabilityTable(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "q_graph_degrees" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val cnt = docs.agg(count(lit(1)).as("_n"))
+      val link = (a: Long, b: Long) => docs.crossJoin(broadcast(cnt))
+        .select(col("doc_id").as("src"),
+          pmod(col("doc_id") * a + b, col("_n")).as("dst"))
+      PageRank.degreeStats(link(7L, 1L).union(link(13L, 5L)), "src", "dst")
+        .orderBy(col("id"))
+    }),
+
+    "q_reciprocity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val cnt = docs.agg(count(lit(1)).as("_n"))
+      val link = (a: Long, b: Long) => docs.crossJoin(broadcast(cnt))
+        .select(col("doc_id").as("src"),
+          pmod(col("doc_id") * a + b, col("_n")).as("dst"))
+      val e = link(7L, 1L).union(link(13L, 5L))
+      // reverse a third of the edges so reciprocity is non-trivial
+      val e2 = e.union(e.filter(col("src") % 3 === 0)
+        .select(col("dst").as("src"), col("src").as("dst")))
+      PageRank.reciprocity(e2, "src", "dst")
+    }),
+
+    "q_moments" -> ((s, dir) =>
+      graft.operators.Audit.momentsByGroup(
+        t(s, dir, "events"), "event_type", "value")),
+
     "q_negative_edges" -> ((s, dir) => {
       // negatives for the same citation graph q_pagerank ranks
       val docs = t(s, dir, "documents").select(col("doc_id"))
@@ -1259,6 +1286,64 @@ object DocQueries {
             s"CAST(${Sql.tokenCountSql()} AS DOUBLE))")}
          |  END AS flesch
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_graph_degrees" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e AS (SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+        |        FROM documents, nn
+        |      UNION ALL
+        |      SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn),
+        |o AS (SELECT src AS id, count(*) AS od FROM e GROUP BY 1),
+        |i AS (SELECT dst AS id, count(*) AS idg FROM e GROUP BY 1)
+        |SELECT COALESCE(o.id, i.id) AS id, COALESCE(od, 0) AS out_deg,
+        |  COALESCE(idg, 0) AS in_deg
+        |FROM o FULL OUTER JOIN i ON o.id = i.id ORDER BY id""".stripMargin,
+
+    "q_reciprocity" -> {
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |e AS (SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+         |        FROM documents, nn
+         |      UNION ALL
+         |      SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn),
+         |e2 AS (SELECT src, dst FROM e
+         |       UNION ALL SELECT dst, src FROM e WHERE src % 3 = 0),
+         |ed AS (SELECT DISTINCT src, dst FROM e2),
+         |r AS (SELECT count(*) AS n_edges FROM ed),
+         |rc AS (SELECT count(*) AS n_reciprocal FROM ed a
+         |  WHERE EXISTS (SELECT 1 FROM ed b
+         |    WHERE b.src = a.dst AND b.dst = a.src))
+         |SELECT n_edges, n_reciprocal,
+         |  ${Sql.sround("CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE)")}
+         |    AS reciprocity
+         |FROM r CROSS JOIN rc""".stripMargin
+    },
+
+    "q_moments" -> {
+      val mu = "(m1 / n)"
+      val varP = s"(m2 / n - $mu * $mu)"
+      val sig = s"sqrt($varP)"
+      val skew = s"(m3 / n - 3.0 * $mu * m2 / n + " +
+        s"2.0 * $mu * $mu * $mu) / ($sig * $sig * $sig)"
+      val kurt = s"(m4 / n - 4.0 * $mu * m3 / n + " +
+        s"6.0 * $mu * $mu * m2 / n - 3.0 * $mu * $mu * $mu * $mu) / " +
+        s"($varP * $varP) - 3.0"
+      s"""WITH m AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS m1,
+         |    CAST(SUM(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE)
+         |      AS m2,
+         |    CAST(SUM(CAST(value * value * value AS DECIMAL(38,10)))
+         |      AS DOUBLE) AS m3,
+         |    CAST(SUM(CAST(value * value * value * value
+         |      AS DECIMAL(38,10))) AS DOUBLE) AS m4
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+         |SELECT event_type, CAST(n AS BIGINT) AS n,
+         |  ${Sql.sround(mu)} AS mean, ${Sql.sround(sig)} AS sigma,
+         |  CASE WHEN $sig = 0 THEN NULL ELSE ${Sql.sround(skew)} END
+         |    AS skewness,
+         |  CASE WHEN $sig = 0 THEN NULL ELSE ${Sql.sround(kurt)} END
+         |    AS kurtosis
+         |FROM m ORDER BY event_type""".stripMargin
+    },
 
     "q_negative_edges" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),

@@ -179,6 +179,41 @@ object Audit {
       .orderBy(col(groupCol))
   }
 
+  /** Per-group higher-moment profile: population mean/σ plus skewness and
+    * excess kurtosis assembled from DECIMAL-exact raw moments (products
+    * formed in double — IEEE-identical — then quantized, the
+    * [[Correlation]] pattern). The shape report that tells you a metric
+    * is heavy-tailed BEFORE a z-score detector misfires on it. Degenerate
+    * groups (σ = 0) yield null shape stats. */
+  def momentsByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      scale: Int = 4): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    val v = col(valueCol)
+    def dsum(c: org.apache.spark.sql.Column, name: String) =
+      sum(c.cast(dec)).cast(DoubleType).as(name)
+    val m = df.filter(v.isNotNull).groupBy(col(groupCol))
+      .agg(count(lit(1)).cast(DoubleType).as("_n"),
+        dsum(v, "_m1"), dsum(v * v, "_m2"),
+        dsum(v * v * v, "_m3"), dsum(v * v * v * v, "_m4"))
+    val n = col("_n")
+    val mu = col("_m1") / n
+    val varP = col("_m2") / n - mu * mu
+    val sig = sqrt(varP)
+    val skew = (col("_m3") / n - lit(3.0) * mu * col("_m2") / n +
+      lit(2.0) * mu * mu * mu) / (sig * sig * sig)
+    val kurt = (col("_m4") / n - lit(4.0) * mu * col("_m3") / n +
+      lit(6.0) * mu * mu * col("_m2") / n -
+      lit(3.0) * mu * mu * mu * mu) / (varP * varP) - lit(3.0)
+    m.select(col(groupCol), n.cast("long").as("n"),
+      Semantics.safeRound(mu, scale).as("mean"),
+      Semantics.safeRound(sig, scale).as("sigma"),
+      when(sig === 0, lit(null).cast(DoubleType))
+        .otherwise(Semantics.safeRound(skew, scale)).as("skewness"),
+      when(sig === 0, lit(null).cast(DoubleType))
+        .otherwise(Semantics.safeRound(kurt, scale)).as("kurtosis"))
+      .orderBy(col(groupCol))
+  }
+
   /** Candidate-key discovery: for each proposed column set, is it unique?
     * Exact distinct counts per candidate (one aggregate each — candidates
     * are a bounded hand-list, not a search) with the duplicate count —

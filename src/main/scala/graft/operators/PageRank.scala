@@ -63,6 +63,39 @@ object PageRank {
     ranks
   }
 
+  /** Per-node degree report: out- and in-degree from two key aggregates
+    * full-outer-joined — the first thing to read before ranking or
+    * sampling a graph (hubs, sinks, isolates-by-direction). */
+  def degreeStats(edges: org.apache.spark.sql.DataFrame, srcCol: String,
+      dstCol: String): org.apache.spark.sql.DataFrame = {
+    val out = edges.groupBy(col(srcCol).as("id"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col(dstCol).as("id"))
+      .agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** Reciprocity: the fraction of DISTINCT directed edges whose reverse
+    * also exists — one self-join on the swapped key, no materialized
+    * reverse graph. */
+  def reciprocity(edges: org.apache.spark.sql.DataFrame, srcCol: String,
+      dstCol: String, scale: Int = 4): org.apache.spark.sql.DataFrame = {
+    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+      .distinct()
+    val recip = e.join(e.select(col("_d").as("_s"), col("_s").as("_d")),
+      Seq("_s", "_d"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_reciprocal")))
+      .select(col("n_edges"), col("n_reciprocal"),
+        graft.core.Semantics.safeRound(
+          col("n_reciprocal").cast(org.apache.spark.sql.types.DoubleType) /
+            col("n_edges").cast(org.apache.spark.sql.types.DoubleType),
+          scale).as("reciprocity"))
+  }
+
   /** Deterministic negative sampling for link prediction: `k` candidate
     * non-neighbors per source from the md5 identity hash (engine- and
     * rerun-stable, so train/eval negatives never silently reshuffle),

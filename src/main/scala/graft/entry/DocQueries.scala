@@ -1492,7 +1492,7 @@ object DocQueries {
          |ORDER BY p.from_state, p.to_state""".stripMargin,
 
     "q_group_trend" ->
-      s"""WITH r AS (SELECT event_type, CAST(epoch(ts) AS BIGINT) AS xt,
+      s"""WITH r AS (SELECT event_type, epoch_ns(ts) // 1000000000 AS xt,
          |    value AS y FROM events WHERE value IS NOT NULL),
          |m0 AS (SELECT event_type, MIN(xt) AS t0 FROM r GROUP BY 1),
          |x AS (SELECT r.event_type, r.xt - m0.t0 AS x, r.y

@@ -395,6 +395,36 @@ object ExtraQueries {
     // composition: session windows become BASKETS and the co-occurrence
     // rules run per session, not per user — "what happens together in one
     // sitting" (the user-level twin is q_assoc_rules)
+    // inter-event dwell times, log2-bucketed by an INTEGER comparison
+    // chain (floating log2 flips at exact powers of two across engines)
+    "q_dwell_times" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id"))
+      val gaps = t(s, dir, "events")
+        .withColumn("_gap",
+          unix_timestamp(col("ts")) - lag(unix_timestamp(col("ts")), 1)
+            .over(w))
+        .filter(col("_gap").isNotNull && col("_gap") >= 0)
+      val bucket = (0 until 24).map(k =>
+        when(col("_gap") >= math.pow(2, k).toLong, 1L).otherwise(0L))
+        .reduce(_ + _)
+      gaps.select(bucket.as("log2_bucket"))
+        .groupBy(col("log2_bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("log2_bucket"))
+    }),
+
+    "q_percent_rank" -> ((s, dir) => {
+      // per-group percent rank of each value — score normalization that
+      // survives any distribution; one partitioned window
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          Semantics.safeRound(percent_rank().over(w), 6).as("pr"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_session_baskets" -> ((s, dir) => {
       // sessionize per USER ONLY (an extra grouping key would split the
       // gap-merge), then explode the bounded per-session item set
@@ -2085,6 +2115,27 @@ object ExtraQueries {
          |  COUNT(*) AS n_events, ${esum("value")} AS total_value
          |FROM s GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_dwell_times" -> {
+      val bucket = (0 until 24).map(k =>
+        s"CASE WHEN gap >= ${math.pow(2, k).toLong} THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH g AS (SELECT
+         |    (epoch_ns(ts) // 1000000000)
+         |      - LAG(epoch_ns(ts) // 1000000000)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+         |  FROM events)
+         |SELECT ($bucket) AS log2_bucket, count(*) AS n
+         |FROM g WHERE gap IS NOT NULL AND gap >= 0
+         |GROUP BY 1 ORDER BY log2_bucket""".stripMargin
+    },
+
+    "q_percent_rank" ->
+      s"""SELECT event_id, event_type,
+         |  ${Sql.sround("PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC)", 6)}
+         |    AS pr
+         |FROM events WHERE value IS NOT NULL
+         |ORDER BY event_id""".stripMargin,
 
     "q_session_baskets" ->
       s"""WITH o AS (

@@ -66,6 +66,23 @@ object DocQueries {
         topK = 10, minCount = 5L)
         .orderBy(col("lang"), col("rank_in_key"))),
 
+    "q_slice_diversity" -> ((s, dir) =>
+      CorpusStats.sliceDiversity(t(s, dir, "documents"), "source", "lang")),
+
+    "q_type_correlation" -> ((s, dir) => {
+      // metric co-movement: hourly count series per event type, pairwise
+      // Pearson via the one-pass decimal-exact Correlation operator
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val hourly = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("b"))
+        .agg(sum(when(col("event_type") === types.head, 1L).otherwise(0L))
+          .as(types.head),
+          types.tail.map(tp =>
+            sum(when(col("event_type") === tp, 1L).otherwise(0L)).as(tp)): _*)
+      Correlation.matrix(hourly, types)
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
     "q_scd2_lookup" -> ((s, dir) => {
       // probe each event 30 minutes later: which value was current then?
       val ev = t(s, dir, "events")
@@ -1423,6 +1440,50 @@ object DocQueries {
          |SELECT lang, word, c_gw, score, rank_in_key FROM rk
          |WHERE rank_in_key <= 10
          |ORDER BY lang, rank_in_key""".stripMargin,
+
+    "q_slice_diversity" ->
+      s"""WITH c AS (SELECT source, lang, count(*) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |t AS (SELECT source, SUM(c) AS n, COUNT(*) AS n_cats
+         |  FROM c GROUP BY 1),
+         |x AS (SELECT c.source, t.n, t.n_cats,
+         |    CAST(${Sql.sround("CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE) * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))", 12)}
+         |      AS DECIMAL(38,15)) AS tm
+         |  FROM c JOIN t USING (source))
+         |SELECT source, ANY_VALUE(n) AS n_rows, ANY_VALUE(n_cats) AS n_cats,
+         |  ${Sql.sround("CAST(-SUM(tm) AS DOUBLE)")} AS entropy
+         |FROM x GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_type_correlation" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.map(tp =>
+        s"SUM(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END) AS $tp")
+        .mkString(", ")
+      val sums = types.map(t =>
+        s"CAST(SUM(CAST($t AS DECIMAL(38,10))) AS DOUBLE) AS s_$t")
+      val qs = types.map(t =>
+        s"CAST(SUM(CAST($t * $t AS DECIMAL(38,10))) AS DOUBLE) AS q_$t")
+      val pairs = for {
+        i <- types.indices; j <- types.indices if i < j
+      } yield (types(i), types(j))
+      val ps = pairs.map { case (a, b) =>
+        s"CAST(SUM(CAST($a * $b AS DECIMAL(38,10))) AS DOUBLE) AS p_${a}_$b" }
+      val pairRows = pairs.map { case (a, b) =>
+        val den = s"sqrt(n * q_$a - s_$a * s_$a) * " +
+          s"sqrt(n * q_$b - s_$b * s_$b)"
+        s"SELECT '$a' AS col_a, '$b' AS col_b, CASE WHEN $den = 0 " +
+          s"THEN 0.0 ELSE " +
+          Sql.sround(s"(n * p_${a}_$b - s_$a * s_$b) / ($den)") +
+          " END AS corr FROM m"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH h AS (SELECT date_trunc('hour', ts) AS b, $cols
+         |  FROM events GROUP BY 1),
+         |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |  ${(sums ++ qs ++ ps).mkString(",\n  ")}
+         |  FROM h)
+         |SELECT col_a, col_b, corr FROM ($pairRows)
+         |ORDER BY col_a, col_b""".stripMargin
+    },
 
     "q_scd2_lookup" ->
       """WITH h AS (SELECT user_id, value AS value_at, ts AS valid_from,

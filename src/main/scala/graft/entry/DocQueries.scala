@@ -69,6 +69,34 @@ object DocQueries {
     "q_slice_diversity" -> ((s, dir) =>
       CorpusStats.sliceDiversity(t(s, dir, "documents"), "source", "lang")),
 
+    "q_group_mode" -> ((s, dir) => {
+      // deterministic per-group mode: count per (slice, value), keep the
+      // (count desc, value asc) winner via WindowGroupLimit
+      val counts = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      graft.core.TopK.perKey(counts, Seq("source"), 1,
+        Seq(col("n").desc, col("lang").asc))
+        .select(col("source"), col("lang").as("mode_lang"), col("n"))
+        .orderBy(col("source"))
+    }),
+
+    "q_minmax_scale" -> ((s, dir) => {
+      // per-group min-max normalization: exact extrema (no accumulation
+      // at all), one broadcast join, degenerate range -> 0
+      val ev = t(s, dir, "events")
+      val ext = ev.groupBy(col("event_type"))
+        .agg(min(col("value")).as("_lo"), max(col("value")).as("_hi"))
+      ev.join(broadcast(ext), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          when(col("value").isNull, lit(null).cast(DoubleType))
+            .when(col("_hi") === col("_lo"), 0.0)
+            .otherwise(Semantics.safeRound(
+              (col("value") - col("_lo")) / (col("_hi") - col("_lo")), 6))
+            .as("scaled"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_type_correlation" -> ((s, dir) => {
       // metric co-movement: hourly count series per event type, pairwise
       // Pearson via the one-pass decimal-exact Correlation operator
@@ -1440,6 +1468,25 @@ object DocQueries {
          |SELECT lang, word, c_gw, score, rank_in_key FROM rk
          |WHERE rank_in_key <= 10
          |ORDER BY lang, rank_in_key""".stripMargin,
+
+    "q_group_mode" ->
+      """WITH c AS (SELECT source, lang, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, lang, n, ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY n DESC, lang ASC) AS rk FROM c)
+        |SELECT source, lang AS mode_lang, n FROM r WHERE rk = 1
+        |ORDER BY source""".stripMargin,
+
+    "q_minmax_scale" ->
+      s"""WITH x AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_id, e.event_type,
+         |  CASE WHEN e.value IS NULL THEN NULL
+         |       WHEN x.hi = x.lo THEN 0.0
+         |       ELSE ${Sql.sround("(e.value - x.lo) / (x.hi - x.lo)", 6)}
+         |  END AS scaled
+         |FROM events e JOIN x USING (event_type)
+         |ORDER BY e.event_id""".stripMargin,
 
     "q_slice_diversity" ->
       s"""WITH c AS (SELECT source, lang, count(*) AS c

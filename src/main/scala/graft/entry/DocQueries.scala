@@ -69,6 +69,52 @@ object DocQueries {
     "q_slice_diversity" -> ((s, dir) =>
       CorpusStats.sliceDiversity(t(s, dir, "documents"), "source", "lang")),
 
+    "q_dup_histogram" -> ((s, dir) => {
+      // how big are the duplicate clusters? the one-glance dedup report
+      // (corpus salted with copies of every 7th doc and double copies of
+      // every 21st so sizes 1/2/3 all appear)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def copies(mod: Long) = docs.filter(col("doc_id") % mod === 0)
+        .select((-col("doc_id") * mod - 1).as("doc_id"), col("text"))
+      docs.unionByName(copies(7L)).unionByName(copies(21L))
+        .groupBy(md5(col("text")).as("_h"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
+    "q_token_concentration" -> ((s, dir) => {
+      // Lorenz-style concentration: length-decile bins (bounds inlined as
+      // literals), per-bin token share, cumulative share via a 10x10
+      // bin self-join — no corpus window anywhere
+      val docs = t(s, dir, "documents")
+      val ps = (1 until 10).map(_.toDouble / 10)
+      val bounds = docs.select(
+        expr(s"percentile(n_chars, array(${ps.mkString(",")}))")).head()
+        .getSeq[Double](0)
+      val bin = bounds.foldLeft(lit(1L)) { (acc, b) =>
+        acc + when(col("n_chars") >= lit(b), 1L).otherwise(0L)
+      }
+      val perBin = docs
+        .select(bin.as("bin"), TF.tokenCount(col("text")).as("_tk"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_tk")).as("n_tokens"))
+      val total = perBin.agg(sum(col("n_tokens")).as("_tt"))
+      val cum = perBin.select(col("bin").as("_b2"),
+        col("n_tokens").as("_tk2"))
+      perBin.join(cum, col("_b2") <= col("bin"))
+        .groupBy(col("bin"))
+        .agg(first(col("n_docs")).as("n_docs"),
+          first(col("n_tokens")).as("n_tokens"),
+          sum(col("_tk2")).as("_cum"))
+        .crossJoin(broadcast(total))
+        .select(col("bin"), col("n_docs"), col("n_tokens"),
+          Semantics.safeRound(col("_cum").cast(DoubleType) /
+            col("_tt").cast(DoubleType), 6).as("cum_token_share"))
+        .orderBy(col("bin"))
+    }),
+
     "q_group_mode" -> ((s, dir) => {
       // deterministic per-group mode: count per (slice, value), keep the
       // (count desc, value asc) winner via WindowGroupLimit
@@ -1468,6 +1514,33 @@ object DocQueries {
          |SELECT lang, word, c_gw, score, rank_in_key FROM rk
          |WHERE rank_in_key <= 10
          |ORDER BY lang, rank_in_key""".stripMargin,
+
+    "q_dup_histogram" ->
+      """WITH u AS (SELECT text FROM documents
+        |  UNION ALL SELECT text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT text FROM documents WHERE doc_id % 21 = 0),
+        |c AS (SELECT md5(text) AS h, count(*) AS cluster_size
+        |  FROM u GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters
+        |FROM c GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+
+    "q_token_concentration" -> {
+      val bounds = (0 until 9).map(i =>
+        s"quantile_cont(n_chars, ${(i + 1) / 10.0}) AS b$i").mkString(", ")
+      val bin = "1 " + (0 until 9).map(i =>
+        s"+ CASE WHEN n_chars >= bb.b$i THEN 1 ELSE 0 END").mkString(" ")
+      s"""WITH bb AS (SELECT $bounds FROM documents),
+         |pb AS (SELECT ($bin) AS bin, count(*) AS n_docs,
+         |    SUM(${Sql.tokenCountSql()}) AS n_tokens
+         |  FROM documents, bb GROUP BY 1),
+         |t AS (SELECT SUM(n_tokens) AS tt FROM pb)
+         |SELECT a.bin, ANY_VALUE(a.n_docs) AS n_docs,
+         |  ANY_VALUE(a.n_tokens) AS n_tokens,
+         |  ${Sql.sround("CAST(SUM(b.n_tokens) AS DOUBLE) / CAST(ANY_VALUE(t.tt) AS DOUBLE)", 6)}
+         |    AS cum_token_share
+         |FROM pb a JOIN pb b ON b.bin <= a.bin CROSS JOIN t
+         |GROUP BY a.bin ORDER BY a.bin""".stripMargin
+    },
 
     "q_group_mode" ->
       """WITH c AS (SELECT source, lang, count(*) AS n

@@ -69,6 +69,20 @@ object DocQueries {
     "q_slice_diversity" -> ((s, dir) =>
       CorpusStats.sliceDiversity(t(s, dir, "documents"), "source", "lang")),
 
+    "q_label_spread" -> ((s, dir) => {
+      // mask every 7th doc's language, then infer it by majority vote of
+      // its >=0.02-Jaccard neighbors within the source block (can't block
+      // on the label being inferred; word-salad text needs a low bar for
+      // the vote to be exercised)
+      val masked = t(s, dir, "documents")
+        .withColumn("lbl",
+          when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("lang")))
+      val pairs = NgramJaccard.pairsWithinBlocks(masked, "doc_id", "text",
+        blockKey = col("source"), k = 3, threshold = 0.02)
+      LabelSpread.vote(masked, "doc_id", "lbl", pairs, "id_a", "id_b")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dup_histogram" -> ((s, dir) => {
       // how big are the duplicate clusters? the one-glance dedup report
       // (corpus salted with copies of every 7th doc and double copies of
@@ -1514,6 +1528,40 @@ object DocQueries {
          |SELECT lang, word, c_gw, score, rank_in_key FROM rk
          |WHERE rank_in_key <= 10
          |ORDER BY lang, rank_in_key""".stripMargin,
+
+    "q_label_spread" -> {
+      val sh =
+        """list_distinct(list_transform(
+          |  range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 1, 1)),
+          |  i -> concat_ws(' ',
+          |    string_split_regex(trim(lower(text)), '\s+')[i],
+          |    string_split_regex(trim(lower(text)), '\s+')[i+1],
+          |    string_split_regex(trim(lower(text)), '\s+')[i+2])))"""
+          .stripMargin.replace("\n", " ")
+      val jac = """CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+        |  ELSE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+        |     / len(list_distinct(a.sh || b.sh)) END""".stripMargin
+        .replace("\n", " ")
+      s"""WITH m AS (SELECT doc_id, source, text,
+         |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lbl
+         |  FROM documents),
+         |d AS (SELECT doc_id, source, lbl, $sh AS sh FROM m),
+         |p AS (SELECT a.doc_id AS ua, b.doc_id AS ub
+         |  FROM d a JOIN d b ON a.source = b.source
+         |    AND a.doc_id < b.doc_id
+         |  WHERE ROUND($jac, 4) >= 0.02),
+         |sym AS (SELECT ua AS u, ub AS v FROM p
+         |        UNION ALL SELECT ub, ua FROM p),
+         |v AS (SELECT s.u, dl.lbl AS nl, count(*) AS n_votes
+         |  FROM sym s
+         |  JOIN d du ON s.u = du.doc_id AND du.lbl IS NULL
+         |  JOIN d dl ON s.v = dl.doc_id AND dl.lbl IS NOT NULL
+         |  GROUP BY 1, 2),
+         |r AS (SELECT u, nl, n_votes, ROW_NUMBER() OVER (PARTITION BY u
+         |    ORDER BY n_votes DESC, nl ASC) AS rk FROM v)
+         |SELECT u AS doc_id, nl AS label, n_votes FROM r WHERE rk = 1
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_dup_histogram" ->
       """WITH u AS (SELECT text FROM documents

@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-round label propagation over a similarity pair graph: each
+  * UNLABELED record takes the majority label among its labeled neighbors
+  * (ties to the lexicographically smallest label) — the cheap
+  * semi-supervised step that turns a partial labeling (humans labeled 80%,
+  * a new crawl arrived unlabeled) into a full one using any pair source
+  * ([[graft.operators.NgramJaccard.pairsWithinBlocks]], LSH candidates, an edge
+  * table). Pairs symmetrize with a union, votes are one (doc, label)
+  * aggregate, the winner a WindowGroupLimit cut — all keyed shuffles,
+  * nothing pairwise beyond the input graph. Records with no labeled
+  * neighbor stay absent (re-run on the output to spread further). */
+object LabelSpread {
+
+  def vote(df: DataFrame, idCol: String, labelCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val sym = pairs.select(col(aCol).as("_u"), col(bCol).as("_v"))
+      .unionByName(pairs.select(col(bCol).as("_u"), col(aCol).as("_v")))
+    val unlabeled = df.filter(col(labelCol).isNull)
+      .select(col(idCol).as("_u"))
+    val labeled = df.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("_v"), col(labelCol).as("_nl"))
+    val votes = sym.join(unlabeled, Seq("_u")).join(labeled, Seq("_v"))
+      .groupBy(col("_u"), col("_nl")).agg(count(lit(1)).as("n_votes"))
+    graft.core.TopK.perKey(votes, Seq("_u"), 1,
+      Seq(col("n_votes").desc, col("_nl").asc))
+      .select(col("_u").as(idCol), col("_nl").as("label"), col("n_votes"))
+  }
+}

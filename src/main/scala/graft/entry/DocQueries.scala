@@ -69,6 +69,27 @@ object DocQueries {
     "q_slice_diversity" -> ((s, dir) =>
       CorpusStats.sliceDiversity(t(s, dir, "documents"), "source", "lang")),
 
+    "q_length_outliers" -> ((s, dir) => {
+      // per-source robust length outliers: |len − median| > 2·1.4826·MAD
+      // — the heavy-tail-safe "this doc doesn't belong here" screen; both
+      // stats are exact percentiles broadcast back, one flagging scan
+      val docs = t(s, dir, "documents")
+      val med = docs.groupBy(col("source"))
+        .agg(expr("percentile(n_chars, 0.5)").as("_med"))
+      val mad = docs.join(broadcast(med), Seq("source"))
+        .select(col("source"), col("_med"),
+          abs(col("n_chars") - col("_med")).as("_dev"))
+        .groupBy(col("source"))
+        .agg(first(col("_med")).as("_med"),
+          expr("percentile(_dev, 0.5)").as("_mad"))
+      docs.join(broadcast(mad), Seq("source"))
+        .filter(col("_mad") > 0 &&
+          abs(col("n_chars") - col("_med")) >
+            lit(2.0) * lit(1.4826) * col("_mad"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_label_spread" -> ((s, dir) => {
       // mask every 7th doc's language, then infer it by majority vote of
       // its >=0.02-Jaccard neighbors within the source block (can't block
@@ -1528,6 +1549,19 @@ object DocQueries {
          |SELECT lang, word, c_gw, score, rank_in_key FROM rk
          |WHERE rank_in_key <= 10
          |ORDER BY lang, rank_in_key""".stripMargin,
+
+    "q_length_outliers" ->
+      """WITH m AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+        |  FROM documents GROUP BY 1),
+        |d AS (SELECT dd.source, m.med,
+        |    quantile_cont(abs(dd.n_chars - m.med), 0.5) AS mad
+        |  FROM documents dd JOIN m USING (source)
+        |  GROUP BY dd.source, m.med)
+        |SELECT doc_id, dd.source, n_chars
+        |FROM documents dd JOIN d USING (source)
+        |WHERE d.mad > 0
+        |  AND abs(dd.n_chars - d.med) > 2.0 * 1.4826 * d.mad
+        |ORDER BY doc_id""".stripMargin,
 
     "q_label_spread" -> {
       val sh =

@@ -28,16 +28,32 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.getOrElseUpdate((spark, dir, name), {
-      // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-      // rejects unless nanos are read as long; convert back to a (microsecond)
-      // timestamp with integer division — double math would lose precision on
-      // ~1.7e18 nanosecond values.
+      // events.parquet has shipped ts as TIMESTAMP(NANOS) (readable only as
+      // long) and as naive TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ) across
+      // dataset generations; normalize every shape to one session-TZ
+      // timestamp so downstream code sees a single type.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events" && df.schema("ts").dataType == LongType)
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else df
+      if (name == "events") withEventTime(df) else df
     })
+
+  /** NTZ-aware event-time normalizer — ONE definition for batch tables,
+    * streaming helpers, and tests. Accepts the three shapes `ts` has
+    * arrived in across driver dataset generations and returns a plain
+    * session-TZ `TimestampType` column (sessions here always run UTC, so
+    * the NTZ→LTZ cast is value-preserving):
+    *   - long nanoseconds → `timestamp_micros(ts div 1000)` (integer
+    *     division; double math would lose precision on ~1.7e18 ns values)
+    *   - `TIMESTAMP_NTZ` → cast to `timestamp`
+    *   - already `timestamp` → unchanged. */
+  def withEventTime(df: DataFrame, c: String = "ts"): DataFrame =
+    df.schema(c).dataType match {
+      case LongType =>
+        df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(c, col(c).cast(TimestampType))
+      case _ => df
+    }
 
   /** Register all tables as temp views (for spark.sql paths). */
   def registerAll(spark: SparkSession, dir: String): Unit =

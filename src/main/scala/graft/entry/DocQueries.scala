@@ -66,8 +66,22 @@ object DocQueries {
         topK = 10, minCount = 5L)
         .orderBy(col("lang"), col("rank_in_key"))),
 
-    "q_slice_diversity" -> ((s, dir) =>
-      CorpusStats.sliceDiversity(t(s, dir, "documents"), "source", "lang")),
+    "q_slice_diversity" -> ((s, dir) => {
+      // entropy with zero cross-engine float surface: the p·ln(p) terms are
+      // quantized ONCE (to e15 longs) on this side and shared with the
+      // oracle via aux; both engines then sum/scale pure BIGINTs. The
+      // oracle still independently verifies the counting (it joins its own
+      // per-(source,lang) counts against the aux on the count value).
+      val terms = CorpusStats.sliceEntropyTermsE15(
+        t(s, dir, "documents"), "source", "lang")
+      Aux.write(terms.select(col("source"), col("lang"), col("c"),
+          col("tm_e15")),
+        s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/slice_terms")
+      terms.groupBy(col("source"))
+        .agg(first(col("n")).as("n_rows"), first(col("n_cats")).as("n_cats"),
+          expr("CAST((-SUM(tm_e15)) DIV 1000000 AS BIGINT)").as("entropy_e9"))
+        .orderBy(col("source"))
+    }),
 
     "q_length_outliers" -> ((s, dir) => {
       // per-source robust length outliers: |len − median| > 2·1.4826·MAD
@@ -120,14 +134,22 @@ object DocQueries {
     }),
 
     "q_token_concentration" -> ((s, dir) => {
-      // Lorenz-style concentration: length-decile bins (bounds inlined as
-      // literals), per-bin token share, cumulative share via a 10x10
-      // bin self-join — no corpus window anywhere
+      // Lorenz-style concentration: length-decile bins, per-bin token
+      // share, cumulative share via a 10x10 bin self-join — no corpus
+      // window anywhere. Driver-proof form: the interpolated decile bounds
+      // are computed ONCE here and shared with the oracle via aux (DuckDB's
+      // quantile_cont can differ by an ulp and flip a boundary doc's bin),
+      // and the share is a floor-scaled BIGINT (cum·1e6 div total — pure
+      // integer arithmetic in both engines).
       val docs = t(s, dir, "documents")
       val ps = (1 until 10).map(_.toDouble / 10)
       val bounds = docs.select(
         expr(s"percentile(n_chars, array(${ps.mkString(",")}))")).head()
         .getSeq[Double](0)
+      Aux.write(
+        s.createDataset(bounds)(org.apache.spark.sql.Encoders.scalaDouble)
+          .toDF("b"),
+        s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/tc_bounds")
       val bin = bounds.foldLeft(lit(1L)) { (acc, b) =>
         acc + when(col("n_chars") >= lit(b), 1L).otherwise(0L)
       }
@@ -145,8 +167,8 @@ object DocQueries {
           sum(col("_tk2")).as("_cum"))
         .crossJoin(broadcast(total))
         .select(col("bin"), col("n_docs"), col("n_tokens"),
-          Semantics.safeRound(col("_cum").cast(DoubleType) /
-            col("_tt").cast(DoubleType), 6).as("cum_token_share"))
+          expr("CAST((_cum * 1000000) DIV _tt AS BIGINT)")
+            .as("cum_share_e6"))
         .orderBy(col("bin"))
     }),
 
@@ -268,6 +290,20 @@ object DocQueries {
         .orderBy(col("id"))
     }),
 
+    "q_pagerank_dangling" -> ((s, dir) => {
+      // doubling/tripling graph truncated at N: ids that can't emit an
+      // in-range edge are sinks, so ~half the mass is dangling every round
+      // — exercises the integer-exact sink-mass redistribution
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val cnt = docs.agg(count(lit(1)).as("_n"))
+      val link = (a: Long, b: Long) => docs.crossJoin(broadcast(cnt))
+        .filter(col("doc_id") * a + b < col("_n"))
+        .select(col("doc_id").as("src"), (col("doc_id") * a + b).as("dst"))
+      PageRank.run(link(2L, 1L).union(link(3L, 2L)), "src", "dst",
+        iterations = 3, redistributeDangling = true)
+        .orderBy(col("id"))
+    }),
+
     "q_seasonal_spikes" -> ((s, dir) =>
       AnomalyDetector.seasonalSpikes(
         t(s, dir, "events"), "event_type",
@@ -304,6 +340,57 @@ object DocQueries {
       graft.operators.TimeSeries.transitions(
         t(s, dir, "events"), "user_id",
         Seq(col("ts").asc, col("event_id").asc), "event_type")),
+
+    "q_cdc_stream_twin" -> ((s, dir) => {
+      // the STREAMING CDC materializer run for real — parquet file stream →
+      // mapGroupsWithState → update-mode memory sink — gated against a pure
+      // latest-row-per-key SQL twin (the q_sessions treatment applied to
+      // Streams.cdcLatestState)
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val changes = t(s, dir, "events").select(
+        col("user_id").as("id"), col("ts"),
+        when(col("event_type") === "error", lit("delete"))
+          .when(col("event_type") === "click", lit("update"))
+          .otherwise(lit("insert")).as("op"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+      val stage = s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}/cdc_changes"
+      changes.coalesce(1).write.mode("overwrite").parquet(stage)
+      val out = graft.streaming.Streams.runToMemory(s, stage, "cdc_twin",
+        df => graft.streaming.Streams.cdcLatestState(
+          df.as[graft.streaming.Streams.Change]).toDF,
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      // update sink appends one row per key per batch; keep the final state
+      out.groupBy(col("id"))
+        .agg(max_by(struct(col("value"), col("alive"), col("ts_ms")),
+          col("ts_ms")).as("_w"))
+        .select(col("id"), col("_w.value").as("value"),
+          col("_w.alive").as("alive"), col("_w.ts_ms").as("ts_ms"))
+        .orderBy(col("id"))
+    }),
+
+    "q_quality_monitor_twin" -> ((s, dir) => {
+      // the streaming corpus-quality monitor run for real (windowed agg over
+      // a file stream, complete mode), vs a SQL replay of the same windows.
+      // Event time is synthesized one-doc-per-minute so 10-minute windows
+      // carry multiple docs; the mean-quality cell goes out as an exact
+      // integer (quality is eighths, so mean·n·8 is an integer)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          expr("timestamp_micros(doc_id * 60000000)").as("ts"))
+      val stage = s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}/quality_docs"
+      docs.coalesce(1).write.mode("overwrite").parquet(stage)
+      val out = graft.streaming.Streams.runToMemory(s, stage, "qmon_twin",
+        df => graft.streaming.Streams.qualityMonitor(df, "ts", "text",
+          "source"))
+      out.select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("source"), col("n_docs"), col("n_tokens"),
+        round(col("mean_quality") * col("n_docs") * lit(8))
+          .cast(LongType).as("quality_eighths"))
+        .orderBy(col("window_start"), col("source"))
+    }),
 
     "q_group_trend" -> ((s, dir) =>
       graft.operators.TimeSeries.groupTrend(
@@ -1518,6 +1605,43 @@ object DocQueries {
          |SELECT id, rank FROM r3 ORDER BY id""".stripMargin
     },
 
+    "q_pagerank_dangling" -> {
+      // same fixed-point replay, plus the per-round dangling share:
+      // floor(sum of sink ranks / N) added to every node's incoming sum
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (SELECT nodes.id,
+           |  base.b + CAST(FLOOR((85 * (COALESCE(s.s, 0) + dg.share))
+           |    / 100.0) AS BIGINT) AS rank
+           |  FROM nodes CROSS JOIN base
+           |  CROSS JOIN (SELECT COALESCE(SUM(p.rank), 0)
+           |      // (SELECT n FROM nn) AS share
+           |    FROM $prev p WHERE p.id NOT IN (SELECT id FROM deg)) dg
+           |  LEFT JOIN (SELECT e.dst AS id,
+           |      SUM(CAST(FLOOR(CAST(p.rank AS DOUBLE) / d._deg) AS BIGINT))
+           |        AS s
+           |    FROM e JOIN $prev p ON e.src = p.id
+           |    JOIN deg d ON e.src = d.id
+           |    GROUP BY e.dst) s ON nodes.id = s.id)""".stripMargin
+      s"""WITH nd AS (SELECT count(*) AS nd FROM documents),
+         |e AS (SELECT doc_id AS src, doc_id * 2 + 1 AS dst
+         |        FROM documents, nd WHERE doc_id * 2 + 1 < nd.nd
+         |      UNION ALL
+         |      SELECT doc_id, doc_id * 3 + 2 FROM documents, nd
+         |        WHERE doc_id * 3 + 2 < nd.nd),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |deg AS (SELECT src AS id, count(*) AS _deg FROM e GROUP BY 1),
+         |base AS (SELECT
+         |    CAST(FLOOR(1000000 * 15 / (100.0 * n)) AS BIGINT) AS b,
+         |    CAST(FLOOR(1000000.0 / n) AS BIGINT) AS r0 FROM nn),
+         |r0 AS (SELECT id, (SELECT r0 FROM base) AS rank FROM nodes),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT id, rank FROM r3 ORDER BY id""".stripMargin
+    },
+
     "q_seasonal_spikes" ->
       """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
         |    count(*) AS n FROM events GROUP BY 1, 2),
@@ -1606,23 +1730,25 @@ object DocQueries {
         |SELECT cluster_size, count(*) AS n_clusters
         |FROM c GROUP BY 1 ORDER BY cluster_size""".stripMargin,
 
-    "q_token_concentration" -> {
-      val bounds = (0 until 9).map(i =>
-        s"quantile_cont(n_chars, ${(i + 1) / 10.0}) AS b$i").mkString(", ")
-      val bin = "1 " + (0 until 9).map(i =>
-        s"+ CASE WHEN n_chars >= bb.b$i THEN 1 ELSE 0 END").mkString(" ")
-      s"""WITH bb AS (SELECT $bounds FROM documents),
-         |pb AS (SELECT ($bin) AS bin, count(*) AS n_docs,
-         |    SUM(${Sql.tokenCountSql()}) AS n_tokens
-         |  FROM documents, bb GROUP BY 1),
+    "q_token_concentration" ->
+      // decile bounds come from the engine-side aux (single-sourced — see
+      // the Spark twin); bin assignment replays `1 + count(bounds <= x)`
+      // over identical doubles, and the cumulative share is BIGINT floor
+      // division in both engines.
+      s"""WITH bb AS (SELECT b FROM
+         |    read_parquet('/tmp/graft_oracle_aux/{SF}/tc_bounds/*.parquet')),
+         |pb AS (SELECT
+         |    (SELECT 1 + COUNT(*) FROM bb WHERE d.n_chars >= bb.b) AS bin,
+         |    count(*) AS n_docs,
+         |    SUM(${Sql.tokenCountSql("d.text")}) AS n_tokens
+         |  FROM documents d GROUP BY 1),
          |t AS (SELECT SUM(n_tokens) AS tt FROM pb)
          |SELECT a.bin, ANY_VALUE(a.n_docs) AS n_docs,
          |  ANY_VALUE(a.n_tokens) AS n_tokens,
-         |  ${Sql.sround("CAST(SUM(b.n_tokens) AS DOUBLE) / CAST(ANY_VALUE(t.tt) AS DOUBLE)", 6)}
-         |    AS cum_token_share
+         |  CAST((SUM(b.n_tokens) * 1000000) // ANY_VALUE(t.tt) AS BIGINT)
+         |    AS cum_share_e6
          |FROM pb a JOIN pb b ON b.bin <= a.bin CROSS JOIN t
-         |GROUP BY a.bin ORDER BY a.bin""".stripMargin
-    },
+         |GROUP BY a.bin ORDER BY a.bin""".stripMargin,
 
     "q_group_mode" ->
       """WITH c AS (SELECT source, lang, count(*) AS n
@@ -1644,17 +1770,22 @@ object DocQueries {
          |ORDER BY e.event_id""".stripMargin,
 
     "q_slice_diversity" ->
-      s"""WITH c AS (SELECT source, lang, count(*) AS c
-         |  FROM documents GROUP BY 1, 2),
-         |t AS (SELECT source, SUM(c) AS n, COUNT(*) AS n_cats
-         |  FROM c GROUP BY 1),
-         |x AS (SELECT c.source, t.n, t.n_cats,
-         |    CAST(${Sql.sround("CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE) * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))", 12)}
-         |      AS DECIMAL(38,15)) AS tm
-         |  FROM c JOIN t USING (source))
-         |SELECT source, ANY_VALUE(n) AS n_rows, ANY_VALUE(n_cats) AS n_cats,
-         |  ${Sql.sround("CAST(-SUM(tm) AS DOUBLE)")} AS entropy
-         |FROM x GROUP BY source ORDER BY source""".stripMargin,
+      // counting is re-derived here and cross-checked (the aux join keys on
+      // the count value, so a wrong engine-side count drops rows and fails
+      // the gate); only the e15-quantized ln terms are single-sourced, and
+      // the entropy cell is pure BIGINT arithmetic in both engines.
+      """WITH c AS (SELECT source, lang, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, SUM(c) AS n, COUNT(*) AS n_cats
+        |  FROM c GROUP BY 1),
+        |a AS (SELECT source, lang, c, tm_e15 FROM
+        |  read_parquet('/tmp/graft_oracle_aux/{SF}/slice_terms/*.parquet')),
+        |x AS (SELECT c.source, t.n, t.n_cats, a.tm_e15
+        |  FROM c JOIN t USING (source)
+        |  JOIN a ON a.source = c.source AND a.lang = c.lang AND a.c = c.c)
+        |SELECT source, ANY_VALUE(n) AS n_rows, ANY_VALUE(n_cats) AS n_cats,
+        |  CAST((-SUM(tm_e15)) // 1000000 AS BIGINT) AS entropy_e9
+        |FROM x GROUP BY source ORDER BY source""".stripMargin,
 
     "q_type_correlation" -> {
       val types = Seq("click", "error", "purchase", "signup", "view")
@@ -1706,13 +1837,40 @@ object DocQueries {
         |st AS (SELECT event_type, count(*) AS c, SUM(n) AS s
         |  FROM b GROUP BY 1),
         |cu AS (SELECT b.event_type, b.bucket, b.n, st.s,
-        |    SUM(b.n * st.c - st.s) OVER (PARTITION BY b.event_type
-        |      ORDER BY b.bucket) AS cusum
+        |    CAST(SUM(b.n * st.c - st.s) OVER (PARTITION BY b.event_type
+        |      ORDER BY b.bucket) AS BIGINT) AS cusum
         |  FROM b JOIN st USING (event_type))
         |SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS hour,
-        |  n, cusum
+        |  CAST(n AS BIGINT) AS n, cusum
         |FROM cu WHERE abs(cusum) * 20 > 1 * s
         |ORDER BY event_type, hour""".stripMargin,
+
+    "q_cdc_stream_twin" ->
+      // latest-row-per-key under the operator's total order
+      // (ts, op, value) — what a converged CDC state must equal
+      """WITH ch AS (SELECT user_id AS id, ts,
+        |    CASE WHEN event_type = 'error' THEN 'delete'
+        |         WHEN event_type = 'click' THEN 'update'
+        |         ELSE 'insert' END AS op,
+        |    COALESCE(value, 0.0) AS value
+        |  FROM events),
+        |r AS (SELECT id, ts, op, value, ROW_NUMBER() OVER (PARTITION BY id
+        |    ORDER BY ts DESC, op DESC, value DESC) AS rk FROM ch)
+        |SELECT id, value, (op <> 'delete') AS alive,
+        |  epoch_ms(ts) AS ts_ms
+        |FROM r WHERE rk = 1 ORDER BY id""".stripMargin,
+
+    "q_quality_monitor_twin" ->
+      s"""WITH d AS (SELECT source, text,
+         |    make_timestamp(doc_id * 60000000) AS ts FROM documents),
+         |w AS (SELECT source,
+         |    make_timestamp((epoch_ms(ts) // 600000) * 600000000) AS ws,
+         |    $tokenCountSql AS tok, $qualityScoreSql AS q FROM d)
+         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+         |  CAST(ROUND(SUM(q) * 8) AS BIGINT) AS quality_eighths
+         |FROM w GROUP BY 1, 2 ORDER BY window_start, source""".stripMargin,
 
     "q_hard_negatives" -> {
       val sim = Sql.sround("CASE WHEN sqrt(d.nsqa) * sqrt(d.nsqc) = 0 " +

@@ -80,8 +80,10 @@ object Sketches {
       b1
     }
     def finish(r: CountMinSketch): Array[Byte] = cmsToBytes(r)
-    def bufferEncoder: Encoder[CountMinSketch] =
-      Encoders.javaSerialization[CountMinSketch]
+    // Kryo (field-level) beats java serialization ~5-10x on these array-
+    // backed sketch buffers; bytes only ship between partial and final
+    // aggregation, canonical storage bytes still come from writeTo in finish
+    def bufferEncoder: Encoder[CountMinSketch] = Encoders.kryo[CountMinSketch]
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
@@ -98,8 +100,7 @@ object Sketches {
       b1
     }
     def finish(r: CountMinSketch): Array[Byte] = cmsToBytes(r)
-    def bufferEncoder: Encoder[CountMinSketch] =
-      Encoders.javaSerialization[CountMinSketch]
+    def bufferEncoder: Encoder[CountMinSketch] = Encoders.kryo[CountMinSketch]
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
@@ -161,8 +162,7 @@ object Sketches {
       b1
     }
     def finish(r: BloomFilter): Array[Byte] = bloomToBytes(r)
-    def bufferEncoder: Encoder[BloomFilter] =
-      Encoders.javaSerialization[BloomFilter]
+    def bufferEncoder: Encoder[BloomFilter] = Encoders.kryo[BloomFilter]
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
@@ -178,8 +178,7 @@ object Sketches {
       b1
     }
     def finish(r: BloomFilter): Array[Byte] = bloomToBytes(r)
-    def bufferEncoder: Encoder[BloomFilter] =
-      Encoders.javaSerialization[BloomFilter]
+    def bufferEncoder: Encoder[BloomFilter] = Encoders.kryo[BloomFilter]
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 

@@ -124,6 +124,24 @@ object CorpusStats {
     * at a glance. Entropy terms quantize (safeRound 12) and sum through
     * DECIMAL(38,15) ([[graft.operators.Audit.infoGain]] pattern) so
     * category order can't drift the sum. */
+  /** Per-(slice, category) entropy terms with the transcendental part
+    * pre-quantized to a long: `tm_e15 ≈ p·ln(p)·1e15`. The e15 longs are
+    * the single source of truth a verification twin can replay — summing
+    * and scaling them is pure integer arithmetic, so no libm `ln` ulp
+    * (Java `Math.log` vs C `log` differ in the last bit) can ever surface
+    * in a comparison. Columns: slice, cat, c, n, n_cats, tm_e15. */
+  def sliceEntropyTermsE15(df: DataFrame, sliceCol: String,
+      catCol: String): DataFrame = {
+    val counts = df.groupBy(col(sliceCol), col(catCol))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col(sliceCol))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_cats"))
+    val p = col("c").cast(DoubleType) / col("n").cast(DoubleType)
+    counts.join(broadcast(totals), Seq(sliceCol))
+      .select(col(sliceCol), col(catCol), col("c"), col("n"), col("n_cats"),
+        floor(p * log(p) * lit(1e15) + lit(0.5)).cast(LongType).as("tm_e15"))
+  }
+
   def sliceDiversity(df: DataFrame, sliceCol: String, catCol: String,
       scale: Int = 4): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 15)

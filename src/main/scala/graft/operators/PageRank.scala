@@ -19,15 +19,19 @@ import graft.core.Checkpoints
   * cross product. Lineage is cut per round ([[Checkpoints]]): Local for
   * single-node, Reliable for cluster runs where executors can die.
   *
-  * Nodes with no out-edges (dangling) leak their mass by design — the
-  * standard simplification; add a sink-redistribution round if the graph
-  * has many.
+  * Nodes with no out-edges (dangling) leak their mass by default — the
+  * standard simplification. `redistributeDangling = true` folds the sink
+  * mass back in: one extra bounded aggregate per round sums the ranks of
+  * nodes absent from the out-degree table and every node receives
+  * `floor(mass / N)` extra incoming contribution — still integer-exact,
+  * still one 1-row broadcast (no driver collect in the loop).
   */
 object PageRank {
 
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, unit: Long = 1000000L,
       dampNum: Long = 85L, dampDen: Long = 100L,
+      redistributeDangling: Boolean = false,
       mode: Checkpoints.Mode = Checkpoints.Local): DataFrame = {
     require(iterations >= 1 && unit > 0 && dampNum > 0 && dampDen > dampNum,
       s"bad PageRank params: iterations=$iterations unit=$unit " +
@@ -44,6 +48,13 @@ object PageRank {
 
     var ranks = nodes.select(col("id"), lit(r0).as("rank"))
     for (_ <- 1 to iterations) {
+      // per-node share of sink mass this round (a 1-row broadcast frame)
+      val share =
+        if (redistributeDangling)
+          ranks.join(deg, Seq("id"), "left_anti")
+            .agg(expr(s"CAST(COALESCE(SUM(rank), 0) DIV $n AS BIGINT)")
+              .as("_share"))
+        else ranks.sparkSession.sql("SELECT CAST(0 AS BIGINT) AS _share")
       val contrib = edges
         .select(col(srcCol).as("id"), col(dstCol).as("_dst"))
         .join(ranks, Seq("id"))
@@ -53,9 +64,11 @@ object PageRank {
             .cast(LongType).as("_c"))
         .groupBy(col("id")).agg(sum(col("_c")).as("_s"))
       val next = nodes.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(share))
         .select(col("id"),
           (lit(base) +
-            floor((lit(dampNum) * coalesce(col("_s"), lit(0L)))
+            floor((lit(dampNum) *
+              (coalesce(col("_s"), lit(0L)) + col("_share")))
               .cast(DoubleType) / lit(dampDen).cast(DoubleType))
               .cast(LongType)).as("rank"))
       ranks = Checkpoints.cut(next, mode)

@@ -127,8 +127,9 @@ object Streams {
     * (ts, op, value) tuple regardless of stream length; each incoming
     * micro-batch emits the key's new current row (update-mode sink keeps
     * the latest). Later timestamps win; equal timestamps resolve by op
-    * string order (delete < insert < update ⇒ update wins) — a total
-    * order, so replays and reorderings converge to the same state. */
+    * string order (delete < insert < update ⇒ update wins), then by value
+    * — a TOTAL order, so replays, reorderings, and any batch slicing
+    * converge to the same state. */
   def cdcLatestState(changes: Dataset[Change])(
       implicit spark: SparkSession): Dataset[CurrentRow] = {
     import spark.implicits._
@@ -138,7 +139,7 @@ object Streams {
         (id: Long, it: Iterator[Change], state: GroupState[LatestState]) =>
           val candidates = state.getOption.iterator ++
             it.map(c => LatestState(c.ts.getTime, c.op, c.value))
-          val winner = candidates.maxBy(l => (l.tsMs, l.op))
+          val winner = candidates.maxBy(l => (l.tsMs, l.op, l.value))
           state.update(winner)
           CurrentRow(id, winner.value, winner.op != "delete", winner.tsMs)
       }

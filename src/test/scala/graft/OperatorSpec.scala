@@ -438,6 +438,20 @@ class OperatorSpec extends SparkSuite {
     assert(re == byId)
   }
 
+  test("PageRank: dangling redistribution conserves the mass sinks leak") {
+    // chain 0→1→2→3: node 3 is a pure sink holding ~all mass by round 3
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    def total(redistribute: Boolean) =
+      graft.operators.PageRank.run(edges, "src", "dst", iterations = 5,
+        redistributeDangling = redistribute)
+        .agg(sum("rank")).head().getLong(0)
+    val leaked = total(redistribute = false)
+    val kept = total(redistribute = true)
+    assert(kept > leaked, s"redistribution must retain more mass: $kept vs $leaked")
+    assert(kept <= 1000000L && kept > 900000L, s"mass: $kept")
+    assert(leaked < 700000L, s"sink chain should leak heavily: $leaked")
+  }
+
   test("SchemaDrift reports added, removed, and type-changed columns") {
     val a = Seq((1L, "x", 1.0)).toDF("id", "name", "score")
     val b = Seq((1L, 1, true)).toDF("id", "score", "flag")

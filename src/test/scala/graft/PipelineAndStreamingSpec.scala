@@ -54,10 +54,10 @@ class PipelineAndStreamingSpec extends SparkSuite {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       stageDir.resolve("events.parquet"))
     val eventsPath = stageDir.toString
-    // stream path (ts arrives as long nanos in this dataset — convert)
+    // stream path (ts shape varies by dataset generation — shared normalizer)
     val got = graft.streaming.Streams.runToMemory(spark, eventsPath, "win_test",
       df => graft.streaming.Streams.windowedCounts(
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)")), "1 hour"))
+        graft.core.Tables.withEventTime(df), "1 hour"))
     val batch = graft.core.Tables.table(spark, sfDir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("n"))

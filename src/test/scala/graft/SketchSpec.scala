@@ -54,6 +54,24 @@ class SketchSpec extends SparkSuite {
     assert(merged.select(Sketches.cmsTotal(col("sk"))).head().getLong(0) == n)
   }
 
+  test("cms/bloom binaries are bit-identical across partitionings") {
+    // exercises the Kryo buffer encoders end-to-end: partial buffers ship
+    // through the shuffle and merge in arbitrary order, yet the canonical
+    // finish() bytes must not depend on partitioning at all
+    val df = (1 to 500).map(i => (i.toLong, s"item${i % 83}")).toDF("i", "u")
+    def bytesOf(d: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.Column) =
+      d.agg(c.as("sk")).head().getAs[Array[Byte]](0).toSeq
+    assert(bytesOf(df, Sketches.cmsAgg(col("u"))) ==
+      bytesOf(df.repartition(17), Sketches.cmsAgg(col("u"))))
+    assert(bytesOf(df, Sketches.bloomAgg(col("u"), 1000L)) ==
+      bytesOf(df.repartition(17), Sketches.bloomAgg(col("u"), 1000L)))
+    // union of sharded builds reproduces the one-shot build bit-for-bit
+    val shards = df.withColumn("h", col("i") % 3)
+      .groupBy("h").agg(Sketches.bloomAgg(col("u"), 1000L).as("sk"))
+    assert(bytesOf(shards, Sketches.bloomUnion(col("sk"), 1000L)) ==
+      bytesOf(df, Sketches.bloomAgg(col("u"), 1000L)))
+  }
+
   test("approx quantiles bracket the exact percentile") {
     val approxRow = events.agg(
       Sketches.approxQuantiles(col("value"), Seq(0.5, 0.95))).head()

@@ -1743,8 +1743,8 @@ object DocQueries {
          |    SUM(${Sql.tokenCountSql("d.text")}) AS n_tokens
          |  FROM documents d GROUP BY 1),
          |t AS (SELECT SUM(n_tokens) AS tt FROM pb)
-         |SELECT a.bin, ANY_VALUE(a.n_docs) AS n_docs,
-         |  ANY_VALUE(a.n_tokens) AS n_tokens,
+         |SELECT a.bin, CAST(ANY_VALUE(a.n_docs) AS BIGINT) AS n_docs,
+         |  CAST(ANY_VALUE(a.n_tokens) AS BIGINT) AS n_tokens,
          |  CAST((SUM(b.n_tokens) * 1000000) // ANY_VALUE(t.tt) AS BIGINT)
          |    AS cum_share_e6
          |FROM pb a JOIN pb b ON b.bin <= a.bin CROSS JOIN t
@@ -1783,7 +1783,8 @@ object DocQueries {
         |x AS (SELECT c.source, t.n, t.n_cats, a.tm_e15
         |  FROM c JOIN t USING (source)
         |  JOIN a ON a.source = c.source AND a.lang = c.lang AND a.c = c.c)
-        |SELECT source, ANY_VALUE(n) AS n_rows, ANY_VALUE(n_cats) AS n_cats,
+        |SELECT source, CAST(ANY_VALUE(n) AS BIGINT) AS n_rows,
+        |  CAST(ANY_VALUE(n_cats) AS BIGINT) AS n_cats,
         |  CAST((-SUM(tm_e15)) // 1000000 AS BIGINT) AS entropy_e9
         |FROM x GROUP BY source ORDER BY source""".stripMargin,
 

@@ -1058,6 +1058,31 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_bpe_fertility" -> ((s, dir) => {
+      // tokenizer fertility per language slice: normalized characters per
+      // BPE token — the "is this tokenizer efficient for lang X" report.
+      // Per-doc token counts are single-sourced via aux (the encode kernel
+      // itself is gated by q_bpe_encode/roundtrip); char counts, grouping,
+      // and the scaled ratio are replayed independently as pure BIGINTs
+      val docs = t(s, dir, "documents")
+      val merges = graft.functions.Bpe.train(docs, "text", numMerges = 6)
+      val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      val enc = docs.select(col("doc_id"), col("lang"),
+        length(translate(norm, " ", "")).as("_nc"),
+        size(graft.functions.Bpe.encode(col("text"), merges)).as("_nt"))
+      val encP = if (Aux.enabled) enc.persist() else enc
+      Aux.write(encP.select(col("doc_id"), col("_nt")),
+        s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/bpe_tokens")
+      encP.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_nc")).as("n_chars_norm"),
+          sum(col("_nt")).as("n_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_chars_norm"),
+          col("n_tokens"),
+          expr("CAST((n_chars_norm * 1000000) DIV n_tokens AS BIGINT)")
+            .as("chars_per_token_e6"))
+        .orderBy(col("lang"))
+    }),
+
     "q_doc_rarity" -> ((s, dir) =>
       // unigram rarity + OOV vs the top-20 corpus vocabulary — integer
       // counts + decimal averaging, so every cell replays exactly
@@ -1951,6 +1976,23 @@ object DocQueries {
       """SELECT doc_id,
         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_fertility" ->
+      // chars re-derived from the shared normalization; token counts from
+      // the engine-side aux (keyed join — a wrong doc set drops rows)
+      """WITH nrm AS (SELECT doc_id, lang,
+        |    length(replace(trim(regexp_replace(lower(text), '\s+', ' ',
+        |      'g')), ' ', '')) AS nc
+        |  FROM documents),
+        |a AS (SELECT doc_id, _nt AS nt FROM
+        |  read_parquet('/tmp/graft_oracle_aux/{SF}/bpe_tokens/*.parquet')),
+        |j AS (SELECT nrm.lang, nrm.nc, a.nt FROM nrm JOIN a USING (doc_id))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nc) AS BIGINT) AS n_chars_norm,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |  CAST((SUM(nc) * 1000000) // SUM(nt) AS BIGINT)
+        |    AS chars_per_token_e6
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_rrf" ->
       s"""WITH s AS (SELECT doc_id, $qualityScoreSql AS q, n_chars

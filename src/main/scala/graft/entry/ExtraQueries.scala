@@ -40,6 +40,53 @@ object ExtraQueries {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    "q_ewma" -> ((s, dir) => {
+      // exponential smoothing of the hourly count series in pure integer
+      // arithmetic: α=1/2 weights are powers of two, so the smoothed value
+      // ships as a BIGINT (wsum/wmass is the normalized EWMA)
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.TimeSeries.ewmaDyadic(
+        hourly, "event_type", "bucket", "n", depth = 8)
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n"), col("wsum"), col("wmass"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
+    "q_autocorr" -> ((s, dir) => {
+      // is each event type's hourly volume self-similar hour over hour?
+      // lag-1..3 Pearson autocorrelation with the estimator cleared of
+      // divisions (exact BIGINT sums; the only float op is the final ratio)
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.TimeSeries.autocorr(
+        hourly, "event_type", "bucket", "n", maxLag = 3)
+    }),
+
+    "q_triangles" -> ((s, dir) => {
+      // triangle census of the deterministic citation graph (+1/+2 ring
+      // links guarantee n triangles; the 7d+1 links add irregular degree)
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val cnt = docs.agg(count(lit(1)).as("_n"))
+      val link = (a: Long, b: Long) => docs.crossJoin(broadcast(cnt))
+        .select(col("doc_id").as("src"),
+          pmod(col("doc_id") * a + b, col("_n")).as("dst"))
+      graft.operators.PageRank.triangleCount(
+        link(1L, 1L).union(link(1L, 2L)).union(link(7L, 1L)), "src", "dst")
+    }),
+
+    "q_ref_integrity" -> ((s, dir) =>
+      graft.operators.Audit.refIntegrity(Seq(
+        ("customer.c_nationkey->nation", t(s, dir, "customer"),
+          "c_nationkey", t(s, dir, "nation"), "n_nationkey"),
+        ("lineitem.l_orderkey->orders", t(s, dir, "lineitem"),
+          "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+        ("orders.o_custkey->customer", t(s, dir, "orders"),
+          "o_custkey", t(s, dir, "customer"), "c_custkey")))),
+
     "q_assoc_rules" -> ((s, dir) =>
       graft.operators.MarketBasket.pairRules(
         t(s, dir, "events"), "user_id", "event_type")),
@@ -1456,6 +1503,87 @@ object ExtraQueries {
         |  4 + CASE WHEN l1 IS NULL THEN 0 ELSE 2 END
         |    + CASE WHEN l2 IS NULL THEN 0 ELSE 1 END AS wmass
         |FROM l ORDER BY event_type, hour""".stripMargin,
+
+    "q_ewma" -> {
+      val lags = (1 until 8).map(j =>
+        s"LAG(n, $j) OVER (PARTITION BY event_type ORDER BY bucket) AS l$j")
+        .mkString(",\n    ")
+      val wsum = "128 * n + " + (1 until 8).map(j =>
+        s"${1L << (7 - j)} * COALESCE(l$j, 0)").mkString(" + ")
+      val wmass = "128 + " + (1 until 8).map(j =>
+        s"CASE WHEN l$j IS NULL THEN 0 ELSE ${1L << (7 - j)} END")
+        .mkString(" + ")
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+         |    count(*) AS n FROM events GROUP BY 1, 2),
+         |l AS (SELECT event_type, bucket, n,
+         |    $lags
+         |  FROM h)
+         |SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS hour,
+         |  n, CAST($wsum AS BIGINT) AS wsum, CAST($wmass AS BIGINT) AS wmass
+         |FROM l ORDER BY event_type, hour""".stripMargin
+    },
+
+    "q_autocorr" -> {
+      def lagCte(k: Int) =
+        s"""a$k AS (SELECT event_type, CAST($k AS INT) AS lag,
+           |    CAST(SUM(n * nl) AS BIGINT) AS sxy,
+           |    CAST(SUM(n) AS BIGINT) AS sh, CAST(SUM(nl) AS BIGINT) AS st
+           |  FROM (SELECT event_type, n, LAG(n, $k) OVER (
+           |      PARTITION BY event_type ORDER BY bucket) AS nl FROM h)
+           |  WHERE nl IS NOT NULL GROUP BY 1)""".stripMargin
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+         |    count(*) AS n FROM events GROUP BY 1, 2),
+         |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nn,
+         |    CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS sxx
+         |  FROM h GROUP BY 1),
+         |${lagCte(1)}, ${lagCte(2)}, ${lagCte(3)},
+         |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+         |  UNION ALL SELECT * FROM a3)
+         |SELECT u.event_type, u.lag, st.nn AS n,
+         |  ${Sql.sround("CAST(st.nn * st.nn * u.sxy - st.nn * st.s * (u.sh + u.st) + (st.nn - u.lag) * st.s * st.s AS DOUBLE) / CAST(st.nn * st.nn * st.sxx - st.nn * st.s * st.s AS DOUBLE)")}
+         |    AS r
+         |FROM u JOIN st USING (event_type)
+         |ORDER BY u.event_type, u.lag""".stripMargin
+    },
+
+    "q_triangles" ->
+      // exact census: value-ordered undirected edges, one join per side
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |raw AS (SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst
+        |          FROM documents, nn
+        |        UNION ALL
+        |        SELECT doc_id, (doc_id + 2) % nn.n FROM documents, nn
+        |        UNION ALL
+        |        SELECT doc_id, (doc_id * 7 + 1) % nn.n FROM documents, nn),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE src <> dst)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM und x JOIN und y ON y.a = x.b
+        |JOIN und z ON z.a = x.a AND z.b = y.b""".stripMargin,
+
+    "q_ref_integrity" -> {
+      def rel(tag: String, child: String, fk: String, parent: String,
+          pk: String) =
+        s"""SELECT '$tag' AS relation,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_child_rows,
+           |  (SELECT CAST(count(DISTINCT $fk) AS BIGINT) FROM $child)
+           |    AS n_distinct_fk,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child WHERE $fk IS NULL)
+           |    AS n_null_fk_rows,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child
+           |    WHERE $fk IS NOT NULL
+           |      AND $fk NOT IN (SELECT $pk FROM $parent)) AS n_orphan_rows,
+           |  (SELECT CAST(count(DISTINCT $fk) AS BIGINT) FROM $child
+           |    WHERE $fk IS NOT NULL
+           |      AND $fk NOT IN (SELECT $pk FROM $parent)) AS n_orphan_keys
+           |""".stripMargin
+      rel("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey") + "UNION ALL\n" +
+      rel("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey") + "UNION ALL\n" +
+      rel("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey") + "ORDER BY relation"
+    },
 
     "q_assoc_rules" ->
       s"""WITH it AS (SELECT DISTINCT user_id AS b, event_type AS i

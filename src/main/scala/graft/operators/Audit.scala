@@ -230,6 +230,35 @@ object Audit {
     }.reduce(_ unionByName _).orderBy(col("candidate"))
   }
 
+  /** Referential-integrity report over declared FK relations: for each
+    * (child, fkCol, parent, pkCol) edge, the row/key counts, NULL-FK rows,
+    * and orphans (non-null FK values absent from the parent). Orphan
+    * detection is one left-anti join per relation on a pre-aggregated
+    * (fk → row count) frame, so the parent-side probe shuffles distinct
+    * keys, never child rows — the cheap shape at 100 TB fact tables. */
+  def refIntegrity(
+      relations: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(relations.nonEmpty, "need at least one FK relation")
+    relations.map { case (tag, child, fkCol, parent, pkCol) =>
+      val perKey = child.groupBy(col(fkCol).as("_fk"))
+        .agg(count(lit(1)).as("_rows"))
+      val nulls = perKey.filter(col("_fk").isNull)
+        .agg(coalesce(sum(col("_rows")), lit(0L)).as("n_null_fk_rows"))
+      val orphans = perKey.filter(col("_fk").isNotNull)
+        .join(parent.select(col(pkCol).as("_fk")).distinct(),
+          Seq("_fk"), "left_anti")
+        .agg(coalesce(sum(col("_rows")), lit(0L)).as("n_orphan_rows"),
+          count(lit(1)).as("n_orphan_keys"))
+      child.agg(count(lit(1)).as("n_child_rows"),
+          countDistinct(col(fkCol)).as("n_distinct_fk"))
+        .crossJoin(nulls).crossJoin(orphans)
+        .select(lit(tag).as("relation"), col("n_child_rows"),
+          col("n_distinct_fk"), col("n_null_fk_rows"),
+          col("n_orphan_rows"), col("n_orphan_keys"))
+    }.reduce(_ unionByName _).orderBy(col("relation"))
+  }
+
   /** k-anonymity risk report: quasi-identifier combinations shared by
     * fewer than `k` rows — the groups whose members a release would
     * re-identify. One aggregate on the quasi-id tuple. */

@@ -109,6 +109,43 @@ object PageRank {
           scale).as("reciprocity"))
   }
 
+  /** Exact triangle count via degree-ordered orientation (compact-forward):
+    * dedupe to undirected edges, orient each from the (degree, id)-smaller
+    * endpoint to the larger, then count wedges (u→v, u→w), v < w by the
+    * same order, whose closing edge (v→w) exists. Orientation bounds every
+    * node's out-degree by O(√m), so the wedge join — the only expansion —
+    * is the theoretical-optimal size instead of Σdeg² (a hub with 1M
+    * neighbors would otherwise build 10¹² wedges). All equi-joins +
+    * integer count: exact, engine-portable, skew-resistant. */
+  def triangleCount(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges.filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val ordered = und
+      .join(deg.select(col("id").as("a"), col("d").as("_da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("d").as("_db")), Seq("b"))
+      .select(
+        when(col("_da") < col("_db") ||
+            (col("_da") === col("_db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("_e"))
+      .select(col("_e.u").as("u"), col("_e.v").as("v"))
+    // each triangle has exactly one ≺-minimal vertex u, so its (v, w)
+    // wedge is generated once; the closing edge is checked value-ordered
+    // against the undirected set (its own orientation may point either way)
+    val o2 = ordered.select(col("u"), col("v").as("w"))
+    val wedges = ordered.join(o2, Seq("u"))
+      .filter(col("v") < col("w"))
+      .select(col("v").as("a"), col("w").as("b"))
+    wedges.join(und, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Deterministic negative sampling for link prediction: `k` candidate
     * non-neighbors per source from the md5 identity hash (engine- and
     * rerun-stable, so train/eval negatives never silently reshuffle),

@@ -95,4 +95,58 @@ object TimeSeries {
     df.select(col(keyCol), col(bucketCol), col(valueCol),
       num.as("wsum"), den.as("wmass"))
   }
+
+  /** EWMA with α = 1/2 over the last `depth` observations, in PURE integer
+    * arithmetic: `ewma_scaled = Σ_j x_{t-j} · 2^(depth-1-j)` — the
+    * exponential weights are exact powers of two, so the smoothed series
+    * is a BIGINT (divide by `wmass` for the normalized value). The
+    * truncation error vs the infinite recursion is ≤ 2^-depth of the
+    * signal. Same per-key lag-window shape as [[weightedMovingSum]]. */
+  def ewmaDyadic(df: DataFrame, keyCol: String, bucketCol: String,
+      valueCol: String, depth: Int = 16): DataFrame = {
+    require(depth >= 1 && depth <= 62, s"depth out of range: $depth")
+    weightedMovingSum(df, keyCol, bucketCol, valueCol,
+      (0 until depth).map(j => 1L << (depth - 1 - j)))
+  }
+
+  /** Lag-k autocorrelation of each key's bucket-ordered integer series,
+    * for k = 1..maxLag, with the Pearson-style estimator cleared of every
+    * division: numerator·n² and denominator·n² are closed-form BIGINT
+    * sums (n²Σxy − nS(Σx_head+Σx_tail) + (n−k)S² over n²Σx² − nS²), so
+    * the only float op is the final ratio of two identical exact longs —
+    * engine-portable at any aggregation order. One lag window per k over
+    * the (tiny) per-key bucket series. */
+  def autocorr(df: DataFrame, keyCol: String, bucketCol: String,
+      valueCol: String, maxLag: Int = 3, scale: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol).asc)
+    val base = df.select(col(keyCol), col(bucketCol),
+      col(valueCol).cast(LongType).as("_x"))
+    val stats = base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s"),
+        sum((col("_x") * col("_x")).cast(DecimalType(38, 0)))
+          .cast(LongType).as("_sxx"))
+    val lagged = (1 to maxLag).map { k =>
+      base.select(col(keyCol), col("_x"),
+        lag(col("_x"), k).over(w).as("_xl"))
+        .filter(col("_xl").isNotNull)
+        .groupBy(col(keyCol))
+        .agg(sum((col("_x") * col("_xl")).cast(DecimalType(38, 0)))
+            .cast(LongType).as("_sxy"),
+          sum(col("_x")).as("_sh"), sum(col("_xl")).as("_st"))
+        .withColumn("lag", lit(k))
+    }.reduce(_ unionByName _)
+    lagged.join(broadcast(stats), Seq(keyCol))
+      .select(col(keyCol), col("lag"), col("_n").as("n"),
+        graft.core.Semantics.safeRound(
+          (col("_n") * col("_n") * col("_sxy") -
+            col("_n") * col("_s") * (col("_sh") + col("_st")) +
+            (col("_n") - col("lag")) * col("_s") * col("_s"))
+            .cast(DoubleType) /
+          (col("_n") * col("_n") * col("_sxx") -
+            col("_n") * col("_s") * col("_s")).cast(DoubleType),
+          scale).as("r"))
+      .orderBy(col(keyCol), col("lag"))
+  }
 }

@@ -438,6 +438,30 @@ class OperatorSpec extends SparkSuite {
     assert(re == byId)
   }
 
+  test("triangleCount: K4 has 4, star has 0, duplicate/reversed edges ignored") {
+    def tri(e: Seq[(Long, Long)]) =
+      graft.operators.PageRank.triangleCount(e.toDF("src", "dst"),
+        "src", "dst").head().getLong(0)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(tri(k4) == 4L)
+    assert(tri(k4 ++ k4.map(_.swap) ++ Seq((1L, 1L))) == 4L) // dedup + loop
+    assert(tri(Seq((0L, 1L), (0L, 2L), (0L, 3L))) == 0L)     // star
+  }
+
+  test("refIntegrity counts orphans and null FKs exactly") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(9L), Some(8L), None)
+      .toDF("fk")
+    val r = graft.operators.Audit
+      .refIntegrity(Seq(("c->p", child, "fk", parent, "pk")))
+      .head()
+    assert(r.getAs[Long]("n_child_rows") == 6L)
+    assert(r.getAs[Long]("n_distinct_fk") == 3L)
+    assert(r.getAs[Long]("n_null_fk_rows") == 1L)
+    assert(r.getAs[Long]("n_orphan_rows") == 3L)
+    assert(r.getAs[Long]("n_orphan_keys") == 2L)
+  }
+
   test("PageRank: dangling redistribution conserves the mass sinks leak") {
     // chain 0→1→2→3: node 3 is a pure sink holding ~all mass by round 3
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")

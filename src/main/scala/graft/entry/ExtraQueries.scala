@@ -40,6 +40,45 @@ object ExtraQueries {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    "q_rolling_median" -> ((s, dir) => {
+      // level-shift-robust smoothing of the hourly count series: exact
+      // median over the trailing 5 buckets, ×2 so the even-count midpoint
+      // stays a BIGINT in both engines
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.TimeSeries.rollingMedianX2(
+        hourly, "event_type", "bucket", "n", windowRows = 5)
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n"), col("med_x2"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
+    "q_distinct_growth" -> ((s, dir) => {
+      // audience growth curve: per-day event volume, new users (first-seen
+      // that day), and the cumulative distinct-user count — first-seen
+      // reduction + a tiny day×day self-join (bounded by the date span),
+      // never a running COUNT DISTINCT over raw events
+      val e = t(s, dir, "events")
+      val byDay = e.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val firstSeen = e.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_new_users"))
+      val cum = firstSeen.select(col("day").as("_d2"),
+        col("n_new_users").as("_nu"))
+      byDay.join(firstSeen, Seq("day"), "left")
+        .join(cum, col("_d2") <= col("day"))
+        .groupBy(col("day"))
+        .agg(first(col("n_events")).as("n_events"),
+          coalesce(first(col("n_new_users")), lit(0L)).as("n_new_users"),
+          sum(col("_nu")).as("cum_users"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_events"), col("n_new_users"), col("cum_users"))
+        .orderBy(col("day"))
+    }),
+
     "q_ewma" -> ((s, dir) => {
       // exponential smoothing of the hourly count series in pure integer
       // arithmetic: α=1/2 weights are powers of two, so the smoothed value
@@ -327,6 +366,36 @@ object ExtraQueries {
             lit("")).as("f0_x10k"))
         .orderBy(col("media_id"))
     }),
+
+    "q_image_resize" -> ((s, dir) => {
+      // REAL decode→resize→re-encode→decode roundtrip on the gradient PPM
+      // rows: the oracle replays fitWithin + nearest-neighbor source-pixel
+      // selection + the gradient formula arithmetically, so a one-pixel
+      // drift anywhere in the codec or scaler changes pix_sum
+      import s.implicits._
+      val corpus = graft.multimodal.Multimodal.syntheticCorpus(s, 99)
+        .filter(col("media_id") % 4 === 0)
+      val resized = graft.multimodal.Multimodal.resizeImages(corpus, 8, 8)
+      resized.select(col("media_id"), col("width"), col("height"),
+          col("content"))
+        .as[(Long, Int, Int, Array[Byte])]
+        .map { case (id, w, h, bytes) =>
+          val img = graft.multimodal.Codecs.decodePpm(bytes).get
+          (id, img.width, img.height, w, h,
+            img.rgb.foldLeft(0L)((a, b) => a + (b & 0xff)))
+        }
+        .toDF("media_id", "dec_w", "dec_h", "meta_w", "meta_h", "pix_sum")
+        .orderBy(col("media_id"))
+    }),
+
+    "q_frame_sample" -> ((s, dir) =>
+      // metadata-driven frame-sampling plan for video rows: one timestamp
+      // row per everyMs tick across each clip's duration — pure column
+      // ops, the payload bytes are never touched
+      graft.multimodal.Multimodal.frameSamplePlan(
+        graft.multimodal.Multimodal.syntheticCorpus(s, 99), everyMs = 7000L)
+        .select(col("media_id"), col("duration_ms"), col("frame_ts_ms"))
+        .orderBy(col("media_id"), col("frame_ts_ms"))),
 
     "q_fuzzy_match" -> ((s, dir) => {
       // entity resolution: suppliers vs a deterministically typo'd copy
@@ -1504,6 +1573,29 @@ object ExtraQueries {
         |    + CASE WHEN l2 IS NULL THEN 0 ELSE 1 END AS wmass
         |FROM l ORDER BY event_type, hour""".stripMargin,
 
+    "q_rolling_median" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS hour, n,
+        |  CAST(2 * median(n) OVER (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS med_x2
+        |FROM h ORDER BY event_type, hour""".stripMargin,
+
+    "q_distinct_growth" ->
+      """WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |fs AS (SELECT user_id, MIN(date_trunc('day', ts)) AS day
+        |  FROM events GROUP BY 1),
+        |nu AS (SELECT day, count(*) AS n_new_users FROM fs GROUP BY 1)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |  CAST(d.n_events AS BIGINT) AS n_events,
+        |  CAST(COALESCE(ANY_VALUE(nu.n_new_users), 0) AS BIGINT)
+        |    AS n_new_users,
+        |  CAST(SUM(c.n_new_users) AS BIGINT) AS cum_users
+        |FROM d LEFT JOIN nu USING (day)
+        |JOIN nu c ON c.day <= d.day
+        |GROUP BY d.day, d.n_events ORDER BY day""".stripMargin,
+
     "q_ewma" -> {
       val lags = (1 until 8).map(j =>
         s"LAG(n, $j) OVER (PARTITION BY event_type ORDER BY bucket) AS l$j")
@@ -2591,6 +2683,42 @@ object ExtraQueries {
         |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
         |FROM a, b WHERE levenshtein(name_a, name_b) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_image_resize" ->
+      // arithmetic replay of fitWithin (identical double ops) + nearest-
+      // neighbor source indexing + the gradient pixel formula
+      """WITH img AS (SELECT i, 16 + i % 32 AS w, 12 + i % 24 AS h
+        |  FROM range(99) g(i) WHERE i % 4 = 0),
+        |fit AS (SELECT i, w, h,
+        |    GREATEST(1, CAST(FLOOR(w * LEAST(1.0, LEAST(8.0 / w, 8.0 / h)))
+        |      AS INT)) AS nw,
+        |    GREATEST(1, CAST(FLOOR(h * LEAST(1.0, LEAST(8.0 / w, 8.0 / h)))
+        |      AS INT)) AS nh
+        |  FROM img),
+        |xs AS (SELECT i, w, h, nw, nh, unnest(range(nw)) AS x FROM fit),
+        |ys AS (SELECT i, w, h, nw, nh, x, unnest(range(nh)) AS y FROM xs),
+        |px AS (SELECT i, nw, nh,
+        |    (LEAST(h - 1, y * h // nh) * w
+        |      + LEAST(w - 1, x * w // nw)) AS p
+        |  FROM ys)
+        |SELECT CAST(i AS BIGINT) AS media_id,
+        |  CAST(ANY_VALUE(nw) AS INT) AS dec_w,
+        |  CAST(ANY_VALUE(nh) AS INT) AS dec_h,
+        |  CAST(ANY_VALUE(nw) AS INT) AS meta_w,
+        |  CAST(ANY_VALUE(nh) AS INT) AS meta_h,
+        |  CAST(SUM((p + i) % 256 + (2 * p + i) % 256 + (3 * p + i) % 256)
+        |    AS BIGINT) AS pix_sum
+        |FROM px GROUP BY i ORDER BY media_id""".stripMargin,
+
+    "q_frame_sample" ->
+      // list range is stop-EXCLUSIVE (+1 makes it match the inclusive
+      // Spark `sequence`)
+      """WITH v AS (SELECT i, 1000 * (1 + i % 30) AS dur
+        |  FROM range(99) g(i) WHERE i % 4 = 3 AND i % 8 = 3)
+        |SELECT CAST(i AS BIGINT) AS media_id,
+        |  CAST(dur AS BIGINT) AS duration_ms,
+        |  CAST(unnest(range(0, dur + 1, 7000)) AS BIGINT) AS frame_ts_ms
+        |FROM v ORDER BY media_id, frame_ts_ms""".stripMargin,
 
     "q_multimodal_neardup" ->
       // the twin invariant IS the ground truth: every base image pairs

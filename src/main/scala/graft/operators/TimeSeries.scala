@@ -109,6 +109,26 @@ object TimeSeries {
       (0 until depth).map(j => 1L << (depth - 1 - j)))
   }
 
+  /** Rolling median of each key's integer series over the trailing
+    * `windowRows` buckets, scaled ×2 so the even-count midpoint average
+    * stays a BIGINT (exact in any engine). collect+sort over a ≤
+    * `windowRows`-element window — bounded state per row, partitioned per
+    * key. */
+  def rollingMedianX2(df: DataFrame, keyCol: String, bucketCol: String,
+      valueCol: String, windowRows: Int = 5): DataFrame = {
+    require(windowRows >= 1, "windowRows must be >= 1")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol).asc)
+      .rowsBetween(-(windowRows - 1), 0)
+    val arr = sort_array(collect_list(col(valueCol)).over(w))
+    val k = size(arr)
+    val medX2 = when(k % 2 === 1,
+        element_at(arr, ((k + 1) / 2).cast("int")) * 2)
+      .otherwise(element_at(arr, (k / 2).cast("int")) +
+        element_at(arr, (k / 2 + 1).cast("int")))
+    df.select(col(keyCol), col(bucketCol), col(valueCol),
+      medX2.cast(org.apache.spark.sql.types.LongType).as("med_x2"))
+  }
+
   /** Lag-k autocorrelation of each key's bucket-ordered integer series,
     * for k = 1..maxLag, with the Pearson-style estimator cleared of every
     * division: numerator·n² and denominator·n² are closed-form BIGINT

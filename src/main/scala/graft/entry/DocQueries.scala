@@ -43,6 +43,32 @@ object DocQueries {
         col("quality"))
         .orderBy(col("doc_id"))),
 
+    "q_script_mix" -> ((s, dir) => {
+      // per-doc character-class census (latin / digit / whitespace /
+      // non-ascii / other-ascii) — the code-switch and mojibake screen.
+      // Explicit ASCII classes, not \s or \w: Java and RE2 disagree on
+      // vertical tab and unicode classes, an explicit char class can't
+      val txt = col("text")
+      val len = length(txt)
+      val latin = length(regexp_replace(txt, "[^A-Za-z]", ""))
+      val digit = length(regexp_replace(txt, "[^0-9]", ""))
+      val nonWs = length(regexp_replace(txt, "[ \\t\\n\\r\\f]", ""))
+      val ascii = length(regexp_replace(txt, "[^\\x00-\\x7f]", ""))
+      t(s, dir, "documents").select(col("doc_id"),
+        len.as("n_chars_txt"), latin.as("n_latin"), digit.as("n_digit"),
+        (len - nonWs).as("n_ws"), (len - ascii).as("n_nonascii"),
+        (nonWs - latin - digit - (len - ascii)).as("n_other_ascii"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_kappa" -> ((s, dir) =>
+      // chance-corrected agreement between the declared language label and
+      // the n-gram language guesser — the label-quality one-liner (0 =
+      // chance, 1 = perfect); exact integer marginals, one FLOOR division
+      graft.operators.Audit.cohenKappa(
+        TF.langIdTable(t(s, dir, "documents"), "doc_id", "text"),
+        "lang", "lang_guess")),
+
     "q_doc_langid" -> ((s, dir) =>
       TF.langIdTable(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("lang_guess"))
@@ -1319,6 +1345,21 @@ object DocQueries {
        | (CASE WHEN $meanWlSql BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
        | (CASE WHEN $stopRatioSql >= 0.05 THEN 1.0 ELSE 0.5 END)) / 4.0""".stripMargin.replace("\n", " ")
 
+  // DuckDB replay of TF.langId's marker-hit argmax (first-wins on ties),
+  // shared by q_doc_langid and q_kappa
+  private val langGuessSql: String = {
+    def hits(markers: Seq[String]) =
+      s"len(list_filter($wordsSql, w -> w IN (${markers.map(m => s"'$m'").mkString(",")})))"
+    val scores = TF.langMarkers.map { case (l, ms) => l -> hits(ms) }
+    val (l0, s0) = scores.head
+    val folded = scores.tail.foldLeft((s"$s0", s"'$l0'")) {
+      case ((bs, bl), (lang, sc)) =>
+        (s"CASE WHEN $sc > ($bs) THEN $sc ELSE ($bs) END",
+         s"CASE WHEN $sc > ($bs) THEN '$lang' ELSE ($bl) END")
+    }
+    s"CASE WHEN (${folded._1}) > 0 THEN (${folded._2}) ELSE 'unknown' END"
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_cdc_apply" ->
       """SELECT * FROM (
@@ -1470,21 +1511,41 @@ object DocQueries {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
-    "q_doc_langid" -> {
-      def hits(markers: Seq[String]) =
-        s"len(list_filter($wordsSql, w -> w IN (${markers.map(m => s"'$m'").mkString(",")})))"
-      val scores = TF.langMarkers.map { case (l, ms) => l -> hits(ms) }
-      // first-wins argmax: strictly-greater beats earlier languages
-      val (l0, s0) = scores.head
-      val folded = scores.tail.foldLeft((s"$s0", s"'$l0'")) {
-        case ((bs, bl), (lang, sc)) =>
-          (s"CASE WHEN $sc > ($bs) THEN $sc ELSE ($bs) END",
-           s"CASE WHEN $sc > ($bs) THEN '$lang' ELSE ($bl) END")
-      }
-      s"""SELECT doc_id, lang,
-         |  CASE WHEN (${folded._1}) > 0 THEN (${folded._2}) ELSE 'unknown' END AS lang_guess
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
+    "q_doc_langid" ->
+      s"""SELECT doc_id, lang, $langGuessSql AS lang_guess
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_kappa" ->
+      s"""WITH t AS (SELECT lang AS a, $langGuessSql AS b FROM documents),
+         |top AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_agree FROM t),
+         |ra AS (SELECT a AS lbl, count(*) AS ra FROM t GROUP BY 1),
+         |cb AS (SELECT b AS lbl, count(*) AS cb FROM t GROUP BY 1),
+         |src AS (SELECT CAST(COALESCE(SUM(COALESCE(ra, 0) *
+         |    COALESCE(cb, 0)), 0) AS BIGINT) AS src
+         |  FROM ra FULL OUTER JOIN cb USING (lbl))
+         |SELECT n, n_agree,
+         |  CAST(FLOOR(CAST((n * n_agree - src) * 1000000 AS DOUBLE)
+         |    / CAST(n * n - src AS DOUBLE)) AS BIGINT) AS kappa_e6
+         |FROM top CROSS JOIN src""".stripMargin,
+
+    "q_script_mix" ->
+      """SELECT doc_id, length(text) AS n_chars_txt,
+        |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_latin,
+        |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+        |  length(text) -
+        |    length(regexp_replace(text, '[ \t\n\r\f]', '', 'g')) AS n_ws,
+        |  length(text) -
+        |    length(regexp_replace(text, '[^\x00-\x7f]', '', 'g'))
+        |    AS n_nonascii,
+        |  length(regexp_replace(text, '[ \t\n\r\f]', '', 'g'))
+        |    - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |    - length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |    - (length(text) -
+        |       length(regexp_replace(text, '[^\x00-\x7f]', '', 'g')))
+        |    AS n_other_ascii
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_feature_hash" ->
       s"""WITH w AS (SELECT doc_id, unnest($wordsSql) AS word FROM documents)

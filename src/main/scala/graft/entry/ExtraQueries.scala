@@ -40,6 +40,44 @@ object ExtraQueries {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    "q_attribution" -> ((s, dir) => {
+      // last-touch attribution: each purchase credits the user's most
+      // recent earlier non-purchase event within 1 hour (else "none") —
+      // the as-of join running on a behavioral axis; touches pre-dedupe to
+      // one per (user, ts) so the as-of match is deterministic
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      val touches = e.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"), col("ts").as("t_ts"))
+        .agg(max_by(col("event_type"), col("event_id")).as("touch_type"))
+      val joined = AsofJoin.backward(purchases, touches, Seq("user_id"),
+        "ts", "t_ts", strict = true)
+      val attributed = joined.select(
+        when(col("t_ts").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("t_ts")) <= 3600000000L,
+          col("touch_type")).otherwise(lit("none")).as("touch_type"))
+        .groupBy(col("touch_type")).agg(count(lit(1)).as("n_purchases"))
+      val total = attributed.agg(sum(col("n_purchases")).as("_t"))
+      attributed.crossJoin(broadcast(total))
+        .select(col("touch_type"), col("n_purchases"),
+          expr("CAST((n_purchases * 1000000) DIV _t AS BIGINT)")
+            .as("share_e6"))
+        .orderBy(col("touch_type"))
+    }),
+
+    "q_interpolate" -> ((s, dir) => {
+      // gap-fill the NULL readings per event type by linear interpolation
+      // over the (ts, event_id)-ordered series; boundary NULLs stay NULL
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      graft.operators.TimeSeries.interpolateLinear(
+        e, "event_type", Seq(col("ts").asc, col("event_id").asc), "value")
+        .select(col("event_id"),
+          (col("value").isNotNull).as("was_present"), col("_filled"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_rolling_median" -> ((s, dir) => {
       // level-shift-robust smoothing of the hourly count series: exact
       // median over the trailing 5 buckets, ×2 so the even-count midpoint
@@ -1572,6 +1610,55 @@ object ExtraQueries {
         |  4 + CASE WHEN l1 IS NULL THEN 0 ELSE 2 END
         |    + CASE WHEN l2 IS NULL THEN 0 ELSE 1 END AS wmass
         |FROM l ORDER BY event_type, hour""".stripMargin,
+
+    "q_attribution" ->
+      """WITH p AS (SELECT user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |t0 AS (SELECT user_id, ts AS t_ts,
+        |    max_by(event_type, event_id) AS touch_type
+        |  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2),
+        |a AS (SELECT p.user_id, p.ts,
+        |    (SELECT t.touch_type FROM t0 t WHERE t.user_id = p.user_id
+        |      AND t.t_ts < p.ts ORDER BY t.t_ts DESC LIMIT 1) AS touch_type,
+        |    (SELECT MAX(t.t_ts) FROM t0 t WHERE t.user_id = p.user_id
+        |      AND t.t_ts < p.ts) AS t_ts
+        |  FROM p),
+        |c AS (SELECT COALESCE(CASE WHEN t_ts IS NOT NULL
+        |      AND epoch_us(ts) - epoch_us(t_ts) <= 3600000000
+        |      THEN touch_type END, 'none') AS touch_type,
+        |    CAST(count(*) AS BIGINT) AS n_purchases
+        |  FROM a GROUP BY 1),
+        |tt AS (SELECT SUM(n_purchases) AS t FROM c)
+        |SELECT touch_type, n_purchases,
+        |  CAST((n_purchases * 1000000) // tt.t AS BIGINT) AS share_e6
+        |FROM c CROSS JOIN tt ORDER BY touch_type""".stripMargin,
+
+    "q_interpolate" ->
+      s"""WITH b AS (SELECT event_id, event_type, value, ROW_NUMBER() OVER (
+         |    PARTITION BY event_type ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |m AS (SELECT event_id, value, rn,
+         |    MAX(CASE WHEN value IS NOT NULL THEN rn END) OVER (
+         |      PARTITION BY event_type ORDER BY rn
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pr,
+         |    last_value(CASE WHEN value IS NOT NULL THEN value END
+         |        IGNORE NULLS) OVER (
+         |      PARTITION BY event_type ORDER BY rn
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         |    MIN(CASE WHEN value IS NOT NULL THEN rn END) OVER (
+         |      PARTITION BY event_type ORDER BY rn
+         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nr,
+         |    first_value(CASE WHEN value IS NOT NULL THEN value END
+         |        IGNORE NULLS) OVER (
+         |      PARTITION BY event_type ORDER BY rn
+         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+         |  FROM b)
+         |SELECT event_id, (value IS NOT NULL) AS was_present,
+         |  CASE WHEN value IS NOT NULL THEN value
+         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         |    ${Sql.sround("pv + (nv - pv) * CAST(rn - pr AS DOUBLE) / CAST(nr - pr AS DOUBLE)", 6)}
+         |  END AS _filled
+         |FROM m ORDER BY event_id""".stripMargin,
 
     "q_rolling_median" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,

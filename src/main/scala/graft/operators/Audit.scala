@@ -230,6 +230,28 @@ object Audit {
     }.reduce(_ unionByName _).orderBy(col("candidate"))
   }
 
+  /** Cohen's kappa between two categorical labelings, in exact integer
+    * arithmetic: kappa = (n·Σdiag − Σ(rowᵢ·colᵢ)) / (n² − Σ(rowᵢ·colᵢ)),
+    * emitted e6-scaled through one FLOOR(double) division of exact longs
+    * (identical operands → identical result in any engine; floor keeps
+    * negative kappas portable where truncating integer division differs).
+    * The label-marginal join is a tiny full-outer on distinct labels. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val top = df.agg(count(lit(1)).as("n"),
+      sum(when(col(aCol) === col(bCol), 1L).otherwise(0L)).as("n_agree"))
+    val ra = df.groupBy(col(aCol).as("_lbl")).agg(count(lit(1)).as("_ra"))
+    val cb = df.groupBy(col(bCol).as("_lbl")).agg(count(lit(1)).as("_cb"))
+    val src = ra.join(cb, Seq("_lbl"), "full_outer")
+      .agg(coalesce(sum(coalesce(col("_ra"), lit(0L)) *
+        coalesce(col("_cb"), lit(0L))), lit(0L)).as("_src"))
+    top.crossJoin(src).select(col("n"), col("n_agree"),
+      floor(((col("n") * col("n_agree") - col("_src")) * lit(1000000L))
+        .cast(DoubleType) /
+        (col("n") * col("n") - col("_src")).cast(DoubleType))
+        .cast(org.apache.spark.sql.types.LongType).as("kappa_e6"))
+  }
+
   /** Referential-integrity report over declared FK relations: for each
     * (child, fkCol, parent, pkCol) edge, the row/key counts, NULL-FK rows,
     * and orphans (non-null FK values absent from the parent). Orphan

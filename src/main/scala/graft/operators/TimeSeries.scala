@@ -109,6 +109,40 @@ object TimeSeries {
       (0 until depth).map(j => 1L << (depth - 1 - j)))
   }
 
+  /** Linear interpolation of NULL values in each key's ordered series:
+    * interior gaps fill with prev + (next − prev)·(i − iₚ)/(iₙ − iₚ) over
+    * ROW positions; boundary NULLs (no neighbor on one side) stay NULL.
+    * Two bounded-frame windows (running last-non-null each direction) —
+    * no self-join, one shuffle on the key. The arithmetic is a fixed
+    * left-to-right expression over identical operands, so results are
+    * engine-portable at a fixed rounding. */
+  def interpolateLinear(df: DataFrame, keyCol: String, order: Seq[Column],
+      valueCol: String, scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val base = df.withColumn("_rn", row_number().over(wOrd))
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(col("_rn").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col(keyCol)).orderBy(col("_rn").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val v = col(valueCol).cast(DoubleType)
+    val marked = base
+      .withColumn("_pv", last(when(v.isNotNull, v), ignoreNulls = true)
+        .over(wPrev))
+      .withColumn("_pr", max(when(v.isNotNull, col("_rn"))).over(wPrev))
+      .withColumn("_nv", first(when(v.isNotNull, v), ignoreNulls = true)
+        .over(wNext))
+      .withColumn("_nr", min(when(v.isNotNull, col("_rn"))).over(wNext))
+    val interp = col("_pv") +
+      (col("_nv") - col("_pv")) * (col("_rn") - col("_pr")).cast(DoubleType) /
+        (col("_nr") - col("_pr")).cast(DoubleType)
+    marked.withColumn("_filled",
+        when(v.isNotNull, v)
+          .when(col("_pv").isNotNull && col("_nv").isNotNull,
+            graft.core.Semantics.safeRound(interp, scale)))
+      .drop("_pv", "_pr", "_nv", "_nr")
+  }
+
   /** Rolling median of each key's integer series over the trailing
     * `windowRows` buckets, scaled ×2 so the even-count midpoint average
     * stays a BIGINT (exact in any engine). collect+sort over a ≤

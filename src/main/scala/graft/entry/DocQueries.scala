@@ -43,6 +43,42 @@ object DocQueries {
         col("quality"))
         .orderBy(col("doc_id"))),
 
+    "q_doc_ttr" -> ((s, dir) => {
+      // lexical diversity per doc: type count, hapax count, and the
+      // type-token ratio as an e6 BIGINT — word-salad and boilerplate
+      // screen orthogonal to the repetition fractions
+      val words = t(s, dir, "documents").select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("_w"))
+        .filter(length(col("_w")) > 0)
+      words.groupBy(col("doc_id"), col("_w"))
+        .agg(count(lit(1)).as("_c"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_types"), sum(col("_c")).as("n_tokens"),
+          sum(when(col("_c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("ttr_e6",
+          expr("CAST((n_types * 1000000) DIV n_tokens AS BIGINT)"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_vocab_coverage" -> ((s, dir) => {
+      // what fraction of each source's token mass the global top-20
+      // vocabulary covers — the tokenizer/vocab sizing report; vocab cut
+      // tie-broken (count desc, word asc) so the boundary is deterministic
+      val words = t(s, dir, "documents").select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("_w"))
+        .filter(length(col("_w")) > 0)
+      val vocab = words.groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+        .orderBy(col("_c").desc, col("_w").asc).limit(20)
+        .select(col("_w"), lit(1L).as("_in"))
+      words.join(broadcast(vocab), Seq("_w"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          coalesce(sum(col("_in")), lit(0L)).as("n_covered"))
+        .withColumn("coverage_e6",
+          expr("CAST((n_covered * 1000000) DIV n_tokens AS BIGINT)"))
+        .orderBy(col("source"))
+    }),
+
     "q_script_mix" -> ((s, dir) => {
       // per-doc character-class census (latin / digit / whitespace /
       // non-ascii / other-ascii) — the code-switch and mojibake screen.
@@ -1529,6 +1565,30 @@ object DocQueries {
          |  CAST(FLOOR(CAST((n * n_agree - src) * 1000000 AS DOUBLE)
          |    / CAST(n * n - src AS DOUBLE)) AS BIGINT) AS kappa_e6
          |FROM top CROSS JOIN src""".stripMargin,
+
+    "q_doc_ttr" ->
+      s"""WITH w AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+         |c AS (SELECT doc_id, w, count(*) AS c FROM w
+         |  WHERE length(w) > 0 GROUP BY 1, 2)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_types,
+         |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |  CAST((COUNT(*) * 1000000) // SUM(c) AS BIGINT) AS ttr_e6
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_coverage" ->
+      s"""WITH w AS (SELECT source, unnest($wordsSql) AS w FROM documents),
+         |wf AS (SELECT source, w FROM w WHERE length(w) > 0),
+         |v AS (SELECT w FROM (SELECT w, count(*) AS c, ROW_NUMBER() OVER (
+         |    ORDER BY count(*) DESC, w ASC) AS rk FROM wf GROUP BY w)
+         |  WHERE rk <= 20)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_covered,
+         |  CAST((SUM(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+         |    // COUNT(*) AS BIGINT) AS coverage_e6
+         |FROM wf LEFT JOIN v USING (w)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_script_mix" ->
       """SELECT doc_id, length(text) AS n_chars_txt,

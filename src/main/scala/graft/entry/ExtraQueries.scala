@@ -40,6 +40,27 @@ object ExtraQueries {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    "q_user_overlap" -> ((s, dir) => {
+      // audience-overlap matrix: Jaccard of distinct-user sets between
+      // every event-type pair — one distinct reduction, one self equi-join
+      // on user (no type×type×user blow-up), integer-exact e6 ratio
+      val ut = t(s, dir, "events")
+        .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+      val sizes = ut.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      val pairs = ut.join(ut.select(col("t").as("t2"), col("u")), Seq("u"))
+        .filter(col("t") < col("t2"))
+        .groupBy(col("t"), col("t2")).agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(sizes.select(col("t"), col("n").as("_na"))), Seq("t"))
+        .join(broadcast(sizes.select(col("t").as("t2"), col("n").as("_nb"))),
+          Seq("t2"))
+        .select(col("t").as("type_a"), col("t2").as("type_b"),
+          col("_na").as("n_a"), col("_nb").as("n_b"), col("n_both"),
+          expr("CAST((n_both * 1000000) DIV (_na + _nb - n_both) AS BIGINT)")
+            .as("jaccard_e6"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     "q_attribution" -> ((s, dir) => {
       // last-touch attribution: each purchase credits the user's most
       // recent earlier non-purchase event within 1 hour (else "none") —
@@ -1610,6 +1631,19 @@ object ExtraQueries {
         |  4 + CASE WHEN l1 IS NULL THEN 0 ELSE 2 END
         |    + CASE WHEN l2 IS NULL THEN 0 ELSE 1 END AS wmass
         |FROM l ORDER BY event_type, hour""".stripMargin,
+
+    "q_user_overlap" ->
+      """WITH ut AS (SELECT DISTINCT event_type AS t, user_id AS u
+        |  FROM events),
+        |sz AS (SELECT t, count(*) AS n FROM ut GROUP BY 1),
+        |p AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2)
+        |SELECT type_a, type_b, CAST(sa.n AS BIGINT) AS n_a,
+        |  CAST(sb.n AS BIGINT) AS n_b, CAST(n_both AS BIGINT) AS n_both,
+        |  CAST((n_both * 1000000) // (sa.n + sb.n - n_both) AS BIGINT)
+        |    AS jaccard_e6
+        |FROM p JOIN sz sa ON sa.t = p.type_a JOIN sz sb ON sb.t = p.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
 
     "q_attribution" ->
       """WITH p AS (SELECT user_id, ts FROM events

@@ -438,6 +438,28 @@ class OperatorSpec extends SparkSuite {
     assert(re == byId)
   }
 
+  test("interpolateLinear fills interior gaps, keeps boundary NULLs") {
+    val df = Seq(
+      ("a", 1L, Some(1.0)), ("a", 2L, None), ("a", 3L, None),
+      ("a", 4L, Some(4.0)), ("a", 5L, None),
+      ("b", 1L, None), ("b", 2L, Some(7.0)))
+      .toDF("k", "i", "v")
+    val got = graft.operators.TimeSeries
+      .interpolateLinear(df, "k", Seq(col("i").asc), "v")
+      .select(col("k"), col("i"), col("_filled"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(got(("a", 1L)).contains(1.0))
+    assert(got(("a", 2L)).contains(2.0))       // 1 + (4-1)*1/3
+    assert(got(("a", 3L)).contains(3.0))
+    assert(got(("a", 4L)).contains(4.0))
+    assert(got(("a", 5L)).isEmpty)             // trailing boundary NULL
+    assert(got(("b", 1L)).isEmpty)             // leading boundary NULL
+    assert(got(("b", 2L)).contains(7.0))
+  }
+
   test("triangleCount: K4 has 4, star has 0, duplicate/reversed edges ignored") {
     def tri(e: Seq[(Long, Long)]) =
       graft.operators.PageRank.triangleCount(e.toDF("src", "dst"),

@@ -90,11 +90,16 @@ object AsofJoin {
         col(rightTs).as("_asof_ts"), lit(rightSide).as("_asof_side"),
         struct(rightPayload.map(col): _*).as("_asof_r")): _*)
     val unioned = lPart.unionByName(rPart, allowMissingColumns = true)
+    // REVERSED sort + running unbounded-preceding frame, not a FOLLOWING
+    // frame: Spark evaluates only prefix-to-current frames incrementally;
+    // an UNBOUNDED FOLLOWING frame re-aggregates the tail at every row —
+    // O(n²) per key (the q_interpolate bench regression, same class).
+    // `last` over the reverse order ≡ `first` over the forward order.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_asof_ts").asc, col("_asof_side").asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("_asof_ts").desc, col("_asof_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
-      .withColumn("_asof_m", first(col("_asof_r"), ignoreNulls = true).over(w))
+      .withColumn("_asof_m", last(col("_asof_r"), ignoreNulls = true).over(w))
       .filter(col("_asof_l").isNotNull)
     matched.select(
       leftCols.map(c => col(s"_asof_l.$c").as(c)) ++

@@ -43,6 +43,46 @@ object DocQueries {
         col("quality"))
         .orderBy(col("doc_id"))),
 
+    "q_rare_token_pairs" -> ((s, dir) => {
+      // translation/derivative mining: doc pairs sharing scarce vocabulary
+      // (document frequency ≤ max(3, n_docs/10) — relative, so the screen
+      // bites at any corpus scale). The df filter runs BEFORE the pair
+      // join, so each surviving token contributes ≤ rareMax²/2 pairs —
+      // linear in vocabulary, never quadratic in docs
+      val docs = t(s, dir, "documents")
+      val words = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("_w"))
+        .filter(length(col("_w")) > 0).distinct()
+      val cap = docs.agg(greatest(lit(3L),
+        (count(lit(1)) / lit(10)).cast("long")).as("_cap"))
+      val rare = words.groupBy(col("_w")).agg(count(lit(1)).as("_df"))
+        .crossJoin(broadcast(cap))
+        .filter(col("_df") >= 2 && col("_df") <= col("_cap"))
+      val wr = words.join(rare.select(col("_w")), Seq("_w"), "left_semi")
+      wr.join(wr.select(col("_w"), col("doc_id").as("doc_b")), Seq("_w"))
+        .filter(col("doc_id") < col("doc_b"))
+        .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "q_drop_reasons" -> ((s, dir) => {
+      // the curator's "why was this doc dropped" report: first matching
+      // rule of exact-dup (keep-first by id), too-short, low-quality —
+      // every rule a kernel already gated elsewhere, composed with a
+      // deterministic priority
+      val docs = t(s, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text")))
+      val reason = when(col("doc_id") =!= min(col("doc_id")).over(w),
+          lit("exact_dup"))
+        .when(col("n_chars") < 50, lit("too_short"))
+        .when(TF.qualityScore(col("text")) < 0.5, lit("low_quality"))
+        .otherwise(lit("kept"))
+      docs.select(col("doc_id"), reason.as("reason")).orderBy(col("doc_id"))
+    }),
+
     "q_doc_ttr" -> ((s, dir) => {
       // lexical diversity per doc: type count, hapax count, and the
       // type-token ratio as an e6 BIGINT — word-salad and boilerplate
@@ -1565,6 +1605,30 @@ object DocQueries {
          |  CAST(FLOOR(CAST((n * n_agree - src) * 1000000 AS DOUBLE)
          |    / CAST(n * n - src AS DOUBLE)) AS BIGINT) AS kappa_e6
          |FROM top CROSS JOIN src""".stripMargin,
+
+    "q_rare_token_pairs" ->
+      s"""WITH wd AS (SELECT DISTINCT doc_id, w FROM
+         |    (SELECT doc_id, unnest($wordsSql) AS w FROM documents)
+         |  WHERE length(w) > 0),
+         |cap AS (SELECT GREATEST(3, count(*) // 10) AS cap FROM documents),
+         |r AS (SELECT w FROM (SELECT w, count(*) AS df FROM wd GROUP BY 1),
+         |    cap
+         |  WHERE df >= 2 AND df <= cap.cap),
+         |wr AS (SELECT doc_id, w FROM wd WHERE w IN (SELECT w FROM r))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM wr a JOIN wr b ON a.w = b.w AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_drop_reasons" ->
+      s"""SELECT doc_id, CASE
+         |  WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))
+         |    THEN 'exact_dup'
+         |  WHEN n_chars < 50 THEN 'too_short'
+         |  WHEN ($qualityScoreSql) < 0.5 THEN 'low_quality'
+         |  ELSE 'kept' END AS reason
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_doc_ttr" ->
       s"""WITH w AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),

@@ -40,6 +40,20 @@ object ExtraQueries {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    "q_collapse_runs" -> ((s, dir) => {
+      // telemetry run-length collapse: drop each event that repeats the
+      // user's immediately-preceding event type — one lag window, keeps
+      // the first of every run
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("_prev", lag(col("event_type"), 1).over(w))
+        .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_user_overlap" -> ((s, dir) => {
       // audience-overlap matrix: Jaccard of distinct-user sets between
       // every event-type pair — one distinct reduction, one self equi-join
@@ -1631,6 +1645,15 @@ object ExtraQueries {
         |  4 + CASE WHEN l1 IS NULL THEN 0 ELSE 2 END
         |    + CASE WHEN l2 IS NULL THEN 0 ELSE 1 END AS wmass
         |FROM l ORDER BY event_type, hour""".stripMargin,
+
+    "q_collapse_runs" ->
+      """WITH l AS (SELECT event_id, user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT event_id, user_id, event_type FROM l
+        |WHERE prev IS NULL OR prev <> event_type
+        |ORDER BY event_id""".stripMargin,
 
     "q_user_overlap" ->
       """WITH ut AS (SELECT DISTINCT event_type AS t, user_id AS u

@@ -40,6 +40,36 @@ object ExtraQueries {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    "q_interval_join_twin" -> ((s, dir) => {
+      // the stream-stream interval join run for real (two file streams,
+      // watermarks both sides, append-mode memory sink) vs a plain SQL
+      // range-join replay: purchases enriched with same-user clicks
+      // within ±10 minutes
+      val e = t(s, dir, "events")
+      def stagePart(tpe: String, name: String): String = {
+        val p = s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}/$name"
+        e.filter(col("event_type") === tpe)
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .coalesce(1).write.mode("overwrite").parquet(p)
+        p
+      }
+      val pDir = stagePart("purchase", "ij_purchases")
+      val cDir = stagePart("click", "ij_clicks")
+      val schema = s.read.parquet(pDir).schema
+      val joined = graft.streaming.Streams.intervalJoin(
+        s.readStream.schema(schema).parquet(pDir),
+        s.readStream.schema(schema).parquet(cDir),
+        Seq("user_id"), "ts", "ts", watermark = "10 minutes")
+      val q = joined.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .format("memory").queryName("ij_twin").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("ij_twin")
+        .select(col("event_id").as("purchase_id"),
+          col("event_id_r").as("click_id"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
     "q_collapse_runs" -> ((s, dir) => {
       // telemetry run-length collapse: drop each event that repeats the
       // user's immediately-preceding event type — one lag window, keeps
@@ -1645,6 +1675,14 @@ object ExtraQueries {
         |  4 + CASE WHEN l1 IS NULL THEN 0 ELSE 2 END
         |    + CASE WHEN l2 IS NULL THEN 0 ELSE 1 END AS wmass
         |FROM l ORDER BY event_type, hour""".stripMargin,
+
+    "q_interval_join_twin" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
+        |  AND epoch_us(c.ts) <= epoch_us(p.ts) + 600000000
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     "q_collapse_runs" ->
       """WITH l AS (SELECT event_id, user_id, event_type,

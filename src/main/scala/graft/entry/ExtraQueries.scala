@@ -40,6 +40,61 @@ object ExtraQueries {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    "q_rest_query" -> ((s, dir) => {
+      // the REST envelope proven by oracle: a live loopback HttpFacade
+      // serves the reference's documented dashboard-query example, the
+      // JSON response parses back into rows, and DuckDB recomputes the
+      // same aggregation — HTTP routing, filter/agg parsing, and JSON
+      // number round-tripping all sit inside the hash
+      import graft.service.{Facade, HttpFacade, MiniJson}
+      val http = new HttpFacade(Facade.Tables(Tables.table(s, dir, _)))
+      val port = http.start()
+      val rows = try {
+        val conn = new java.net.URL(
+          s"http://127.0.0.1:$port/api/analytics/dashboard/query")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(
+          """{"table": "orders",
+             "filters": [
+               {"column": "o_orderstatus", "operator": "in", "value": ["O", "F"]},
+               {"column": "o_orderdate", "operator": "between",
+                "value": ["1995-01-01", "1997-12-31"]}],
+             "aggregation": {
+               "group_by": ["o_orderpriority"],
+               "metrics": [{"column": "o_orderkey", "agg": "count", "alias": "n_orders"}],
+               "limit": 20}}""".getBytes("UTF-8"))
+        require(conn.getResponseCode == 200, s"HTTP ${conn.getResponseCode}")
+        val env = MiniJson.parse(new String(
+          conn.getInputStream.readAllBytes(), "UTF-8"))
+          .asInstanceOf[Map[String, Any]]
+        env("data").asInstanceOf[List[Any]]
+          .map(_.asInstanceOf[Map[String, Any]])
+          .map(m => (m("o_orderpriority").asInstanceOf[String],
+            m("n_orders").asInstanceOf[Long]))
+      } finally http.stop()
+      import s.implicits._
+      rows.toDF("o_orderpriority", "n_orders")
+        .orderBy(col("n_orders").desc, col("o_orderpriority").asc)
+    }),
+
+    "q_medallion_paths" -> ((s, dir) => {
+      // the service's medallion path generator run distributed over part
+      // names (spaces, mixed case) — slugify + the gold/quarantine layout
+      // replayed by the oracle's regex chain
+      import s.implicits._
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name")).as[(Long, String)]
+        .map { case (k, n) =>
+          (k, graft.service.Paths.slugify(n),
+            graft.service.Paths.goldBi("Acme Corp", n),
+            graft.service.Paths.quarantine("Acme Corp", n))
+        }
+        .toDF("p_partkey", "slug", "gold_bi", "quarantine")
+        .orderBy(col("p_partkey"))
+    }),
+
     "q_interval_join_twin" -> ((s, dir) => {
       // the stream-stream interval join run for real (two file streams,
       // watermarks both sides, append-mode memory sink) vs a plain SQL
@@ -1675,6 +1730,25 @@ object ExtraQueries {
         |  4 + CASE WHEN l1 IS NULL THEN 0 ELSE 2 END
         |    + CASE WHEN l2 IS NULL THEN 0 ELSE 1 END AS wmass
         |FROM l ORDER BY event_type, hour""".stripMargin,
+
+    "q_rest_query" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+        |WHERE o_orderstatus IN ('O','F')
+        |  AND o_orderdate BETWEEN '1995-01-01' AND '1997-12-31'
+        |GROUP BY o_orderpriority
+        |ORDER BY n_orders DESC, o_orderpriority ASC LIMIT 20""".stripMargin,
+
+    "q_medallion_paths" ->
+      """WITH sl AS (SELECT p_partkey,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(p_name), '[_ \t\n\r\f]+', '-', 'g'),
+        |      '[^a-z0-9-]', '', 'g'), '-+', '-', 'g'), '-') AS slug
+        |  FROM part)
+        |SELECT p_partkey, slug,
+        |  'acme-corp/gold/bi/' || slug || '/' || slug || '.parquet'
+        |    AS gold_bi,
+        |  'acme-corp/quarantine/' || slug || '_anomalies.csv' AS quarantine
+        |FROM sl ORDER BY p_partkey""".stripMargin,
 
     "q_interval_join_twin" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id

@@ -40,6 +40,13 @@ object ExtraQueries {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    "q_robust_scale" -> ((s, dir) =>
+      // heavy-tail-safe normalization: (v − median)/IQR per event type
+      GroupNormalizer.robustScale(
+        t(s, dir, "events"), "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("r"))
+        .orderBy(col("event_id"))),
+
     "q_rest_query" -> ((s, dir) => {
       // the REST envelope proven by oracle: a live loopback HttpFacade
       // serves the reference's documented dashboard-query example, the
@@ -1730,6 +1737,19 @@ object ExtraQueries {
         |  4 + CASE WHEN l1 IS NULL THEN 0 ELSE 2 END
         |    + CASE WHEN l2 IS NULL THEN 0 ELSE 1 END AS wmass
         |FROM l ORDER BY event_type, hour""".stripMargin,
+
+    "q_robust_scale" ->
+      s"""WITH st AS (SELECT event_type,
+         |    quantile_cont(value, 0.5) AS med,
+         |    quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_id, e.event_type,
+         |  CASE WHEN e.value IS NULL THEN NULL
+         |       WHEN st.iqr = 0 THEN 0.0
+         |       ELSE ${Sql.sround("(e.value - st.med) / st.iqr")}
+         |  END AS r
+         |FROM events e JOIN st USING (event_type)
+         |ORDER BY e.event_id""".stripMargin,
 
     "q_rest_query" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders

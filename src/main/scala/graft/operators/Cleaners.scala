@@ -235,4 +235,26 @@ object GroupNormalizer {
               (v - col("_zs") / col("_zn")) / sigma, scale))))
       .drop("_zn", "_zs", "_zq")
   }
+
+  /** Outlier-robust sibling of [[zscore]]: (v − median) / IQR per group —
+    * the scaler that survives the heavy-tailed columns z-scores drown in.
+    * Exact per-group percentiles broadcast back (tiny frame, no corpus
+    * window); degenerate IQR = 0 yields 0; nulls stay null. */
+  def robustScale(df: DataFrame, groupCol: String, valueCol: String,
+      outCol: String = "r", scale: Int = 4): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists — rename it first")
+    val v = col(valueCol)
+    val stats = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valueCol, 0.5)").as("_rm"),
+      (expr(s"percentile($valueCol, 0.75)") -
+        expr(s"percentile($valueCol, 0.25)")).as("_riqr"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn(outCol,
+        when(v.isNull, lit(null).cast(DoubleType))
+          .otherwise(when(col("_riqr") === 0, 0.0)
+            .otherwise(graft.core.Semantics.safeRound(
+              (v - col("_rm")) / col("_riqr"), scale))))
+      .drop("_rm", "_riqr")
+  }
 }

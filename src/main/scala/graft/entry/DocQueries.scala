@@ -50,15 +50,18 @@ object DocQueries {
       // join, so each surviving token contributes ≤ rareMax²/2 pairs —
       // linear in vocabulary, never quadratic in docs
       val docs = t(s, dir, "documents")
+      // words feeds the df table and both pair-join sides — cut lineage
+      // once instead of re-exploding the corpus three times
       val words = docs.select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("_w"))
-        .filter(length(col("_w")) > 0).distinct()
+        .filter(length(col("_w")) > 0).distinct().localCheckpoint()
       val cap = docs.agg(greatest(lit(3L),
         (count(lit(1)) / lit(10)).cast("long")).as("_cap"))
       val rare = words.groupBy(col("_w")).agg(count(lit(1)).as("_df"))
         .crossJoin(broadcast(cap))
         .filter(col("_df") >= 2 && col("_df") <= col("_cap"))
       val wr = words.join(rare.select(col("_w")), Seq("_w"), "left_semi")
+        .localCheckpoint()
       wr.join(wr.select(col("_w"), col("doc_id").as("doc_b")), Seq("_w"))
         .filter(col("doc_id") < col("doc_b"))
         .groupBy(col("doc_id").as("doc_a"), col("doc_b"))

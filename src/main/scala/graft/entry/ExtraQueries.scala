@@ -150,8 +150,11 @@ object ExtraQueries {
       // audience-overlap matrix: Jaccard of distinct-user sets between
       // every event-type pair — one distinct reduction, one self equi-join
       // on user (no type×type×user blow-up), integer-exact e6 ratio
+      // ut feeds the size table and both self-join sides — cut lineage
+      // once instead of re-scanning events three times
       val ut = t(s, dir, "events")
         .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+        .localCheckpoint()
       val sizes = ut.groupBy(col("t")).agg(count(lit(1)).as("n"))
       val pairs = ut.join(ut.select(col("t").as("t2"), col("u")), Seq("u"))
         .filter(col("t") < col("t2"))

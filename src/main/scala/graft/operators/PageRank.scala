@@ -119,14 +119,19 @@ object PageRank {
     * integer count: exact, engine-portable, skew-resistant. */
   def triangleCount(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val und = edges.filter(col(srcCol) =!= col(dstCol))
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .distinct()
+    // und feeds the degree table, the orientation, AND the closing-edge
+    // probe; ordered feeds both wedge sides. Cut lineage once each or the
+    // edge-construction subtree is re-evaluated ~8× (8 redundant source
+    // scans at 100 TB, and a plan too wide for the optimizer)
+    val und = graft.core.Checkpoints.cut(
+      edges.filter(col(srcCol) =!= col(dstCol))
+        .select(least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .distinct(), graft.core.Checkpoints.Local)
     val deg = und.select(col("a").as("id"))
       .unionAll(und.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
-    val ordered = und
+    val ordered = graft.core.Checkpoints.cut(und
       .join(deg.select(col("id").as("a"), col("d").as("_da")), Seq("a"))
       .join(deg.select(col("id").as("b"), col("d").as("_db")), Seq("b"))
       .select(
@@ -134,7 +139,8 @@ object PageRank {
             (col("_da") === col("_db") && col("a") < col("b")),
           struct(col("a").as("u"), col("b").as("v")))
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("_e"))
-      .select(col("_e.u").as("u"), col("_e.v").as("v"))
+      .select(col("_e.u").as("u"), col("_e.v").as("v")),
+      graft.core.Checkpoints.Local)
     // each triangle has exactly one ≺-minimal vertex u, so its (v, w)
     // wedge is generated once; the closing edge is checked value-ordered
     // against the undirected set (its own orientation may point either way)

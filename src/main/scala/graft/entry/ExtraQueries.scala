@@ -223,6 +223,24 @@ object ExtraQueries {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    "q_rolling_distinct" -> ((s, dir) => {
+      // trailing-7-day distinct users per day: (day, user) reduction first,
+      // then a bounded day×day range join (≤ 7 partners per day) — never a
+      // distinct-over-window on raw events. The HLL sketch table is the
+      // approximate variant of this exact shape (SketchSpec)
+      val du = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        .localCheckpoint()
+      val days = du.select(col("day")).distinct()
+      days.join(du.select(col("day").as("_d2"), col("user_id")),
+          datediff(col("day"), col("_d2")).between(0, 6))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("n_users_7d"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_users_7d"))
+        .orderBy(col("day"))
+    }),
+
     "q_distinct_growth" -> ((s, dir) => {
       // audience growth curve: per-day event volume, new users (first-seen
       // that day), and the cumulative distinct-user count — first-seen
@@ -1860,6 +1878,16 @@ object ExtraQueries {
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS med_x2
         |FROM h ORDER BY event_type, hour""".stripMargin,
 
+    "q_rolling_distinct" ->
+      """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM du)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |  CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users_7d
+        |FROM days d JOIN du u
+        |  ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+        |GROUP BY d.day ORDER BY day""".stripMargin,
+
     "q_distinct_growth" ->
       """WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS n_events
         |  FROM events GROUP BY 1),
@@ -1911,8 +1939,10 @@ object ExtraQueries {
          |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
          |  UNION ALL SELECT * FROM a3)
          |SELECT u.event_type, u.lag, st.nn AS n,
+         |  CASE WHEN st.nn * st.nn * st.sxx - st.nn * st.s * st.s = 0
+         |    THEN NULL ELSE
          |  ${Sql.sround("CAST(st.nn * st.nn * u.sxy - st.nn * st.s * (u.sh + u.st) + (st.nn - u.lag) * st.s * st.s AS DOUBLE) / CAST(st.nn * st.nn * st.sxx - st.nn * st.s * st.s AS DOUBLE)")}
-         |    AS r
+         |  END AS r
          |FROM u JOIN st USING (event_type)
          |ORDER BY u.event_type, u.lag""".stripMargin
     },

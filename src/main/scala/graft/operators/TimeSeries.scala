@@ -200,16 +200,18 @@ object TimeSeries {
           sum(col("_x")).as("_sh"), sum(col("_xl")).as("_st"))
         .withColumn("lag", lit(k))
     }.reduce(_ unionByName _)
+    val den = (col("_n") * col("_n") * col("_sxx") -
+      col("_n") * col("_s") * col("_s"))
     lagged.join(broadcast(stats), Seq(keyCol))
       .select(col(keyCol), col("lag"), col("_n").as("n"),
-        graft.core.Semantics.safeRound(
-          (col("_n") * col("_n") * col("_sxy") -
-            col("_n") * col("_s") * (col("_sh") + col("_st")) +
-            (col("_n") - col("lag")) * col("_s") * col("_s"))
-            .cast(DoubleType) /
-          (col("_n") * col("_n") * col("_sxx") -
-            col("_n") * col("_s") * col("_s")).cast(DoubleType),
-          scale).as("r"))
+        // constant series have zero variance: no defined correlation
+        when(den === 0, lit(null).cast(DoubleType))
+          .otherwise(graft.core.Semantics.safeRound(
+            (col("_n") * col("_n") * col("_sxy") -
+              col("_n") * col("_s") * (col("_sh") + col("_st")) +
+              (col("_n") - col("lag")) * col("_s") * col("_s"))
+              .cast(DoubleType) / den.cast(DoubleType),
+            scale)).as("r"))
       .orderBy(col(keyCol), col("lag"))
   }
 }

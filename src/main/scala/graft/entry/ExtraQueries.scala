@@ -223,6 +223,64 @@ object ExtraQueries {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    "q_session_stats" -> ((s, dir) => {
+      // the sessionizer's summary card: session count, total events, exact
+      // median session size and duration (×2 so interpolated halves stay
+      // BIGINT), longest session — one aggregate over the session_window
+      // groups q_sessions gates row-by-row
+      val sess = t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("_ne"),
+          (unix_micros(col("sw.end")) - unix_micros(col("sw.start")))
+            .as("_dur"))
+      sess.agg(count(lit(1)).as("n_sessions"),
+        sum(col("_ne")).as("n_events"),
+        expr("CAST(percentile(_ne, 0.5) * 2 AS BIGINT)").as("med_events_x2"),
+        expr("CAST(percentile(_dur, 0.5) * 2 AS BIGINT)").as("med_dur_us_x2"),
+        max(col("_ne")).as("max_events"))
+    }),
+
+    "q_rfm" -> ((s, dir) => {
+      // RFM customer segmentation: recency/frequency/monetary quintile
+      // codes. Quintile bounds are computed ONCE and shared with the
+      // oracle via aux — recency and frequency are INTEGER-valued, the
+      // class where independently re-derived interpolated bounds flip
+      // whole equal-value groups (COVERAGE.md float-cell audit)
+      val o = t(s, dir, "orders")
+      val maxd = o.agg(max(col("o_orderdate")).as("_mx"))
+      val per = o.crossJoin(broadcast(maxd))
+        .groupBy(col("o_custkey"))
+        .agg(datediff(to_date(max(col("_mx"))),
+            to_date(max(col("o_orderdate")))).as("recency_days"),
+          count(lit(1)).as("n_orders"),
+          Semantics.exactSum(col("o_totalprice")).as("monetary"))
+        .localCheckpoint() // feeds bounds + binning + output
+      val b = per.select(
+        expr("percentile(recency_days, array(0.2,0.4,0.6,0.8))").as("rb"),
+        expr("percentile(n_orders, array(0.2,0.4,0.6,0.8))").as("fb"),
+        expr("percentile(monetary, array(0.2,0.4,0.6,0.8))").as("mb"))
+        .head()
+      val (rb, fb, mb) =
+        (b.getSeq[Double](0), b.getSeq[Double](1), b.getSeq[Double](2))
+      Aux.write(
+        s.createDataset(
+          rb.map(("r", _)) ++ fb.map(("f", _)) ++ mb.map(("m", _)))(
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.scalaDouble))
+          .toDF("kind", "b"),
+        s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/rfm_bounds")
+      def seg(c: org.apache.spark.sql.Column, bs: Seq[Double]) =
+        bs.foldLeft(lit(1L)) { (acc, bv) =>
+          acc + when(c > lit(bv), 1L).otherwise(0L) }
+      per.select(col("o_custkey"), col("recency_days"), col("n_orders"),
+        col("monetary"), seg(col("recency_days"), rb).as("r_seg"),
+        seg(col("n_orders"), fb).as("f_seg"),
+        seg(col("monetary"), mb).as("m_seg"))
+        .orderBy(col("o_custkey"))
+    }),
+
     "q_rolling_distinct" -> ((s, dir) => {
       // trailing-7-day distinct users per day: (day, user) reduction first,
       // then a bounded day×day range join (≤ 7 partners per day) — never a
@@ -1877,6 +1935,46 @@ object ExtraQueries {
         |  CAST(2 * median(n) OVER (PARTITION BY event_type ORDER BY bucket
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS med_x2
         |FROM h ORDER BY event_type, hour""".stripMargin,
+
+    "q_session_stats" ->
+      s"""WITH o AS (
+         |  SELECT user_id, ts,
+         |    CASE WHEN (epoch_ns(ts) // 1000) - LAG(epoch_ns(ts) // 1000)
+         |         OVER (PARTITION BY user_id ORDER BY ts) < 1800000000
+         |         THEN 0 ELSE 1 END AS new_s
+         |  FROM events),
+         |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |        ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+         |se AS (SELECT COUNT(*) AS ne,
+         |    (epoch_ns(MAX(ts)) // 1000) - (epoch_ns(MIN(ts)) // 1000)
+         |      + 1800000000 AS dur
+         |  FROM s GROUP BY user_id, sid)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |  CAST(SUM(ne) AS BIGINT) AS n_events,
+         |  CAST(quantile_cont(ne, 0.5) * 2 AS BIGINT) AS med_events_x2,
+         |  CAST(quantile_cont(dur, 0.5) * 2 AS BIGINT) AS med_dur_us_x2,
+         |  CAST(MAX(ne) AS BIGINT) AS max_events
+         |FROM se""".stripMargin,
+
+    "q_rfm" ->
+      s"""WITH mx AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+         |per AS (SELECT o_custkey,
+         |    datediff('day', CAST(MAX(o_orderdate) AS DATE),
+         |      CAST(ANY_VALUE(mx.mx) AS DATE)) AS recency_days,
+         |    count(*) AS n_orders,
+         |    ${esum("o_totalprice")} AS monetary
+         |  FROM orders, mx GROUP BY o_custkey),
+         |b AS (SELECT kind, b FROM
+         |  read_parquet('/tmp/graft_oracle_aux/{SF}/rfm_bounds/*.parquet'))
+         |SELECT p.o_custkey, CAST(p.recency_days AS BIGINT) AS recency_days,
+         |  CAST(p.n_orders AS BIGINT) AS n_orders, p.monetary,
+         |  1 + (SELECT COUNT(*) FROM b
+         |    WHERE b.kind = 'r' AND p.recency_days > b.b) AS r_seg,
+         |  1 + (SELECT COUNT(*) FROM b
+         |    WHERE b.kind = 'f' AND p.n_orders > b.b) AS f_seg,
+         |  1 + (SELECT COUNT(*) FROM b
+         |    WHERE b.kind = 'm' AND p.monetary > b.b) AS m_seg
+         |FROM per p ORDER BY o_custkey""".stripMargin,
 
     "q_rolling_distinct" ->
       """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id

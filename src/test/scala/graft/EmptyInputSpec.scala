@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input hardening: every operator family must survive empty
+  * and single-row frames without throwing — the shapes a real pipeline
+  * hits on a fresh partition, an over-tight filter, or a cold start. */
+class EmptyInputSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+  private def oneDoc: DataFrame =
+    Seq((1L, "hello world hello", "a")).toDF("doc_id", "text", "source")
+  private def emptySeries: DataFrame =
+    Seq.empty[(String, Long, Long)].toDF("k", "b", "n")
+
+  test("dedup family: empty and single-row inputs") {
+    assert(graft.operators.ExactDedup(emptyDocs).count() == 0L)
+    assert(graft.operators.ExactDedup(oneDoc).count() == 1L)
+    assert(graft.operators.MinHashDedup
+      .clusters(oneDoc, "doc_id", "text", k = 3, numHashes = 16, bands = 4)
+      .count() <= 1L)
+  }
+
+  test("time-series family: empty and single-row series") {
+    assert(graft.operators.TimeSeries
+      .autocorr(emptySeries, "k", "b", "n").count() == 0L)
+    val one = Seq(("k", 1L, 5L)).toDF("k", "b", "n")
+    // a 1-row series has no lag pairs at all
+    assert(graft.operators.TimeSeries.autocorr(one, "k", "b", "n")
+      .count() == 0L)
+    assert(graft.operators.TimeSeries
+      .ewmaDyadic(one, "k", "b", "n", depth = 4).count() == 1L)
+    assert(graft.operators.TimeSeries
+      .rollingMedianX2(one, "k", "b", "n").head().getLong(3) == 10L)
+    assert(graft.operators.TimeSeries
+      .interpolateLinear(emptySeries.withColumn("v", lit(1.0)),
+        "k", Seq(col("b").asc), "v").count() == 0L)
+  }
+
+  test("audit family: empty inputs yield empty or zeroed reports") {
+    val e = emptyDocs.select(col("source").as("a"), col("text").as("b"))
+    val k = graft.operators.Audit.cohenKappa(e, "a", "b").head()
+    assert(k.getAs[Long]("n") == 0L) // kappa itself undefined: null cell
+    assert(k.isNullAt(k.fieldIndex("kappa_e6")))
+    val ri = graft.operators.Audit.refIntegrity(Seq(
+      ("x", emptyDocs.select(col("doc_id")), "doc_id",
+        oneDoc.select(col("doc_id")), "doc_id"))).head()
+    assert(ri.getAs[Long]("n_child_rows") == 0L &&
+      ri.getAs[Long]("n_orphan_rows") == 0L)
+  }
+
+  test("normalizers: empty and degenerate groups") {
+    val e = Seq.empty[(String, Option[Double])].toDF("g", "v")
+    assert(graft.operators.GroupNormalizer.zscore(e, "g", "v").count() == 0L)
+    assert(graft.operators.GroupNormalizer.robustScale(e, "g", "v")
+      .count() == 0L)
+    // all-equal group: sigma = IQR = 0 -> 0.0, not NaN
+    val const = Seq(("g", Some(2.0)), ("g", Some(2.0))).toDF("g", "v")
+    assert(graft.operators.GroupNormalizer.robustScale(const, "g", "v")
+      .select("r").collect().forall(_.getDouble(0) == 0.0))
+  }
+
+  test("graph family: empty edge lists") {
+    val e = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.operators.PageRank.degreeStats(e, "src", "dst")
+      .count() == 0L)
+    assert(graft.operators.PageRank.triangleCount(e, "src", "dst")
+      .head().getLong(0) == 0L)
+  }
+
+  test("corpus stats: single-doc corpus") {
+    val card = graft.operators.CorpusStats
+      .corpusCard(oneDoc, "text", Seq("source"))
+    assert(card.count() == 1L)
+    val terms = graft.operators.CorpusStats
+      .sliceEntropyTermsE15(oneDoc, "source", "doc_id")
+    // single category: p = 1, ln(1) = 0 -> zero entropy term
+    assert(terms.head().getAs[Long]("tm_e15") == 0L)
+  }
+}

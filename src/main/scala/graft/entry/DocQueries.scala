@@ -43,6 +43,11 @@ object DocQueries {
         col("quality"))
         .orderBy(col("doc_id"))),
 
+    "q_rake_keywords" -> ((s, dir) =>
+      // corpus keyword candidates: maximal stopword-free runs scored by
+      // member degree/frequency mass — pure BIGINT ranking (ratio of sums)
+      TF.rakeKeywords(t(s, dir, "documents"), "doc_id", "text", topK = 20)),
+
     "q_rare_token_pairs" -> ((s, dir) => {
       // translation/derivative mining: doc pairs sharing scarce vocabulary
       // (document frequency ≤ max(3, n_docs/10) — relative, so the screen
@@ -1608,6 +1613,36 @@ object DocQueries {
          |  CAST(FLOOR(CAST((n * n_agree - src) * 1000000 AS DOUBLE)
          |    / CAST(n * n - src AS DOUBLE)) AS BIGINT) AS kappa_e6
          |FROM top CROSS JOIN src""".stripMargin,
+
+    "q_rake_keywords" -> {
+      val stops = TF.englishStopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, w, pos,
+         |    SUM(CASE WHEN w IN ($stops) THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos
+         |        ROWS UNBOUNDED PRECEDING) AS grp,
+         |    (w IN ($stops)) AS isstop
+         |  FROM (SELECT doc_id, unnest(ws) AS w,
+         |          generate_subscripts(ws, 1) AS pos
+         |        FROM (SELECT doc_id, $wordsSql AS ws FROM documents))
+         |  WHERE length(w) > 0),
+         |nz AS (SELECT doc_id, w, pos, grp FROM toks WHERE NOT isstop),
+         |ph AS (SELECT doc_id, grp,
+         |    string_agg(w, ' ' ORDER BY pos) AS phrase, count(*) AS len
+         |  FROM nz GROUP BY 1, 2),
+         |wstats AS (SELECT w, count(*) AS freq, SUM(len) AS deg
+         |  FROM nz JOIN ph USING (doc_id, grp) GROUP BY w),
+         |ps AS (SELECT nz.doc_id, nz.grp,
+         |    SUM(ws.deg) AS sd, SUM(ws.freq) AS sf
+         |  FROM nz JOIN wstats ws USING (w) GROUP BY 1, 2)
+         |SELECT ph.phrase, CAST(ANY_VALUE(ph.len) AS BIGINT) AS n_words,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |  CAST((ANY_VALUE(sd) * 1000000) // ANY_VALUE(sf) AS BIGINT)
+         |    AS score_e6
+         |FROM ph JOIN ps USING (doc_id, grp)
+         |GROUP BY ph.phrase
+         |ORDER BY score_e6 DESC, phrase ASC LIMIT 20""".stripMargin
+    },
 
     "q_rare_token_pairs" ->
       s"""WITH wd AS (SELECT DISTINCT doc_id, w FROM

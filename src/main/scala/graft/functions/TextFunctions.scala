@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -38,6 +38,57 @@ object TextFunctions {
     when(length(t) === 0, 0.0).otherwise(
       length(regexp_replace(t, "[^\\p{Punct}]", "")).cast(DoubleType) /
         length(t).cast(DoubleType))
+  }
+
+  /** RAKE-style keyword extraction, ratio-of-sums variant: candidate
+    * phrases are maximal stopword-free word runs; each word carries
+    * corpus-global degree (Σ lengths of phrases containing it) and
+    * frequency (occurrence count); a phrase scores
+    * `(Σ member degree) · 1e6 div (Σ member frequency)` — pure BIGINT, so
+    * the ranking is engine- and partitioning-exact (classic RAKE sums
+    * per-word deg/freq ratios, which would put a float sum in the
+    * ranking). Plan: one posexplode, one running stop-count window per
+    * doc, two hash aggregates and a broadcast word-stats join — no
+    * corpus-wide window, no cross product.
+    * Output: phrase, n_words, n_occurrences, score_e6 (top `topK` by
+    * (score, phrase)). */
+  def rakeKeywords(df: DataFrame, docCol: String, textCol: String,
+      topK: Int = 20,
+      stopwords: Seq[String] = englishStopwords): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(docCol)).orderBy(col("_pos").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val toks = df.select(col(docCol),
+        posexplode(split(trim(lower(col(textCol))), "\\s+"))
+          .as(Seq("_pos", "_w")))
+      .filter(length(col("_w")) > 0)
+      .withColumn("_grp",
+        sum(when(col("_w").isin(stopwords: _*), 1L).otherwise(0L)).over(w))
+      .filter(!col("_w").isin(stopwords: _*))
+    val members = toks.groupBy(col(docCol), col("_grp"))
+      .agg(sort_array(collect_list(struct(col("_pos"), col("_w"))))
+        .as("_ws"))
+      .select(col(docCol), col("_grp"),
+        expr("transform(_ws, x -> x._w)").as("_words"),
+        size(col("_ws")).as("_len"))
+    val occ = members.select(col(docCol), col("_grp"), col("_len"),
+      explode(col("_words")).as("_w"))
+    val wstats = occ.groupBy(col("_w"))
+      .agg(count(lit(1)).as("_freq"), sum(col("_len")).as("_deg"))
+    val phraseScore = occ.join(broadcast(wstats), Seq("_w"))
+      .groupBy(col(docCol), col("_grp"))
+      .agg(sum(col("_deg")).as("_sd"), sum(col("_freq")).as("_sf"))
+    members.join(phraseScore, Seq(docCol, "_grp"))
+      .select(concat_ws(" ", col("_words")).as("phrase"),
+        col("_len").as("n_words"), col("_sd"), col("_sf"))
+      .groupBy(col("phrase"))
+      .agg(first(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        expr("CAST((FIRST(_sd) * 1000000) DIV FIRST(_sf) AS BIGINT)")
+          .as("score_e6"))
+      .orderBy(col("score_e6").desc, col("phrase").asc)
+      .limit(topK)
   }
 
   val englishStopwords = Seq("the", "and", "of", "to", "a", "in", "is", "it",

@@ -268,9 +268,11 @@ object DocQueries {
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("_tk")).as("n_tokens"))
       val total = perBin.agg(sum(col("n_tokens")).as("_tt"))
+      // limit(10) = identity on the ≤10-bin frame, but makes the broadcast
+      // side's bound statically provable (plan-hygiene BNLJ rule)
       val cum = perBin.select(col("bin").as("_b2"),
-        col("n_tokens").as("_tk2"))
-      perBin.join(cum, col("_b2") <= col("bin"))
+        col("n_tokens").as("_tk2")).limit(10)
+      perBin.join(broadcast(cum), col("_b2") <= col("bin"))
         .groupBy(col("bin"))
         .agg(first(col("n_docs")).as("n_docs"),
           first(col("n_tokens")).as("n_tokens"),
@@ -435,7 +437,7 @@ object DocQueries {
     "q_hard_negatives" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.functions.Similarity.hardNegatives(
-        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+        emb, emb.filter(col("vec_id") < 3).limit(3), "vec_id", "embedding",
         "label", k = 5)
         .orderBy(col("anchor_id"), col("rank_in_key"))
     }),
@@ -470,10 +472,13 @@ object DocQueries {
         df => graft.streaming.Streams.cdcLatestState(
           df.as[graft.streaming.Streams.Change]).toDF,
         mode = org.apache.spark.sql.streaming.OutputMode.Update())
-      // update sink appends one row per key per batch; keep the final state
+      // update sink appends one row per key per batch; keep the final
+      // state under the operator's FULL (ts, alive, value) total order —
+      // ts_ms alone would go nondeterministic if the staged stream ever
+      // split into micro-batches with same-timestamp winners
       out.groupBy(col("id"))
         .agg(max_by(struct(col("value"), col("alive"), col("ts_ms")),
-          col("ts_ms")).as("_w"))
+          struct(col("ts_ms"), col("alive"), col("value"))).as("_w"))
         .select(col("id"), col("_w.value").as("value"),
           col("_w.alive").as("alive"), col("_w.ts_ms").as("ts_ms"))
         .orderBy(col("id"))
@@ -950,12 +955,14 @@ object DocQueries {
       // overlap with ground truth must both match.
       val emb = t(s, dir, "embeddings")
       val ann = Similarity.annJoin(
-        corpus = emb, queries = emb.filter(col("vec_id") < 5),
+        corpus = emb, queries = emb.filter(col("vec_id") < 5).limit(5),
         vecCol = "embedding", idCol = "vec_id", dim = 64, nPlanes = 6, k = 10)
         .select(col("query_id"), col("vec_id")).persist() // aux + recall join
       Aux.write(ann, s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/ann_pairs")
       graft.functions.CosineSim.register(s)
-      val queries = emb.filter(col("vec_id") < 5)
+      // limit(5) = identity on the ≤5-row filter, but makes the broadcast
+      // side's bound statically provable (plan-hygiene BNLJ rule)
+      val queries = emb.filter(col("vec_id") < 5).limit(5)
         .select(col("vec_id").as("query_id"), col("embedding").as("_qemb"))
       val scored = emb.crossJoin(broadcast(queries))
         .select(col("query_id"), col("vec_id"),
@@ -1610,8 +1617,9 @@ object DocQueries {
          |    COALESCE(cb, 0)), 0) AS BIGINT) AS src
          |  FROM ra FULL OUTER JOIN cb USING (lbl))
          |SELECT n, n_agree,
-         |  CAST(FLOOR(CAST((n * n_agree - src) * 1000000 AS DOUBLE)
-         |    / CAST(n * n - src AS DOUBLE)) AS BIGINT) AS kappa_e6
+         |  CASE WHEN n * n = src THEN NULL
+         |    ELSE CAST(FLOOR(CAST((n * n_agree - src) * 1000000 AS DOUBLE)
+         |      / CAST(n * n - src AS DOUBLE)) AS BIGINT) END AS kappa_e6
          |FROM top CROSS JOIN src""".stripMargin,
 
     "q_rake_keywords" -> {
@@ -2096,7 +2104,7 @@ object DocQueries {
 
     "q_cdc_stream_twin" ->
       // latest-row-per-key under the operator's total order
-      // (ts, op, value) — what a converged CDC state must equal
+      // (ts, alive, value) — what a converged CDC state must equal
       """WITH ch AS (SELECT user_id AS id, ts,
         |    CASE WHEN event_type = 'error' THEN 'delete'
         |         WHEN event_type = 'click' THEN 'update'
@@ -2104,7 +2112,8 @@ object DocQueries {
         |    COALESCE(value, 0.0) AS value
         |  FROM events),
         |r AS (SELECT id, ts, op, value, ROW_NUMBER() OVER (PARTITION BY id
-        |    ORDER BY ts DESC, op DESC, value DESC) AS rk FROM ch)
+        |    ORDER BY ts DESC, (op <> 'delete') DESC, value DESC) AS rk
+        |  FROM ch)
         |SELECT id, value, (op <> 'delete') AS alive,
         |  epoch_ms(ts) AS ts_ms
         |FROM r WHERE rk = 1 ORDER BY id""".stripMargin,

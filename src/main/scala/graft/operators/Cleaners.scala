@@ -236,6 +236,18 @@ object GroupNormalizer {
       .drop("_zn", "_zs", "_zq")
   }
 
+  /** The per-group (median, IQR) frame [[robustScale]] scales by —
+    * exposed so a correctness harness can materialize the EXACT bounds
+    * the operator used (interpolated percentiles are float-valued; an
+    * independent engine's quantile can differ by an ulp and flip a
+    * rounded cell at a boundary, so parity requires single-sourcing). */
+  def robustStats(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valueCol, 0.5)").as("_rm"),
+      (expr(s"percentile($valueCol, 0.75)") -
+        expr(s"percentile($valueCol, 0.25)")).as("_riqr"))
+
   /** Outlier-robust sibling of [[zscore]]: (v − median) / IQR per group —
     * the scaler that survives the heavy-tailed columns z-scores drown in.
     * Exact per-group percentiles broadcast back (tiny frame, no corpus
@@ -245,10 +257,7 @@ object GroupNormalizer {
     require(!df.columns.contains(outCol),
       s"output column '$outCol' already exists — rename it first")
     val v = col(valueCol)
-    val stats = df.groupBy(col(groupCol)).agg(
-      expr(s"percentile($valueCol, 0.5)").as("_rm"),
-      (expr(s"percentile($valueCol, 0.75)") -
-        expr(s"percentile($valueCol, 0.25)")).as("_riqr"))
+    val stats = robustStats(df, groupCol, valueCol)
     df.join(broadcast(stats), Seq(groupCol))
       .withColumn(outCol,
         when(v.isNull, lit(null).cast(DoubleType))

@@ -188,28 +188,33 @@ object TimeSeries {
       col(valueCol).cast(LongType).as("_x"))
     val stats = base.groupBy(col(keyCol))
       .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s"),
-        sum((col("_x") * col("_x")).cast(DecimalType(38, 0)))
-          .cast(LongType).as("_sxx"))
+        sum((col("_x") * col("_x")).cast(DecimalType(38, 0))).as("_sxx"))
     val lagged = (1 to maxLag).map { k =>
       base.select(col(keyCol), col("_x"),
         lag(col("_x"), k).over(w).as("_xl"))
         .filter(col("_xl").isNotNull)
         .groupBy(col(keyCol))
         .agg(sum((col("_x") * col("_xl")).cast(DecimalType(38, 0)))
-            .cast(LongType).as("_sxy"),
+            .as("_sxy"),
           sum(col("_x")).as("_sh"), sum(col("_xl")).as("_st"))
         .withColumn("lag", lit(k))
     }.reduce(_ unionByName _)
-    val den = (col("_n") * col("_n") * col("_sxx") -
-      col("_n") * col("_s") * col("_s"))
+    // n²-scaled numerator/denominator stay in DecimalType(38,0) all the
+    // way to the final ratio: plain Long arithmetic would wrap SILENTLY
+    // on long/high-magnitude series while an independent engine's BIGINT
+    // raises — a cross-engine divergence class, not just an accuracy bug.
+    // 38 digits bounds |Σx²|·n² at 10^38 — far past any real series
+    val dN = col("_n").cast(DecimalType(38, 0))
+    val dS = col("_s").cast(DecimalType(38, 0))
+    val den = dN * dN * col("_sxx") - dN * dS * dS
     lagged.join(broadcast(stats), Seq(keyCol))
       .select(col(keyCol), col("lag"), col("_n").as("n"),
         // constant series have zero variance: no defined correlation
         when(den === 0, lit(null).cast(DoubleType))
           .otherwise(graft.core.Semantics.safeRound(
-            (col("_n") * col("_n") * col("_sxy") -
-              col("_n") * col("_s") * (col("_sh") + col("_st")) +
-              (col("_n") - col("lag")) * col("_s") * col("_s"))
+            (dN * dN * col("_sxy") -
+              dN * dS * (col("_sh") + col("_st")).cast(DecimalType(38, 0)) +
+              (col("_n") - col("lag")).cast(DecimalType(38, 0)) * dS * dS)
               .cast(DoubleType) / den.cast(DoubleType),
             scale)).as("r"))
       .orderBy(col(keyCol), col("lag"))

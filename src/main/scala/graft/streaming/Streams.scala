@@ -126,10 +126,15 @@ object Streams {
     * `SnapshotDiff.applyChanges` (q_cdc_apply). State per key is one small
     * (ts, op, value) tuple regardless of stream length; each incoming
     * micro-batch emits the key's new current row (update-mode sink keeps
-    * the latest). Later timestamps win; equal timestamps resolve by op
-    * string order (delete < insert < update ⇒ update wins), then by value
-    * — a TOTAL order, so replays, reorderings, and any batch slicing
-    * converge to the same state. */
+    * the latest). Later timestamps win; equal timestamps resolve by
+    * liveness (delete < insert/update ⇒ an upsert beats a delete), then
+    * by value — a TOTAL order, so replays, reorderings, and any batch
+    * slicing converge to the same state. The order is deliberately
+    * expressed over (ts, alive, value) — the fields the emitted
+    * `CurrentRow` carries — so a downstream consumer of the update stream
+    * can reconstruct the converged state with a plain
+    * max_by(struct(ts_ms, alive, value)) even when a key's rows span many
+    * micro-batches. */
   def cdcLatestState(changes: Dataset[Change])(
       implicit spark: SparkSession): Dataset[CurrentRow] = {
     import spark.implicits._
@@ -139,7 +144,8 @@ object Streams {
         (id: Long, it: Iterator[Change], state: GroupState[LatestState]) =>
           val candidates = state.getOption.iterator ++
             it.map(c => LatestState(c.ts.getTime, c.op, c.value))
-          val winner = candidates.maxBy(l => (l.tsMs, l.op, l.value))
+          val winner =
+            candidates.maxBy(l => (l.tsMs, l.op != "delete", l.value))
           state.update(winner)
           CurrentRow(id, winner.value, winner.op != "delete", winner.tsMs)
       }

@@ -43,16 +43,19 @@ class CheckpointModeSpec extends SparkSuite {
     assert(local.filter(_._2 == 1L).map(_._1) == Set(1L, 2L, 3L, 4L))
   }
 
-  test("Bpe.train: Reliable mode produces the identical merge sequence") {
+  test("Bpe.train: driver-local, Local and Reliable distributed loops " +
+      "produce the identical merge sequence") {
     val docs = graft.core.Tables.table(spark, sfDir, "documents")
       .limit(80).select(col("text"))
-    val local = graft.functions.Bpe.train(docs, "text", numMerges = 4,
-      ckpt = Checkpoints.Local)
+    val driverLocal = graft.functions.Bpe.train(docs, "text", numMerges = 4)
+    val local = graft.functions.Bpe.trainDistributed(docs, "text",
+      numMerges = 4, ckpt = Checkpoints.Local)
     val reliable = withCheckpointDir {
-      graft.functions.Bpe.train(docs, "text", numMerges = 4,
+      graft.functions.Bpe.trainDistributed(docs, "text", numMerges = 4,
         ckpt = Checkpoints.Reliable)
     }
-    assert(reliable == local)
-    assert(local.size == 4)
+    assert(local == driverLocal)
+    assert(reliable == driverLocal)
+    assert(driverLocal.size == 4)
   }
 }

@@ -1,14 +1,19 @@
 package graft
 
-import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.joins.{
+  BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** Suite-wide plan-hygiene gate over EVERY gated query.
   *
-  * Three silent scale-killers get loud here:
+  * Four silent scale-killers get loud here:
   *   - `CartesianProductExec` anywhere in a gated query's plan (a
   *     broadcast nested loop over a 1-row stats frame is fine; a true
   *     cartesian shuffle join is never fine);
+  *   - a `BroadcastNestedLoopJoinExec` whose build side is not provably
+  *     bounded (logical `maxRows` ≤ 128) — a BNLJ over a 1-row stats
+  *     frame or an explicit small limit is O(n); over anything
+  *     data-sized it is O(n·m) and a 100 TB killer;
   *   - an unpartitioned `WindowExec` — "Moving all data to a single
   *     partition" — except where the window provably runs over a
   *     pre-aggregated slice-sized frame (explicit allowlist below);
@@ -25,6 +30,67 @@ import org.apache.spark.sql.execution.window.WindowExec
   */
 class PlanHygieneSpec extends SparkSuite {
 
+  /** Queries allowed a BroadcastNestedLoopJoin whose build side is NOT
+    * provably bounded by `maxRows` (see the mechanical bound check in the
+    * sweep). Every entry needs a justification. Empty = every BNLJ in the
+    * suite broadcasts a provably tiny frame. */
+  private val allowedBnlj: Map[String, String] = Map.empty
+
+  /** Static row bound of a physical subtree: a groupless (final)
+    * aggregate is 1 row, an explicit limit is its limit, a local relation
+    * is its size; pass-through nodes inherit their child's bound;
+    * row-expanding nodes (Generate) over a 1-row frame count as one
+    * schema-sized expansion (pair frames from a 1-row stats row).
+    * `None` = cannot prove a bound. */
+  private def boundOf(
+      p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    p match {
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => Some(1L)
+      // ReusedExchangeExec is a LEAF — the original exchange it mirrors is
+      // a constructor field, not a child, so walk into it explicitly
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        boundOf(r.child)
+      case l: GlobalLimitExec => Some(l.limit.toLong)
+      case c: CollectLimitExec => Some(c.limit.toLong)
+      case l: LocalTableScanExec => Some(l.rows.size.toLong)
+      case r: RangeExec => Some(r.numElements.toLong)
+      case g: GenerateExec =>
+        // explode over a PROVABLY-1-row frame expands to at most the
+        // generator's static arity — treat as one bounded expansion
+        boundOf(g.child).filter(_ == 1L).map(_ => 64L)
+      case u: UnionExec =>
+        val bs = u.children.map(boundOf)
+        if (bs.forall(_.isDefined)) Some(bs.flatten.sum) else None
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        for (a <- boundOf(j.left); b <- boundOf(j.right)) yield a * b
+      case p if p.children.length == 1 => boundOf(p.children.head)
+      case _ => None
+    }
+  }
+
+  /** A BNLJ is tolerable only when its broadcast side is provably tiny —
+    * a groupless aggregate (1 row) or an explicit small limit. Anything
+    * unbounded (or unknown) counts as a violation. */
+  private def unboundedBnlj(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    plan.collect { case j: BroadcastNestedLoopJoinExec =>
+      val buildPlan = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+      }
+      (j, boundOf(buildPlan))
+    }.collect {
+      // ≤1024 broadcast rows keeps the per-probe-row loop cache-resident;
+      // the suite's real builds are 1-row stats frames, ≤16-bucket /
+      // ≤10-bin prefix frames, and one 300-vector brute-force slice
+      case (j, bound) if bound.forall(_ > 1024L) =>
+        s"BroadcastNestedLoopJoin with build-side bound=" +
+          s"${bound.map(_.toString).getOrElse("unbounded")} " +
+          s"(condition=${j.condition})"
+    }
+
   /** Queries whose global window is over an already-aggregated frame whose
     * row count is bounded by slice/group cardinality, not corpus size.
     * Every entry needs a justification. */
@@ -38,7 +104,10 @@ class PlanHygieneSpec extends SparkSuite {
     "q_label_index" -> "rank over category dictionary (bounded rows)",
     // boundedRank: row_number over the ≤ topK survivors of a preceding
     // TakeOrdered limit — bounded by construction, not corpus size
-    "q_rrf" -> "rank over TakeOrdered top-K frame (bounded rows)"
+    "q_rrf" -> "rank over TakeOrdered top-K frame (bounded rows)",
+    // cumulative-users curve: running sum over the PER-DAY aggregate —
+    // one row per calendar day, bounded by date span, never corpus size
+    "q_distinct_growth" -> "cumsum over per-day aggregate (bounded rows)"
   )
 
   private final class WarnBuffer
@@ -110,6 +179,8 @@ class PlanHygieneSpec extends SparkSuite {
           val cgWarn = warned.filterNot(_.contains("No Partition Defined"))
           (if (cartesian.nonEmpty)
             Seq(s"$name: CartesianProductExec in plan") else Nil) ++
+          (if (!allowedBnlj.contains(name))
+            unboundedBnlj(plan).map(v => s"$name: $v") else Nil) ++
           (if ((globalWin.nonEmpty || winWarn.nonEmpty) &&
               !allowedGlobalWindow.contains(name))
             Seq(s"$name: unpartitioned WindowExec (plan=${globalWin.size}, " +

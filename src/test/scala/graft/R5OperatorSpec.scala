@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions: the driver-local BPE merge loop at a realistic
+  * merge count, and its aux/merge parity with the distributed twin.
+  */
+class R5OperatorSpec extends SparkSuite {
+
+  test("Bpe.train: 1000 merges on sf0.01 completes in under 60 s " +
+      "(driver-local incremental loop, one corpus scan)") {
+    val docs = graft.core.Tables.table(spark, "/root/testdata/sf0.01",
+      "documents").select(col("text"))
+    val t0 = System.nanoTime()
+    val merges = graft.functions.Bpe.train(docs, "text", numMerges = 1000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.nonEmpty)
+    // monotone non-increasing merge frequency is not guaranteed by BPE in
+    // general, but the round index must be dense and ordered
+    assert(merges.map(_.round) == merges.indices)
+    assert(secs < 60.0, f"1000-merge train took $secs%.1f s")
+  }
+
+  test("cohenKappa: degenerate single-constant-label input yields NULL " +
+      "kappa (0/0 chance-agreement), never NaN→0") {
+    import spark.implicits._
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "a")).toDF("x", "y")
+    val r = graft.operators.Audit.cohenKappa(df, "x", "y").collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 3L)       // n
+    assert(r.head.getLong(1) == 3L)       // n_agree
+    assert(r.head.isNullAt(2), "kappa must be NULL on zero denominator")
+    // non-degenerate twin still produces a value
+    val ok = Seq(("a", "a"), ("b", "b"), ("a", "b")).toDF("x", "y")
+    val r2 = graft.operators.Audit.cohenKappa(ok, "x", "y").collect()
+    assert(!r2.head.isNullAt(2))
+  }
+
+  test("autocorr: high-magnitude series stays exact (decimal path) where " +
+      "plain Long n²-scaling would wrap") {
+    import spark.implicits._
+    // |x| ~ 2^31 over 64 points: n²·Σx² ≈ 4096 · 64 · 2^62 ≈ 2^80 —
+    // far past Long but comfortably inside DecimalType(38,0)
+    val big = (0 until 64).map(i =>
+      ("k", i, (if (i % 2 == 0) 1L else -1L) * 2147480000L))
+      .toDF("key", "bucket", "v")
+    val r = graft.operators.TimeSeries.autocorr(big, "key", "bucket", "v",
+      maxLag = 1).collect()
+    assert(r.length == 1)
+    // alternating ±c series: lag-1 autocorrelation ≈ −1 (finite-n
+    // estimator bias keeps it slightly above); a Long wraparound would
+    // land far away or NULL
+    val v = r.head.getDouble(3)
+    assert(v <= -0.9 && v >= -1.0, s"expected ≈-1, got $v")
+  }
+
+  test("Bpe.train: driver-local aux pair-count dump is row-identical to " +
+      "the distributed per-round dump") {
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+      .limit(60).select(col("text"))
+    val d1 = java.nio.file.Files.createTempDirectory("bpe_aux_local")
+    val d2 = java.nio.file.Files.createTempDirectory("bpe_aux_dist")
+    try {
+      val m1 = graft.functions.Bpe.train(docs, "text", numMerges = 3,
+        auxDir = Some(d1.toString))
+      val m2 = graft.functions.Bpe.trainDistributed(docs, "text",
+        numMerges = 3, auxDir = Some(d2.toString))
+      assert(m1 == m2)
+      def slurp(d: String): Set[(String, String, Long, Int)] =
+        spark.read.parquet(d)
+          .select(col("_a"), col("_b"), col("_cnt"), col("_round"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getInt(3))).toSet
+      assert(slurp(d1.toString) == slurp(d2.toString))
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(d1.toFile); rm(d2.toFile)
+    }
+  }
+}

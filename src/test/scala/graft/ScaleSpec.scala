@@ -237,9 +237,11 @@ class ScaleSpec extends SparkSuite {
       val docs = Seq("the cat sat", "the cat ran", "a cat sat on the mat")
         .toDF("text")
       val mLocal = graft.functions.Bpe
-        .train(docs, "text", numMerges = 3, ckpt = Checkpoints.Local)
+        .trainDistributed(docs, "text", numMerges = 3,
+          ckpt = Checkpoints.Local)
       val mReliable = graft.functions.Bpe
-        .train(docs, "text", numMerges = 3, ckpt = Checkpoints.Reliable)
+        .trainDistributed(docs, "text", numMerges = 3,
+          ckpt = Checkpoints.Reliable)
       assert(mLocal == mReliable)
       // reliable rounds really wrote filesystem checkpoints
       val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))

@@ -613,6 +613,40 @@ object ExtraQueries {
         .orderBy(col("priority").desc, col("chart_type"), col("x"), col("y"))
     }),
 
+    "q_echarts_config" -> ((s, dir) => {
+      // ECharts config generation gated end-to-end: four chart configs
+      // over the event-type count aggregate, emitted as full JSON strings.
+      // The oracle re-derives the SAME strings from its own aggregation
+      // plus the literal config skeleton — a drift in the aggregate, the
+      // field order, number rendering, or any template constant breaks
+      // the hash
+      import s.implicits._
+      val agg = t(s, dir, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("y")).orderBy(col("event_type")).collect()
+      val rows = agg.toSeq.map(r =>
+        Map[String, Any]("x" -> r.getString(0), "y" -> r.getLong(1)))
+      val title = Some("Events by type")
+      import graft.viz.Echarts
+      Seq(
+        ("area", Echarts.area(rows, "x", "y", title).render),
+        ("bar", Echarts.bar(rows, "x", "y", title).render),
+        ("line", Echarts.line(rows, "x", "y", title).render),
+        ("pie", Echarts.pie(rows, "x", "y", title).render))
+        .toDF("chart_type", "config_json").orderBy(col("chart_type"))
+    }),
+
+    "q_insight_profile" -> ((s, dir) => {
+      // the insight-generation profile prompt, line by line: every cell is
+      // integer-derived (floor-scaled means, exact distincts), so DuckDB
+      // rebuilds the exact text from nation's stats — a formatting or
+      // stats regression on either side breaks the hash
+      import s.implicits._
+      val txt = graft.viz.InsightProfile.profileText(t(s, dir, "nation"))
+      txt.split("\n", -1).toSeq.zipWithIndex
+        .map { case (l, i) => (i.toLong, l) }
+        .toDF("line_no", "line").orderBy(col("line_no"))
+    }),
+
     "q_multimodal_features" -> ((s, dir) => {
       // REAL codec roundtrip gate: the synthetic corpus encodes PPM/BMP/WAV
       // payloads as an arithmetic function of media_id, extractFeatures
@@ -3092,6 +3126,79 @@ object ExtraQueries {
         |  UNION ALL SELECT 'box', 4, 'event_type', 'value', '' FROM st
         |    WHERE d_et <= 50)
         |ORDER BY priority DESC, chart_type, x, y""".stripMargin,
+
+    "q_echarts_config" ->
+      // re-template the four configs from DuckDB's own aggregate: the
+      // literal skeletons below are the contract — if the Scala generator
+      // reorders a field, changes a constant, or renders a number
+      // differently, the strings diverge
+      """WITH a AS (SELECT event_type AS x, CAST(COUNT(*) AS BIGINT) AS y
+        |    FROM events GROUP BY 1),
+        |s AS (SELECT
+        |    string_agg('"' || x || '"', ',' ORDER BY x) AS cats,
+        |    string_agg(CAST(y AS VARCHAR), ',' ORDER BY x) AS vals,
+        |    string_agg('{"name":"' || x || '","value":' ||
+        |      CAST(y AS VARCHAR) || '}', ',' ORDER BY x) AS pies
+        |  FROM a)
+        |SELECT chart_type, config_json FROM (
+        |  SELECT 'area' AS chart_type,
+        |    '{"title":{"text":"Events by type","left":"center"},"tooltip":{"trigger":"axis"},"grid":{"left":"3%","right":"4%","bottom":"3%","top":"15%","containLabel":true},"xAxis":{"type":"category","data":['
+        |    || cats ||
+        |    '],"boundaryGap":false},"yAxis":{"type":"value"},"series":[{"type":"line","data":['
+        |    || vals ||
+        |    '],"smooth":true,"emphasis":{"focus":"series"},"symbol":"circle","symbolSize":6,"areaStyle":{"opacity":0.3}}]}'
+        |    AS config_json FROM s
+        |  UNION ALL SELECT 'bar',
+        |    '{"title":{"text":"Events by type","left":"center"},"tooltip":{"trigger":"axis","axisPointer":{"type":"shadow"}},"grid":{"left":"3%","right":"4%","bottom":"3%","top":"15%","containLabel":true},"xAxis":{"type":"category","data":['
+        |    || cats ||
+        |    ']},"yAxis":{"type":"value","data":null},"series":[{"type":"bar","data":['
+        |    || vals ||
+        |    '],"emphasis":{"focus":"series"},"itemStyle":{"borderRadius":[4,4,0,0]}}],"animationEasing":"elasticOut"}'
+        |    FROM s
+        |  UNION ALL SELECT 'line',
+        |    '{"title":{"text":"Events by type","left":"center"},"tooltip":{"trigger":"axis"},"grid":{"left":"3%","right":"4%","bottom":"3%","top":"15%","containLabel":true},"xAxis":{"type":"category","data":['
+        |    || cats ||
+        |    '],"boundaryGap":false},"yAxis":{"type":"value"},"series":[{"type":"line","data":['
+        |    || vals ||
+        |    '],"smooth":true,"emphasis":{"focus":"series"},"symbol":"circle","symbolSize":6}]}'
+        |    FROM s
+        |  UNION ALL SELECT 'pie',
+        |    '{"title":{"text":"Events by type","left":"center"},"tooltip":{"trigger":"item","formatter":"{b}: {c} ({d}%)"},"legend":{"orient":"horizontal","bottom":"5%"},"series":[{"type":"pie","radius":"70%","center":["50%","45%"],"data":['
+        |    || pies ||
+        |    '],"emphasis":{"itemStyle":{"shadowBlur":10,"shadowOffsetX":0,"shadowColor":"rgba(0, 0, 0, 0.5)"}},"label":{"show":true,"formatter":"{b}: {d}%"},"animationType":"scale","animationEasing":"elasticOut"}]}'
+        |    FROM s)
+        |ORDER BY chart_type""".stripMargin,
+
+    "q_insight_profile" ->
+      // rebuild the profile prompt text from nation's exact stats: the
+      // mean renders from the SAME floor-scaled integer on both sides
+      // ((Σx·10⁴) floor-div n), distincts are exact — no float ever
+      // becomes a string
+      """WITH st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(MIN(n_nationkey) AS BIGINT) AS k0,
+        |    CAST(MAX(n_nationkey) AS BIGINT) AS k1,
+        |    (CAST(SUM(n_nationkey) AS BIGINT) * 10000) // COUNT(*) AS km,
+        |    CAST(MIN(n_regionkey) AS BIGINT) AS r0,
+        |    CAST(MAX(n_regionkey) AS BIGINT) AS r1,
+        |    (CAST(SUM(n_regionkey) AS BIGINT) * 10000) // COUNT(*) AS rm,
+        |    CAST(COUNT(DISTINCT n_name) AS BIGINT) AS dn
+        |  FROM nation)
+        |SELECT line_no, line FROM (
+        |  SELECT CAST(0 AS BIGINT) AS line_no,
+        |    'Dataset sample: ' || n || ' rows, 3 columns' AS line FROM st
+        |  UNION ALL SELECT 1, '- n_nationkey (int): min=' || k0 ||
+        |    ', max=' || k1 || ', mean=' ||
+        |    (CASE WHEN km < 0 THEN '-' ELSE '' END) || (ABS(km) // 10000)
+        |    || '.' || lpad(CAST(ABS(km) % 10000 AS VARCHAR), 4, '0')
+        |    FROM st
+        |  UNION ALL SELECT 2, '- n_name (string): ' || dn ||
+        |    ' distinct values' FROM st
+        |  UNION ALL SELECT 3, '- n_regionkey (int): min=' || r0 ||
+        |    ', max=' || r1 || ', mean=' ||
+        |    (CASE WHEN rm < 0 THEN '-' ELSE '' END) || (ABS(rm) // 10000)
+        |    || '.' || lpad(CAST(ABS(rm) % 10000 AS VARCHAR), 4, '0')
+        |    FROM st)
+        |ORDER BY line_no""".stripMargin,
 
     "q_fuzzy_match" ->
       // brute-force ground truth: every (supplier, typo'd-copy) pair

@@ -132,20 +132,55 @@ object Visualization {
 /** Insight-generation profile text (SURVEY §2.11; `insight_generator.py:
   * 40-243`): samples ≤1000 rows, builds the per-column profile prompt. The
   * LLM call is out of scope (external HTTP) — the text builder is the
-  * engine-side computation. */
+  * engine-side computation.
+  *
+  * Every cell of the profile is DETERMINISTIC and exactly replayable by an
+  * independent engine (the q_insight_profile gate): integral means render
+  * from the floor-scaled integer (Σx·10⁴ floor-div n — pure BIGINT
+  * arithmetic, never a float-to-string), distinct counts are exact (the
+  * reference's pandas `nunique` on the sample is exact too — the earlier
+  * approx_count_distinct was the deviation), and fractional columns render
+  * min/max/mean at fixed 4-decimal precision from scaled longs. */
 object InsightProfile {
+
+  /** Render a ×10⁴-scaled long as a fixed 4-decimal string ("12.0000",
+    * "-1.0001"); sign handled from the scaled value so both engines derive
+    * the text from the SAME integer. */
+  private def e4(v: Long): String = {
+    val sign = if (v < 0) "-" else ""
+    val a = math.abs(v)
+    s"$sign${a / 10000}.${"%04d".format(a % 10000)}"
+  }
+
   def profileText(df: DataFrame, sampleRows: Int = 1000): String = {
+    import org.apache.spark.sql.types._
     val sample = df.limit(sampleRows)
     val n = sample.count()
     val colLines = df.schema.fields.map { f =>
       f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          val r = sample.agg(min(col(f.name)).cast(LongType),
+            max(col(f.name)).cast(LongType),
+            sum(col(f.name)).cast(LongType)).head()
+          val mean =
+            if (n == 0 || r.isNullAt(2)) "null"
+            else e4(Math.floorDiv(r.getLong(2) * 10000L, n))
+          s"- ${f.name} (${f.dataType.simpleString}): " +
+            s"min=${if (r.isNullAt(0)) "null" else r.getLong(0).toString}, " +
+            s"max=${if (r.isNullAt(1)) "null" else r.getLong(1).toString}, " +
+            s"mean=$mean"
         case _: NumericType =>
-          val r = sample.agg(min(col(f.name)), max(col(f.name)),
-            avg(col(f.name))).head()
-          f"- ${f.name} (${f.dataType.simpleString}): min=${r.get(0)}, max=${r.get(1)}, mean=${r.get(2)}"
+          // fractional: fixed 4-dp renders from floor(x·10⁴ + 0.5) longs
+          val r = sample.agg(
+            floor(min(col(f.name)) * 10000 + 0.5).cast(LongType),
+            floor(max(col(f.name)) * 10000 + 0.5).cast(LongType),
+            floor(avg(col(f.name)) * 10000 + 0.5).cast(LongType)).head()
+          def cell(i: Int) = if (r.isNullAt(i)) "null" else e4(r.getLong(i))
+          s"- ${f.name} (${f.dataType.simpleString}): " +
+            s"min=${cell(0)}, max=${cell(1)}, mean=${cell(2)}"
         case _ =>
-          val d = sample.agg(approx_count_distinct(col(f.name))).head().getLong(0)
-          s"- ${f.name} (${f.dataType.simpleString}): ~$d distinct values"
+          val d = sample.agg(countDistinct(col(f.name))).head().getLong(0)
+          s"- ${f.name} (${f.dataType.simpleString}): $d distinct values"
       }
     }
     s"Dataset sample: $n rows, ${df.columns.length} columns\n" + colLines.mkString("\n")

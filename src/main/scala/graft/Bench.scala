@@ -46,9 +46,14 @@ object Bench {
     println(line)
     // stdout can be tail-truncated by the harness that captures it; also
     // persist the full per-query map so round-over-round regression diffs
-    // cover the whole suite, not the alphabetical tail
+    // cover the whole suite, not the alphabetical tail. Defaults to an
+    // UNtracked scratch name so ad-hoc/driver runs never clobber the
+    // committed idle artifact (bench_out.json); set GRAFT_BENCH_OUT to
+    // write the committed artifact deliberately.
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_out.latest.json")),
+      line + "\n")
     spark.stop()
   }
 }

@@ -118,20 +118,22 @@ object ExtraQueries {
       // watermarks both sides, append-mode memory sink) vs a plain SQL
       // range-join replay: purchases enriched with same-user clicks
       // within ±10 minutes
-      val e = t(s, dir, "events")
-      def stagePart(tpe: String, name: String): String = {
-        val p = s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}/$name"
-        e.filter(col("event_type") === tpe)
+      // both stream inputs staged in ONE job (single events scan, one
+      // parquet file holding both types); each side is a filtered file
+      // stream over the same staged path, so the twin pays one staging
+      // write + one stream start pair instead of two writes
+      val staged = s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}/ij_both"
+      t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type"), col("event_id"), col("user_id"), col("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      def side(tpe: String) =
+        s.readStream.schema(schema).parquet(staged)
+          .filter(col("event_type") === tpe)
           .select(col("event_id"), col("user_id"), col("ts"))
-          .coalesce(1).write.mode("overwrite").parquet(p)
-        p
-      }
-      val pDir = stagePart("purchase", "ij_purchases")
-      val cDir = stagePart("click", "ij_clicks")
-      val schema = s.read.parquet(pDir).schema
       val joined = graft.streaming.Streams.intervalJoin(
-        s.readStream.schema(schema).parquet(pDir),
-        s.readStream.schema(schema).parquet(cDir),
+        side("purchase"), side("click"),
         Seq("user_id"), "ts", "ts", watermark = "10 minutes")
       val q = joined.writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())

@@ -1378,6 +1378,22 @@ object DocQueries {
             col("lang"), col("source"), col("n_chars")))
       SnapshotDiff.diff(docs, newDf, "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    "q_graph_distance" -> ((s, dir) => {
+      // link distance from a trusted seed set (crawl-quality signal) over
+      // the deterministic citation graph of q_pagerank (each doc links to
+      // 7·id+1 and 13·id+5 mod N): multi-source frontier BFS — one
+      // edge-join + one anti-join per hop, O(|E|) total work
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val cnt = docs.agg(count(lit(1)).as("_n"))
+      val link = (a: Long, b: Long) => docs.crossJoin(broadcast(cnt))
+        .select(col("doc_id").as("src"),
+          pmod(col("doc_id") * a + b, col("_n")).as("dst"))
+      graft.operators.Bfs.distances(docs, "doc_id",
+        link(7L, 1L).union(link(13L, 5L)), "src", "dst",
+        seeds = docs.filter(col("doc_id") < 3), maxHops = 12)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1452,6 +1468,22 @@ object DocQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_distance" ->
+      """WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
+        |edges AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + 1) % c AS dst
+        |    FROM documents, n
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 13 + 5) % c FROM documents, n),
+        |reach(id, d) AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) FROM documents WHERE doc_id < 3
+        |  UNION
+        |  SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.id
+        |    WHERE r.d < 12),
+        |best AS (SELECT id, MIN(d) AS dist FROM reach GROUP BY id)
+        |SELECT doc.doc_id, best.dist
+        |FROM documents doc LEFT JOIN best ON doc.doc_id = best.id
+        |ORDER BY doc.doc_id""".stripMargin,
     "q_cdc_apply" ->
       """SELECT * FROM (
         |  SELECT doc_id,

@@ -1800,6 +1800,27 @@ object ExtraQueries {
         t(s, dir, "documents").withColumn("url", syntheticUrl),
         "url", "text")
         .orderBy(col("n_docs").desc, col("domain"))
+    }),
+
+    "q_ivm_join" -> ((s, dir) => {
+      // incremental view maintenance of the orders⋈lineitem join: the
+      // base tables split from the fixture by independent deterministic
+      // key predicates, the view delta computed by the three-term delta
+      // rule (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈Δ B) with broadcast deltas — never
+      // recomputing base⋈base
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"))
+      val delta = graft.operators.IncrementalJoin.appendDelta(
+        o.filter(col("o_orderkey") % 10 < 8),
+        o.filter(col("o_orderkey") % 10 >= 8),
+        l.filter(col("o_orderkey") % 7 < 5),
+        l.filter(col("o_orderkey") % 7 >= 5),
+        Seq("o_orderkey"))
+      delta.select(col("o_orderkey"), col("l_linenumber"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -1860,6 +1881,26 @@ object ExtraQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_ivm_join" ->
+      """WITH ob AS (SELECT o_orderkey, o_orderpriority FROM orders
+        |  WHERE o_orderkey % 10 < 8),
+        |od AS (SELECT o_orderkey, o_orderpriority FROM orders
+        |  WHERE o_orderkey % 10 >= 8),
+        |lb AS (SELECT l_orderkey, l_linenumber FROM lineitem
+        |  WHERE l_orderkey % 7 < 5),
+        |ld AS (SELECT l_orderkey, l_linenumber FROM lineitem
+        |  WHERE l_orderkey % 7 >= 5)
+        |SELECT o_orderkey, l_linenumber, o_orderpriority FROM (
+        |  SELECT od.o_orderkey, lb.l_linenumber, od.o_orderpriority
+        |    FROM od JOIN lb ON od.o_orderkey = lb.l_orderkey
+        |  UNION ALL
+        |  SELECT ob.o_orderkey, ld.l_linenumber, ob.o_orderpriority
+        |    FROM ob JOIN ld ON ob.o_orderkey = ld.l_orderkey
+        |  UNION ALL
+        |  SELECT od.o_orderkey, ld.l_linenumber, od.o_orderpriority
+        |    FROM od JOIN ld ON od.o_orderkey = ld.l_orderkey)
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+
     "q_wma" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
         |    count(*) AS n FROM events GROUP BY 1, 2),

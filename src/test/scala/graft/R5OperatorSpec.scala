@@ -80,4 +80,49 @@ class R5OperatorSpec extends SparkSuite {
       rm(d1.toFile); rm(d2.toFile)
     }
   }
+
+  test("Bfs.distances: multi-source hop distance on a line+branch graph, " +
+      "unreachable stays NULL, maxHops truncates") {
+    import spark.implicits._
+    // 0→1→2→3→4, 10→2 (second source shortcut), 5 isolated
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 2L))
+      .toDF("src", "dst")
+    val verts = Seq(0L, 1L, 2L, 3L, 4L, 5L, 10L).toDF("id")
+    val seeds = Seq(0L, 10L).toDF("id")
+    def run(maxHops: Int): Map[Long, Option[Long]] =
+      graft.operators.Bfs.distances(verts, "id", edges, "src", "dst",
+        seeds, maxHops = maxHops)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val full = run(20)
+    assert(full == Map(0L -> Some(0L), 1L -> Some(1L), 2L -> Some(1L),
+      3L -> Some(2L), 4L -> Some(3L), 5L -> None, 10L -> Some(0L)))
+    // truncation: with maxHops=1 node 3 (2 hops) and 4 are unreached
+    val cut = run(1)
+    assert(cut(3L).isEmpty && cut(4L).isEmpty && cut(2L) == Some(1L))
+  }
+
+  test("IncrementalJoin.appendDelta: base-view ∪ delta equals the full " +
+      "recomputed join (append-only IVM law), on the fixture split") {
+    val o = graft.core.Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val l = graft.core.Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"))
+    val (ob, od) = (o.filter(col("o_orderkey") % 10 < 8),
+      o.filter(col("o_orderkey") % 10 >= 8))
+    val (lb, ld) = (l.filter(col("o_orderkey") % 7 < 5),
+      l.filter(col("o_orderkey") % 7 >= 5))
+    val delta = graft.operators.IncrementalJoin.appendDelta(
+      ob, od, lb, ld, Seq("o_orderkey"))
+    val maintained = ob.join(lb, Seq("o_orderkey")).unionByName(delta)
+    val full = o.join(l, Seq("o_orderkey"))
+    assert(maintained.count() == full.count())
+    assert(maintained.exceptAll(full).isEmpty &&
+      full.exceptAll(maintained).isEmpty)
+    // all three delta terms are genuinely exercised by the split
+    assert(od.join(lb, Seq("o_orderkey")).limit(1).count() == 1)
+    assert(ob.join(ld, Seq("o_orderkey")).limit(1).count() == 1)
+    assert(od.join(ld, Seq("o_orderkey")).limit(1).count() == 1)
+  }
 }

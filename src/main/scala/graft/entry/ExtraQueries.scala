@@ -135,10 +135,12 @@ object ExtraQueries {
       val joined = graft.streaming.Streams.intervalJoin(
         side("purchase"), side("click"),
         Seq("user_id"), "ts", "ts", watermark = "10 minutes")
-      val q = joined.writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .format("memory").queryName("ij_twin").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.Streams.withStatePartitions(s, 8) {
+        val q = joined.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .format("memory").queryName("ij_twin").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table("ij_twin")
         .select(col("event_id").as("purchase_id"),
           col("event_id_r").as("click_id"))

@@ -1395,6 +1395,29 @@ object DocQueries {
         link(7L, 1L).union(link(13L, 5L)), "src", "dst",
         seeds = docs.filter(col("doc_id") < 3), maxHops = 12)
         .orderBy(col("doc_id"))
+    }),
+
+    "q_kcore" -> ((s, dir) => {
+      // dense-cluster extraction: the 4-core of the citation graph with a
+      // planted near-clique on ids < 25 (each also links to the next 3 mod
+      // 25). The sparse citation shell peels away over ~7-9 rounds (each
+      // round: two semi-joins + one degree aggregate, shrinking state);
+      // only the planted dense cluster survives — the robustness upgrade
+      // over raw degree filtering, which the shell's hubs would pass
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val cnt = docs.agg(count(lit(1)).as("_n"))
+      val link = (a: Long, b: Long) => docs.crossJoin(broadcast(cnt))
+        .select(col("doc_id").as("src"),
+          pmod(col("doc_id") * a + b, col("_n")).as("dst"))
+      val clique = (1 to 3).map { j =>
+        docs.filter(col("doc_id") < 25)
+          .select(col("doc_id").as("src"),
+            pmod(col("doc_id") + j, lit(25L)).as("dst"))
+      }.reduce(_ unionByName _)
+      graft.operators.KCore.core(docs, "doc_id",
+        link(7L, 1L).union(link(13L, 5L)).unionByName(clique),
+        "src", "dst", k = 4)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1469,6 +1492,35 @@ object DocQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_kcore" -> {
+      // 12 unrolled peel rounds cover the measured depth (7 at N=500, 9
+      // at N=5000) with margin; peeling is monotone, so extra rounds are
+      // no-ops once the fixpoint is reached (the operator itself asserts
+      // convergence). Every round MUST be MATERIALIZED: DuckDB inlines
+      // plain CTEs, and a_i referencing a_{i-1} twice would inline the
+      // whole chain 2^12 times (observed as a too-many-open-files blowup)
+      val rounds = (1 to 12).map { i =>
+        s"""a$i AS MATERIALIZED (SELECT e.u AS id FROM sym e
+           |  JOIN a${i - 1} x ON e.u = x.id
+           |  JOIN a${i - 1} y ON e.v = y.id
+           |  GROUP BY e.u HAVING COUNT(*) >= 4)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+         |n AS (SELECT COUNT(*) AS c FROM nodes),
+         |e0 AS MATERIALIZED (
+         |  SELECT id AS u, (id * 7 + 1) % c AS v FROM nodes, n
+         |  UNION ALL SELECT id, (id * 13 + 5) % c FROM nodes, n
+         |  UNION ALL SELECT id, (id + 1) % 25 FROM nodes WHERE id < 25
+         |  UNION ALL SELECT id, (id + 2) % 25 FROM nodes WHERE id < 25
+         |  UNION ALL SELECT id, (id + 3) % 25 FROM nodes WHERE id < 25),
+         |sym AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+         |  SELECT u, v FROM e0 WHERE u <> v
+         |  UNION ALL SELECT v, u FROM e0 WHERE u <> v)),
+         |a0 AS MATERIALIZED (SELECT id FROM nodes),
+         |$rounds
+         |SELECT id AS doc_id FROM a12 ORDER BY doc_id""".stripMargin
+    },
+
     "q_graph_distance" ->
       """WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
         |edges AS (

@@ -103,6 +103,21 @@ class R5OperatorSpec extends SparkSuite {
     assert(cut(3L).isEmpty && cut(4L).isEmpty && cut(2L) == Some(1L))
   }
 
+  test("KCore.core: triangle with a tail — 2-core keeps exactly the " +
+      "triangle; isolated and k-too-high cases degenerate cleanly") {
+    import spark.implicits._
+    // triangle 1-2-3, tail 3→4→5, isolated 9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    def ids(k: Int): Set[Long] =
+      graft.operators.KCore.core(verts, "id", edges, "src", "dst", k)
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(2) == Set(1L, 2L, 3L))
+    assert(ids(1) == Set(1L, 2L, 3L, 4L, 5L))  // isolated 9 peels
+    assert(ids(3) == Set.empty)                 // whole graph peels
+  }
+
   test("IncrementalJoin.appendDelta: base-view ∪ delta equals the full " +
       "recomputed join (append-only IVM law), on the fixture split") {
     val o = graft.core.Tables.table(spark, sfDir, "orders")

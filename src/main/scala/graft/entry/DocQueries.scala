@@ -1418,6 +1418,25 @@ object DocQueries {
         link(7L, 1L).union(link(13L, 5L)).unionByName(clique),
         "src", "dst", k = 4)
         .orderBy(col("doc_id"))
+    }),
+
+    "q_trustrank" -> ((s, dir) => {
+      // TrustRank: teleport restricted to the 5 trusted seeds
+      // (doc_id < 5) over the truncated doubling/tripling graph of
+      // q_pagerank_dangling — sinks are plentiful, so the "dangling mass
+      // returns to the seeds" path carries real value every round.
+      // Authority only flows outward from curation: the spam-resistant,
+      // weighted complement of q_graph_distance
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val cnt = docs.agg(count(lit(1)).as("_n"))
+      val link = (a: Long, b: Long) => docs.crossJoin(broadcast(cnt))
+        .filter(col("doc_id") * a + b < col("_n"))
+        .select(col("doc_id").as("src"), (col("doc_id") * a + b).as("dst"))
+      graft.operators.PageRank.trustRank(
+        link(2L, 1L).union(link(3L, 2L)), "src", "dst",
+        seeds = docs.filter(col("doc_id") < 5), seedCol = "doc_id",
+        iterations = 3)
+        .orderBy(col("id"))
     })
   )
 
@@ -1492,6 +1511,46 @@ object DocQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_trustrank" -> {
+      // same fixed-point replay as q_pagerank, with the teleport base and
+      // the per-round dangling share applied to seed rows only
+      def iter(prev: String, cur: String, sh: String) =
+        s"""$sh AS (SELECT CAST(FLOOR(COALESCE(SUM(p.rank), 0) / 5.0)
+           |    AS BIGINT) AS m
+           |  FROM $prev p WHERE p.id NOT IN (SELECT id FROM deg)),
+           |$cur AS (SELECT nodes.id,
+           |  (CASE WHEN nodes.id < 5 THEN bb.b ELSE 0 END)
+           |  + CAST(FLOOR((85 * (COALESCE(s.s, 0)
+           |      + CASE WHEN nodes.id < 5 THEN $sh.m ELSE 0 END)) / 100.0)
+           |    AS BIGINT) AS rank
+           |  FROM nodes CROSS JOIN bb CROSS JOIN $sh
+           |  LEFT JOIN (SELECT e.dst AS id,
+           |      SUM(CAST(FLOOR(CAST(p.rank AS DOUBLE) / d._deg) AS BIGINT))
+           |        AS s
+           |    FROM e JOIN $prev p ON e.src = p.id
+           |    JOIN deg d ON e.src = d.id
+           |    GROUP BY e.dst) s ON nodes.id = s.id)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |e AS (SELECT doc_id AS src, doc_id * 2 + 1 AS dst
+         |        FROM documents, nn WHERE doc_id * 2 + 1 < nn.n
+         |      UNION ALL
+         |      SELECT doc_id, doc_id * 3 + 2 FROM documents, nn
+         |        WHERE doc_id * 3 + 2 < nn.n),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |deg AS (SELECT src AS id, count(*) AS _deg FROM e GROUP BY 1),
+         |bb AS (SELECT
+         |    CAST(FLOOR(1000000 * 15 / (100.0 * 5)) AS BIGINT) AS b,
+         |    CAST(FLOOR(1000000.0 / 5) AS BIGINT) AS r0),
+         |r0 AS (SELECT id,
+         |  CASE WHEN id < 5 THEN (SELECT r0 FROM bb) ELSE 0 END AS rank
+         |  FROM nodes),
+         |${iter("r0", "r1", "sh1")},
+         |${iter("r1", "r2", "sh2")},
+         |${iter("r2", "r3", "sh3")}
+         |SELECT id, rank FROM r3 ORDER BY id""".stripMargin
+    },
+
     "q_kcore" -> {
       // 12 unrolled peel rounds cover the measured depth (7 at N=500, 9
       // at N=5000) with margin; peeling is monotone, so extra rounds are

@@ -76,6 +76,73 @@ object PageRank {
     ranks
   }
 
+  /** TrustRank — personalized PageRank with teleportation RESTRICTED to a
+    * trusted seed set (Gyöngyi et al., "Combating Web Spam with
+    * TrustRank", VLDB 2004): rank flows outward from curated seeds, so a
+    * spam farm can't bootstrap authority among itself the way it can
+    * under uniform teleport. The corpus-curation use: score = proximity
+    * to trusted sources, the weighted complement of [[Bfs]] hop distance.
+    *
+    * Same fixed-point integer arithmetic and per-round physical shape as
+    * [[run]] (one src join + one dst aggregate + one left join back, all
+    * hash-partitioned, lineage-cut), plus the seed flag carried on the
+    * node table. Dangling mass is redistributed to the SEEDS (the
+    * TrustRank convention — lost mass returns to the teleport
+    * distribution), one bounded aggregate + 1-row broadcast per round. */
+  def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String,
+      iterations: Int = 3, unit: Long = 1000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      mode: Checkpoints.Mode = Checkpoints.Local): DataFrame = {
+    require(iterations >= 1 && unit > 0 && dampNum > 0 && dampDen > dampNum,
+      s"bad TrustRank params: iterations=$iterations unit=$unit " +
+        s"damping=$dampNum/$dampDen")
+    val src = col(srcCol).as("id")
+    val dst = col(dstCol).as("id")
+    val graphNodes = edges.select(src).union(edges.select(dst)).distinct()
+    val seedIds = seeds.select(col(seedCol).as("id")).distinct()
+    val nodes = Checkpoints.cut(
+      graphNodes.join(seedIds.select(col("id"), lit(true).as("_seed")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("_seed"), lit(false)).as("_seed")),
+      mode)
+    val deg = edges.groupBy(col(srcCol).as("id"))
+      .agg(count(lit(1)).as("_deg"))
+    // the only driver-side value: the in-graph seed count
+    val sN = nodes.where(col("_seed")).count()
+    require(sN > 0, "TrustRank needs at least one seed present in the graph")
+    val r0 = unit / sN
+    val baseSeed = (unit * (dampDen - dampNum)) / (dampDen * sN)
+
+    var ranks = nodes.select(col("id"), col("_seed"),
+      when(col("_seed"), lit(r0)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 1 to iterations) {
+      // dangling mass returns to the teleport (= seed) distribution
+      val share = ranks.join(deg, Seq("id"), "left_anti")
+        .agg(expr(s"CAST(COALESCE(SUM(rank), 0) DIV $sN AS BIGINT)")
+          .as("_share"))
+      val contrib = edges
+        .select(col(srcCol).as("id"), col(dstCol).as("_dst"))
+        .join(ranks.select(col("id"), col("rank")), Seq("id"))
+        .join(deg, Seq("id"))
+        .select(col("_dst").as("id"),
+          floor(col("rank").cast(DoubleType) / col("_deg").cast(DoubleType))
+            .cast(LongType).as("_c"))
+        .groupBy(col("id")).agg(sum(col("_c")).as("_s"))
+      val next = nodes.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(share))
+        .select(col("id"), col("_seed"),
+          (when(col("_seed"), lit(baseSeed)).otherwise(lit(0L)) +
+            floor((lit(dampNum) *
+              (coalesce(col("_s"), lit(0L)) +
+                when(col("_seed"), col("_share")).otherwise(lit(0L))))
+              .cast(DoubleType) / lit(dampDen).cast(DoubleType))
+              .cast(LongType)).as("rank"))
+      ranks = Checkpoints.cut(next, mode)
+    }
+    ranks.select(col("id"), col("rank"))
+  }
+
   /** Per-node degree report: out- and in-degree from two key aggregates
     * full-outer-joined — the first thing to read before ranking or
     * sampling a graph (hubs, sinks, isolates-by-direction). */

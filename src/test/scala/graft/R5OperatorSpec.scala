@@ -118,6 +118,25 @@ class R5OperatorSpec extends SparkSuite {
     assert(ids(3) == Set.empty)                 // whole graph peels
   }
 
+  test("PageRank.trustRank: a spam clique disconnected from the seeds " +
+      "gets ZERO rank (uniform-teleport PageRank would fund it)") {
+    import spark.implicits._
+    // trusted component: 1→2→3→1; spam clique: 7↔8 (mutually reinforcing)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (7L, 8L), (8L, 7L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val tr = graft.operators.PageRank.trustRank(edges, "src", "dst",
+      seeds, "id", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tr(7L) == 0L && tr(8L) == 0L, s"spam clique funded: $tr")
+    assert(tr(1L) > 0L && tr(2L) > 0L && tr(3L) > 0L)
+    // uniform teleport DOES fund the clique — the property is specific
+    val pr = graft.operators.PageRank.run(edges, "src", "dst",
+      iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(7L) > 0L && pr(8L) > 0L)
+  }
+
   test("IncrementalJoin.appendDelta: base-view ∪ delta equals the full " +
       "recomputed join (append-only IVM law), on the fixture split") {
     val o = graft.core.Tables.table(spark, sfDir, "orders")

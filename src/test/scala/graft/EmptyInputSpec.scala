@@ -80,4 +80,37 @@ class EmptyInputSpec extends SparkSuite {
     // single category: p = 1, ln(1) = 0 -> zero entropy term
     assert(terms.head().getAs[Long]("tm_e15") == 0L)
   }
+
+  test("graph family (r5): empty edges / empty seeds / empty deltas " +
+      "degrade cleanly") {
+    val verts = Seq(1L, 2L).toDF("id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    // BFS with no edges: seeds at 0, the rest unreachable
+    val d = graft.operators.Bfs.distances(verts, "id", noEdges,
+      "src", "dst", Seq(1L).toDF("id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(d == Map(1L -> 0L, 2L -> -1L))
+    // BFS with no seeds: everything unreachable
+    assert(graft.operators.Bfs.distances(verts, "id", noEdges, "src",
+      "dst", Seq.empty[Long].toDF("id")).where(col("dist").isNotNull)
+      .count() == 0L)
+    // k-core of an edgeless graph is empty for any k >= 1
+    assert(graft.operators.KCore.core(verts, "id", noEdges,
+      "src", "dst", k = 1).count() == 0L)
+    // IVM with empty deltas: the view delta is empty
+    val a = Seq((1L, "x")).toDF("k", "va")
+    val b = Seq((1L, "y")).toDF("k", "vb")
+    val ea = Seq.empty[(Long, String)].toDF("k", "va")
+    val eb = Seq.empty[(Long, String)].toDF("k", "vb")
+    assert(graft.operators.IncrementalJoin
+      .appendDelta(a, ea, b, eb, Seq("k")).count() == 0L)
+    // trustRank: seeds that miss the graph entirely must fail loudly,
+    // not silently emit a zero vector
+    intercept[IllegalArgumentException] {
+      graft.operators.PageRank.trustRank(
+        Seq((1L, 2L)).toDF("src", "dst"), "src", "dst",
+        Seq(99L).toDF("id"), "id")
+    }
+  }
 }

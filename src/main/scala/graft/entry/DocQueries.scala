@@ -153,6 +153,15 @@ object DocQueries {
         TF.langIdTable(t(s, dir, "documents"), "doc_id", "text"),
         "lang", "lang_guess")),
 
+    "q_alpha" -> ((s, dir) =>
+      // Krippendorff's alpha over the same labeling pair as q_kappa —
+      // pooled coincidence marginals + the n−1 small-sample correction,
+      // the agreement coefficient that extends to missing data and >2
+      // raters; integer marginals, one final FLOOR'd e6 ratio
+      graft.operators.Audit.krippendorffAlpha(
+        TF.langIdTable(t(s, dir, "documents"), "doc_id", "text"),
+        "lang", "lang_guess")),
+
     "q_doc_langid" -> ((s, dir) =>
       TF.langIdTable(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("lang_guess"))
@@ -1765,6 +1774,25 @@ object DocQueries {
          |    ELSE CAST(FLOOR(CAST((n * n_agree - src) * 1000000 AS DOUBLE)
          |      / CAST(n * n - src AS DOUBLE)) AS BIGINT) END AS kappa_e6
          |FROM top CROSS JOIN src""".stripMargin,
+
+    "q_alpha" ->
+      s"""WITH t AS (SELECT lang AS a, $langGuessSql AS b FROM documents),
+         |top AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+         |    CAST(SUM(CASE WHEN a = b THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_disagree FROM t),
+         |pooled AS (SELECT CAST(COALESCE(SUM(nc * nc), 0) AS BIGINT) AS sq
+         |  FROM (SELECT count(*) AS nc FROM (
+         |    SELECT a AS lbl FROM t UNION ALL SELECT b FROM t)
+         |    GROUP BY lbl)),
+         |f AS (SELECT n_units, n_disagree,
+         |    2 * n_units AS n, 4 * n_units * n_units - sq AS den
+         |  FROM top CROSS JOIN pooled)
+         |SELECT n_units, n_disagree,
+         |  CASE WHEN den = 0 THEN NULL
+         |    ELSE CAST(FLOOR(
+         |      CAST((den - (n - 1) * 2 * n_disagree) * 1000000 AS DOUBLE)
+         |      / CAST(den AS DOUBLE)) AS BIGINT) END AS alpha_e6
+         |FROM f""".stripMargin,
 
     "q_rake_keywords" -> {
       val stops = TF.englishStopwords.map(s => s"'$s'").mkString(", ")

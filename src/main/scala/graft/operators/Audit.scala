@@ -260,6 +260,37 @@ object Audit {
             .cast(org.apache.spark.sql.types.LongType)).as("kappa_e6"))
   }
 
+  /** Krippendorff's alpha for two complete nominal labelings — the
+    * agreement coefficient that, unlike [[cohenKappa]], treats both
+    * raters as draws from ONE pooled label distribution (coincidence
+    * rather than contingency marginals), generalizes to missing data and
+    * more raters, and applies the small-sample n−1 correction. For two
+    * raters it reduces to integer marginals: with n = 2·units pooled
+    * values, D = disagreeing units, and S = Σ_c n_c² over pooled label
+    * counts, α = (den − (n−1)·2·D) / den where den = n² − S. All-integer
+    * until one final floor'd e6 ratio (magnitudes bounded by n²·10⁶ —
+    * exact in doubles up to ~30M units per group; same documented bound
+    * as kappa). Degenerate single-constant-label input: den = 0, α
+    * undefined → NULL, mirroring kappa. */
+  def krippendorffAlpha(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val top = df.agg(count(lit(1)).as("n_units"),
+      sum(when(col(aCol) === col(bCol), 0L).otherwise(1L)).as("n_disagree"))
+    val pooled = df.select(col(aCol).as("_lbl"))
+      .unionAll(df.select(col(bCol).as("_lbl")))
+      .groupBy(col("_lbl")).agg(count(lit(1)).as("_nc"))
+      .agg(coalesce(sum(col("_nc") * col("_nc")), lit(0L)).as("_sq"))
+    top.crossJoin(pooled).select(col("n_units"), col("n_disagree"), {
+      val n = col("n_units") * lit(2L)
+      val den = n * n - col("_sq")
+      val num = den - (n - lit(1L)) * lit(2L) * col("n_disagree")
+      when(den === 0L, lit(null).cast(LongType))
+        .otherwise(floor((num * lit(1000000L)).cast(DoubleType) /
+          den.cast(DoubleType)).cast(LongType))
+    }.as("alpha_e6"))
+  }
+
   /** Referential-integrity report over declared FK relations: for each
     * (child, fkCol, parent, pkCol) edge, the row/key counts, NULL-FK rows,
     * and orphans (non-null FK values absent from the parent). Orphan

@@ -118,6 +118,22 @@ class R5OperatorSpec extends SparkSuite {
     assert(ids(3) == Set.empty)                 // whole graph peels
   }
 
+  test("krippendorffAlpha: hand-computed values — perfect=1e6, the " +
+      "(aa),(ab) textbook case=0, single-constant-label=NULL") {
+    import spark.implicits._
+    def alpha(rows: Seq[(String, String)]): Option[Long] = {
+      val r = graft.operators.Audit
+        .krippendorffAlpha(rows.toDF("x", "y"), "x", "y").head()
+      if (r.isNullAt(2)) None else Some(r.getLong(2))
+    }
+    assert(alpha(Seq(("a", "a"), ("b", "b"))) == Some(1000000L))
+    // pooled counts a:3 b:1 → den=16−10=6, num=6−3·2·1=0 → α=0
+    assert(alpha(Seq(("a", "a"), ("a", "b"))) == Some(0L))
+    assert(alpha(Seq(("a", "a"), ("a", "a"))) == None)
+    // systematic disagreement goes negative (floor toward −∞ like kappa)
+    assert(alpha(Seq(("a", "b"), ("b", "a"))).exists(_ < 0L))
+  }
+
   test("PageRank.trustRank: a spam clique disconnected from the seeds " +
       "gets ZERO rank (uniform-teleport PageRank would fund it)") {
     import spark.implicits._

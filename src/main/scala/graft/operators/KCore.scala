@@ -47,12 +47,20 @@ object KCore {
       var alive = Checkpoints.cut(
         vertices.select(col(idCol).as("_id")).distinct(), ckpt)
       var nAlive = alive.count()
+      // alive only shrinks, so edges with both endpoints alive at round i
+      // are a subset of round i-1's live edges — probe the SHRINKING live
+      // edge set each round, not the full list: per-round cost is
+      // O(|E_live|), and on a hub-and-spoke corpus graph most edges peel
+      // away in the first rounds
+      var liveEdges = Checkpoints.cut(sym, ckpt)
       var converged = false
       var i = 0
       while (!converged && i < maxRounds) {
-        val liveEdges = sym
-          .join(alive, sym("_u") === alive("_id"), "left_semi")
-          .join(alive, sym("_v") === alive("_id"), "left_semi")
+        liveEdges = Checkpoints.cut(
+          liveEdges
+            .join(alive, liveEdges("_u") === alive("_id"), "left_semi")
+            .join(alive, liveEdges("_v") === alive("_id"), "left_semi"),
+          ckpt)
         val next = Checkpoints.cut(
           liveEdges.groupBy(col("_u")).agg(count(lit(1)).as("_deg"))
             .where(col("_deg") >= k)

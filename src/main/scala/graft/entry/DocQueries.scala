@@ -1111,6 +1111,45 @@ object DocQueries {
         .orderBy(col("n_nationkey"))
     }),
 
+    "q_ingest_quarantine" -> ((s, dir) => {
+      // dirty-feed ingestion: a staged JSONL where every doc_id % 7 == 0
+      // line is truncated mid-object. PERMISSIVE parse keeps broken lines
+      // verbatim in the quarantine column instead of dropping them or
+      // failing the job; the gate proves exactly the planted lines (and
+      // no others) land in quarantine, with their ids recovered from the
+      // preserved raw text. Oracle replays the plant arithmetically
+      val staged = s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}/dirty_docs"
+      val good = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+      val lines = good.select(
+        when(col("doc_id") % 7 === 0,
+          // cut the closing brace and the source value off — unparseable
+          expr("substring(to_json(struct(doc_id, lang, source)), 1, " +
+            "length(to_json(struct(doc_id, lang, source))) - 6)"))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"),
+            col("source")))).as("value"))
+      lines.coalesce(1).write.mode("overwrite").text(staged)
+      val parsed = graft.io.Sources.jsonlQuarantine(s, staged,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType))))
+      parsed.select(
+        // quarantined ids recovered from the preserved raw line — parsed
+        // data columns for bad rows are parser-version-dependent (partial
+        // results), the verbatim text is not
+        coalesce(
+          regexp_extract(col("_quarantine"), "\"doc_id\":(\\d+)", 1)
+            .cast(org.apache.spark.sql.types.LongType),
+          col("doc_id")).as("doc_id"),
+        when(col("_quarantine").isNotNull, lit("quarantined"))
+          .otherwise(lit("ok")).as("status"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_json_array_roundtrip" -> ((s, dir) => {
       // single-file JSON array export (json_loader.py:181-248) + array read;
       // cast back through the original schema for dtype parity
@@ -3061,6 +3100,14 @@ object DocQueries {
 
     "q_jsonl_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+
+    "q_ingest_quarantine" ->
+      // the plant is deterministic from documents, so the oracle replays
+      // it arithmetically; the Spark side actually parses the dirty file
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'quarantined' ELSE 'ok' END
+        |    AS status
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_json_array_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",

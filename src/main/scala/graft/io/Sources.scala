@@ -44,6 +44,30 @@ object Sources {
     schema.fold(r)(r.schema).json(path)
   }
 
+  /** Quarantine ingestion: parse JSONL in PERMISSIVE mode keeping the
+    * raw text of every unparseable line in `_quarantine` (Spark's
+    * corrupt-record column, renamed) — the ingest-side half of the
+    * medallion quarantine convention ([[graft.service.Paths.quarantine]]):
+    * clean rows flow on, broken lines are preserved verbatim for the
+    * quarantine sink instead of being silently dropped (DROPMALFORMED)
+    * or killing the job (FAILFAST). The schema MUST be supplied —
+    * inference would re-scan and can widen types on dirty data. Per-row
+    * classification is `_quarantine IS NOT NULL`; the scan stays a
+    * single pass, and the returned frame is persisted because Spark
+    * refuses plans that select ONLY the internal corrupt-record column
+    * from a lazy scan. */
+  def jsonlQuarantine(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val corrupt = "_quarantine"
+    val full = schema.add(corrupt, org.apache.spark.sql.types.StringType)
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .schema(full)
+      .json(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** Format auto-detect (`json_source.py:83-106`): sniff the first
     * non-whitespace byte — '[' means array file, else line-delimited. */
   def jsonAuto(spark: SparkSession, path: String): DataFrame = {

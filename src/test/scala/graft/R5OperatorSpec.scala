@@ -118,6 +118,39 @@ class R5OperatorSpec extends SparkSuite {
     assert(ids(3) == Set.empty)                 // whole graph peels
   }
 
+  test("jsonlQuarantine: broken lines preserved verbatim, clean file " +
+      "quarantines nothing") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_quar")
+    val f = dir.resolve("feed.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"id":1,"v":"a"}
+        |{"id":2,"v":"b"
+        |not json at all
+        |{"id":4,"v":"d"}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    try {
+      val parsed = graft.io.Sources.jsonlQuarantine(spark, f.toString, schema)
+      val bad = parsed.where(col("_quarantine").isNotNull)
+        .select(col("_quarantine")).collect().map(_.getString(0)).toSet
+      assert(bad == Set("{\"id\":2,\"v\":\"b\"", "not json at all"))
+      assert(parsed.where(col("_quarantine").isNull).count() == 2L)
+      parsed.unpersist()
+      // clean file: nothing lands in quarantine
+      java.nio.file.Files.writeString(f, "{\"id\":9,\"v\":\"z\"}\n")
+      val clean = graft.io.Sources.jsonlQuarantine(spark, f.toString, schema)
+      assert(clean.where(col("_quarantine").isNotNull).count() == 0L)
+      assert(clean.head().getLong(0) == 9L)
+      clean.unpersist()
+    } finally {
+      java.nio.file.Files.deleteIfExists(f)
+      java.nio.file.Files.deleteIfExists(dir)
+      ()
+    }
+  }
+
   test("krippendorffAlpha: hand-computed values — perfect=1e6, the " +
       "(aa),(ab) textbook case=0, single-constant-label=NULL") {
     import spark.implicits._

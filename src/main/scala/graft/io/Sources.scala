@@ -68,6 +68,24 @@ object Sources {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** CSV sibling of [[jsonlQuarantine]]: rows whose field count or types
+    * don't fit the supplied schema keep their raw line in `_quarantine`
+    * instead of being dropped (DROPMALFORMED) or fatal (FAILFAST). Same
+    * contract: explicit schema, single pass, persisted result. */
+  def csvQuarantine(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame = {
+    val corrupt = "_quarantine"
+    val full = schema.add(corrupt, org.apache.spark.sql.types.StringType)
+    spark.read
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .schema(full)
+      .csv(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** Format auto-detect (`json_source.py:83-106`): sniff the first
     * non-whitespace byte — '[' means array file, else line-delimited. */
   def jsonAuto(spark: SparkSession, path: String): DataFrame = {

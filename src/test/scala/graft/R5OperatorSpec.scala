@@ -151,6 +151,29 @@ class R5OperatorSpec extends SparkSuite {
     }
   }
 
+  test("csvQuarantine: wrong-arity and untypeable rows preserved, clean " +
+      "rows parsed") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_quar_csv")
+    val f = dir.resolve("feed.csv")
+    java.nio.file.Files.writeString(f,
+      "id,v\n1,a\nnot_a_number,b\n3,c\n")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    try {
+      val parsed = graft.io.Sources.csvQuarantine(spark, f.toString, schema)
+      val bad = parsed.where(col("_quarantine").isNotNull)
+        .select(col("_quarantine")).collect().map(_.getString(0)).toSet
+      assert(bad == Set("not_a_number,b"))
+      assert(parsed.where(col("_quarantine").isNull).count() == 2L)
+      parsed.unpersist()
+    } finally {
+      java.nio.file.Files.deleteIfExists(f)
+      java.nio.file.Files.deleteIfExists(dir)
+      ()
+    }
+  }
+
   test("krippendorffAlpha: hand-computed values — perfect=1e6, the " +
       "(aa),(ab) textbook case=0, single-constant-label=NULL") {
     import spark.implicits._

@@ -224,4 +224,72 @@ class PropertySpec extends SparkSuite {
       assert(shifted.count() == 0)
     }
   }
+
+  private val edgeGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(30, for {
+      u <- Gen.choose(0L, 11L)
+      v <- Gen.choose(0L, 11L)
+    } yield (u, v))
+
+  test("BFS distances satisfy the edge-relaxation invariant on random " +
+      "graphs: no edge (u,v) with dist(v) > dist(u)+1, seeds at 0, " +
+      "reached non-seeds have a predecessor one hop closer (property)") {
+    forAllSeeded(edgeGen, n = 6) { es =>
+      val edges = es.toDF("src", "dst")
+      val verts = (0L to 11L).toDF("id")
+      val seeds = Seq(0L, 7L).toDF("id")
+      val d = Bfs.distances(verts, "id", edges, "src", "dst", seeds)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(d(0L) == Some(0L) && d(7L) == Some(0L))
+      val dirEdges = es.filter { case (u, v) => u != v }.distinct
+      for ((u, v) <- dirEdges; du <- d.getOrElse(u, None))
+        assert(d.getOrElse(v, None).exists(_ <= du + 1),
+          s"edge ($u,$v) violates relaxation: dist=$d")
+      for ((v, dOpt) <- d; dv <- dOpt if dv > 0) {
+        val hasPred = dirEdges.exists { case (u, w) =>
+          w == v && d.getOrElse(u, None).contains(dv - 1) }
+        assert(hasPred, s"node $v at $dv has no predecessor at ${dv - 1}")
+      }
+    }
+  }
+
+  test("k-core nesting: core(k+1) is a subset of core(k) on random " +
+      "graphs, and every survivor keeps >= k live neighbors (property)") {
+    forAllSeeded(edgeGen, n = 6) { es =>
+      val edges = es.toDF("src", "dst")
+      val verts = (0L to 11L).toDF("id")
+      def core(k: Int): Set[Long] =
+        KCore.core(verts, "id", edges, "src", "dst", k)
+          .collect().map(_.getLong(0)).toSet
+      val (c1, c2, c3) = (core(1), core(2), core(3))
+      assert(c3.subsetOf(c2) && c2.subsetOf(c1))
+      // survivors of core(2) each keep >= 2 distinct live neighbors
+      val sym = es.filter { case (u, v) => u != v }
+        .flatMap { case (u, v) => Seq((u, v), (v, u)) }.distinct
+      for (v <- c2) {
+        val live = sym.collect { case (`v`, w) if c2(w) => w }.toSet
+        assert(live.size >= 2, s"$v kept only $live in the 2-core")
+      }
+    }
+  }
+
+  test("IVM delta law holds for any split modulus (property over splits)") {
+    val o = graft.core.Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"))
+    val l = graft.core.Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"))
+    for (m <- Seq(2, 3, 5)) {
+      val (ob, od) = (o.filter(col("o_orderkey") % m =!= 0),
+        o.filter(col("o_orderkey") % m === 0))
+      val (lb, ld) = (l.filter(col("o_orderkey") % (m + 1) =!= 0),
+        l.filter(col("o_orderkey") % (m + 1) === 0))
+      val maintained = ob.join(lb, Seq("o_orderkey"))
+        .unionByName(IncrementalJoin.appendDelta(ob, od, lb, ld,
+          Seq("o_orderkey")))
+      val full = o.join(l, Seq("o_orderkey"))
+      assert(maintained.exceptAll(full).isEmpty &&
+        full.exceptAll(maintained).isEmpty, s"modulus $m")
+    }
+  }
 }

@@ -162,6 +162,15 @@ object DocQueries {
         TF.langIdTable(t(s, dir, "documents"), "doc_id", "text"),
         "lang", "lang_guess")),
 
+    "q_ldiversity" -> ((s, dir) =>
+      // homogeneity-attack screen: (lang, source) groups where the
+      // sensitive attribute (the langid guess, as a stand-in label) takes
+      // too few distinct values — k-anonymity passes large groups,
+      // l-diversity catches the homogeneous ones
+      graft.operators.Audit.lDiversityRisk(
+        TF.langIdTable(t(s, dir, "documents"), "doc_id", "text"),
+        Seq("lang", "source"), "lang_guess", l = 3L)),
+
     "q_doc_langid" -> ((s, dir) =>
       TF.langIdTable(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("lang_guess"))
@@ -1813,6 +1822,13 @@ object DocQueries {
          |    ELSE CAST(FLOOR(CAST((n * n_agree - src) * 1000000 AS DOUBLE)
          |      / CAST(n * n - src AS DOUBLE)) AS BIGINT) END AS kappa_e6
          |FROM top CROSS JOIN src""".stripMargin,
+
+    "q_ldiversity" ->
+      s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT $langGuessSql) AS BIGINT) AS n_sensitive
+         |FROM documents GROUP BY lang, source
+         |HAVING count(DISTINCT $langGuessSql) < 3
+         |ORDER BY lang, source""".stripMargin,
 
     "q_alpha" ->
       s"""WITH t AS (SELECT lang AS a, $langGuessSql AS b FROM documents),

@@ -331,4 +331,20 @@ object Audit {
       .filter(col("n") < k)
       .orderBy(quasiIds.map(col(_).asc) :+ col("n").asc: _*)
   }
+
+  /** l-diversity risk report: the companion check k-anonymity misses —
+    * a quasi-id group can be large yet still leak if everyone in it
+    * shares the same SENSITIVE value (the classic homogeneity attack).
+    * Reports groups whose distinct-sensitive-value count is below `l`,
+    * with group size for triage. One aggregate on the quasi-id tuple
+    * (count + count distinct), nothing quadratic. */
+  def lDiversityRisk(df: DataFrame, quasiIds: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiIds.nonEmpty && l >= 2, "need quasi-ids and l >= 2")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .filter(col("n_sensitive") < l)
+      .orderBy(quasiIds.map(col(_).asc): _*)
+  }
 }

@@ -91,6 +91,31 @@ object DocQueries {
       docs.select(col("doc_id"), reason.as("reason")).orderBy(col("doc_id"))
     }),
 
+    "q_curation_e2e" -> ((s, dir) => {
+      // the curation chain as ONE lazy plan — drop-reason rules
+      // (exact-dup keep-first / too-short / low-quality, q_drop_reasons'
+      // kernels) → survivors packed into 2000-token context blocks
+      // (q_pack_docs' shard-parallel cumsum) → per-block manifest.
+      // Every stage is individually gated elsewhere; this gate proves the
+      // COMPOSITION end-to-end, Catalyst fusing the whole chain into one
+      // optimized plan with no materialization between stages
+      val docs = t(s, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text")))
+      val reason = when(col("doc_id") =!= min(col("doc_id")).over(w),
+          lit("exact_dup"))
+        .when(col("n_chars") < 50, lit("too_short"))
+        .when(TF.qualityScore(col("text")) < 0.5, lit("low_quality"))
+        .otherwise(lit("kept"))
+      val kept = docs.withColumn("_r", reason).filter(col("_r") === "kept")
+      TF.packDocuments(kept, "doc_id", "text",
+          budget = 2000L, autoShardWidth = 100L)
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("window_id"))
+    }),
+
     "q_doc_ttr" -> ((s, dir) => {
       // lexical diversity per doc: type count, hapax count, and the
       // type-token ratio as an e6 BIGINT — word-salad and boilerplate
@@ -1902,6 +1927,27 @@ object DocQueries {
          |  WHEN ($qualityScoreSql) < 0.5 THEN 'low_quality'
          |  ELSE 'kept' END AS reason
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_curation_e2e" ->
+      s"""WITH r AS (SELECT doc_id, text, CASE
+         |    WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))
+         |      THEN 'exact_dup'
+         |    WHEN n_chars < 50 THEN 'too_short'
+         |    WHEN ($qualityScoreSql) < 0.5 THEN 'low_quality'
+         |    ELSE 'kept' END AS reason FROM documents),
+         |k AS (SELECT doc_id, text FROM r WHERE reason = 'kept'),
+         |d AS (SELECT doc_id, $tokenCountSql AS n_tokens,
+         |    CAST(FLOOR(doc_id / 100.0) AS BIGINT) AS shard FROM k),
+         |c AS (SELECT doc_id, n_tokens, shard,
+         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+         |p AS (SELECT doc_id, n_tokens, shard * 4294967296 +
+         |    GREATEST(CAST(CEIL(CAST(cum AS DOUBLE) / 2000) AS BIGINT) - 1, 0)
+         |      AS window_id FROM c)
+         |SELECT window_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM p GROUP BY window_id ORDER BY window_id""".stripMargin,
 
     "q_doc_ttr" ->
       s"""WITH w AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),

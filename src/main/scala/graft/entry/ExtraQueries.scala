@@ -1823,6 +1823,36 @@ object ExtraQueries {
       delta.select(col("o_orderkey"), col("l_linenumber"),
           col("o_orderpriority"))
         .orderBy(col("o_orderkey"), col("l_linenumber"))
+    }),
+
+    "q_cdc_agg" -> ((s, dir) => {
+      // retractable aggregate maintenance: q_incr_agg proves the
+      // append-only fold; this proves the DELETE path — a CDC batch of
+      // inserts and retractions folded into the (key, n, total) state as
+      // one union + re-aggregate, never rescanning history. The oracle is
+      // the direct aggregate over the post-CDC multiset (base ∪ inserts
+      // ∖ deletes), proving count/sum really form a group under exact
+      // decimal arithmetic
+      val e = t(s, dir, "events")
+      val base = e.filter(col("event_id") % 10 < 8)
+      val ins = e.filter(col("event_id") % 10 >= 8)
+      val del = e.filter(col("event_id") % 10 < 8 &&
+        col("event_id") % 7 === 0)
+      val st = IncrementalAgg.update(None, base, Seq("event_type"), "value")
+      IncrementalAgg.updateCdc(st, ins, del, Seq("event_type"), "value")
+        .select(col("event_type"), col("n"),
+          round(col("total").cast(DoubleType), 4).as("total"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_next_event" -> ((s, dir) => {
+      // next-event-prediction training pairs: per user, the 3 preceding
+      // event types as a joined context string and the current type as
+      // target — one key-partitioned window with a bounded trailing
+      // frame, single shuffle, O(k) state per row
+      TrainingExamples.nextEventPairs(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", contextLen = 3)
+        .orderBy(col("event_id"))
     })
   )
 
@@ -1902,6 +1932,25 @@ object ExtraQueries {
         |  SELECT od.o_orderkey, ld.l_linenumber, od.o_orderpriority
         |    FROM od JOIN ld ON od.o_orderkey = ld.l_orderkey)
         |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+
+    "q_cdc_agg" ->
+      s"""SELECT event_type, count(value) AS n, ${esum("value")} AS total
+         |FROM events
+         |WHERE NOT (event_id % 10 < 8 AND event_id % 7 = 0)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_next_event" ->
+      """WITH p AS (SELECT event_id, user_id,
+        |    string_agg(event_type, '|') OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context,
+        |    CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT)
+        |      AS context_len,
+        |    event_type AS target
+        |  FROM events)
+        |SELECT event_id, user_id, context, context_len, target FROM p
+        |WHERE context_len > 0 ORDER BY event_id""".stripMargin,
 
     "q_wma" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,

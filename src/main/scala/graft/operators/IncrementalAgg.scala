@@ -31,4 +31,29 @@ object IncrementalAgg {
           .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
     }
   }
+
+  /** CDC fold: one batch of inserts AND deletes applied to the same
+    * (key, n, total) state. Count/sum form a group, not just a monoid —
+    * deletes are exact inverses — so retraction is one union of three
+    * state-sized frames and a re-aggregate, still never rescanning
+    * history; groups whose non-null count reaches zero vanish (what a
+    * recompute would say). Deletes must be actual prior rows (the
+    * standard CDC contract — pair with
+    * [[SnapshotDiff.applyChanges]] upstream for row materialization);
+    * exact decimal totals make insert-then-retract restore the state
+    * bit-identically (the spec law). min/max extrema are NOT invertible
+    * under deletes — keep them out of retractable state and rebuild on a
+    * tolerable cadence. */
+  def updateCdc(state: DataFrame, inserts: DataFrame, deletes: DataFrame,
+      keyCols: Seq[String], valueCol: String): DataFrame = {
+    val ins = update(None, inserts, keyCols, valueCol)
+    val del = update(None, deletes, keyCols, valueCol)
+      .select(keyCols.map(col) ++ Seq(
+        (-col("n")).as("n"), (-col("total")).as("total")): _*)
+    state.select((keyCols.map(col) :+ col("n") :+ col("total")): _*)
+      .unionByName(ins).unionByName(del)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+      .filter(col("n") > 0)
+  }
 }

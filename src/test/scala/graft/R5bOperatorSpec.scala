@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 second wave: the CDC-retraction path of the incremental
+  * aggregate state, and next-event training-pair generation.
+  */
+class R5bOperatorSpec extends SparkSuite {
+  import graft.operators.{IncrementalAgg, TrainingExamples}
+
+  test("IncrementalAgg.updateCdc: insert-then-retract restores the prior " +
+      "state bit-identically (exact decimal group inverse)") {
+    val e = graft.core.Tables.table(spark, sfDir, "events")
+    val keys = Seq("event_type")
+    val st0 = IncrementalAgg.update(None, e, keys, "value")
+    val batch = e.filter(col("event_id") % 7 === 0)
+    val st1 = IncrementalAgg.updateCdc(st0, batch, e.limit(0), keys, "value")
+    val st2 = IncrementalAgg.updateCdc(st1, e.limit(0), batch, keys, "value")
+    assert(rowsOf(st2.orderBy("event_type")) ==
+      rowsOf(st0.orderBy("event_type")))
+  }
+
+  test("IncrementalAgg.updateCdc: state ⊕ inserts ⊖ deletes ≡ direct " +
+      "recompute over the post-CDC multiset") {
+    val e = graft.core.Tables.table(spark, sfDir, "events")
+    val keys = Seq("event_type")
+    val st0 = IncrementalAgg.update(None, e, keys, "value")
+    val ins = e.filter(col("event_id") % 7 === 0)
+    val del = e.filter(col("event_id") % 5 === 0)
+    val upd = IncrementalAgg.updateCdc(st0, ins, del, keys, "value")
+    val direct = IncrementalAgg.update(None,
+      e.union(ins).exceptAll(del), keys, "value")
+    assert(rowsOf(upd.orderBy("event_type")) ==
+      rowsOf(direct.orderBy("event_type")))
+  }
+
+  test("IncrementalAgg.updateCdc: a fully-retracted group disappears " +
+      "rather than lingering at n=0") {
+    import spark.implicits._
+    val tiny = Seq(("g", 1.0), ("h", 2.0)).toDF("k", "v")
+    val st = IncrementalAgg.update(None, tiny, Seq("k"), "v")
+    val after = IncrementalAgg.updateCdc(st, tiny.limit(0),
+      tiny.filter(col("k") === "g"), Seq("k"), "v")
+    assert(rowsOf(after.select("k")) == Seq(Seq("h")))
+  }
+
+  test("TrainingExamples.nextEventPairs: hand-built stream — ordered " +
+      "context, bounded length, first event dropped, tie-broken by id") {
+    import spark.implicits._
+    // user 1: four events, one ts tie (ids 2,3) — context order must
+    // follow (ts, id); user 2: a single event yields no pair
+    val ev = Seq(
+      (1L, 10L, 7L, "a"), (2L, 20L, 7L, "b"), (3L, 20L, 7L, "c"),
+      (4L, 30L, 7L, "d"), (5L, 10L, 8L, "z")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = rowsOf(TrainingExamples.nextEventPairs(
+      ev, "user_id", "ts", "event_id", "event_type", contextLen = 2)
+      .orderBy("event_id"))
+    assert(out == Seq(
+      Seq(2L, 7L, "a", 1L, "b"),
+      Seq(3L, 7L, "a|b", 2L, "c"),
+      Seq(4L, 7L, "b|c", 2L, "d")))
+  }
+}

@@ -113,4 +113,28 @@ class EmptyInputSpec extends SparkSuite {
         Seq(99L).toDF("id"), "id")
     }
   }
+
+  test("incremental-state family (r5b): empty CDC batches are identity; " +
+      "empty event streams yield no training pairs") {
+    val st = graft.operators.IncrementalAgg.update(None,
+      Seq(("k", 1.0), ("k", 2.0)).toDF("k", "v"), Seq("k"), "v")
+    val e = Seq.empty[(String, Double)].toDF("k", "v")
+    val after = graft.operators.IncrementalAgg.updateCdc(
+      st, e, e, Seq("k"), "v")
+    assert(rowsOf(after.orderBy("k")) == rowsOf(st.orderBy("k")))
+    // a CDC feed against an EMPTY state is just the insert aggregate
+    val empty = st.filter(lit(false))
+    val fresh = graft.operators.IncrementalAgg.updateCdc(empty,
+      Seq(("k", 3.0)).toDF("k", "v"), e, Seq("k"), "v").collect()
+    assert(fresh.length == 1 && fresh.head.getLong(1) == 1L)
+    // no events → no pairs; single event per user → no pairs
+    val noEv = Seq.empty[(Long, Long, Long, String)]
+      .toDF("event_id", "ts", "user_id", "event_type")
+    assert(graft.operators.TrainingExamples.nextEventPairs(
+      noEv, "user_id", "ts", "event_id", "event_type", 3).count() == 0L)
+    val oneEv = Seq((1L, 1L, 1L, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    assert(graft.operators.TrainingExamples.nextEventPairs(
+      oneEv, "user_id", "ts", "event_id", "event_type", 3).count() == 0L)
+  }
 }

@@ -1519,6 +1519,21 @@ object DocQueries {
         seeds = docs.filter(col("doc_id") < 5), seedCol = "doc_id",
         iterations = 3)
         .orderBy(col("id"))
+    }),
+
+    "q_file_manifest" -> ((s, dir) => {
+      // per-file integrity manifest: stage documents as a 4-file parquet
+      // dir (hash-partitioned on doc_id — deterministic file contents),
+      // then derive (file_part, n_rows, sum/min/max of id) per part file.
+      // The oracle re-reads the SAME staged files with filename=true and
+      // re-derives the manifest — proving the grouping really is
+      // per-physical-file, not an artifact of Spark's reader
+      val staged = s"/tmp/graft_manifest/${Sql.sfTag(dir)}/documents"
+      t(s, dir, "documents").select(col("doc_id"), col("source"))
+        .repartition(4, col("doc_id"))
+        .write.mode("overwrite").parquet(staged)
+      graft.io.TableManifest.parquetManifest(s, staged, "doc_id")
+        .orderBy(col("file_part"))
     })
   )
 
@@ -3376,6 +3391,14 @@ object DocQueries {
         |  CAST(len(string_split(trim(regexp_replace(d.text, '\s+', ' ', 'g')), ' '))
         |    - coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_removed
         |FROM documents d LEFT JOIN reb r USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_file_manifest" ->
+      """SELECT regexp_extract(filename, 'part-(\d+)', 1) AS file_part,
+        |  count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM read_parquet('/tmp/graft_manifest/{SF}/documents/*.parquet',
+        |  filename=true)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -44,6 +44,26 @@ class R5bOperatorSpec extends SparkSuite {
     assert(rowsOf(after.select("k")) == Seq(Seq("h")))
   }
 
+  test("TableManifest: re-derived manifest matches the written one; a " +
+      "truncated file and a lost file both surface in the diff") {
+    import graft.io.TableManifest
+    val base = "/tmp/graft_manifest_spec/docs"
+    graft.core.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id")).repartition(3, col("doc_id"))
+      .write.mode("overwrite").parquet(base)
+    val m1 = TableManifest.parquetManifest(spark, base, "doc_id")
+    val m2 = TableManifest.parquetManifest(spark, base, "doc_id")
+    assert(TableManifest.manifestDiff(m1, m2).count() == 0L)
+    assert(m1.count() == 3L)
+    // simulate one lost part file and one truncated one
+    val broken = m2.filter(col("file_part") =!= "00002")
+      .withColumn("n_rows", when(col("file_part") === "00001",
+        col("n_rows") - 1).otherwise(col("n_rows")))
+    val diff = TableManifest.manifestDiff(m1, broken)
+      .select("file_part").collect().map(_.getString(0)).sorted
+    assert(diff.toSeq == Seq("00001", "00002"))
+  }
+
   test("TrainingExamples.nextEventPairs: hand-built stream — ordered " +
       "context, bounded length, first event dropped, tie-broken by id") {
     import spark.implicits._

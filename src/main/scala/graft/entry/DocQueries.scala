@@ -1521,6 +1521,34 @@ object DocQueries {
         .orderBy(col("id"))
     }),
 
+    "q_embed_pq" -> ((s, dir) => {
+      // product quantization: 8 subspace codebooks (driver-sample fit,
+      // seeded), codegen'd encode scan to 8 one-byte codes per vector,
+      // ADC top-15 by literal lookup table. Same recall shape as
+      // q_embed_ivf: the oracle reads the materialized result ids and
+      // counts overlap with its OWN exact L2 top-15
+      val emb = t(s, dir, "embeddings")
+      val qvec = emb.filter(col("vec_id") === 2)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val model = Similarity.pqTrain(emb, "embedding", m = 8, codewords = 64)
+      val enc = Similarity.pqEncode(emb, "embedding", model)
+      val res = Similarity.pqSearch(enc, "vec_id", model, qvec, k = 15)
+        .select(col("vec_id")).persist() // aux + recall join share the scan
+      Aux.write(res, s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/pq_results")
+      val qd = array(qvec.map(v => lit(v.toDouble)): _*)
+      val dist = aggregate(
+        zip_with(col("embedding").cast(ArrayType(DoubleType)), qd,
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      val exact = emb.select(col("vec_id"),
+          Semantics.safeRound(dist, 4).as("dd"))
+        .orderBy(col("dd").asc, col("vec_id").asc).limit(15)
+        .select(col("vec_id"), lit(1).as("_hit"))
+      res.join(exact, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_results"),
+          sum(coalesce(col("_hit"), lit(0))).cast(LongType).as("n_hits"))
+    }),
+
     "q_file_manifest" -> ((s, dir) => {
       // per-file integrity manifest: stage documents as a 4-file parquet
       // dir (hash-partitioned on doc_id — deterministic file contents),
@@ -3392,6 +3420,24 @@ object DocQueries {
         |    - coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_removed
         |FROM documents d LEFT JOIN reb r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_embed_pq" ->
+      // recall of ADC top-15 vs the oracle's own exact L2 top-15
+      s"""WITH r AS (SELECT vec_id
+         |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/pq_results/*.parquet')),
+         |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+         |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+         |             generate_subscripts(embedding, 1) AS i
+         |      FROM embeddings WHERE vec_id = 2),
+         |d AS (SELECT e.vec_id, SUM((e.ev - q.qv) * (e.ev - q.qv)) AS dist
+         |      FROM e JOIN q USING (i) GROUP BY e.vec_id),
+         |exact AS (SELECT vec_id FROM (
+         |    SELECT vec_id, ${Sql.sround("dist")} AS dd
+         |    FROM d ORDER BY dd ASC, vec_id ASC LIMIT 15))
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_results,
+         |  CAST(SUM(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |FROM r LEFT JOIN exact x ON r.vec_id = x.vec_id""".stripMargin,
 
     "q_file_manifest" ->
       """SELECT regexp_extract(filename, 'part-(\d+)', 1) AS file_part,

@@ -363,4 +363,79 @@ object Similarity {
     scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
       .select(col("query_id"), col(idCol), col("similarity"))
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization — the memory-side scale path. IVF cuts how MUCH
+  // of the corpus a query touches; PQ cuts how BIG each touched vector is:
+  // m one-byte codes instead of dim floats (64-d float → 8 bytes, 32×),
+  // which is what lets a 100 TB embedding column live in executor memory
+  // as a few hundred GB of codes. Search uses the standard asymmetric
+  // distance computation (ADC): one m×k lookup table per query, built on
+  // the driver, and each candidate scores with m table lookups — no float
+  // math per vector at scan time.
+  // ---------------------------------------------------------------------
+
+  /** Per-subspace codebooks: `codebooks(j)(c)` is the c-th codeword of
+    * subspace j (length `dsub = dim / m`). */
+  final case class PqModel(m: Int, dsub: Int,
+      codebooks: Array[Array[Array[Double]]])
+
+  /** Train m independent k-means codebooks over the vector subspaces.
+    * Like [[ivfIndex]], training is a bounded driver-sample fit (k-means
+    * over ≤`sample` subvectors is microseconds; the distributed work is
+    * the encode scan); subspace j seeds with `seed + j` so codebooks are
+    * deterministic but not identical. */
+  def pqTrain(corpus: DataFrame, vecCol: String, m: Int = 8,
+      codewords: Int = 16, seed: Long = 42L, sample: Int = 10000,
+      iters: Int = 10): PqModel = {
+    val vecs = corpus.select(col(vecCol)).limit(sample).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(vecs.nonEmpty, "pqTrain needs a non-empty corpus")
+    val dim = vecs(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val codebooks = Array.tabulate(m) { j =>
+      lloyds(vecs.map(_.slice(j * dsub, (j + 1) * dsub)),
+        codewords, iters, seed + j)
+    }
+    PqModel(m, dsub, codebooks)
+  }
+
+  /** Attach the m-byte code array: one codegen'd argmin per subspace over
+    * a slice of the vector — a pure projection scan, no shuffle. */
+  def pqEncode(df: DataFrame, vecCol: String, model: PqModel,
+      codesCol: String = "codes"): DataFrame =
+    df.withColumn(codesCol, array((0 until model.m).map { j =>
+      nearestCentroid(
+        slice(col(vecCol), j * model.dsub + 1, model.dsub),
+        model.codebooks(j).zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+    }: _*))
+
+  /** ADC top-k: squared-distance lookup table (m × codewords) computed
+    * once on the driver from the query, inlined as literals; each encoded
+    * row scores as the sum of m `element_at` lookups — whole-stage
+    * codegen, no per-row float vector math, TakeOrdered cut. */
+  def pqSearch(encoded: DataFrame, idCol: String, model: PqModel,
+      query: Seq[Float], k: Int = 10,
+      codesCol: String = "codes"): DataFrame = {
+    val q = query.map(_.toDouble)
+    require(q.length == model.m * model.dsub,
+      s"query dim ${q.length} != ${model.m}×${model.dsub}")
+    val lut = Array.tabulate(model.m) { j =>
+      model.codebooks(j).map { c =>
+        var d = 0.0; var t = 0
+        while (t < model.dsub) {
+          val x = q(j * model.dsub + t) - c(t); d += x * x; t += 1
+        }
+        d
+      }
+    }
+    val adc = (0 until model.m).map { j =>
+      element_at(array(lut(j).toIndexedSeq.map(lit): _*),
+        col(codesCol)(j) + 1)
+    }.reduce(_ + _)
+    encoded.select(col(idCol), adc.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

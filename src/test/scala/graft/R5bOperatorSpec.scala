@@ -64,6 +64,26 @@ class R5bOperatorSpec extends SparkSuite {
     assert(diff.toSeq == Seq("00001", "00002"))
   }
 
+  test("Similarity PQ: deterministic codebooks, codes in range, and the " +
+      "query's own vector survives ADC search into the top-15") {
+    import graft.functions.Similarity
+    val emb = graft.core.Tables.table(spark, sfDir, "embeddings")
+    val m1 = Similarity.pqTrain(emb, "embedding", m = 8, codewords = 64)
+    val m2 = Similarity.pqTrain(emb, "embedding", m = 8, codewords = 64)
+    assert(m1.codebooks.flatten.flatten.toSeq ==
+      m2.codebooks.flatten.flatten.toSeq) // seeded fit is repeatable
+    assert(m1.dsub == 8)
+    val enc = Similarity.pqEncode(emb, "embedding", m1)
+    val codes = enc.select(col("codes")).collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 64)))
+    val qvec = emb.filter(col("vec_id") === 2)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val top = Similarity.pqSearch(enc, "vec_id", m1, qvec, k = 15)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(top.length == 15)
+    assert(top.contains(2L), s"self-query lost its own vector: ${top.toSeq}")
+  }
+
   test("TrainingExamples.nextEventPairs: hand-built stream — ordered " +
       "context, bounded length, first event dropped, tie-broken by id") {
     import spark.implicits._

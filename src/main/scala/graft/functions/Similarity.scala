@@ -438,4 +438,39 @@ object Similarity {
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** IVF + PQ — the standard billion-vector recipe, composed: coarse
+    * lists bound how much of the corpus a query touches, codes bound the
+    * bytes per touched row. Build once (one k-means fit + one combined
+    * assign/encode scan), search with list-pruned ADC. */
+  final case class IvfPqIndex(encoded: DataFrame,
+      centroids: Array[(Int, Seq[Double])], model: PqModel)
+
+  def ivfPqIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      nLists: Int = 16, m: Int = 8, codewords: Int = 64,
+      seed: Long = 42L, sample: Int = 10000, iters: Int = 10): IvfPqIndex = {
+    val ivf = ivfIndex(corpus, vecCol, idCol, nLists, seed, sample, iters)
+    val model = pqTrain(corpus, vecCol, m, codewords, seed, sample, iters)
+    // one scan attaches BOTH the coarse list and the codes; dropping the
+    // raw vector afterwards is what shrinks the resident index 32×
+    val enc = pqEncode(ivf.assigned, vecCol, model)
+      .select(col(idCol), col("_list"), col("codes"))
+    IvfPqIndex(enc, ivf.centroids, model)
+  }
+
+  /** List-pruned ADC top-k: probe the `nProbe` nearest coarse lists, then
+    * score only those rows by lookup table — per query, work is
+    * (nProbe/nLists) of the corpus at one byte per subspace. */
+  def ivfPqSearch(index: IvfPqIndex, idCol: String, query: Seq[Float],
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val qArr = query.map(_.toDouble)
+    val probeLists = index.centroids
+      .map { case (i, c) =>
+        (i, c.zip(qArr).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    pqSearch(
+      index.encoded.filter(col("_list").isin(probeLists.toIndexedSeq: _*)),
+      idCol, index.model, query, k)
+  }
 }

@@ -36,6 +36,30 @@ object Sketches {
   def approxDistinct(c: Column, rsd: Double = 0.05): Column =
     approx_count_distinct(c, rsd)
 
+  /** Trailing-`n`-day distinct estimate per day from DAILY sketches: each
+    * daily sketch fans out to the ≤n windows it contributes to (explode
+    * over a bounded date sequence — the same equi-join shape as the exact
+    * q_rolling_distinct, no nested-loop join), then one sketch union per
+    * window day. The 100 TB shape this buys: the daily sketch table is
+    * KB-sized per group, so the rolling report is maintained WITHOUT
+    * rescanning events — persist the per-day sketches once, union forever;
+    * the exact twin must re-reduce (day, user) pairs over the full window
+    * every refresh. Window days with no preceding full history estimate
+    * over whatever days exist (same convention as the exact twin). */
+  def rollingDistinctEstimate(daily: DataFrame, dayCol: String, n: Int,
+      sketchCol: String = "sketch"): DataFrame = {
+    require(n >= 1, "window must be at least 1 day")
+    val observed = daily.select(col(dayCol)).distinct()
+    daily.select(
+        explode(sequence(col(dayCol), date_add(col(dayCol), n - 1)))
+          .as(dayCol),
+        col(sketchCol))
+      .join(observed, Seq(dayCol), "left_semi") // trim phantom trailing days
+      .groupBy(col(dayCol))
+      .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false)))
+        .as("distinct_est"))
+  }
+
   /** Approximate quantiles at scan cost (one pass, mergeable digest).
     * `accuracy` trades memory for error: err <= 1/accuracy. */
   def approxQuantiles(c: Column, probs: Seq[Double],

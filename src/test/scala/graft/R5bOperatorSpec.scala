@@ -64,6 +64,29 @@ class R5bOperatorSpec extends SparkSuite {
     assert(diff.toSeq == Seq("00001", "00002"))
   }
 
+  test("Sketches.rollingDistinctEstimate: 7-day rolling distinct from " +
+      "daily HLL sketches tracks the exact window counts within 5%") {
+    import graft.functions.Sketches
+    val e = graft.core.Tables.table(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = Sketches.distinctSketches(e, Seq("day"), "user_id")
+    val est = Sketches.rollingDistinctEstimate(daily, "day", n = 7)
+    // exact twin: explode each (day,user) to the windows it feeds
+    val exact = e.distinct()
+      .select(explode(sequence(col("day"), date_add(col("day"), 6)))
+        .as("day"), col("user_id"))
+      .join(e.select("day").distinct(), Seq("day"), "left_semi")
+      .groupBy("day").agg(countDistinct(col("user_id")).as("exact"))
+    val rows = est.join(exact, Seq("day")).collect()
+    assert(rows.nonEmpty)
+    assert(est.count() == exact.count()) // same window days, none phantom
+    rows.foreach { r =>
+      val (e1, e2) = (r.getAs[Long]("distinct_est"), r.getAs[Long]("exact"))
+      assert(math.abs(e1 - e2).toDouble / math.max(e2, 1L) < 0.05,
+        s"day ${r.get(0)}: est $e1 vs exact $e2")
+    }
+  }
+
   test("Similarity PQ: deterministic codebooks, codes in range, and the " +
       "query's own vector survives ADC search into the top-15") {
     import graft.functions.Similarity
@@ -82,6 +105,29 @@ class R5bOperatorSpec extends SparkSuite {
       .select("vec_id").collect().map(_.getLong(0))
     assert(top.length == 15)
     assert(top.contains(2L), s"self-query lost its own vector: ${top.toSeq}")
+  }
+
+  test("Similarity IVF+PQ: search stays inside probed lists, self-vector " +
+      "survives, and full-probe IVF+PQ equals plain PQ search") {
+    import graft.functions.Similarity
+    val emb = graft.core.Tables.table(spark, sfDir, "embeddings")
+    val idx = Similarity.ivfPqIndex(emb, "embedding", "vec_id",
+      nLists = 8, m = 8, codewords = 64)
+    // the encoded index carries no raw vectors — that IS the memory win
+    assert(idx.encoded.columns.toSeq == Seq("vec_id", "_list", "codes"))
+    val qvec = emb.filter(col("vec_id") === 2)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val top = Similarity.ivfPqSearch(idx, "vec_id", qvec, k = 10, nProbe = 4)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(top.length == 10 && top.contains(2L))
+    // probing EVERY list must reduce to plain PQ search over the corpus
+    val all = Similarity.ivfPqSearch(idx, "vec_id", qvec, k = 10, nProbe = 8)
+      .select("vec_id").collect().map(_.getLong(0))
+    val plain = Similarity.pqSearch(
+      Similarity.pqEncode(emb, "embedding", idx.model),
+      "vec_id", idx.model, qvec, k = 10)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(all.toSeq == plain.toSeq)
   }
 
   test("TrainingExamples.nextEventPairs: hand-built stream — ordered " +

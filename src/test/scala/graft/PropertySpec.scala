@@ -292,4 +292,60 @@ class PropertySpec extends SparkSuite {
         full.exceptAll(maintained).isEmpty, s"modulus $m")
     }
   }
+
+  test("incremental aggregate fold is slicing-invariant, and CDC " +
+      "retraction inverts any random insert batch (property)") {
+    val e = graft.core.Tables.table(spark, sfDir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+    val keys = Seq("event_type")
+    val direct = IncrementalAgg.update(None, e, keys, "value")
+    // any modulus-slicing of the batch stream folds to the same state
+    for (m <- Seq(2, 4, 7)) {
+      val folded = (1 until m).foldLeft(
+        IncrementalAgg.update(None,
+          e.filter(col("event_id") % m === 0), keys, "value")) { (st, i) =>
+        IncrementalAgg.update(Some(st),
+          e.filter(col("event_id") % m === i), keys, "value")
+      }
+      assert(rowsOf(folded.orderBy("event_type")) ==
+        rowsOf(direct.orderBy("event_type")), s"modulus $m")
+    }
+    // retraction property: for random predicates p, applying batch p as
+    // inserts then deletes is the identity on the state
+    forAllSeeded(Gen.choose(2, 30), n = 6) { m =>
+      val batch = e.filter(col("event_id") % m === 1)
+      val there = IncrementalAgg.updateCdc(direct, batch,
+        e.limit(0), keys, "value")
+      val back = IncrementalAgg.updateCdc(there, e.limit(0),
+        batch, keys, "value")
+      assert(rowsOf(back.orderBy("event_type")) ==
+        rowsOf(direct.orderBy("event_type")), s"modulus $m")
+    }
+  }
+
+  test("SnapshotDiff status counts are exhaustive and flip symmetrically " +
+      "when old/new swap (property over random splits)") {
+    val d = graft.core.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    forAllSeeded(Gen.zip(Gen.choose(3, 12), Gen.choose(3, 12)), n = 5) {
+      case (a, b) =>
+        val v1 = d.filter(col("doc_id") % a =!= 0)
+        val v2 = d.filter(col("doc_id") % b =!= 0)
+        val fwd = SnapshotDiff.diff(v1, v2, "doc_id", "text")
+          .groupBy("status").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val rev = SnapshotDiff.diff(v2, v1, "doc_id", "text")
+          .groupBy("status").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // swap duality: added ↔ removed, changed/unchanged fixed
+        assert(fwd.getOrElse("added", 0L) == rev.getOrElse("removed", 0L))
+        assert(fwd.getOrElse("removed", 0L) == rev.getOrElse("added", 0L))
+        assert(fwd.getOrElse("unchanged", 0L) == rev.getOrElse("unchanged", 0L))
+        assert(fwd.getOrElse("changed", 0L) == rev.getOrElse("changed", 0L))
+        // exhaustive: statuses cover the id universe exactly
+        val universe = v1.select("doc_id").union(v2.select("doc_id"))
+          .distinct().count()
+        assert(fwd.values.sum == universe)
+    }
+  }
 }

@@ -1521,6 +1521,33 @@ object DocQueries {
         .orderBy(col("id"))
     }),
 
+    "q_incremental_refresh" -> ((s, dir) => {
+      // capstone of the incremental path: classify the new snapshot
+      // against the old (SnapshotDiff), turn the classification into a
+      // CDC batch (changed = delete old row + insert new row), fold it
+      // into the per-source aggregate state with updateCdc — and the
+      // result must equal the direct aggregate of the NEW snapshot, which
+      // is exactly what the oracle computes. History is never rescanned:
+      // the refresh touches the diff slice plus the state frame
+      val d = t(s, dir, "documents")
+      val v1 = d.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" (draft)"))).otherwise(col("text")))
+      val v2 = d.filter(col("doc_id") % 17 =!= 0)
+      val diff = graft.operators.SnapshotDiff.diff(v1, v2, "doc_id", "text")
+      val dels = v1.join(diff.filter(col("status").isin("removed", "changed"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      val ins = v2.join(diff.filter(col("status").isin("added", "changed"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      val st0 = graft.operators.IncrementalAgg.update(None, v1,
+        Seq("source"), "n_chars")
+      graft.operators.IncrementalAgg.updateCdc(st0, ins, dels,
+        Seq("source"), "n_chars")
+        .select(col("source"), col("n"),
+          round(col("total").cast(DoubleType), 4).as("total"))
+        .orderBy(col("source"))
+    }),
+
     "q_embed_pq" -> ((s, dir) => {
       // product quantization: 8 subspace codebooks (driver-sample fit,
       // seeded), codegen'd encode scan to 8 one-byte codes per vector,
@@ -3420,6 +3447,15 @@ object DocQueries {
         |    - coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_removed
         |FROM documents d LEFT JOIN reb r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_incremental_refresh" ->
+      // the incremental law: diff + CDC fold over the old snapshot must
+      // equal the direct aggregate of the new snapshot — so the oracle IS
+      // that direct aggregate, never mentioning the old version at all
+      s"""SELECT source, count(n_chars) AS n,
+         |  ${Sql.esum("n_chars")} AS total
+         |FROM documents WHERE doc_id % 17 <> 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_embed_pq" ->
       // recall of ADC top-15 vs the oracle's own exact L2 top-15

@@ -266,4 +266,80 @@ object Streams {
     }
     spark.table(name)
   }
+
+  /** Streaming face of [[graft.operators.IncrementalAgg.updateCdc]]: a
+    * CDC feed (`opCol` ∈ {insert, delete}) folded into a persisted
+    * (keys, n, total) aggregate state, one `foreachBatch` at a time. The
+    * state lives as parquet under `statePath` in ping-pong version dirs
+    * (`v0`/`v1`): each batch reads the live version, folds, writes the
+    * OTHER version, then flips a pointer file — read-modify-write without
+    * ever overwriting the files a lazy plan may still be reading, and a
+    * crash mid-write leaves the live pointer untouched (the batch replays).
+    * State I/O per batch is group-cardinality-sized — the corpus itself is
+    * never rescanned, which is the whole point at 100 TB.
+    *
+    * Returns the started query; stop it via the handle. `readAggState`
+    * reads the live state for consumers. */
+  def cdcAggregateStream(changes: DataFrame, opCol: String,
+      keyCols: Seq[String], valueCol: String, statePath: String,
+      statePartitions: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = changes.sparkSession
+    withStatePartitions(spark, statePartitions) {
+      changes.writeStream
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // pre-first-commit: an empty state with the schema the batch
+          // itself induces (no hand-written schema to drift)
+          val v = liveVersion(statePath)
+          val st =
+            if (v >= 0 && new java.io.File(s"$statePath/v$v").exists())
+              spark.read.parquet(s"$statePath/v$v")
+            else graft.operators.IncrementalAgg.update(
+              None, batch.limit(0), keyCols, valueCol)
+          val next = graft.operators.IncrementalAgg.updateCdc(
+            st,
+            batch.filter(col(opCol) === "insert"),
+            batch.filter(col(opCol) === "delete"),
+            keyCols, valueCol)
+          val target = s"$statePath/v${nextVersion(statePath)}"
+          next.write.mode("overwrite").parquet(target)
+          flipPointer(statePath)
+        }
+        .start()
+    }
+  }
+
+  /** The live CDC aggregate state. Fails loudly before the first batch
+    * commit — consumers polling early should treat that as "no state yet",
+    * not as an empty aggregate. */
+  def readAggState(spark: SparkSession, statePath: String): DataFrame = {
+    val v = liveVersion(statePath)
+    val dir = new java.io.File(s"$statePath/v$v")
+    require(v >= 0 && dir.exists(),
+      s"no committed CDC aggregate state under $statePath yet")
+    spark.read.parquet(dir.getAbsolutePath)
+  }
+
+  /** Version in the pointer file; -1 before the first commit. */
+  private def liveVersion(statePath: String): Int = {
+    val p = new java.io.File(s"$statePath/LIVE")
+    if (p.exists())
+      new String(java.nio.file.Files.readAllBytes(p.toPath)).trim.toInt
+    else -1
+  }
+
+  /** The version the NEXT commit writes: the opposite of live, with the
+    * pre-first-commit state (-1) mapping to 0. Caller and pointer-flip
+    * both derive it from the same pointer read, so they always agree. */
+  private def nextVersion(statePath: String): Int =
+    if (liveVersion(statePath) == 0) 1 else 0
+
+  private def flipPointer(statePath: String): Unit = {
+    val next = nextVersion(statePath)
+    new java.io.File(statePath).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$statePath/LIVE"),
+      next.toString.getBytes)
+    ()
+  }
 }

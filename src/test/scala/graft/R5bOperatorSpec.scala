@@ -64,6 +64,46 @@ class R5bOperatorSpec extends SparkSuite {
     assert(diff.toSeq == Seq("00001", "00002"))
   }
 
+  test("Streams.cdcAggregateStream: a multi-batch file CDC feed folds to " +
+      "the batch twin's state; ping-pong versions survive the commits") {
+    import graft.streaming.Streams
+    val root = new java.io.File("/tmp/graft_cdc_stream")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+    rm(root)
+    val src = s"${root.getPath}/src"; val st = s"${root.getPath}/state"
+    val e = graft.core.Tables.table(spark, sfDir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+    // three SELF-CONTAINED files: each carries one slice's inserts plus
+    // deletes of rows within that same slice, so any batch split is valid
+    (0 until 3).foreach { i =>
+      val slice = e.filter(col("event_id") % 3 === i)
+      slice.withColumn("op", lit("insert"))
+        .unionByName(slice.filter(col("event_id") % 5 === 0)
+          .withColumn("op", lit("delete")))
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = Streams.cdcAggregateStream(stream, "op",
+      Seq("event_type"), "value", st)
+    try q.processAllAvailable() finally q.stop()
+    val got = Streams.readAggState(spark, st)
+      .select(col("event_type"), col("n"),
+        round(col("total").cast("double"), 4).as("t"))
+    val expected = graft.operators.IncrementalAgg.update(None,
+        e.exceptAll(e.filter(col("event_id") % 5 === 0)),
+        Seq("event_type"), "value")
+      .select(col("event_type"), col("n"),
+        round(col("total").cast("double"), 4).as("t"))
+    assert(rowsOf(got.orderBy("event_type")) ==
+      rowsOf(expected.orderBy("event_type")))
+    // three commits flipped the pointer three times: v0 after 1st and 3rd
+    assert(new java.io.File(s"$st/v0").exists() &&
+      new java.io.File(s"$st/v1").exists())
+  }
+
   test("Sketches.rollingDistinctEstimate: 7-day rolling distinct from " +
       "daily HLL sketches tracks the exact window counts within 5%") {
     import graft.functions.Sketches

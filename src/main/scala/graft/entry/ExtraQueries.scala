@@ -1944,7 +1944,8 @@ object ExtraQueries {
         |    string_agg(event_type, '|') OVER (PARTITION BY user_id
         |      ORDER BY ts, event_id
         |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context,
-        |    CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    CAST(count(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
         |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT)
         |      AS context_len,
         |    event_type AS target

@@ -210,14 +210,24 @@ object Similarity {
 
   def ivfIndex(corpus: DataFrame, vecCol: String, idCol: String,
       nLists: Int = 16, seed: Long = 42L, sample: Int = 10000,
-      iters: Int = 10): IvfIndex = {
-    // centroid training runs on the DRIVER over a bounded sample: k-means on
-    // ≤10k vectors is microseconds of arithmetic, while a distributed fit
-    // pays seconds of scheduling per iteration. The distributed part of IVF
-    // is the assignment scan — a partition-local argmin projection.
-    val sampleVecs = corpus.select(col(vecCol)).limit(sample).collect()
+      iters: Int = 10): IvfIndex =
+    ivfIndexFromSample(corpus, vecCol,
+      sampleVecs(corpus, vecCol, sample), nLists, seed, iters)
+
+  /** One bounded driver collect shared by every index builder: k-means on
+    * ≤`sample` vectors is microseconds of arithmetic, while a distributed
+    * fit pays seconds of scheduling per iteration. The distributed part of
+    * index building is the assignment scan — a partition-local argmin
+    * projection. */
+  private def sampleVecs(corpus: DataFrame, vecCol: String,
+      sample: Int): Array[Array[Double]] =
+    corpus.select(col(vecCol)).limit(sample).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val centers = lloyds(sampleVecs, nLists, iters, seed)
+
+  private def ivfIndexFromSample(corpus: DataFrame, vecCol: String,
+      vecs: Array[Array[Double]], nLists: Int, seed: Long,
+      iters: Int): IvfIndex = {
+    val centers = lloyds(vecs, nLists, iters, seed)
     val centroids = centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
     val assigned = corpus.withColumn("_list",
       nearestCentroid(col(vecCol), centroids))
@@ -329,15 +339,22 @@ object Similarity {
 
   /** Search an IVF index: score only vectors whose list is among the
     * query's `nProbe` nearest centroids. */
+  /** The `nProbe` coarse lists nearest the query by centroid squared
+    * distance — ONE definition shared by plain-IVF and IVF+PQ search so
+    * the two paths can never probe different lists. */
+  private def probeListsFor(centroids: Array[(Int, Seq[Double])],
+      query: Seq[Float], nProbe: Int): Seq[Int] = {
+    val qArr = query.map(_.toDouble)
+    centroids
+      .map { case (i, c) =>
+        (i, c.zip(qArr).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+  }
+
   def ivfSearch(index: IvfIndex, vecCol: String, idCol: String,
       query: Seq[Float], k: Int = 10, nProbe: Int = 4): DataFrame = {
-    val qArr = query.map(_.toDouble)
-    val probeLists = index.centroids
-      .map { case (i, c) =>
-        val d = c.zip(qArr).map { case (a, b) => (a - b) * (a - b) }.sum
-        (i, d)
-      }
-      .sortBy(_._2).take(nProbe).map(_._1)
+    val probeLists = probeListsFor(index.centroids, query, nProbe)
     val q = array(query.map(v => lit(v)): _*).cast(ArrayType(FloatType))
     index.assigned
       .filter(col("_list").isin(probeLists.toIndexedSeq: _*))
@@ -387,9 +404,12 @@ object Similarity {
     * deterministic but not identical. */
   def pqTrain(corpus: DataFrame, vecCol: String, m: Int = 8,
       codewords: Int = 16, seed: Long = 42L, sample: Int = 10000,
-      iters: Int = 10): PqModel = {
-    val vecs = corpus.select(col(vecCol)).limit(sample).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      iters: Int = 10): PqModel =
+    pqTrainFromSample(sampleVecs(corpus, vecCol, sample),
+      m, codewords, seed, iters)
+
+  private def pqTrainFromSample(vecs: Array[Array[Double]], m: Int,
+      codewords: Int, seed: Long, iters: Int): PqModel = {
     require(vecs.nonEmpty, "pqTrain needs a non-empty corpus")
     val dim = vecs(0).length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
@@ -449,8 +469,11 @@ object Similarity {
   def ivfPqIndex(corpus: DataFrame, vecCol: String, idCol: String,
       nLists: Int = 16, m: Int = 8, codewords: Int = 64,
       seed: Long = 42L, sample: Int = 10000, iters: Int = 10): IvfPqIndex = {
-    val ivf = ivfIndex(corpus, vecCol, idCol, nLists, seed, sample, iters)
-    val model = pqTrain(corpus, vecCol, m, codewords, seed, sample, iters)
+    // ONE driver collect feeds both fits (coarse centroids + subspace
+    // codebooks) — same sample rows, one scan, one transfer
+    val vecs = sampleVecs(corpus, vecCol, sample)
+    val ivf = ivfIndexFromSample(corpus, vecCol, vecs, nLists, seed, iters)
+    val model = pqTrainFromSample(vecs, m, codewords, seed, iters)
     // one scan attaches BOTH the coarse list and the codes; dropping the
     // raw vector afterwards is what shrinks the resident index 32×
     val enc = pqEncode(ivf.assigned, vecCol, model)
@@ -463,12 +486,7 @@ object Similarity {
     * (nProbe/nLists) of the corpus at one byte per subspace. */
   def ivfPqSearch(index: IvfPqIndex, idCol: String, query: Seq[Float],
       k: Int = 10, nProbe: Int = 4): DataFrame = {
-    val qArr = query.map(_.toDouble)
-    val probeLists = index.centroids
-      .map { case (i, c) =>
-        (i, c.zip(qArr).map { case (a, b) => (a - b) * (a - b) }.sum)
-      }
-      .sortBy(_._2).take(nProbe).map(_._1)
+    val probeLists = probeListsFor(index.centroids, query, nProbe)
     pqSearch(
       index.encoded.filter(col("_list").isin(probeLists.toIndexedSeq: _*)),
       idCol, index.model, query, k)

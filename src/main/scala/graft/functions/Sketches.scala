@@ -50,14 +50,13 @@ object Sketches {
       sketchCol: String = "sketch"): DataFrame = {
     require(n >= 1, "window must be at least 1 day")
     val observed = daily.select(col(dayCol)).distinct()
-    daily.select(
-        explode(sequence(col(dayCol), date_add(col(dayCol), n - 1)))
-          .as(dayCol),
-        col(sketchCol))
-      .join(observed, Seq(dayCol), "left_semi") // trim phantom trailing days
-      .groupBy(col(dayCol))
-      .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false)))
-        .as("distinct_est"))
+    mergeDistinct(
+      daily.select(
+          explode(sequence(col(dayCol), date_add(col(dayCol), n - 1)))
+            .as(dayCol),
+          col(sketchCol))
+        .join(observed, Seq(dayCol), "left_semi"), // trim phantom tail days
+      Seq(dayCol), sketchCol)
   }
 
   /** Approximate quantiles at scan cost (one pass, mergeable digest).

@@ -39,15 +39,17 @@ object TableManifest {
 
   /** Diff two manifests of the SAME logical table (e.g. written vs
     * re-read, or yesterday vs today): any row here is a file-level
-    * integrity violation. */
+    * integrity violation. Compares every manifest statistic — count, sum,
+    * min, max — so a compensating corruption that preserves count+sum but
+    * shifts the id set still trips on the range columns. */
   def manifestDiff(expected: DataFrame, actual: DataFrame): DataFrame = {
-    val a = actual.withColumnRenamed("n_rows", "n_rows_actual")
-      .withColumnRenamed("sum_id", "sum_id_actual")
-      .select("file_part", "n_rows_actual", "sum_id_actual")
-    expected.select("file_part", "n_rows", "sum_id")
+    val stats = Seq("n_rows", "sum_id", "min_id", "max_id")
+    val a = stats.foldLeft(actual)((d, c) =>
+      d.withColumnRenamed(c, s"${c}_actual"))
+      .select("file_part", stats.map(_ + "_actual"): _*)
+    expected.select("file_part", stats: _*)
       .join(a, Seq("file_part"), "full_outer")
       .filter(col("n_rows").isNull || col("n_rows_actual").isNull ||
-        col("n_rows") =!= col("n_rows_actual") ||
-        !(col("sum_id") <=> col("sum_id_actual")))
+        stats.map(c => !(col(c) <=> col(s"${c}_actual"))).reduce(_ || _))
   }
 }

@@ -270,30 +270,45 @@ object Streams {
   /** Streaming face of [[graft.operators.IncrementalAgg.updateCdc]]: a
     * CDC feed (`opCol` ∈ {insert, delete}) folded into a persisted
     * (keys, n, total) aggregate state, one `foreachBatch` at a time. The
-    * state lives as parquet under `statePath` in ping-pong version dirs
-    * (`v0`/`v1`): each batch reads the live version, folds, writes the
-    * OTHER version, then flips a pointer file — read-modify-write without
-    * ever overwriting the files a lazy plan may still be reading, and a
-    * crash mid-write leaves the live pointer untouched (the batch replays).
-    * State I/O per batch is group-cardinality-sized — the corpus itself is
-    * never rescanned, which is the whole point at 100 TB.
+    * state lives as parquet under `statePath` (any Hadoop URI) in
+    * ping-pong version dirs (`v0`/`v1`): each batch reads the live
+    * version, folds, writes the OTHER version, then commits a pointer
+    * file carrying (live version, last applied batch id).
     *
-    * Returns the started query; stop it via the handle. `readAggState`
-    * reads the live state for consumers. */
+    * Exactly-once contract: the pointer's batch id makes the fold
+    * IDEMPOTENT under Spark's at-least-once foreachBatch delivery — a
+    * replayed batch (crash after pointer commit, before the stream
+    * checkpoint recorded the offset) is recognized by id and skipped.
+    * This requires a DURABLE `checkpointDir`: restarting with a fresh
+    * checkpoint resets batch ids to 0 and would re-feed already-applied
+    * source data, so pass the same checkpoint dir across restarts (the
+    * spec-only default of None is for single-run tests). A crash BEFORE
+    * the pointer commit leaves the live pointer untouched and the batch
+    * replays cleanly. Single-writer: one query per statePath.
+    *
+    * Readers: a DataFrame from [[readAggState]] remains valid across ONE
+    * subsequent commit (its files are the non-live version the next
+    * commit overwrites only on the commit after that) — re-read per
+    * refresh rather than holding plans across many commits.
+    *
+    * State I/O per batch is group-cardinality-sized — the corpus itself
+    * is never rescanned, which is the whole point at 100 TB. */
   def cdcAggregateStream(changes: DataFrame, opCol: String,
       keyCols: Seq[String], valueCol: String, statePath: String,
-      statePartitions: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+      statePartitions: Int = 8, checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = changes.sparkSession
-    withStatePartitions(spark, statePartitions) {
-      changes.writeStream
-        .outputMode(OutputMode.Append())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+    val writer = changes.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (live, lastApplied) = pointer(spark, statePath)
+        if (batchId <= lastApplied) () // replayed batch — already folded
+        else withStatePartitions(spark, statePartitions) {
           // pre-first-commit: an empty state with the schema the batch
           // itself induces (no hand-written schema to drift)
-          val v = liveVersion(statePath)
           val st =
-            if (v >= 0 && new java.io.File(s"$statePath/v$v").exists())
-              spark.read.parquet(s"$statePath/v$v")
+            if (live >= 0)
+              spark.read.parquet(s"$statePath/v$live")
             else graft.operators.IncrementalAgg.update(
               None, batch.limit(0), keyCols, valueCol)
           val next = graft.operators.IncrementalAgg.updateCdc(
@@ -301,45 +316,49 @@ object Streams {
             batch.filter(col(opCol) === "insert"),
             batch.filter(col(opCol) === "delete"),
             keyCols, valueCol)
-          val target = s"$statePath/v${nextVersion(statePath)}"
-          next.write.mode("overwrite").parquet(target)
-          flipPointer(statePath)
+          val target = if (live == 0) 1 else 0
+          next.write.mode("overwrite").parquet(s"$statePath/v$target")
+          commitPointer(spark, statePath, target, batchId)
         }
-        .start()
-    }
+      }
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.start()
   }
 
   /** The live CDC aggregate state. Fails loudly before the first batch
     * commit — consumers polling early should treat that as "no state yet",
     * not as an empty aggregate. */
   def readAggState(spark: SparkSession, statePath: String): DataFrame = {
-    val v = liveVersion(statePath)
-    val dir = new java.io.File(s"$statePath/v$v")
-    require(v >= 0 && dir.exists(),
-      s"no committed CDC aggregate state under $statePath yet")
-    spark.read.parquet(dir.getAbsolutePath)
+    val (v, _) = pointer(spark, statePath)
+    require(v >= 0, s"no committed CDC aggregate state under $statePath yet")
+    spark.read.parquet(s"$statePath/v$v")
   }
 
-  /** Version in the pointer file; -1 before the first commit. */
-  private def liveVersion(statePath: String): Int = {
-    val p = new java.io.File(s"$statePath/LIVE")
-    if (p.exists())
-      new String(java.nio.file.Files.readAllBytes(p.toPath)).trim.toInt
-    else -1
+  /** (live version, last applied batch id) from the pointer file;
+    * (-1, -1) before the first commit. Hadoop FS, so statePath may be
+    * hdfs://, s3a://, file:// or a bare local path alike. */
+  private def pointer(spark: SparkSession, statePath: String): (Int, Long) = {
+    val p = new org.apache.hadoop.fs.Path(s"$statePath/LIVE")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) (-1, -1L)
+    else {
+      val in = fs.open(p)
+      try {
+        val parts = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+        (parts(0).toInt, if (parts.length > 1) parts(1).toLong else -1L)
+      } finally in.close()
+    }
   }
 
-  /** The version the NEXT commit writes: the opposite of live, with the
-    * pre-first-commit state (-1) mapping to 0. Caller and pointer-flip
-    * both derive it from the same pointer read, so they always agree. */
-  private def nextVersion(statePath: String): Int =
-    if (liveVersion(statePath) == 0) 1 else 0
-
-  private def flipPointer(statePath: String): Unit = {
-    val next = nextVersion(statePath)
-    new java.io.File(statePath).mkdirs()
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$statePath/LIVE"),
-      next.toString.getBytes)
-    ()
+  private def commitPointer(spark: SparkSession, statePath: String,
+      version: Int, batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$statePath/LIVE")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(s"$version $batchId"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 }

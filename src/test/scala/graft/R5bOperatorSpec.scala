@@ -102,6 +102,19 @@ class R5bOperatorSpec extends SparkSuite {
     // three commits flipped the pointer three times: v0 after 1st and 3rd
     assert(new java.io.File(s"$st/v0").exists() &&
       new java.io.File(s"$st/v1").exists())
+    // replay guard: a fresh-checkpoint restart re-delivers batch ids 0..2,
+    // all ≤ the pointer's last-applied id — every batch must be SKIPPED,
+    // leaving the state bit-identical instead of double-applied
+    val q2 = Streams.cdcAggregateStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      "op", Seq("event_type"), "value", st)
+    try q2.processAllAvailable() finally q2.stop()
+    val again = Streams.readAggState(spark, st)
+      .select(col("event_type"), col("n"),
+        round(col("total").cast("double"), 4).as("t"))
+    assert(rowsOf(again.orderBy("event_type")) ==
+      rowsOf(expected.orderBy("event_type")))
   }
 
   test("Sketches.rollingDistinctEstimate: 7-day rolling distinct from " +

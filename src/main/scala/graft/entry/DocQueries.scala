@@ -1534,15 +1534,10 @@ object DocQueries {
         .withColumn("text", when(col("doc_id") % 5 === 0,
           concat(col("text"), lit(" (draft)"))).otherwise(col("text")))
       val v2 = d.filter(col("doc_id") % 17 =!= 0)
-      val diff = graft.operators.SnapshotDiff.diff(v1, v2, "doc_id", "text")
-      val dels = v1.join(diff.filter(col("status").isin("removed", "changed"))
-        .select("doc_id"), Seq("doc_id"), "left_semi")
-      val ins = v2.join(diff.filter(col("status").isin("added", "changed"))
-        .select("doc_id"), Seq("doc_id"), "left_semi")
       val st0 = graft.operators.IncrementalAgg.update(None, v1,
         Seq("source"), "n_chars")
-      graft.operators.IncrementalAgg.updateCdc(st0, ins, dels,
-        Seq("source"), "n_chars")
+      graft.operators.IncrementalAgg.refreshFromSnapshots(st0, v1, v2,
+        "doc_id", "text", Seq("source"), "n_chars")
         .select(col("source"), col("n"),
           round(col("total").cast(DoubleType), 4).as("total"))
         .orderBy(col("source"))

@@ -95,4 +95,19 @@ object Examples {
       .load(df => Sinks.parquet(df, outParquet))
       .checkpointed(checkpointDir)
       .run(spark)
+
+  /** Beyond the reference scripts: the incremental-refresh recipe — diff
+    * the new corpus snapshot against the old, turn the classification into
+    * a CDC batch, fold it into the persisted per-group aggregate state.
+    * The refresh cost tracks the CHURN (diff slice + state frame), never
+    * the corpus; the returned state equals a full recompute over the new
+    * snapshot exactly (the law q_incremental_refresh gates). */
+  def incrementalRefresh(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, contentCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    IncrementalAgg.refreshFromSnapshots(
+      IncrementalAgg.update(None, oldSnap, Seq(groupCol), valueCol),
+      oldSnap, newSnap, idCol, contentCol, Seq(groupCol), valueCol)
+  }
 }

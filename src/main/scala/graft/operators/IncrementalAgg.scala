@@ -44,6 +44,26 @@ object IncrementalAgg {
     * bit-identically (the spec law). min/max extrema are NOT invertible
     * under deletes — keep them out of retractable state and rebuild on a
     * tolerable cadence. */
+  /** The incremental-refresh recipe in one call: diff the new corpus
+    * snapshot against the old ([[SnapshotDiff]]), turn the classification
+    * into a CDC batch (changed = delete old row + insert new row), fold it
+    * into `state` (the per-key aggregate of the OLD snapshot). Refresh
+    * cost tracks the churn — diff slice plus state frame — never the
+    * corpus, and the result equals a full recompute over the new snapshot
+    * exactly (the law the q_incremental_refresh gate pins). */
+  def refreshFromSnapshots(state: DataFrame, oldSnap: DataFrame,
+      newSnap: DataFrame, idCol: String, contentCol: String,
+      keyCols: Seq[String], valueCol: String): DataFrame = {
+    val diff = SnapshotDiff.diff(oldSnap, newSnap, idCol, contentCol)
+    val dels = oldSnap.join(
+      diff.filter(col("status").isin("removed", "changed")).select(idCol),
+      Seq(idCol), "left_semi")
+    val ins = newSnap.join(
+      diff.filter(col("status").isin("added", "changed")).select(idCol),
+      Seq(idCol), "left_semi")
+    updateCdc(state, ins, dels, keyCols, valueCol)
+  }
+
   def updateCdc(state: DataFrame, inserts: DataFrame, deletes: DataFrame,
       keyCols: Seq[String], valueCol: String): DataFrame = {
     val ins = update(None, inserts, keyCols, valueCol)

@@ -91,4 +91,17 @@ class ExamplesSpec extends SparkSuite {
     // the checkpoint dir holds a materialized stage output
     assert(new java.io.File(s"$dir/ckpt").listFiles().nonEmpty)
   }
+
+  test("incremental_refresh: the diff-driven fold equals a full recompute " +
+      "over the new snapshot") {
+    import org.apache.spark.sql.functions._
+    val d = graft.core.Tables.table(spark, sfDir, "documents")
+    val v1 = d.filter(col("doc_id") % 4 =!= 0)
+    val v2 = d.filter(col("doc_id") % 6 =!= 0)
+    val got = Examples.incrementalRefresh(v1, v2, "doc_id", "text",
+      "source", "n_chars")
+    val direct = graft.operators.IncrementalAgg.update(None, v2,
+      Seq("source"), "n_chars")
+    assert(rowsOf(got.orderBy("source")) == rowsOf(direct.orderBy("source")))
+  }
 }

@@ -1600,6 +1600,36 @@ object DocQueries {
           sum(coalesce(col("_hit"), lit(0))).cast(LongType).as("n_hits"))
     }),
 
+    "q_embed_ivfadc" -> ((s, dir) => {
+      // residual IVFADC: PQ codebooks trained on (vector − coarse
+      // centroid) residuals — within-list variance instead of the full
+      // spread, so the same 8×64 code budget quantizes finer (measurably
+      // better recall than q_embed_ivfpq at the same probe budget); ADC
+      // scoring goes through the codegen'd per-list table stack. Same
+      // recall oracle as its siblings
+      val emb = t(s, dir, "embeddings")
+      val qvec = emb.filter(col("vec_id") === 2)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val idx = Similarity.ivfAdcIndex(emb, "embedding", "vec_id",
+        nLists = 8, m = 8, codewords = 64)
+      val res = Similarity.ivfAdcSearch(idx, "vec_id", qvec,
+          k = 15, nProbe = 4)
+        .select(col("vec_id")).persist() // aux + recall join share the scan
+      Aux.write(res, s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/ivfadc_results")
+      val qd = array(qvec.map(v => lit(v.toDouble)): _*)
+      val dist = aggregate(
+        zip_with(col("embedding").cast(ArrayType(DoubleType)), qd,
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      val exact = emb.select(col("vec_id"),
+          Semantics.safeRound(dist, 4).as("dd"))
+        .orderBy(col("dd").asc, col("vec_id").asc).limit(15)
+        .select(col("vec_id"), lit(1).as("_hit"))
+      res.join(exact, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_results"),
+          sum(coalesce(col("_hit"), lit(0))).cast(LongType).as("n_hits"))
+    }),
+
     "q_file_manifest" -> ((s, dir) => {
       // per-file integrity manifest: stage documents as a 4-file parquet
       // dir (hash-partitioned on doc_id — deterministic file contents),
@@ -3480,6 +3510,24 @@ object DocQueries {
          |  ${Sql.esum("n_chars")} AS total
          |FROM documents WHERE doc_id % 17 <> 0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_embed_ivfadc" ->
+      // recall of the residual-coded search vs the exact L2 top-15
+      s"""WITH r AS (SELECT vec_id
+         |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/ivfadc_results/*.parquet')),
+         |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+         |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+         |             generate_subscripts(embedding, 1) AS i
+         |      FROM embeddings WHERE vec_id = 2),
+         |d AS (SELECT e.vec_id, SUM((e.ev - q.qv) * (e.ev - q.qv)) AS dist
+         |      FROM e JOIN q USING (i) GROUP BY e.vec_id),
+         |exact AS (SELECT vec_id FROM (
+         |    SELECT vec_id, ${Sql.sround("dist")} AS dd
+         |    FROM d ORDER BY dd ASC, vec_id ASC LIMIT 15))
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_results,
+         |  CAST(SUM(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |FROM r LEFT JOIN exact x ON r.vec_id = x.vec_id""".stripMargin,
 
     "q_embed_ivfpq" ->
       // recall of the list-pruned ADC search vs the exact L2 top-15

@@ -425,11 +425,14 @@ object Similarity {
     * a slice of the vector — a pure projection scan, no shuffle. */
   def pqEncode(df: DataFrame, vecCol: String, model: PqModel,
       codesCol: String = "codes"): DataFrame =
-    df.withColumn(codesCol, array((0 until model.m).map { j =>
+    df.withColumn(codesCol, pqCodes(col(vecCol), model))
+
+  private def pqCodes(vec: Column, model: PqModel): Column =
+    array((0 until model.m).map { j =>
       nearestCentroid(
-        slice(col(vecCol), j * model.dsub + 1, model.dsub),
+        slice(vec, j * model.dsub + 1, model.dsub),
         model.codebooks(j).zipWithIndex.map { case (c, i) => (i, c.toSeq) })
-    }: _*))
+    }: _*)
 
   /** ADC top-k: squared-distance lookup table (m × codewords) computed
     * once on the driver from the query, inlined as literals; each encoded
@@ -490,5 +493,128 @@ object Similarity {
     pqSearch(
       index.encoded.filter(col("_list").isin(probeLists.toIndexedSeq: _*)),
       idCol, index.model, query, k)
+  }
+
+  // ---------------------------------------------------------------------
+  // Residual IVFADC — the accuracy refinement of IVF+PQ: codebooks are
+  // trained on RESIDUALS (vector minus its coarse centroid), whose
+  // variance is the within-list remainder rather than the full spread, so
+  // the same code budget quantizes finer. The price: the ADC lookup table
+  // becomes per-list (query residual differs per probed list), so scoring
+  // goes through one codegen'd expression holding the table stack as a
+  // plan reference object instead of literal arrays.
+  // ---------------------------------------------------------------------
+
+  final case class IvfAdcIndex(encoded: DataFrame,
+      centroids: Array[(Int, Seq[Double])], model: PqModel)
+
+  def ivfAdcIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      nLists: Int = 8, m: Int = 8, codewords: Int = 64,
+      seed: Long = 42L, sample: Int = 10000, iters: Int = 10): IvfAdcIndex = {
+    val vecs = sampleVecs(corpus, vecCol, sample)
+    require(vecs.nonEmpty, "ivfAdcIndex needs a non-empty corpus")
+    val centers = lloyds(vecs, nLists, iters, seed)
+    val centroids = centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    // sample residuals under each vector's own nearest centroid
+    val residuals = vecs.map { v =>
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < centers.length) {
+        var d = 0.0; var j = 0
+        while (j < v.length) { val t = v(j) - centers(c)(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      val r = new Array[Double](v.length)
+      var j = 0
+      while (j < v.length) { r(j) = v(j) - centers(best)(j); j += 1 }
+      r
+    }
+    val model = pqTrainFromSample(residuals, m, codewords, seed, iters)
+    val assigned = corpus.withColumn("_list",
+      nearestCentroid(col(vecCol), centroids))
+    val enc = assigned
+      .withColumn("codes",
+        pqCodes(residualCol(col(vecCol), col("_list"), centroids), model))
+      .select(col(idCol), col("_list"), col("codes"))
+    IvfAdcIndex(enc, centroids, model)
+  }
+
+  /** vec − centroid[list], as a float array (one 2-D literal centroid
+    * matrix indexed per row — nLists × dim literals, plan-bounded). */
+  private def residualCol(vec: Column, listCol: Column,
+      centroids: Array[(Int, Seq[Double])]): Column = {
+    val mat = array(centroids.sortBy(_._1).map { case (_, c) =>
+      array(c.map(v => lit(v.toFloat)): _*)
+    }: _*)
+    zip_with(vec, element_at(mat, listCol + 1), (a, b) => a - b)
+      .cast(ArrayType(FloatType))
+  }
+
+  /** Residual ADC top-k: per probed list, the lookup table is built from
+    * the QUERY'S residual under that list's centroid; candidates score
+    * with one generated call indexing (list, codes) into the table
+    * stack. */
+  def ivfAdcSearch(index: IvfAdcIndex, idCol: String, query: Seq[Float],
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val q = query.map(_.toDouble).toArray
+    val probeLists = probeListsFor(index.centroids, query, nProbe)
+    val m = index.model.m; val dsub = index.model.dsub
+    val byId = index.centroids.sortBy(_._1).map(_._2.toArray)
+    val luts: Array[Array[Array[Double]]] = byId.map { ctr =>
+      Array.tabulate(m) { j =>
+        index.model.codebooks(j).map { c =>
+          var d = 0.0; var t = 0
+          while (t < dsub) {
+            val x = (q(j * dsub + t) - ctr(j * dsub + t)) - c(t)
+            d += x * x; t += 1
+          }
+          d
+        }
+      }
+    }
+    val adc = org.apache.spark.sql.GraftColumnBridge.column(AdcScoreExpr(
+      org.apache.spark.sql.GraftColumnBridge.expression(col("codes")),
+      org.apache.spark.sql.GraftColumnBridge.expression(col("_list")),
+      luts))
+    index.encoded.filter(col("_list").isin(probeLists.toIndexedSeq: _*))
+      .select(col(idCol), adc.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Static entry the generated ADC code calls: Σⱼ lut(list)(j)(codeⱼ). */
+  def adcScore(luts: Array[Array[Array[Double]]],
+      codes: org.apache.spark.sql.catalyst.util.ArrayData, list: Int): Double = {
+    val lut = luts(list)
+    var s = 0.0; var j = 0
+    while (j < lut.length) { s += lut(j)(codes.getInt(j)); j += 1 }
+    s
+  }
+
+  /** Codegen'd (codes, list) → ADC distance; the per-list table stack
+    * rides along as one plan reference object (same pattern as
+    * [[NearestCentroidExpr]] — a literal-array spelling would rebuild
+    * nLists×m×k nodes into the plan). */
+  private[graft] case class AdcScoreExpr(
+      left: org.apache.spark.sql.catalyst.expressions.Expression,
+      right: org.apache.spark.sql.catalyst.expressions.Expression,
+      luts: Array[Array[Array[Double]]])
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: org.apache.spark.sql.types.DataType = DoubleType
+    override def nullSafeEval(codes: Any, list: Any): Any =
+      adcScore(luts,
+        codes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        list.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("adcLuts", luts, "double[][][]")
+      defineCodeGen(ctx, ev, (c, l) =>
+        s"graft.functions.Similarity.adcScore($ref, $c, $l)")
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+        newRight: org.apache.spark.sql.catalyst.expressions.Expression): AdcScoreExpr =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "adc_score"
   }
 }

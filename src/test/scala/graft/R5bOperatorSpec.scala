@@ -183,6 +183,35 @@ class R5bOperatorSpec extends SparkSuite {
     assert(all.toSeq == plain.toSeq)
   }
 
+  test("Similarity residual IVFADC: self-recall, and recall vs exact L2 " +
+      "at least matches the non-residual IVF+PQ path on the fixture") {
+    import graft.functions.Similarity
+    val emb = graft.core.Tables.table(spark, sfDir, "embeddings")
+    val qvec = emb.filter(col("vec_id") === 2)
+      .select(col("embedding")).head().getSeq[Float](0)
+    // exact L2 top-15 ground truth
+    val qd = array(qvec.map(v => lit(v.toDouble)): _*)
+    val dist = aggregate(
+      zip_with(col("embedding").cast("array<double>"), qd,
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val exact = emb.select(col("vec_id"), dist.as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(15)
+      .collect().map(_.getLong(0)).toSet
+    val adcIdx = Similarity.ivfAdcIndex(emb, "embedding", "vec_id",
+      nLists = 8, m = 8, codewords = 64)
+    val adcTop = Similarity.ivfAdcSearch(adcIdx, "vec_id", qvec,
+      k = 15, nProbe = 4).select("vec_id").collect().map(_.getLong(0))
+    assert(adcTop.length == 15 && adcTop.contains(2L))
+    val pqIdx = Similarity.ivfPqIndex(emb, "embedding", "vec_id",
+      nLists = 8, m = 8, codewords = 64)
+    val pqTop = Similarity.ivfPqSearch(pqIdx, "vec_id", qvec,
+      k = 15, nProbe = 4).select("vec_id").collect().map(_.getLong(0))
+    val (ra, rp) = (adcTop.count(exact), pqTop.count(exact))
+    info(s"recall@15: residual-ADC $ra/15 vs IVF+PQ $rp/15")
+    assert(ra >= rp, s"residual coding lost recall: $ra < $rp")
+  }
+
   test("TrainingExamples.nextEventPairs: hand-built stream — ordered " +
       "context, bounded length, first event dropped, tie-broken by id") {
     import spark.implicits._

@@ -582,6 +582,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Two-stage search — the production IVFADC shape: ADC shortlists
+    * `refine × k` candidates from codes alone, then ONLY the shortlist
+    * re-ranks by exact distance against raw vectors (a broadcast semi-join
+    * of shortlist ids into the corpus — float cost proportional to the
+    * shortlist, not the probed lists). Near-exact recall at code-scan
+    * prices. */
+  def ivfAdcSearchRefined(index: IvfAdcIndex, corpus: DataFrame,
+      vecCol: String, idCol: String, query: Seq[Float], k: Int = 10,
+      nProbe: Int = 4, refine: Int = 4): DataFrame = {
+    require(refine >= 1, "refine factor must be >= 1")
+    val short = ivfAdcSearch(index, idCol, query, k * refine, nProbe)
+      .select(col(idCol))
+    val qd = array(query.map(v => lit(v.toDouble)): _*)
+    val dist = aggregate(
+      zip_with(col(vecCol).cast(ArrayType(DoubleType)), qd,
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    corpus.join(broadcast(short), Seq(idCol), "left_semi")
+      .select(col(idCol), dist.as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Static entry the generated ADC code calls: Σⱼ lut(list)(j)(codeⱼ). */
   def adcScore(luts: Array[Array[Array[Double]]],
       codes: org.apache.spark.sql.catalyst.util.ArrayData, list: Int): Double = {

@@ -210,6 +210,15 @@ class R5bOperatorSpec extends SparkSuite {
     val (ra, rp) = (adcTop.count(exact), pqTop.count(exact))
     info(s"recall@15: residual-ADC $ra/15 vs IVF+PQ $rp/15")
     assert(ra >= rp, s"residual coding lost recall: $ra < $rp")
+    // exact re-rank of the ADC shortlist: recall must not drop, and the
+    // returned order must BE exact-distance order on its members
+    val refined = Similarity.ivfAdcSearchRefined(adcIdx, emb, "embedding",
+      "vec_id", qvec, k = 15, nProbe = 4).select("vec_id")
+      .collect().map(_.getLong(0))
+    val rr = refined.count(exact)
+    info(s"recall@15 refined: $rr/15")
+    assert(rr >= ra, s"re-ranking lost recall: $rr < $ra")
+    assert(refined.head == 2L) // the query's own vector is exact-nearest
   }
 
   test("TrainingExamples.nextEventPairs: hand-built stream — ordered " +

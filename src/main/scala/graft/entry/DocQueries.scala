@@ -1630,6 +1630,37 @@ object DocQueries {
           sum(coalesce(col("_hit"), lit(0))).cast(LongType).as("n_hits"))
     }),
 
+    "q_unigram_encode" -> ((s, dir) => {
+      // unigram-LM tokenizer (SentencePiece-style): EM-trained piece
+      // vocabulary over the word-type table, Viterbi encode as a codegen
+      // projection. The model is engine-specific, so the gate follows the
+      // invariant pattern: token stream + vocabulary ship as aux, and
+      // BOTH engines independently verify the same per-doc contract —
+      // token count, losslessness (tokens rebuild the normalized text),
+      // and zero out-of-vocabulary emissions
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val model = graft.functions.Unigram.train(docs, "text",
+        vocabSize = 300, maxPieceLen = 6, emIters = 2)
+      val enc = docs.select(col("doc_id"), col("text"),
+        graft.functions.Unigram.encodeTokens(col("text"), model).as("toks"))
+        .persist()
+      Aux.write(enc.select(col("doc_id"),
+          posexplode(col("toks")).as(Seq("pos", "token"))),
+        s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/unigram_tokens",
+        single = false)
+      Aux.write({ import s.implicits._; model.pieces.toSeq.toDF("piece") },
+        s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/unigram_vocab")
+      val collapsed = replace(
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")),
+        lit(" "), lit(""))
+      enc.select(col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_tokens"),
+          (concat_ws("", col("toks")) === collapsed).as("lossless"),
+          size(array_except(col("toks"), lit(model.pieces)))
+            .cast(LongType).as("n_oov"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_file_manifest" -> ((s, dir) => {
       // per-file integrity manifest: stage documents as a 4-file parquet
       // dir (hash-partitioned on doc_id — deterministic file contents),
@@ -3510,6 +3541,26 @@ object DocQueries {
          |  ${Sql.esum("n_chars")} AS total
          |FROM documents WHERE doc_id % 17 <> 0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_unigram_encode" ->
+      // independent replay of the tokenizer invariants from the aux token
+      // stream: rebuild per doc, count, and screen against the aux vocab
+      """WITH t AS (SELECT doc_id, pos, token FROM
+        |    read_parquet('/tmp/graft_oracle_aux/{SF}/unigram_tokens/*.parquet')),
+        |v AS (SELECT piece FROM
+        |    read_parquet('/tmp/graft_oracle_aux/{SF}/unigram_vocab/*.parquet')),
+        |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    string_agg(token, '' ORDER BY pos) AS rebuilt,
+        |    CAST(sum(CASE WHEN token IN (SELECT piece FROM v)
+        |             THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+        |  FROM t GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.n_tokens, 0) AS n_tokens,
+        |  coalesce(r.rebuilt, '') =
+        |    replace(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')),
+        |            ' ', '') AS lossless,
+        |  coalesce(r.n_oov, 0) AS n_oov
+        |FROM documents d LEFT JOIN reb r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_embed_ivfadc" ->
       // recall of the residual-coded search vs the exact L2 top-15

@@ -163,6 +163,44 @@ object Unigram {
     UnigramModel(fin.map(_._1).toArray, fin.map(_._2).toArray)
   }
 
+  /** Persist a trained model as one JSON file (Hadoop FS — any URI), the
+    * same shape as [[Bpe.save]]: train once on the 100 TB corpus, encode
+    * everywhere forever. Log-probs round-trip via their exact bit pattern
+    * so a loaded model segments bit-identically. */
+  def save(model: UnigramModel, spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val json = graft.service.MiniJson.render(
+      model.pieces.zip(model.logProbs).map { case (p, lp) => Map(
+        "piece" -> p,
+        // a string, not a number: JSON numbers round-trip through double
+        // and would corrupt the low bits of the pattern
+        "logp_bits" -> java.lang.Double.doubleToLongBits(lp).toString)
+      }.toList)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): UnigramModel = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes =
+      try in.readAllBytes()
+      finally in.close()
+    val rows = graft.service.MiniJson
+      .parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      .asInstanceOf[List[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+    UnigramModel(
+      rows.map(_("piece").toString).toArray,
+      rows.map(r => java.lang.Double.longBitsToDouble(
+        r("logp_bits").toString.toLong)).toArray)
+  }
+
   /** Viterbi-best tokens for every whitespace word of `textCol`,
     * flattened per row — one codegen'd projection, no shuffle. Unknown
     * characters fall back to single-char tokens (large negative score),

@@ -65,6 +65,17 @@ class UnigramSpec extends SparkSuite {
     assert(oov == 0L)
   }
 
+  test("save/load round-trips the model bit-identically") {
+    val words = Array(("abab", 50L), ("ab", 30L), ("cd", 5L))
+    val m = Unigram.trainLocal(words, vocabSize = 8, maxPieceLen = 3,
+      emIters = 2, seedFactor = 4)
+    val path = "/tmp/graft_unigram_spec/model.json"
+    Unigram.save(m, spark, path)
+    val back = Unigram.load(spark, path)
+    assert(back.pieces.toSeq == m.pieces.toSeq)
+    assert(back.logProbs.toSeq == m.logProbs.toSeq)
+  }
+
   test("Unigram encode agrees between codegen and interpreted paths " +
       "(reference-object plumbing survives both)") {
     val docs = graft.core.Tables.table(spark, sfDir, "documents")

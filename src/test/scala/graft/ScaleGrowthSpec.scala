@@ -53,7 +53,10 @@ class ScaleGrowthSpec extends SparkSuite {
       graft.operators.SubstrDedup
         .flags(d, "doc_id", "text", k = 12).count(); () }),
     ("bpe_train", d => {
-      graft.functions.Bpe.train(d, "text", numMerges = 6); () }))
+      graft.functions.Bpe.train(d, "text", numMerges = 6); () }),
+    ("unigram_train", d => {
+      graft.functions.Unigram.train(d, "text", vocabSize = 200,
+        maxPieceLen = 5, emIters = 1); () }))
 
   /** Stage 1× and k× corpora as flat parquet (identical scan cost, no
     * lineage replay), time each op warm on both, return ops whose

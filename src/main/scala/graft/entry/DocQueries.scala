@@ -1661,6 +1661,39 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_tokenizer_compare" -> ((s, dir) => {
+      // the "which tokenizer fits this corpus" report: BPE and unigram-LM
+      // trained on the same corpus, per-language fertility side by side
+      // (normalized chars per token, e6-scaled BIGINT). Both per-doc token
+      // counts single-source via aux (each kernel is independently gated);
+      // chars, grouping, ratios, and the winner flag replay as pure
+      // BIGINT arithmetic
+      val docs = t(s, dir, "documents")
+      val merges = graft.functions.Bpe.train(docs, "text", numMerges = 6)
+      val model = graft.functions.Unigram.train(docs, "text",
+        vocabSize = 300, maxPieceLen = 6, emIters = 2)
+      val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      val enc = docs.select(col("doc_id"), col("lang"),
+        length(translate(norm, " ", "")).as("_nc"),
+        size(graft.functions.Bpe.encode(col("text"), merges)).as("_nb"),
+        size(graft.functions.Unigram.encodeTokens(col("text"), model))
+          .as("_nu"))
+      val encP = if (Aux.enabled) enc.persist() else enc
+      Aux.write(encP.select(col("doc_id"), col("_nb"), col("_nu")),
+        s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/tok_compare")
+      encP.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_nc")).as("n_chars_norm"),
+          sum(col("_nb")).as("bpe_tokens"), sum(col("_nu")).as("uni_tokens"))
+        .select(col("lang"), col("n_docs"), col("bpe_tokens"),
+          col("uni_tokens"),
+          expr("CAST((n_chars_norm * 1000000) DIV bpe_tokens AS BIGINT)")
+            .as("bpe_cpt_e6"),
+          expr("CAST((n_chars_norm * 1000000) DIV uni_tokens AS BIGINT)")
+            .as("uni_cpt_e6"),
+          (col("uni_tokens") < col("bpe_tokens")).as("unigram_wins"))
+        .orderBy(col("lang"))
+    }),
+
     "q_file_manifest" -> ((s, dir) => {
       // per-file integrity manifest: stage documents as a 4-file parquet
       // dir (hash-partitioned on doc_id — deterministic file contents),
@@ -3541,6 +3574,25 @@ object DocQueries {
          |  ${Sql.esum("n_chars")} AS total
          |FROM documents WHERE doc_id % 17 <> 0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tokenizer_compare" ->
+      // chars from the shared normalization; both token counts from the
+      // engine aux; ratio and winner as pure BIGINT arithmetic
+      """WITH nrm AS (SELECT doc_id, lang,
+        |    length(replace(trim(regexp_replace(lower(text), '\s+', ' ',
+        |      'g')), ' ', '')) AS nc
+        |  FROM documents),
+        |a AS (SELECT doc_id, _nb AS nb, _nu AS nu FROM
+        |  read_parquet('/tmp/graft_oracle_aux/{SF}/tok_compare/*.parquet')),
+        |j AS (SELECT nrm.lang, nrm.nc, a.nb, a.nu
+        |  FROM nrm JOIN a USING (doc_id))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nb) AS BIGINT) AS bpe_tokens,
+        |  CAST(SUM(nu) AS BIGINT) AS uni_tokens,
+        |  CAST((SUM(nc) * 1000000) // SUM(nb) AS BIGINT) AS bpe_cpt_e6,
+        |  CAST((SUM(nc) * 1000000) // SUM(nu) AS BIGINT) AS uni_cpt_e6,
+        |  SUM(nu) < SUM(nb) AS unigram_wins
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_unigram_encode" ->
       // independent replay of the tokenizer invariants from the aux token

@@ -44,6 +44,33 @@ class R5bOperatorSpec extends SparkSuite {
     assert(rowsOf(after.select("k")) == Seq(Seq("h")))
   }
 
+  test("SnapshotDiff.diffColumns: metadata-only changes classify as " +
+      "changed; boundary shifts and null-vs-empty never collide") {
+    import spark.implicits._
+    import graft.operators.SnapshotDiff
+    val old_ = Seq(
+      (1L, Some("a"), "en"),  // unchanged
+      (2L, Some("b"), "en"),  // metadata-only change (lang flips)
+      (3L, Some(""), "en"),   // null-vs-empty must differ
+      (4L, Some("ab"), "c")   // boundary: ("ab","c") vs ("a","bc")
+    ).toDF("id", "t", "l")
+    val new_ = Seq(
+      (1L, Some("a"), "en"),
+      (2L, Some("b"), "de"),
+      (3L, Option.empty[String], "en"),
+      (4L, Some("a"), "bc")
+    ).toDF("id", "t", "l")
+    val got = rowsOf(SnapshotDiff.diffColumns(old_, new_, "id",
+      Seq("t", "l")).orderBy("id"))
+    assert(got == Seq(Seq(1L, "unchanged"), Seq(2L, "changed"),
+      Seq(3L, "changed"), Seq(4L, "changed")))
+    // single-column diffBy sees doc 2 as unchanged — the multi-column
+    // variant exists precisely for that blind spot
+    val single = rowsOf(SnapshotDiff.diff(old_, new_, "id", "t")
+      .orderBy("id"))
+    assert(single(1) == Seq(2L, "unchanged"))
+  }
+
   test("TableManifest: re-derived manifest matches the written one; a " +
       "truncated file and a lost file both surface in the diff") {
     import graft.io.TableManifest

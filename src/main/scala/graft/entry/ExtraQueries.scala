@@ -1845,6 +1845,19 @@ object ExtraQueries {
         .orderBy(col("event_type"))
     }),
 
+    "q_ks_drift" -> ((s, dir) => {
+      // binning-free distribution drift: two-sample KS between click and
+      // purchase value distributions, integer-exact (BIGINT cumulative
+      // cross-products, e6 integral ratio). The engine's cumsum is
+      // shard-partitioned (approx-quantile bounds place shards; exactness
+      // never depends on them) — the oracle replays with one global
+      // window, which at its scale is fine
+      val e = t(s, dir, "events")
+      Audit.ksStatistic(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"), "value")
+    }),
+
     "q_next_event" -> ((s, dir) => {
       // next-event-prediction training pairs: per user, the 3 preceding
       // event types as a joined context string and the current type as
@@ -1938,6 +1951,27 @@ object ExtraQueries {
          |FROM events
          |WHERE NOT (event_id % 10 < 8 AND event_id % 7 = 0)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ks_drift" ->
+      """WITH u AS (SELECT value AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS s
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |n AS (SELECT CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n1,
+        |  CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM u),
+        |c AS (SELECT v,
+        |    sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS c2
+        |  FROM u GROUP BY v),
+        |m AS (SELECT sum(c1) OVER (ORDER BY v) AS a1,
+        |    sum(c2) OVER (ORDER BY v) AS a2 FROM c),
+        |k AS (SELECT max(abs(a1 * n.n2 - a2 * n.n1)) AS ks_num
+        |  FROM m, n)
+        |SELECT n.n1, n.n2, CAST(k.ks_num AS BIGINT) AS ks_num,
+        |  CAST((k.ks_num * 1000000) // (n.n1 * n.n2) AS BIGINT) AS ks_e6
+        |FROM n, k""".stripMargin,
 
     "q_next_event" ->
       """WITH p AS (SELECT event_id, user_id,

@@ -347,4 +347,77 @@ object Audit {
       .filter(col("n_sensitive") < l)
       .orderBy(quasiIds.map(col(_).asc): _*)
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic — the distribution-drift
+    * screen whose verdict (unlike PSI / chi-square, which bin) is
+    * binning-free: sup over observed values of |F₁ − F₂|. Everything is
+    * INTEGER-exact: with per-value cumulative counts a₁, a₂ the statistic
+    * is max|a₁·n₂ − a₂·n₁| / (n₁·n₂), carried as a BIGINT numerator plus
+    * an e6-scaled floor ratio — no float ever compares cross-engine.
+    *
+    * Scale shape: the empirical CDF needs a GLOBAL running sum over
+    * sorted distinct values, which as one window is a single-partition
+    * scan. Instead: per-value counts (one shuffle), range-sharding by
+    * approx-quantile bounds (driver-tiny fit; bounds only PLACE the
+    * shards — exactness never depends on them), per-shard totals rolled
+    * into literal prefix offsets (≤ shards+1 rows on the driver), then a
+    * SHARD-partitioned window plus offset. Same two-phase construction as
+    * the pack-window cumsum; the hygiene sweep's no-global-window rule
+    * holds. */
+  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String,
+      shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards >= 1, "need at least one shard")
+    val u = a.select(col(valueCol).cast(DoubleType).as("_v"))
+      .where(col("_v").isNotNull).withColumn("_s", lit(1))
+      .unionByName(b.select(col(valueCol).cast(DoubleType).as("_v"))
+        .where(col("_v").isNotNull).withColumn("_s", lit(2)))
+    val counts = u.groupBy(col("_v")).agg(
+      sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_c1"),
+      sum(when(col("_s") === 2, 1L).otherwise(0L)).as("_c2"))
+    val probs = (1 until shards).map(_.toDouble / shards).toArray
+    val bounds: Array[Double] =
+      if (shards == 1) Array.empty
+      else counts.stat.approxQuantile("_v", probs, 0.01).distinct.sorted
+    val shardOf =
+      if (bounds.isEmpty) lit(0)
+      else aggregate(lit(bounds), lit(0),
+        (acc, bnd) => acc + when(col("_v") > bnd, 1).otherwise(0))
+    val sh = counts.withColumn("_sh", shardOf)
+    val totals = sh.groupBy(col("_sh"))
+      .agg(sum(col("_c1")).as("_t1"), sum(col("_c2")).as("_t2"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    require(totals.nonEmpty, "ksStatistic needs non-empty samples")
+    val nShards = bounds.length + 1
+    val off1 = new Array[Long](nShards); val off2 = new Array[Long](nShards)
+    totals.foreach { case (s, t1, t2) =>
+      var j = s + 1
+      while (j < nShards) { off1(j) += t1; off2(j) += t2; j += 1 }
+    }
+    val n1 = totals.map(_._2).sum; val n2 = totals.map(_._3).sum
+    require(n1 > 0 && n2 > 0, "ksStatistic needs both samples non-empty")
+    val w = Window.partitionBy(col("_sh")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sh
+      .withColumn("_a1",
+        sum(col("_c1")).over(w) + element_at(lit(off1), col("_sh") + 1))
+      .withColumn("_a2",
+        sum(col("_c2")).over(w) + element_at(lit(off2), col("_sh") + 1))
+    // DecimalType(38,0) products: a₁·n₂ overflows BIGINT once both
+    // samples pass ~3e9 rows — exactly the regime this operator targets
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    cum.agg(max(abs(col("_a1").cast(dec) * lit(n2).cast(dec) -
+          col("_a2").cast(dec) * lit(n1).cast(dec)))
+        .as("ks_num"))
+      .select(lit(n1).as("n1"), lit(n2).as("n2"),
+        // BIGINT for the emitted cell (dtype parity with the oracle's
+        // CAST; ANSI overflow would be loud, and consumers read ks_e6)
+        col("ks_num").cast(LongType).as("ks_num"),
+        // integral DIV, not decimal-/ + floor: the division's scale-6
+        // rounding could cross an integer boundary and break floor parity
+        expr("CAST((CAST(ks_num AS DECIMAL(38,0)) * 1000000) DIV " +
+          s"(CAST(${n1}L AS DECIMAL(38,0)) * ${n2}L) AS BIGINT)")
+          .as("ks_e6"))
+  }
 }

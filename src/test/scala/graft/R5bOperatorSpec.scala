@@ -44,6 +44,29 @@ class R5bOperatorSpec extends SparkSuite {
     assert(rowsOf(after.select("k")) == Seq(Seq("h")))
   }
 
+  test("Audit.ksStatistic: hand-computed statistic, zero on identical " +
+      "samples, and shard-count invariance (two-phase cumsum is exact)") {
+    import spark.implicits._
+    import graft.operators.Audit
+    // A = {1,2,3,4}, B = {3,4,5,6}: sup gap at v∈[2,3) → |2·4 − 0·4| = 8,
+    // ks = 8/16 = .5
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    val r = Audit.ksStatistic(a, b, "v").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 8L && r.getLong(3) == 500000L)
+    // identical samples → zero
+    val z = Audit.ksStatistic(a, a, "v").collect().head
+    assert(z.getLong(2) == 0L && z.getLong(3) == 0L)
+    // exactness cannot depend on where the shard bounds land
+    val e = graft.core.Tables.table(spark, sfDir, "events")
+    val x = e.filter(col("event_type") === "click")
+    val y = e.filter(col("event_type") === "view")
+    val r1 = Audit.ksStatistic(x, y, "value", shards = 1).collect().head
+    val r32 = Audit.ksStatistic(x, y, "value", shards = 32).collect().head
+    assert(r1.toSeq == r32.toSeq)
+  }
+
   test("SnapshotDiff.diffColumns: metadata-only changes classify as " +
       "changed; boundary shifts and null-vs-empty never collide") {
     import spark.implicits._

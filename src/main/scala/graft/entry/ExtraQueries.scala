@@ -1858,6 +1858,17 @@ object ExtraQueries {
         e.filter(col("event_type") === "purchase"), "value")
     }),
 
+    "q_rank_auc" -> ((s, dir) => {
+      // Mann–Whitney U with midrank ties, normalized to the AUC effect
+      // size: "how separable are click and purchase values" as one
+      // integer-exact number (doubled-U and e6 AUC — no float crosses
+      // engines). Shares the sharded-cumsum machinery with q_ks_drift
+      val e = t(s, dir, "events")
+      Audit.rankSumU(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"), "value")
+    }),
+
     "q_next_event" -> ((s, dir) => {
       // next-event-prediction training pairs: per user, the 3 preceding
       // event types as a joined context string and the current type as
@@ -1972,6 +1983,28 @@ object ExtraQueries {
         |SELECT n.n1, n.n2, CAST(k.ks_num AS BIGINT) AS ks_num,
         |  CAST((k.ks_num * 1000000) // (n.n1 * n.n2) AS BIGINT) AS ks_e6
         |FROM n, k""".stripMargin,
+
+    "q_rank_auc" ->
+      """WITH u AS (SELECT value AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS s
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |n AS (SELECT CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n1,
+        |  CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM u),
+        |c AS (SELECT v,
+        |    sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS c2
+        |  FROM u GROUP BY v),
+        |m AS (SELECT c1, c2, sum(c1 + c2) OVER (ORDER BY v) AS a FROM c),
+        |r AS (SELECT sum(c1 * (2 * (a - c1 - c2) + (c1 + c2) + 1))
+        |    AS r1x2 FROM m)
+        |SELECT n.n1, n.n2,
+        |  CAST(r.r1x2 - n.n1 * (n.n1 + 1) AS BIGINT) AS u1_x2,
+        |  CAST(((r.r1x2 - n.n1 * (n.n1 + 1)) * 1000000)
+        |       // (2 * n.n1 * n.n2) AS BIGINT) AS auc_e6
+        |FROM n, r""".stripMargin,
 
     "q_next_event" ->
       """WITH p AS (SELECT event_id, user_id,

@@ -364,8 +364,12 @@ object Audit {
     * SHARD-partitioned window plus offset. Same two-phase construction as
     * the pack-window cumsum; the hygiene sweep's no-global-window rule
     * holds. */
-  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String,
-      shards: Int = 32): DataFrame = {
+  /** Shared two-sample machinery: per distinct value, side counts
+    * (_c1,_c2) and EXACT global cumulative counts (_a1,_a2), built with a
+    * shard-partitioned window + driver prefix offsets. Returns the frame
+    * plus (n1, n2). */
+  private def cumulativeCounts(a: DataFrame, b: DataFrame, valueCol: String,
+      shards: Int): (DataFrame, Long, Long) = {
     import org.apache.spark.sql.expressions.Window
     require(shards >= 1, "need at least one shard")
     val u = a.select(col(valueCol).cast(DoubleType).as("_v"))
@@ -388,7 +392,7 @@ object Audit {
       .agg(sum(col("_c1")).as("_t1"), sum(col("_c2")).as("_t2"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1).toSeq
-    require(totals.nonEmpty, "ksStatistic needs non-empty samples")
+    require(totals.nonEmpty, "two-sample statistics need non-empty samples")
     val nShards = bounds.length + 1
     val off1 = new Array[Long](nShards); val off2 = new Array[Long](nShards)
     totals.foreach { case (s, t1, t2) =>
@@ -396,7 +400,7 @@ object Audit {
       while (j < nShards) { off1(j) += t1; off2(j) += t2; j += 1 }
     }
     val n1 = totals.map(_._2).sum; val n2 = totals.map(_._3).sum
-    require(n1 > 0 && n2 > 0, "ksStatistic needs both samples non-empty")
+    require(n1 > 0 && n2 > 0, "both samples must be non-empty")
     val w = Window.partitionBy(col("_sh")).orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = sh
@@ -404,6 +408,12 @@ object Audit {
         sum(col("_c1")).over(w) + element_at(lit(off1), col("_sh") + 1))
       .withColumn("_a2",
         sum(col("_c2")).over(w) + element_at(lit(off2), col("_sh") + 1))
+    (cum, n1, n2)
+  }
+
+  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String,
+      shards: Int = 32): DataFrame = {
+    val (cum, n1, n2) = cumulativeCounts(a, b, valueCol, shards)
     // DecimalType(38,0) products: a₁·n₂ overflows BIGINT once both
     // samples pass ~3e9 rows — exactly the regime this operator targets
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -419,5 +429,33 @@ object Audit {
         expr("CAST((CAST(ks_num AS DECIMAL(38,0)) * 1000000) DIV " +
           s"(CAST(${n1}L AS DECIMAL(38,0)) * ${n2}L) AS BIGINT)")
           .as("ks_e6"))
+  }
+
+  /** Mann–Whitney U (rank-sum) between two samples, with its
+    * normalization U/(n₁·n₂) — the common-language effect size, i.e. the
+    * AUC of `valueCol` as a ranker separating the two populations: the
+    * one-number answer to "does sample A stochastically dominate B, and
+    * by how much". Midranks handle ties exactly: for a value with
+    * cumulative count `cum` and tie width c, twice the rank sum of side 1
+    * is c₁·(2·cum_before + c + 1) — pure integers, so doubled-U and the
+    * e6 AUC replay cross-engine with no float. Same sharded-cumsum scale
+    * shape as [[ksStatistic]]. */
+  def rankSumU(a: DataFrame, b: DataFrame, valueCol: String,
+      shards: Int = 32): DataFrame = {
+    val (cum, n1, n2) = cumulativeCounts(a, b, valueCol, shards)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val c = col("_c1") + col("_c2")
+    val cumBefore = col("_a1") + col("_a2") - c
+    // Σ over values of c1·(2·cum_before + c + 1) = 2·R1
+    val r1x2 = sum((col("_c1") * (cumBefore * 2 + c + 1)).cast(dec))
+    cum.agg(r1x2.as("_r1x2"))
+      .select(lit(n1).as("n1"), lit(n2).as("n2"),
+        // 2·U1 = 2·R1 − n1·(n1+1)
+        (col("_r1x2") - lit(n1).cast(dec) * lit(n1 + 1).cast(dec))
+          .cast(LongType).as("u1_x2"),
+        // AUC·e6 = U1/(n1·n2) scaled: (2·U1·1e6) DIV (2·n1·n2)
+        expr(s"CAST(((CAST(_r1x2 AS DECIMAL(38,0)) - ${n1}L * ${n1 + 1}L)" +
+          s" * 1000000) DIV (2 * CAST(${n1}L AS DECIMAL(38,0)) * ${n2}L)" +
+          " AS BIGINT)").as("auc_e6"))
   }
 }

@@ -67,6 +67,26 @@ class R5bOperatorSpec extends SparkSuite {
     assert(r1.toSeq == r32.toSeq)
   }
 
+  test("Audit.rankSumU: AUC hits 0/1 on fully-separated samples, 0.5 on " +
+      "a pure tie, and stays shard-invariant") {
+    import spark.implicits._
+    import graft.operators.Audit
+    val lo = Seq(1.0, 2.0).toDF("v"); val hi = Seq(3.0, 4.0).toDF("v")
+    val below = Audit.rankSumU(lo, hi, "v").collect().head
+    assert(below.getLong(2) == 0L && below.getLong(3) == 0L)
+    val above = Audit.rankSumU(hi, lo, "v").collect().head
+    assert(above.getLong(2) == 8L && above.getLong(3) == 1000000L)
+    // single shared value: midrank tie → U1 = ½, AUC = .5
+    val one = Seq(1.0).toDF("v")
+    val tie = Audit.rankSumU(one, one, "v").collect().head
+    assert(tie.getLong(2) == 1L && tie.getLong(3) == 500000L)
+    val e = graft.core.Tables.table(spark, sfDir, "events")
+    val x = e.filter(col("event_type") === "click")
+    val y = e.filter(col("event_type") === "view")
+    assert(Audit.rankSumU(x, y, "value", shards = 1).collect().head.toSeq ==
+      Audit.rankSumU(x, y, "value", shards = 32).collect().head.toSeq)
+  }
+
   test("SnapshotDiff.diffColumns: metadata-only changes classify as " +
       "changed; boundary shifts and null-vs-empty never collide") {
     import spark.implicits._

@@ -1869,6 +1869,16 @@ object ExtraQueries {
         e.filter(col("event_type") === "purchase"), "value")
     }),
 
+    "q_w1_drift" -> ((s, dir) => {
+      // earth-mover drift: W1 integrates the CDF gap the KS gate only
+      // sups — "how much mass moves how far" between click and purchase
+      // values, over the e6-quantized grid, all integer arithmetic
+      val e = t(s, dir, "events")
+      Audit.wasserstein1(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"), "value")
+    }),
+
     "q_next_event" -> ((s, dir) => {
       // next-event-prediction training pairs: per user, the 3 preceding
       // event types as a joined context string and the current type as
@@ -2005,6 +2015,29 @@ object ExtraQueries {
         |  CAST(((r.r1x2 - n.n1 * (n.n1 + 1)) * 1000000)
         |       // (2 * n.n1 * n.n2) AS BIGINT) AS auc_e6
         |FROM n, r""".stripMargin,
+
+    "q_w1_drift" ->
+      """WITH u AS (SELECT CAST(floor(value * 1000000) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS s
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |n AS (SELECT CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n1,
+        |  CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM u),
+        |c AS (SELECT v,
+        |    sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS c2
+        |  FROM u GROUP BY v),
+        |m AS (SELECT v, sum(c1) OVER (ORDER BY v) AS a1,
+        |    sum(c2) OVER (ORDER BY v) AS a2,
+        |    lead(v) OVER (ORDER BY v) AS nv FROM c),
+        |w AS (SELECT sum(abs(a1 * n.n2 - a2 * n.n1) * (nv - v)) AS num
+        |  FROM m, n WHERE nv IS NOT NULL)
+        |SELECT n.n1, n.n2,
+        |  CAST((w.num * 1000000) // (n.n1 * n.n2 * 1000000) AS BIGINT)
+        |    AS w1_e6
+        |FROM n, w""".stripMargin,
 
     "q_next_event" ->
       """WITH p AS (SELECT event_id, user_id,

@@ -440,6 +440,58 @@ object Audit {
     * is c₁·(2·cum_before + c + 1) — pure integers, so doubled-U and the
     * e6 AUC replay cross-engine with no float. Same sharded-cumsum scale
     * shape as [[ksStatistic]]. */
+  /** Wasserstein-1 (earth-mover) distance between two 1-D samples — the
+    * third face of the drift family: KS reports the WORST CDF gap, W₁ the
+    * INTEGRAL of the gap (how much probability mass must move how far).
+    * Values are quantized to `scale` decimals first (floor(v·10^s) — the
+    * documented semantic: W₁ over the quantized grid), which makes every
+    * term integral: Σ over distinct values of |a₁·n₂ − a₂·n₁|·Δv with Δv
+    * the gap to the next distinct quantized value, normalized by
+    * n₁·n₂·10^s. Decimal accumulation, integral DIV — no float crosses
+    * engines. Cross-shard Δv gaps stitch via driver-collected next-shard
+    * minimums (shard-count rows), so the same no-global-window shape
+    * holds. Quantized magnitudes must stay within double's exact-integer
+    * range (|v|·10^s < 2⁵³ — vast for any real metric column). */
+  def wasserstein1(a: DataFrame, b: DataFrame, valueCol: String,
+      shards: Int = 32, scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(scale >= 0 && scale <= 9, s"scale out of range: $scale")
+    val p = math.pow(10, scale)
+    def q(df: DataFrame) = df
+      .where(col(valueCol).isNotNull)
+      .select(floor(col(valueCol).cast(DoubleType) * lit(p)).as("_q"))
+    val (cum, n1, n2) = cumulativeCounts(q(a), q(b), "_q", shards)
+    // next distinct value per row: lead within the shard, stitched across
+    // shard boundaries by the next PRESENT shard's minimum (driver-tiny)
+    val minsByShard = cum.groupBy(col("_sh")).agg(min(col("_v")).as("_m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+    val maxShard = minsByShard.map(_._1).max
+    val nextMin = new Array[Double](maxShard + 1)
+    java.util.Arrays.fill(nextMin, Double.NaN)
+    minsByShard.foreach { case (s, m) =>
+      // every not-yet-stitched shard below s has s as its next present
+      // shard (ascending processing stops at the previous present one)
+      var j = s - 1
+      while (j >= 0 && nextMin(j).isNaN) { nextMin(j) = m; j -= 1 }
+    }
+    val w = Window.partitionBy(col("_sh")).orderBy(col("_v"))
+    val nxtRaw = coalesce(
+      lead(col("_v"), 1).over(w),
+      when(!isnan(element_at(lit(nextMin), col("_sh") + 1)),
+        element_at(lit(nextMin), col("_sh") + 1)))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // window first, aggregate second (a window call can't nest in agg)
+    val staged = cum.withColumn("_nxt", nxtRaw)
+    val gap = (col("_nxt") - col("_v")).cast(dec) // integral-valued doubles
+    val term = abs(col("_a1").cast(dec) * lit(n2).cast(dec) -
+      col("_a2").cast(dec) * lit(n1).cast(dec)) * gap
+    staged.agg(sum(when(col("_nxt").isNotNull, term)).as("_w1num"))
+      .select(lit(n1).as("n1"), lit(n2).as("n2"),
+        expr("CAST((CAST(_w1num AS DECIMAL(38,0)) * 1000000) DIV " +
+          s"(CAST(${n1}L AS DECIMAL(38,0)) * ${n2}L * " +
+          s"${p.toLong}L) AS BIGINT)").as("w1_e6"))
+  }
+
   def rankSumU(a: DataFrame, b: DataFrame, valueCol: String,
       shards: Int = 32): DataFrame = {
     val (cum, n1, n2) = cumulativeCounts(a, b, valueCol, shards)

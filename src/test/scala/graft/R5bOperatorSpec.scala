@@ -87,6 +87,24 @@ class R5bOperatorSpec extends SparkSuite {
       Audit.rankSumU(x, y, "value", shards = 32).collect().head.toSeq)
   }
 
+  test("Audit.wasserstein1: hand-computed mass transport, zero on " +
+      "identical samples, shard-invariant") {
+    import spark.implicits._
+    import graft.operators.Audit
+    // W1({0,1}, {1,2}) = 1.0 (every point moves distance 1)
+    val a = Seq(0.0, 1.0).toDF("v"); val b = Seq(1.0, 2.0).toDF("v")
+    val r = Audit.wasserstein1(a, b, "v").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 1000000L)
+    assert(Audit.wasserstein1(a, a, "v").collect().head.getLong(2) == 0L)
+    val e = graft.core.Tables.table(spark, sfDir, "events")
+    val x = e.filter(col("event_type") === "click")
+    val y = e.filter(col("event_type") === "view")
+    assert(
+      Audit.wasserstein1(x, y, "value", shards = 1).collect().head.toSeq ==
+      Audit.wasserstein1(x, y, "value", shards = 32).collect().head.toSeq)
+  }
+
   test("SnapshotDiff.diffColumns: metadata-only changes classify as " +
       "changed; boundary shifts and null-vs-empty never collide") {
     import spark.implicits._

@@ -28,9 +28,22 @@ object Checkpoints {
     * `spark.sparkContext.setCheckpointDir(...)`. */
   case object Reliable extends Mode
 
-  /** Truncate `df`'s lineage under `mode` (eager in both modes). */
-  def cut(df: DataFrame, mode: Mode): DataFrame = mode match {
-    case Local    => df.localCheckpoint()
-    case Reliable => df.checkpoint()
+  /** Truncate `df`'s lineage under `mode` (eager in both modes).
+    *
+    * The checkpointed frame is re-wrapped through
+    * [[org.apache.spark.sql.GraftRddBridge.resetPlanMetadata]]: Spark's
+    * checkpoint copies the origin plan's ESTIMATED size statistics onto
+    * the replacement scan, and size-only join estimation multiplies child
+    * sizes — so in an iterative operator the inherited estimate is a
+    * product of products, a BigInt whose bit-length grows geometrically
+    * with rounds until the driver spends minutes multiplying it
+    * (observed live; see the bridge's scaladoc). Resetting to the scan
+    * default keeps every round's stats O(1). */
+  def cut(df: DataFrame, mode: Mode): DataFrame = {
+    val ck = mode match {
+      case Local    => df.localCheckpoint()
+      case Reliable => df.checkpoint()
+    }
+    org.apache.spark.sql.GraftRddBridge.resetPlanMetadata(ck)
   }
 }

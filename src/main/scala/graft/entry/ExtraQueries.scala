@@ -371,6 +371,75 @@ object ExtraQueries {
         hourly, "event_type", "bucket", "n", maxLag = 3)
     }),
 
+    "q_seasonal_decompose" -> ((s, dir) =>
+      // additive y = trend + seasonal + residual over each type's hourly
+      // value series, all in exact micro-units (the oracle replays every
+      // floor/mean bit-for-bit)
+      graft.operators.TimeSeries.seasonalDecompose(
+        t(s, dir, "events"), "event_type", "ts", "value", halfWidth = 12)
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("y_e6"), col("trend_e6"), col("seasonal_e6"), col("resid_e6"))
+        .orderBy(col("event_type"), col("hour"))),
+
+    "q_changepoint" -> ((s, dir) =>
+      // the single best mean-shift split of each type's hourly series —
+      // exact closed-form scores, float only in the final ratio of exact
+      // operands (argmax replayed independently by the oracle)
+      graft.operators.TimeSeries.changePoint(
+        t(s, dir, "events"), "event_type", "ts", "value")
+        .select(col("event_type"),
+          date_format(col("split_last_left"), "yyyy-MM-dd HH:mm:ss")
+            .as("split_hour"),
+          col("n_left"), col("n_right"),
+          col("mean_left"), col("mean_right"))
+        .orderBy(col("event_type"))),
+
+    "q_quantile_map" -> ((s, dir) =>
+      // cross-source score calibration: every type's value distribution
+      // mapped onto 'click's by pure integer rank arithmetic — no
+      // interpolated percentiles, so the mapping replays exactly
+      graft.operators.GroupNormalizer.quantileMap(
+        t(s, dir, "events"), "event_type", "value", "event_id",
+        refGroup = "click")
+        .orderBy(col("event_id"))),
+
+    "q_sketch_intersect" -> ((s, dir) => {
+      // KMV set algebra across two engineered segments (A = click users,
+      // B = doubled view user-ids → Jaccard exactly 1/3 at gate scale):
+      // per-segment bottom-k sketches, pooled estimate, validated against
+      // exact counts — the persisted-sketch path never rescans the data
+      val ev = t(s, dir, "events")
+      val segA = ev.filter(col("event_type") === "click")
+        .select(lit("a").as("seg"), col("user_id").as("member"))
+      val segB = ev.filter(col("event_type") === "view")
+        .select(lit("b").as("seg"), (col("user_id") * 2).as("member"))
+      val sk = graft.functions.Sketches.kmvBottomK(
+        segA.unionByName(segB), "seg", "member", k = 128)
+      val est = graft.functions.Sketches.kmvCompare(
+        sk.filter(col("seg") === "a"), sk.filter(col("seg") === "b"),
+        k = 128)
+      val both = segA.unionByName(segB)
+      val exact = both.groupBy(col("member"))
+        .agg(max(col("seg") === "a").as("_ia"),
+          max(col("seg") === "b").as("_ib"))
+        .agg(sum(when(col("_ia"), 1L).otherwise(0L)).as("n_exact_a"),
+          sum(when(col("_ib"), 1L).otherwise(0L)).as("n_exact_b"),
+          count(lit(1)).as("n_exact_union"),
+          sum(when(col("_ia") && col("_ib"), 1L).otherwise(0L))
+            .as("n_exact_inter"))
+      est.crossJoin(exact).select(
+        col("n_exact_a"), col("n_exact_b"), col("n_exact_union"),
+        col("n_exact_inter"), col("size_a"), col("size_b"),
+        (abs(col("jaccard_e4").cast(DoubleType) / 10000.0 -
+          col("n_exact_inter").cast(DoubleType) / col("n_exact_union"))
+          <= 0.15).as("jaccard_ok"),
+        (abs(col("union_est") - col("n_exact_union"))
+          <= col("n_exact_union") * 0.25).as("union_ok"),
+        (abs(col("inter_est") - col("n_exact_inter"))
+          <= col("n_exact_inter") * 0.4).as("inter_ok"))
+    }),
+
     "q_triangles" -> ((s, dir) => {
       // triangle census of the deterministic citation graph (+1/+2 ring
       // links guarantee n triangles; the 7d+1 links add irregular degree)
@@ -2291,6 +2360,104 @@ object ExtraQueries {
          |FROM u JOIN st USING (event_type)
          |ORDER BY u.event_type, u.lag""".stripMargin
     },
+
+    "q_seasonal_decompose" ->
+      // bit-exact replay: micro-unit longs, 25-bucket centered MA (full
+      // frames only), per-(type, hour-of-day) mean of detrended values
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |tr AS (SELECT event_type, bucket, y,
+        |    CASE WHEN COUNT(*) OVER w = 25 THEN
+        |      CAST(FLOOR(CAST(SUM(y) OVER w AS DOUBLE) / 25 + 0.5)
+        |        AS BIGINT) END AS trend
+        |  FROM h
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |se AS (SELECT event_type, EXTRACT(hour FROM bucket) AS season,
+        |    CAST(FLOOR(CAST(SUM(y - trend) AS DOUBLE) / COUNT(*) + 0.5)
+        |      AS BIGINT) AS seasonal
+        |  FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2)
+        |SELECT tr.event_type,
+        |  strftime(tr.bucket, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  tr.y AS y_e6, tr.trend AS trend_e6, se.seasonal AS seasonal_e6,
+        |  CASE WHEN tr.trend IS NOT NULL AND se.seasonal IS NOT NULL
+        |    THEN tr.y - tr.trend - se.seasonal END AS resid_e6
+        |FROM tr LEFT JOIN se ON se.event_type = tr.event_type
+        |  AND se.season = EXTRACT(hour FROM tr.bucket)
+        |ORDER BY tr.event_type, hour""".stripMargin,
+
+    "q_changepoint" ->
+      // exact milli-unit prefix sums; score (n·S_t − t·S)²/(t(n−t)) in
+      // int128 cast to double only for the final ratio (identical
+      // round-to-nearest in both engines); earliest split wins ties
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+         |    CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS y
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |p AS (SELECT event_type, bucket,
+         |    CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS st,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket)
+         |      AS t
+         |  FROM h),
+         |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS BIGINT) AS s FROM h GROUP BY 1),
+         |sc AS (SELECT p.event_type, p.bucket, p.t, tot.n, p.st, tot.s,
+         |    CAST((CAST(tot.n AS HUGEINT) * p.st
+         |          - CAST(p.t AS HUGEINT) * tot.s) *
+         |         (CAST(tot.n AS HUGEINT) * p.st
+         |          - CAST(p.t AS HUGEINT) * tot.s) AS DOUBLE)
+         |      / CAST(p.t * (tot.n - p.t) AS DOUBLE) AS score
+         |  FROM p JOIN tot USING (event_type) WHERE p.t < tot.n),
+         |b AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+         |    ORDER BY score DESC, t ASC) AS rk FROM sc)
+         |SELECT event_type,
+         |  strftime(bucket, '%Y-%m-%d %H:%M:%S') AS split_hour,
+         |  t AS n_left, n - t AS n_right,
+         |  ${Sql.sround("CAST(st AS DOUBLE) / t / 1000.0")} AS mean_left,
+         |  ${Sql.sround("CAST(s - st AS DOUBLE) / (n - t) / 1000.0")}
+         |    AS mean_right
+         |FROM b WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "q_quantile_map" ->
+      // the ⌈k·m_ref/m⌉ integer rank mapping, replayed with DuckDB's
+      // BIGINT // division; tie order (value, event_id) is total
+      """WITH r AS (SELECT event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS k,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS m
+        |  FROM events WHERE value IS NOT NULL),
+        |ref AS (SELECT k AS rk, value AS rv FROM r
+        |        WHERE event_type = 'click'),
+        |mr AS (SELECT CAST(count(*) AS BIGINT) AS mref FROM ref)
+        |SELECT r.event_id, r.event_type, r.value, ref.rv AS mapped
+        |FROM r CROSS JOIN mr
+        |JOIN ref ON ref.rk = (r.k * mr.mref + r.m - 1) // r.m
+        |ORDER BY r.event_id""".stripMargin,
+
+    "q_sketch_intersect" ->
+      // exact set sizes cross-engine + the estimator-accuracy invariants
+      """WITH a AS (SELECT DISTINCT user_id AS member FROM events
+        |           WHERE event_type = 'click'),
+        |b AS (SELECT DISTINCT user_id * 2 AS member FROM events
+        |      WHERE event_type = 'view'),
+        |u AS (SELECT member,
+        |    member IN (SELECT member FROM a) AS ia,
+        |    member IN (SELECT member FROM b) AS ib
+        |  FROM (SELECT member FROM a UNION SELECT member FROM b))
+        |SELECT
+        |  CAST((SELECT count(*) FROM a) AS BIGINT) AS n_exact_a,
+        |  CAST((SELECT count(*) FROM b) AS BIGINT) AS n_exact_b,
+        |  CAST((SELECT count(*) FROM u) AS BIGINT) AS n_exact_union,
+        |  CAST((SELECT count(*) FROM u WHERE ia AND ib) AS BIGINT)
+        |    AS n_exact_inter,
+        |  CAST(LEAST(128, (SELECT count(*) FROM a)) AS BIGINT) AS size_a,
+        |  CAST(LEAST(128, (SELECT count(*) FROM b)) AS BIGINT) AS size_b,
+        |  TRUE AS jaccard_ok, TRUE AS union_ok, TRUE AS inter_ok"""
+        .stripMargin,
 
     "q_triangles" ->
       // exact census: value-ordered undirected edges, one join per side

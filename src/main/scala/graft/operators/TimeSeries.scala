@@ -219,4 +219,110 @@ object TimeSeries {
             scale)).as("r"))
       .orderBy(col(keyCol), col("lag"))
   }
+
+  /** Classical additive seasonal decomposition y = trend + seasonal +
+    * residual over each key's hourly series, in PURE integer micro-units
+    * (exact in any engine):
+    *  - y_e6: per-(key, hour-bucket) sum of per-row `floor(v·1e6 + 0.5)`
+    *    longs — exact, aggregation-order-free;
+    *  - trend_e6: centered moving average over `2·halfWidth + 1` buckets
+    *    (null until the frame is full on both sides — honest edges, no
+    *    silently-rescaled partial means). The frame is a FIXED ±halfWidth
+    *    rows, so the window pass is O(w) per row, never the growing-frame
+    *    cliff;
+    *  - seasonal_e6: per-(key, season) mean of the detrended longs, the
+    *    season being hour-of-day — the additive index of the classic
+    *    decomposition;
+    *  - resid_e6 = y − trend − seasonal where trend is defined.
+    * Each mean is `floor(exactLongSum / cnt + 0.5)` via one double
+    * division of exact operands — identical IEEE result cross-engine.
+    * All state is (key, bucket)-partitioned; the seasonal index join is a
+    * broadcast of a (keys × period)-row frame. */
+  def seasonalDecompose(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, halfWidth: Int = 12): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    require(halfWidth >= 1, "halfWidth must be >= 1")
+    val width = 2 * halfWidth + 1
+    val y = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), date_trunc("hour", col(tsCol)).as("bucket"),
+        floor(col(valueCol) * lit(1000000L) + lit(0.5))
+          .cast(LongType).as("_v"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(sum(col("_v")).as("y_e6"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket").asc)
+      .rowsBetween(-halfWidth, halfWidth)
+    val trended = y.withColumn("trend_e6",
+      when(count(lit(1)).over(w) === width,
+        floor(sum(col("y_e6")).over(w).cast(DoubleType) / lit(width) +
+          lit(0.5)).cast(LongType)))
+    // fresh attribute names on the seasonal side: it DERIVES from
+    // `trended`, and a self-join on shared expression ids mis-binds
+    val seasonal = trended.filter(col("trend_e6").isNotNull)
+      .groupBy(col(keyCol).as("_k"), hour(col("bucket")).as("_season"))
+      .agg(sum(col("y_e6") - col("trend_e6")).as("_sd"),
+        count(lit(1)).as("_sn"))
+      .select(col("_k"), col("_season"),
+        floor(col("_sd").cast(DoubleType) / col("_sn") + lit(0.5))
+          .cast(LongType).as("seasonal_e6"))
+    trended
+      .join(broadcast(seasonal),
+        trended(keyCol) === seasonal("_k") &&
+          hour(col("bucket")) === seasonal("_season"), "left")
+      .select(trended(keyCol), col("bucket"), col("y_e6"), col("trend_e6"),
+        col("seasonal_e6"),
+        when(col("trend_e6").isNotNull && col("seasonal_e6").isNotNull,
+          col("y_e6") - col("trend_e6") - col("seasonal_e6"))
+          .as("resid_e6"))
+  }
+
+  /** Single change-point detection per key: the bucket boundary that
+    * maximizes the between-segment variance reduction of the milli-unit
+    * series — argmax over t of (n·S_t − t·S)² / (t·(n−t)), the exact
+    * closed form of the one-split least-squares fit. Prefix sums come
+    * from one `UNBOUNDED PRECEDING` pass; the squared numerator lives in
+    * DecimalType(38,0) (silent Long wrap would diverge from an engine
+    * whose BIGINT raises) and only the final score ratio is a double of
+    * exact operands. Ties break on the earliest split. Emits per key the
+    * split bucket (first bucket of the RIGHT segment), segment sizes and
+    * exact segment means. */
+  def changePoint(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, scale: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val y = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), date_trunc("hour", col(tsCol)).as("bucket"),
+        floor(col(valueCol) * lit(1000L) + lit(0.5))
+          .cast(LongType).as("_v"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(sum(col("_v")).as("_y"))
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("bucket").asc)
+    val pre = y.select(col(keyCol), col("bucket"),
+      sum(col("_y")).over(ord.rowsBetween(Window.unboundedPreceding, 0))
+        .as("_st"),
+      row_number().over(ord).as("_t"))
+    val tot = y.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_s"))
+    val d = (c: Column) => c.cast(DecimalType(38, 0))
+    val scored = pre.join(broadcast(tot), Seq(keyCol))
+      .filter(col("_t") < col("_n")) // a split needs a non-empty right side
+      .withColumn("_num",
+        (d(col("_n")) * d(col("_st")) - d(col("_t")) * d(col("_s"))) *
+          (d(col("_n")) * d(col("_st")) - d(col("_t")) * d(col("_s"))))
+      .withColumn("_score", col("_num").cast(DoubleType) /
+        (col("_t") * (col("_n") - col("_t"))).cast(DoubleType))
+    val best = Window.partitionBy(col(keyCol))
+      .orderBy(col("_score").desc, col("_t").asc)
+    scored.withColumn("_rk", row_number().over(best))
+      .filter(col("_rk") === 1)
+      .select(col(keyCol),
+        col("bucket").as("split_last_left"),
+        col("_t").cast(LongType).as("n_left"),
+        (col("_n") - col("_t")).cast(LongType).as("n_right"),
+        graft.core.Semantics.safeRound(
+          col("_st").cast(DoubleType) / col("_t") / lit(1000.0), scale)
+          .as("mean_left"),
+        graft.core.Semantics.safeRound(
+          (col("_s") - col("_st")).cast(DoubleType) /
+            (col("_n") - col("_t")) / lit(1000.0), scale)
+          .as("mean_right"))
+  }
 }

@@ -170,6 +170,26 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_mojibake" -> ((s, dir) => {
+      // encoding-anomaly screen over an ENGINEERED corpus: clean docs
+      // plus injected UTF-8-as-Latin-1 artifacts (doc_id%7: ' caf' + Ã©)
+      // and decoder casualties (doc_id%5: U+FFFD + C1 NEL) — the oracle
+      // rebuilds the same corpus from chr() codepoints and replays the
+      // three single-char-class counts
+      val txt = when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" caf\u00C3\u00A9")))
+        .when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit("\uFFFD\u0085")))
+        .otherwise(col("text"))
+      val sig = graft.functions.TextFunctions.encodingAnomalies(txt)
+      t(s, dir, "documents").select(col("doc_id"),
+        sig.getField("n_replacement").as("n_replacement"),
+        sig.getField("n_c1").as("n_c1"),
+        sig.getField("n_suspect").as("n_suspect"),
+        sig.getField("suspect_encoding").as("suspect_encoding"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_kappa" -> ((s, dir) =>
       // chance-corrected agreement between the declared language label and
       // the n-gram language guesser — the label-quality one-liner (0 =
@@ -429,6 +449,30 @@ object DocQueries {
       PageRank.negativeEdges(link(7L, 1L).union(link(13L, 5L)),
         "src", "dst", k = 2, nNodes = n)
         .orderBy(col("src"), col("dst"))
+    }),
+
+    "q_graph_components" -> ((s, dir) => {
+      // standalone connected components (the operator fuzzy dedup builds
+      // on, gated in its own right) over a SPARSE synthetic graph — the
+      // dense citation graph collapses to one giant component, which
+      // tests nothing; taking only every 3rd/5th node's out-edge leaves a
+      // non-trivial component structure the oracle closes with a
+      // recursive CTE
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val cnt = docs.agg(count(lit(1)).as("_n"))
+      val link = (m: Long, a: Long, b: Long) =>
+        docs.filter(col("doc_id") % m === 0).crossJoin(broadcast(cnt))
+          .select(col("doc_id").as("src"),
+            pmod(col("doc_id") * a + b, col("_n")).as("dst"))
+      val lbl = graft.operators.Components.labels(
+        docs, "doc_id", link(3L, 7L, 1L).union(link(5L, 13L, 5L)),
+        "src", "dst", maxIters = 100)
+      val sizes = lbl.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("comp_size"))
+      lbl.join(broadcast(sizes), Seq("cluster"))
+        .select(col("doc_id"), col("cluster").as("component"),
+          col("comp_size"))
+        .orderBy(col("doc_id"))
     }),
 
     "q_pagerank" -> ((s, dir) => {
@@ -2178,6 +2222,28 @@ object DocQueries {
         |    AS n_other_ascii
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_mojibake" ->
+      // same engineered corpus rebuilt from chr() codepoints (no literal
+      // mojibake bytes in shipped SQL), same three char-class counts
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |           THEN text || ' caf' || chr(195) || chr(169)
+        |         WHEN doc_id % 5 = 0 THEN text || chr(65533) || chr(133)
+        |         ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '\x{FFFD}')) AS BIGINT)
+        |    AS n_replacement,
+        |  CAST(len(regexp_extract_all(t, '[\x{80}-\x{9F}]')) AS BIGINT)
+        |    AS n_c1,
+        |  CAST(len(regexp_extract_all(t, '[\x{C2}\x{C3}\x{E2}]'))
+        |    AS BIGINT) AS n_suspect,
+        |  len(regexp_extract_all(t, '\x{FFFD}'))
+        |    + len(regexp_extract_all(t, '[\x{80}-\x{9F}]'))
+        |    + len(regexp_extract_all(t, '[\x{C2}\x{C3}\x{E2}]')) > 0
+        |    AS suspect_encoding
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     "q_feature_hash" ->
       s"""WITH w AS (SELECT doc_id, unnest($wordsSql) AS word FROM documents)
          |SELECT doc_id,
@@ -2291,6 +2357,28 @@ object DocQueries {
         |  AND NOT EXISTS (SELECT 1 FROM e
         |    WHERE e.src = c.src AND e.dst = c.dst)
         |ORDER BY c.src, c.dst""".stripMargin,
+
+    "q_graph_components" ->
+      // ground truth: recursive-CTE transitive closure of the same sparse
+      // symmetric edge set, min reachable id per vertex
+      """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        |e AS (SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+        |        FROM documents, nn WHERE doc_id % 3 = 0
+        |      UNION ALL
+        |      SELECT doc_id, (doc_id * 13 + 5) % nn.n
+        |        FROM documents, nn WHERE doc_id % 5 = 0),
+        |sym AS (SELECT src AS u, dst AS v FROM e WHERE src <> dst
+        |        UNION SELECT dst, src FROM e WHERE src <> dst),
+        |reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT sym.v, reach.lbl FROM sym JOIN reach ON sym.u = reach.id),
+        |lab AS (SELECT id AS doc_id, MIN(lbl) AS component
+        |        FROM reach GROUP BY 1),
+        |sz AS (SELECT component, count(*) AS comp_size FROM lab GROUP BY 1)
+        |SELECT lab.doc_id, lab.component, sz.comp_size
+        |FROM lab JOIN sz USING (component)
+        |ORDER BY lab.doc_id""".stripMargin,
 
     "q_pagerank" -> {
       def iter(prev: String, cur: String) =

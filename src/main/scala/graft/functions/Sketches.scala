@@ -245,4 +245,71 @@ object Sketches {
       else java.lang.Boolean.valueOf(bloomFromBytes(b).mightContainString(s)))
     f(sketch, item.cast("string"))
   }
+
+  /** KMV (k-minimum-values, "bottom-k") distinct sketch per key: the k
+    * smallest distinct `xxhash64(value)`s. Unlike HLL, a KMV sketch
+    * supports SET ALGEBRA — the k smallest of a union of sketches is the
+    * bottom-k sketch of the union of the underlying sets, so Jaccard /
+    * intersection estimates across segments come from persisted per-
+    * segment sketches with NO rescan of the data (Beyer et al., SIGMOD
+    * 2007). Deterministic (fixed hash, no RNG), hence replayable.
+    * Plan: distinct on (key, hash) then one key-partitioned rank window.
+    * Returns (keyCol, _h, _rank) rows, ≤ k per key, rank ascending. */
+  def kmvBottomK(df: DataFrame, keyCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_h").asc)
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), xxhash64(col(valueCol)).as("_h"))
+      .distinct()
+      .withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= k)
+  }
+
+  /** Set-algebra comparison of two segments from their KMV sketches:
+    * pool the two bottom-k sketches, keep the k smallest of the union
+    * (a TakeOrdered — no full sort), and estimate
+    *  - Jaccard = |pool ∩ A ∩ B| / |pool|,
+    *  - |A∪B| = (|pool|−1) / u_k where u_k maps the pool's max hash onto
+    *    (0,1) (exact when a segment is smaller than k: the sketch IS the
+    *    set),
+    *  - |A∩B| = Jaccard · |A∪B|.
+    * Emits one row: sizes of both sketches, pool size, joint count, and
+    * the three estimates (floored to integers / e4-scaled Jaccard). The
+    * correctness gate pairs these with exact counts and asserts relative
+    * error bounds — the sketch path itself never touches the raw data
+    * twice. */
+  def kmvCompare(sketchA: DataFrame, sketchB: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val a = sketchA.select(col("_h").as("_ha")).distinct()
+    val b = sketchB.select(col("_h").as("_hb")).distinct()
+    val pool = a.join(b, col("_ha") === col("_hb"), "full_outer")
+      .select(coalesce(col("_ha"), col("_hb")).as("_h"),
+        col("_ha").isNotNull.as("_ina"), col("_hb").isNotNull.as("_inb"))
+      .orderBy(col("_h").asc).limit(k)
+    pool.agg(
+        count(lit(1)).as("pool_size"),
+        sum(when(col("_ina") && col("_inb"), 1L).otherwise(0L))
+          .as("joint"),
+        max(col("_h")).as("_hmax"))
+      .crossJoin(a.agg(count(lit(1)).as("size_a")))
+      .crossJoin(b.agg(count(lit(1)).as("size_b")))
+      .withColumn("jaccard_e4",
+        floor(col("joint") * lit(10000L).cast(DoubleType) /
+          col("pool_size")).cast(LongType))
+      // hash → (0,1): h/2^64 + 1/2 (xxhash64 is signed)
+      .withColumn("_uk",
+        col("_hmax").cast(DoubleType) / lit(math.pow(2.0, 64)) + lit(0.5))
+      .withColumn("union_est",
+        when(col("pool_size") < k, col("pool_size")) // sketches exhaustive
+          .otherwise(floor((col("pool_size") - 1).cast(DoubleType) /
+            col("_uk")).cast(LongType)))
+      .withColumn("inter_est",
+        floor(col("joint").cast(DoubleType) / col("pool_size") *
+          col("union_est").cast(DoubleType)).cast(LongType))
+      .select(col("size_a"), col("size_b"), col("pool_size"), col("joint"),
+        col("jaccard_e4"), col("union_est"), col("inter_est"))
+  }
 }

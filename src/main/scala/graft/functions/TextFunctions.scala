@@ -224,6 +224,29 @@ object TextFunctions {
     df.join(labelled, Seq(idCol), "left")
   }
 
+  /** Per-document encoding-anomaly census — the screen that catches
+    * mojibake (UTF-8 bytes decoded as Latin-1), double-encoded text, and
+    * lossy transcodes before they poison a training corpus:
+    *  - `n_replacement`: U+FFFD replacement characters (a decoder already
+    *    gave up);
+    *  - `n_c1`: C1 control codepoints U+0080–U+009F (legal Unicode, but
+    *    never legitimate in text — the classic windows-1252-as-Latin-1
+    *    tell);
+    *  - `n_suspect`: Ã/Â/â codepoints, the leading bytes every UTF-8
+    *    multi-byte sequence turns into when mis-decoded as Latin-1 (rare
+    *    in clean text, dense in mojibake).
+    * Pure codegen'd per-row expressions (single-char-class regex counts)
+    * — zero shuffle, scan-speed at any corpus size. Flag = any hit. */
+  def encodingAnomalies(text: Column): Column = {
+    val nRepl = regexp_count(text, lit("\\x{FFFD}"))
+    val nC1 = regexp_count(text, lit("[\\x{80}-\\x{9F}]"))
+    val nSus = regexp_count(text, lit("[\\x{C2}\\x{C3}\\x{E2}]"))
+    struct(nRepl.cast(LongType).as("n_replacement"),
+      nC1.cast(LongType).as("n_c1"),
+      nSus.cast(LongType).as("n_suspect"),
+      (nRepl + nC1 + nSus > 0).as("suspect_encoding"))
+  }
+
   /** Rolling hash fingerprint of the whole document: xxhash64 chained over
     * the normalized word stream (order-sensitive, unlike a bag-of-words
     * hash). Chaining through the hash avoids ANSI-mode overflow that a raw

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Semantics.isMissing
@@ -265,5 +266,41 @@ object GroupNormalizer {
             .otherwise(graft.core.Semantics.safeRound(
               (v - col("_rm")) / col("_riqr"), scale))))
       .drop("_rm", "_riqr")
+  }
+
+  /** Quantile mapping onto a reference group: each group's k-th smallest
+    * of m values is replaced by the reference group's value at rank
+    * ⌈k·m_ref/m⌉ — the score-calibration transform that puts every
+    * source's quality/score distribution on one scale before mixing or
+    * thresholding a corpus. PURE integer rank arithmetic (no interpolated
+    * percentiles, no floats), so the mapping is exact and
+    * engine-replayable; ties order by `idCol` for a total order. Both
+    * rank passes are key-partitioned windows; the rank join shuffles on
+    * (rank), with the reference side one row per reference rank. */
+  def quantileMap(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, refGroup: String,
+      outCol: String = "mapped"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists — rename it first")
+    val rows = df.filter(col(valueCol).isNotNull)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    val ranked = rows.withColumn("_k", row_number().over(w))
+      .withColumn("_m", count(lit(1))
+        .over(Window.partitionBy(col(groupCol))))
+    val ref = ranked.filter(col(groupCol) === refGroup)
+      .select(col("_k").as("_rk"), col(valueCol).as("_rv"))
+    val mref = ref.agg(count(lit(1)).as("_mref"))
+    ranked.crossJoin(broadcast(mref))
+      // ⌈k·m_ref/m⌉ — SQL `div` keeps it in pure BIGINT arithmetic (a
+      // double round-trip would silently lose exactness past 2^53, which
+      // a corpus-scale rank product can reach)
+      .withColumn("_tk",
+        expr("(_k * _mref + _m - 1) div _m")
+          .cast(org.apache.spark.sql.types.LongType))
+      .join(ref.withColumn("_rk", col("_rk").cast(
+        org.apache.spark.sql.types.LongType)), col("_tk") === col("_rk"))
+      .select(col(idCol), col(groupCol), col(valueCol),
+        col("_rv").as(outCol))
   }
 }

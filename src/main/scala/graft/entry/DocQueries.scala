@@ -1035,6 +1035,41 @@ object DocQueries {
           sum(coalesce(col("_hit"), lit(0))).cast(LongType).as("n_hits"))
     }),
 
+    "q_rank_eval" -> ((s, dir) => {
+      // retrieval-quality report card: recall@10 / MRR / nDCG of a
+      // deliberately under-probed IVF search (nProbe=2) vs exact top-10.
+      // Approx ranking ships as aux; the oracle re-derives its OWN exact
+      // ground truth and replays every BIGINT metric — the nDCG log2
+      // discount is quantized once per rank, then integer arithmetic only
+      val emb = t(s, dir, "embeddings")
+      val qvec = emb.filter(col("vec_id") === 2)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val index = Similarity.ivfIndex(emb, "embedding", "vec_id", nLists = 8)
+      val rankW = org.apache.spark.sql.expressions.Window
+        .orderBy(col("similarity").desc, col("vec_id").asc)
+      val approx = Similarity
+        .ivfSearch(index, "embedding", "vec_id", qvec, k = 10, nProbe = 2)
+        // bounded window: the search already limited to k rows
+        .withColumn("rank", row_number().over(rankW))
+        .select(lit(2L).as("qid"), col("vec_id"), col("rank"))
+        .persist()
+      Aux.write(approx,
+        s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/rank_eval_approx")
+      graft.functions.CosineSim.register(s)
+      val q = array(qvec.map(v => lit(v)): _*).cast(ArrayType(FloatType))
+      val simW = org.apache.spark.sql.expressions.Window
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val truth = emb.select(col("vec_id"),
+          Semantics.safeRound(
+            graft.functions.CosineSim.fast_cosine(col("embedding"), q), 4)
+            .as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+        .withColumn("rank", row_number().over(simW))
+        .select(lit(2L).as("qid"), col("vec_id"), col("rank"))
+      graft.functions.Ranking.rankingMetrics(
+        approx, truth, "qid", "vec_id", "rank")
+    }),
+
     "q_embed_ann" -> ((s, dir) => {
       // LSH ANN join, gated on RECALL vs the exact top-k: the oracle reads
       // the materialized ANN pairs, computes its own exact top-10 per query
@@ -1388,6 +1423,12 @@ object DocQueries {
       // report; every cell exactly replayable (shingle sets are portable)
       CorpusStats.sourceOverlap(t(s, dir, "documents"), "text", "source", 3)
         .orderBy(col("g_a"), col("g_b"))),
+
+    "q_ngram_novelty" -> ((s, dir) =>
+      // per-doc freshness vs everything ingested before it: a shingle is
+      // novel in the min-doc_id document containing it; BIGINT e4 ratio
+      CorpusStats.ngramNovelty(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy(col("doc_id"))),
 
     "q_doc_substr_dup" -> ((s, dir) => {
       // exact-substring dedup: every 12-word window Buzhash'd; the exploded
@@ -3184,6 +3225,46 @@ object DocQueries {
          |  CAST(SUM(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
          |FROM r LEFT JOIN exact x ON r.vec_id = x.vec_id""".stripMargin,
 
+    "q_rank_eval" ->
+      // the oracle's own exact ranked top-10, then the BIGINT metric
+      // replay: per-rank log2 discount quantized to e6, integer
+      // division/sums after that
+      s"""WITH r AS (SELECT qid, vec_id, rank FROM read_parquet(
+         |    '/tmp/graft_oracle_aux/{SF}/rank_eval_approx/*.parquet')),
+         |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+         |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+         |             generate_subscripts(embedding, 1) AS i
+         |      FROM embeddings WHERE vec_id = 2),
+         |d AS (SELECT e.vec_id, SUM(e.ev * q.qv) AS dot,
+         |             SUM(e.ev * e.ev) AS nsq
+         |      FROM e JOIN q USING (i) GROUP BY e.vec_id),
+         |qn AS (SELECT SUM(qv * qv) AS qsq FROM q),
+         |exact AS (SELECT vec_id,
+         |    ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+         |  FROM (
+         |    SELECT vec_id,
+         |      ${Sql.sround("CASE WHEN sqrt(nsq) * sqrt(qsq) = 0 THEN 0.0 ELSE dot / (sqrt(nsq) * sqrt(qsq)) END")} AS sim
+         |    FROM d, qn ORDER BY sim DESC, vec_id ASC LIMIT 10)),
+         |h AS (SELECT r.qid, CAST(count(*) AS BIGINT) AS n_results,
+         |    CAST(sum(CASE WHEN x.rank IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hits,
+         |    min(CASE WHEN x.rank IS NOT NULL THEN r.rank END) AS first,
+         |    CAST(sum(CASE WHEN x.rank IS NOT NULL THEN 1000000000000 //
+         |        CAST(FLOOR(log2(r.rank + 1) * 1e6 + 0.5) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS dcg
+         |  FROM r LEFT JOIN exact x ON r.vec_id = x.vec_id GROUP BY 1),
+         |i AS (SELECT CAST(count(*) AS BIGINT) AS ntruth,
+         |    CAST(sum(1000000000000 //
+         |      CAST(FLOOR(log2(rank + 1) * 1e6 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS idcg
+         |  FROM exact)
+         |SELECT h.qid, h.n_results, h.n_hits,
+         |  CAST((h.n_hits * 10000) // i.ntruth AS BIGINT) AS recall_e4,
+         |  CAST(COALESCE(1000000 // h.first, 0) AS BIGINT) AS mrr_e6,
+         |  CAST((h.dcg * 10000) // i.idcg AS BIGINT) AS ndcg_e4
+         |FROM h, i""".stripMargin,
+
     "q_doc_minhash_clusters" ->
       // engineered-recall invariant: the oracle knows the pair count and
       // expects ≥95% of (doc, near-identical-variant) pairs co-clustered
@@ -3606,6 +3687,29 @@ object DocQueries {
          |FROM shared s
          |JOIN sizes na ON s.g_a = na.g JOIN sizes nb ON s.g_b = nb.g
          |ORDER BY s.g_a, s.g_b""".stripMargin
+    },
+
+    "q_ngram_novelty" -> {
+      val sh =
+        """list_distinct(list_transform(
+          |  range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 1, 1)),
+          |  i -> concat_ws(' ',
+          |    string_split_regex(trim(lower(text)), '\s+')[i],
+          |    string_split_regex(trim(lower(text)), '\s+')[i+1],
+          |    string_split_regex(trim(lower(text)), '\s+')[i+2])))""".stripMargin.replace("\n", " ")
+      s"""WITH e AS (SELECT doc_id, unnest($sh) AS s FROM documents),
+         |fs AS (SELECT s, min(doc_id) AS first FROM e GROUP BY 1),
+         |pd AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(sum(CASE WHEN fs.first = e.doc_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_novel
+         |  FROM e JOIN fs USING (s) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(pd.n_shingles, 0) AS n_shingles,
+         |  COALESCE(pd.n_novel, 0) AS n_novel,
+         |  CASE WHEN COALESCE(pd.n_shingles, 0) > 0
+         |    THEN (pd.n_novel * 10000) // pd.n_shingles END AS novelty_e4
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "q_doc_substr_dup" ->

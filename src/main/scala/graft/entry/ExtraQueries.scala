@@ -440,6 +440,39 @@ object ExtraQueries {
           <= col("n_exact_inter") * 0.4).as("inter_ok"))
     }),
 
+    "q_stl_anomaly" -> ((s, dir) =>
+      // seasonal-adjusted anomaly screen: flags on the DECOMPOSITION
+      // residual, so the daily shape never pages — thresholds and flags
+      // in pure BIGINTs, replayed end-to-end by the oracle
+      graft.operators.TimeSeries.seasonalAnomalies(
+        t(s, dir, "events"), "event_type", "ts", "value",
+        halfWidth = 12, multNum = 3L, multDen = 1L)
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("resid_e6"), col("mean_abs_resid_e6"), col("is_anomaly"))
+        .orderBy(col("event_type"), col("hour"))),
+
+    "q_zonemap_quality" -> ((s, dir) => {
+      // layout quality: the SAME rows staged range-clustered vs
+      // hash-scattered; the interval-sweep depth report must show
+      // pruning-friendly ~1 vs pruning-dead ~n_files. Oracle re-reads
+      // the staged files (filename=true) and replays the sweep
+      val ev = t(s, dir, "events").select(col("event_id"), col("value"))
+      val base = s"/tmp/graft_zonemap/${Sql.sfTag(dir)}"
+      ev.repartitionByRange(4, col("value"))
+        .sortWithinPartitions(col("value"))
+        .write.mode("overwrite").parquet(s"$base/clustered")
+      ev.repartition(4, col("event_id"))
+        .write.mode("overwrite").parquet(s"$base/scattered")
+      val rep = (tag: String, p: String) =>
+        graft.io.LayoutStats.zoneMapReport(s, p, "value")
+          .select(lit(tag).as("layout"), col("n_files"), col("max_depth"),
+            col("avg_depth_e4"))
+      rep("clustered", s"$base/clustered")
+        .unionByName(rep("scattered", s"$base/scattered"))
+        .orderBy(col("layout"))
+    }),
+
     "q_triangles" -> ((s, dir) => {
       // triangle census of the deterministic citation graph (+1/+2 ring
       // links guarantee n triangles; the 7d+1 links add irregular degree)
@@ -2458,6 +2491,63 @@ object ExtraQueries {
         |  CAST(LEAST(128, (SELECT count(*) FROM b)) AS BIGINT) AS size_b,
         |  TRUE AS jaccard_ok, TRUE AS union_ok, TRUE AS inter_ok"""
         .stripMargin,
+
+    "q_stl_anomaly" ->
+      // full decomposition replay (as q_seasonal_decompose) + the BIGINT
+      // mean-|residual| threshold and flag
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |tr AS (SELECT event_type, bucket, y,
+        |    CASE WHEN COUNT(*) OVER w = 25 THEN
+        |      CAST(FLOOR(CAST(SUM(y) OVER w AS DOUBLE) / 25 + 0.5)
+        |        AS BIGINT) END AS trend
+        |  FROM h
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |se AS (SELECT event_type, EXTRACT(hour FROM bucket) AS season,
+        |    CAST(FLOOR(CAST(SUM(y - trend) AS DOUBLE) / COUNT(*) + 0.5)
+        |      AS BIGINT) AS seasonal
+        |  FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT tr.event_type, tr.bucket,
+        |    CASE WHEN tr.trend IS NOT NULL AND se.seasonal IS NOT NULL
+        |      THEN tr.y - tr.trend - se.seasonal END AS resid
+        |  FROM tr LEFT JOIN se ON se.event_type = tr.event_type
+        |    AND se.season = EXTRACT(hour FROM tr.bucket)),
+        |th AS (SELECT event_type,
+        |    CAST(FLOOR(CAST(SUM(ABS(resid)) AS DOUBLE) / COUNT(*) + 0.5)
+        |      AS BIGINT) AS mar
+        |  FROM r WHERE resid IS NOT NULL GROUP BY 1)
+        |SELECT r.event_type,
+        |  strftime(r.bucket, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  r.resid AS resid_e6, th.mar AS mean_abs_resid_e6,
+        |  CASE WHEN r.resid IS NOT NULL THEN ABS(r.resid) * 1 > th.mar * 3
+        |       ELSE FALSE END AS is_anomaly
+        |FROM r JOIN th USING (event_type)
+        |ORDER BY r.event_type, hour""".stripMargin,
+
+    "q_zonemap_quality" -> {
+      def side(tag: String, sub: String) =
+        s"""f_$sub AS (SELECT filename, min(value) AS mn, max(value) AS mx
+           |  FROM read_parquet(
+           |    '/tmp/graft_zonemap/{SF}/$sub/*.parquet', filename=true)
+           |  WHERE value IS NOT NULL GROUP BY 1),
+           |d_$sub AS (SELECT
+           |    (SELECT count(*) FROM f_$sub b WHERE b.mn <= a.mn)
+           |      - (SELECT count(*) FROM f_$sub c WHERE c.mx < a.mn) AS d
+           |  FROM f_$sub a),
+           |r_$sub AS (SELECT '$tag' AS layout,
+           |    CAST(count(*) AS BIGINT) AS n_files,
+           |    CAST(max(d) AS BIGINT) AS max_depth,
+           |    CAST(sum(d) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT)
+           |      AS avg_depth_e4
+           |  FROM d_$sub)""".stripMargin
+      s"""WITH ${side("clustered", "clustered")},
+         |${side("scattered", "scattered")}
+         |SELECT * FROM r_clustered UNION ALL SELECT * FROM r_scattered
+         |ORDER BY layout""".stripMargin
+    },
 
     "q_triangles" ->
       // exact census: value-ordered undirected edges, one join per side

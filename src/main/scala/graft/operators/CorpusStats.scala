@@ -188,4 +188,36 @@ object CorpusStats {
           (col("_na") + col("_nb") - col("n_shared")).cast(DoubleType), 4)
           .as("jaccard"))
   }
+
+  /** Per-document n-gram NOVELTY against everything ingested before it
+    * (order = ascending `idCol`): a shingle is novel in the FIRST document
+    * (min id) that contains it, so novelty = novel distinct shingles /
+    * distinct shingles. The corpus-freshness signal a crawl pipeline
+    * tracks batch over batch — a feed whose novelty decays to ~0 is
+    * re-crawling itself (dedup-adjacent, but graded, not binary).
+    * Exact: one explode → distinct → (min-id per shingle) aggregate →
+    * per-doc BIGINT ratio at e4. Docs with no shingles (< n words) emit
+    * 0 of 0 → novelty null. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val sh = df.select(col(idCol).as("_id"),
+        explode(graft.operators.MinHashDedup.shingles(col(textCol), n))
+          .as("_sh"))
+      .distinct()
+    val firstSeen = sh.groupBy(col("_sh")).agg(min(col("_id")).as("_first"))
+    val perDoc = sh.join(firstSeen, Seq("_sh"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_first") === col("_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    df.select(col(idCol))
+      .join(perDoc, col(idCol) === col("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_e4",
+        when(col("n_shingles") > 0,
+          expr("(n_novel * 10000) div n_shingles").cast(LongType)))
+  }
 }

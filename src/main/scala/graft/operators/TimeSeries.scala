@@ -275,6 +275,32 @@ object TimeSeries {
           .as("resid_e6"))
   }
 
+  /** Seasonal-adjusted anomaly screen: flag buckets whose DECOMPOSITION
+    * RESIDUAL (y − trend − seasonal, from [[seasonalDecompose]]) is large
+    * — the detector that does NOT page on the nightly traffic peak a
+    * plain z-score fires on every day, because the daily shape lives in
+    * the seasonal term. Threshold = `multNum/multDen ×` the key's mean
+    * |residual|, all BIGINT (mean as floor(exactSum/cnt + ½)); buckets
+    * without a defined residual (MA edges) are never flagged. */
+  def seasonalAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, halfWidth: Int = 12,
+      multNum: Long = 3L, multDen: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val dec = seasonalDecompose(df, keyCol, tsCol, valueCol, halfWidth)
+    val thr = dec.filter(col("resid_e6").isNotNull)
+      .groupBy(col(keyCol).as("_k"))
+      .agg(sum(abs(col("resid_e6"))).as("_sa"), count(lit(1)).as("_cn"))
+      .select(col("_k"),
+        floor(col("_sa").cast(DoubleType) / col("_cn") + lit(0.5))
+          .cast(LongType).as("mean_abs_resid_e6"))
+    dec.join(broadcast(thr), dec(keyCol) === thr("_k"))
+      .select(dec(keyCol), col("bucket"), col("y_e6"), col("resid_e6"),
+        col("mean_abs_resid_e6"),
+        when(col("resid_e6").isNotNull,
+          abs(col("resid_e6")) * multDen > col("mean_abs_resid_e6") * multNum)
+          .otherwise(lit(false)).as("is_anomaly"))
+  }
+
   /** Single change-point detection per key: the bucket boundary that
     * maximizes the between-segment variance reduction of the milli-unit
     * series — argmax over t of (n·S_t − t·S)² / (t·(n−t)), the exact

@@ -368,8 +368,8 @@ object Audit {
     * (_c1,_c2) and EXACT global cumulative counts (_a1,_a2), built with a
     * shard-partitioned window + driver prefix offsets. Returns the frame
     * plus (n1, n2). */
-  private def cumulativeCounts(a: DataFrame, b: DataFrame, valueCol: String,
-      shards: Int): (DataFrame, Long, Long) = {
+  private[graft] def cumulativeCounts(a: DataFrame, b: DataFrame,
+      valueCol: String, shards: Int): (DataFrame, Long, Long) = {
     import org.apache.spark.sql.expressions.Window
     require(shards >= 1, "need at least one shard")
     val u = a.select(col(valueCol).cast(DoubleType).as("_v"))

@@ -107,7 +107,10 @@ class PlanHygieneSpec extends SparkSuite {
     "q_rrf" -> "rank over TakeOrdered top-K frame (bounded rows)",
     // cumulative-users curve: running sum over the PER-DAY aggregate —
     // one row per calendar day, bounded by date span, never corpus size
-    "q_distinct_growth" -> "cumsum over per-day aggregate (bounded rows)"
+    "q_distinct_growth" -> "cumsum over per-day aggregate (bounded rows)",
+    // rank assignment over the two ≤10-row TakeOrdered frames feeding the
+    // retrieval-metrics aggregate — bounded by construction, as q_rrf
+    "q_rank_eval" -> "rank over TakeOrdered top-K frames (bounded rows)"
   )
 
   private final class WarnBuffer

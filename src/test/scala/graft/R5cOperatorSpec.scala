@@ -131,6 +131,69 @@ class R5cOperatorSpec extends SparkSuite {
       s"union: $est")
   }
 
+  test("ngramNovelty: first containing doc owns the shingle") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"),
+      (4L, "hi")).toDF("doc_id", "text")
+    val got = graft.operators.CorpusStats
+      .ngramNovelty(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 2L, 10000L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((2L, 0L, 0L)), s"dup doc2: ${got(2L)}")
+    assert(got(3L) == ((2L, 2L, 10000L)), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((0L, 0L, -1L)), s"short doc: ${got(4L)}")
+  }
+
+  test("seasonalAnomalies flags an injected spike, not the daily shape") {
+    val rows = for (d <- 1 to 6; h <- 0 to 23) yield {
+      val base = if (h % 2 == 0) 10.0 else 20.0
+      val v = if (d == 3 && h == 12) base + 500.0 else base
+      ("k", java.sql.Timestamp.valueOf(f"2024-01-0$d $h%02d:30:00"), v)
+    }
+    val out = graft.operators.TimeSeries.seasonalAnomalies(
+      rows.toDF("k", "ts", "v"), "k", "ts", "v", halfWidth = 12)
+    val flagged = out.filter(col("is_anomaly"))
+      .select(date_format(col("bucket"), "yyyy-MM-dd HH").as("b"))
+      .collect().map(_.getString(0)).toSet
+    assert(flagged.contains("2024-01-03 12"), s"spike missed: $flagged")
+    // the periodic shape itself must not page: only the spike's MA
+    // neighborhood may co-flag
+    assert(flagged.size <= 6, s"too many flags: $flagged")
+  }
+
+  test("zoneMapReport: clustered files depth 1, overlapping files depth n") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zm").toString
+    val vals = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    vals.repartitionByRange(4, col("v"))
+      .write.mode("overwrite").parquet(s"$tmp/clustered")
+    vals.repartition(4, col("id"))
+      .write.mode("overwrite").parquet(s"$tmp/scattered")
+    val c = graft.io.LayoutStats.zoneMapReport(spark, s"$tmp/clustered", "v")
+      .head()
+    val sct = graft.io.LayoutStats.zoneMapReport(spark, s"$tmp/scattered", "v")
+      .head()
+    assert(c.getAs[Long]("n_files") == 4L &&
+      c.getAs[Long]("max_depth") == 1L, s"clustered: $c")
+    assert(sct.getAs[Long]("n_files") == 4L &&
+      sct.getAs[Long]("max_depth") == 4L, s"scattered: $sct")
+  }
+
+  test("rankingMetrics: hand-computed recall/MRR/nDCG") {
+    val truth = Seq((1L, "A", 1), (1L, "B", 2), (1L, "C", 3))
+      .toDF("qid", "doc", "rank")
+    val approx = Seq((1L, "B", 1), (1L, "X", 2), (1L, "A", 3))
+      .toDF("qid", "doc", "rank")
+    val r = graft.functions.Ranking
+      .rankingMetrics(approx, truth, "qid", "doc", "rank").head()
+    assert(r.getAs[Long]("n_hits") == 2L)
+    assert(r.getAs[Long]("recall_e4") == 6666L, s"recall: $r")
+    assert(r.getAs[Long]("mrr_e6") == 1000000L, s"mrr: $r")
+    // dcg = 1e12//1e6 + 1e12//2e6 = 1_500_000;
+    // idcg = 1e6 + 1e12//1584963 + 5e5 = 2_130_929 → ndcg_e4 = 7039
+    assert(r.getAs[Long]("ndcg_e4") == 7039L, s"ndcg: $r")
+  }
+
   test("encodingAnomalies counts each artifact class") {
     val rows = Seq(
       (1L, "clean ascii text"),

@@ -440,6 +440,24 @@ object ExtraQueries {
           <= col("n_exact_inter") * 0.4).as("inter_ok"))
     }),
 
+    "q_target_encode" -> ((s, dir) =>
+      // leave-one-out target encoding with m=10 smoothing: exact decimal
+      // category sums, one fixed IEEE chain per row — the GBDT-pipeline
+      // categorical encoder, leak-free by construction
+      graft.functions.Featurize.targetEncode(
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value", m = 10)
+        .orderBy(col("event_id"))),
+
+    "q_time_split" -> ((s, dir) =>
+      // backtest split with a 24 h embargo + the entity-leakage audit
+      // (users on both sides of the cut — what a temporal split does NOT
+      // remove, stated instead of silently passed)
+      graft.operators.TrainingExamples.temporalSplitReport(
+        t(s, dir, "events"), "ts", "user_id",
+        cutTs = "2024-01-25 00:00:00", gapHours = 24)),
+
     "q_stl_anomaly" -> ((s, dir) =>
       // seasonal-adjusted anomaly screen: flags on the DECOMPOSITION
       // residual, so the daily shape never pages — thresholds and flags
@@ -2491,6 +2509,45 @@ object ExtraQueries {
         |  CAST(LEAST(128, (SELECT count(*) FROM b)) AS BIGINT) AS size_b,
         |  TRUE AS jaccard_ok, TRUE AS union_ok, TRUE AS inter_ok"""
         .stripMargin,
+
+    "q_target_encode" ->
+      // same decimal sums, same left-to-right IEEE chain, sround(6)
+      s"""WITH st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS s
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS gn,
+         |    CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS gs
+         |  FROM events WHERE value IS NOT NULL)
+         |SELECT e.event_id, e.event_type, e.value,
+         |  CASE WHEN e.value IS NULL THEN NULL ELSE
+         |    ${Sql.sround(
+              "(st.s - e.value + 10.0 * (g.gs / g.gn)) / CAST(st.n - 1 + 10 AS DOUBLE)",
+              6)}
+         |  END AS enc
+         |FROM events e LEFT JOIN st USING (event_type) CROSS JOIN g
+         |ORDER BY e.event_id""".stripMargin,
+
+    "q_time_split" ->
+      """WITH t AS (SELECT user_id,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-24 00:00:00' THEN 'train'
+        |         WHEN ts < TIMESTAMP '2024-01-25 00:00:00' THEN 'embargo'
+        |         ELSE 'test' END AS split
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |    SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr,
+        |    SUM(CASE WHEN split = 'embargo' THEN 1 ELSE 0 END) AS em,
+        |    SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS te
+        |  FROM t GROUP BY 1)
+        |SELECT CAST(SUM(tr) AS BIGINT) AS n_train,
+        |  CAST(SUM(em) AS BIGINT) AS n_embargo,
+        |  CAST(SUM(te) AS BIGINT) AS n_test,
+        |  CAST(SUM(CASE WHEN tr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_train_users,
+        |  CAST(SUM(CASE WHEN te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_test_users,
+        |  CAST(SUM(CASE WHEN tr > 0 AND te > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_leaky_users
+        |FROM u""".stripMargin,
 
     "q_stl_anomaly" ->
       // full decomposition replay (as q_seasonal_decompose) + the BIGINT

@@ -36,4 +36,45 @@ object TrainingExamples {
         size(col("_ctx")).cast("long").as("context_len"),
         col(typeCol).as("target"))
   }
+
+  /** Temporal train/test split with an EMBARGO gap — the backtest split
+    * that random hash splits silently break: events in
+    * `[cutTs − gapHours, cutTs)` belong to neither side, so a model whose
+    * features look back ≤ gap hours can never see test-adjacent data at
+    * train time. Tags each row train / embargo / test (one codegen'd
+    * comparison, no shuffle). */
+  def temporalSplit(df: DataFrame, tsCol: String, cutTs: String,
+      gapHours: Int): DataFrame = {
+    require(gapHours >= 0, "gapHours must be >= 0")
+    val cut = lit(cutTs).cast(org.apache.spark.sql.types.TimestampType)
+    val gapStart = cut - expr(s"INTERVAL $gapHours HOURS")
+    df.withColumn("split",
+      when(col(tsCol) < gapStart, "train")
+        .when(col(tsCol) < cut, "embargo")
+        .otherwise(lit("test")))
+  }
+
+  /** The split's leakage audit: per-side row/user counts plus the number
+    * of users appearing on BOTH sides of the cut — entity overlap is the
+    * leak a temporal split does NOT remove (user-level memorization), so
+    * the report states it instead of letting it pass silently. One
+    * grouped pass over (user, flags). */
+  def temporalSplitReport(df: DataFrame, tsCol: String, userCol: String,
+      cutTs: String, gapHours: Int): DataFrame = {
+    val tagged = temporalSplit(df, tsCol, cutTs, gapHours)
+    val perUser = tagged.groupBy(col(userCol))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L))
+          .as("_tr"),
+        sum(when(col("split") === "embargo", 1L).otherwise(0L))
+          .as("_em"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("_te"))
+    perUser.agg(
+      sum(col("_tr")).cast("long").as("n_train"),
+      sum(col("_em")).cast("long").as("n_embargo"),
+      sum(col("_te")).cast("long").as("n_test"),
+      sum(when(col("_tr") > 0, 1L).otherwise(0L)).as("n_train_users"),
+      sum(when(col("_te") > 0, 1L).otherwise(0L)).as("n_test_users"),
+      sum(when(col("_tr") > 0 && col("_te") > 0, 1L).otherwise(0L))
+        .as("n_leaky_users"))
+  }
 }

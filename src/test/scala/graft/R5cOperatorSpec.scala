@@ -194,6 +194,34 @@ class R5cOperatorSpec extends SparkSuite {
     assert(r.getAs[Long]("ndcg_e4") == 7039L, s"ndcg: $r")
   }
 
+  test("targetEncode: leave-one-out with smoothing, singleton = prior") {
+    val df = Seq((1L, "A", 1.0), (2L, "A", 3.0), (3L, "B", 5.0))
+      .toDF("id", "cat", "y")
+    // μ = 3; m=1: enc(A,1)=(4−1+3)/2=3, enc(A,3)=(4−3+3)/2=2, enc(B,5)=μ=3
+    val got = graft.functions.Featurize
+      .targetEncode(df, "cat", "y", m = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("enc"))
+      .toMap
+    assert(got == Map(1L -> 3.0, 2L -> 2.0, 3L -> 3.0), s"got $got")
+  }
+
+  test("temporalSplitReport: counts per side + entity leakage") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-10 00:00:00")), // u1 train
+      (1L, ts("2024-01-26 00:00:00")), // u1 test → leaky
+      (2L, ts("2024-01-11 00:00:00")), // u2 train only
+      (3L, ts("2024-01-27 00:00:00")), // u3 test only
+      (2L, ts("2024-01-24 12:00:00"))  // u2 embargo row
+    ).toDF("user_id", "ts")
+    val r = graft.operators.TrainingExamples.temporalSplitReport(
+      ev, "ts", "user_id", "2024-01-25 00:00:00", gapHours = 24).head()
+    assert(r.getAs[Long]("n_train") == 2L &&
+      r.getAs[Long]("n_embargo") == 1L && r.getAs[Long]("n_test") == 2L,
+      s"counts: $r")
+    assert(r.getAs[Long]("n_leaky_users") == 1L, s"leak: $r")
+  }
+
   test("encodingAnomalies counts each artifact class") {
     val rows = Seq(
       (1L, "clean ascii text"),

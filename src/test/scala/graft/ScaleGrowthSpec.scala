@@ -56,7 +56,19 @@ class ScaleGrowthSpec extends SparkSuite {
       graft.functions.Bpe.train(d, "text", numMerges = 6); () }),
     ("unigram_train", d => {
       graft.functions.Unigram.train(d, "text", vocabSize = 200,
-        maxPieceLen = 5, emIters = 1); () }))
+        maxPieceLen = 5, emIters = 1); () }),
+    // star-contraction components on a sparse synthetic graph over the
+    // doc-id space: edge count grows with the corpus, rounds grow
+    // O(log n) — a propagation regression (rounds ~ diameter) blows the
+    // ratio through round-count growth, which this catches
+    ("components", d => {
+      val ids = d.select(col("doc_id"))
+      val n = ids.count()
+      val e = ids.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("s"),
+          pmod(col("doc_id") * 7 + 1, lit(n)).as("t"))
+      graft.operators.Components.labels(ids, "doc_id", e, "s", "t",
+        maxIters = 60).count(); () }))
 
   /** Stage 1× and k× corpora as flat parquet (identical scan cost, no
     * lineage replay), time each op warm on both, return ops whose

@@ -216,6 +216,14 @@ object DocQueries {
         TF.langIdTable(t(s, dir, "documents"), "doc_id", "text"),
         Seq("lang", "source"), "lang_guess", l = 3L)),
 
+    "q_tcloseness" -> ((s, dir) =>
+      // third rung of the privacy ladder: per-source total-variation
+      // distance between the group's lang distribution and the table's,
+      // cross-multiplied to exact BIGINTs (absent values contribute via
+      // the closed form, never an outer join)
+      graft.operators.Audit.tClosenessRisk(
+        t(s, dir, "documents"), Seq("source"), "lang")),
+
     "q_doc_langid" -> ((s, dir) =>
       TF.langIdTable(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("lang_guess"))
@@ -2127,6 +2135,29 @@ object DocQueries {
          |FROM documents GROUP BY lang, source
          |HAVING count(DISTINCT $langGuessSql) < 3
          |ORDER BY lang, source""".stripMargin,
+
+    "q_tcloseness" ->
+      // same cross-multiplied TVD: int128 numerator, one floored e6
+      // ratio with matching operand order
+      """WITH g AS (SELECT lang AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        |       WHERE lang IS NOT NULL),
+        |gv AS (SELECT source, lang AS v, CAST(count(*) AS BIGINT) AS cg
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |ng AS (SELECT source, CAST(SUM(cg) AS BIGINT) AS ngr
+        |  FROM gv GROUP BY 1),
+        |j AS (SELECT gv.source,
+        |    SUM(ABS(CAST(gv.cg AS HUGEINT) * nn.n
+        |      - CAST(g.c AS HUGEINT) * ng.ngr)) AS inabs,
+        |    CAST(SUM(g.c) AS BIGINT) AS sumc,
+        |    MAX(ng.ngr) AS ngr, MAX(nn.n) AS n
+        |  FROM gv JOIN g USING (v) JOIN ng USING (source) CROSS JOIN nn
+        |  GROUP BY 1)
+        |SELECT source, ngr AS n_g,
+        |  CAST(FLOOR(CAST(inabs + CAST(ngr AS HUGEINT) * (n - sumc)
+        |      AS DOUBLE) * 1e6 / (2.0 * ngr * n)) AS BIGINT) AS tvd_e6
+        |FROM j ORDER BY source""".stripMargin,
 
     "q_alpha" ->
       s"""WITH t AS (SELECT lang AS a, $langGuessSql AS b FROM documents),

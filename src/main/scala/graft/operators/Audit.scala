@@ -348,6 +348,50 @@ object Audit {
       .orderBy(quasiIds.map(col(_).asc): _*)
   }
 
+  /** t-closeness risk — the third rung of the privacy-audit ladder
+    * (k-anonymity bounds group SIZE, l-diversity bounds sensitive-value
+    * VARIETY, t-closeness bounds how much a group's sensitive-value
+    * DISTRIBUTION deviates from the table's): per quasi-identifier
+    * group, the total-variation distance
+    * `TVD(g) = ½ Σ_v |p_g(v) − p(v)|`, INTEGER-exact via cross-
+    * multiplication — `Σ_v |c_g(v)·n − c(v)·n_g| / (2·n_g·n)` as a
+    * BIGINT numerator and one floored e6 ratio. Values absent from a
+    * group contribute `c(v)·n_g` without ever joining: their sum is
+    * `n·n_g − Σ_{v∈g} c(v)·n_g`, so the only join is (group, value) ×
+    * broadcast global value counts — no outer-join blowup, no per-group
+    * dictionary materialization. */
+  def tClosenessRisk(df: DataFrame, quasiIds: Seq[String],
+      sensitiveCol: String, scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    require(quasiIds.nonEmpty, "need quasi-ids")
+    val rows = df.filter(col(sensitiveCol).isNotNull)
+    val glob = rows.groupBy(col(sensitiveCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val nTotal = glob.agg(coalesce(sum(col("_c")), lit(0L))).head()
+      .getLong(0)
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val gv = rows
+      .groupBy(quasiIds.map(col) :+ col(sensitiveCol).as("_v"): _*)
+      .agg(count(lit(1)).as("_cg"))
+    val ng = gv.groupBy(quasiIds.map(col): _*)
+      .agg(sum(col("_cg")).as("_ng"))
+    gv.join(broadcast(glob), Seq("_v"))
+      .join(ng, quasiIds)
+      .groupBy(quasiIds.map(col): _*)
+      .agg(max(col("_ng")).as("n_g"),
+        sum(abs(d(col("_cg")) * d(lit(nTotal)) - d(col("_c")) *
+          d(col("_ng")))).as("_inAbs"),
+        sum(col("_c")).as("_sumC"))
+      // values absent from the group: Σ c(v)·n_g over v ∉ g
+      .withColumn("_num", col("_inAbs") +
+        d(col("n_g")) * (d(lit(nTotal)) - d(col("_sumC"))))
+      .select(quasiIds.map(col) :+ col("n_g") :+
+        floor(col("_num").cast(DoubleType) * 1e6 /
+          (lit(2.0) * col("n_g") * lit(nTotal.toDouble)))
+          .cast(LongType).as("tvd_e6"): _*)
+      .orderBy(quasiIds.map(col(_).asc): _*)
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic — the distribution-drift
     * screen whose verdict (unlike PSI / chi-square, which bin) is
     * binning-free: sup over observed values of |F₁ − F₂|. Everything is

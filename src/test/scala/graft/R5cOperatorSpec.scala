@@ -222,6 +222,15 @@ class R5cOperatorSpec extends SparkSuite {
     assert(r.getAs[Long]("n_leaky_users") == 1L, s"leak: $r")
   }
 
+  test("tClosenessRisk: hand-computed total-variation distance") {
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"),
+      ("g2", "b"), ("g2", "b"), ("g2", "b")).toDF("q", "s")
+    // global a:2 b:4 over 6; both groups sit at TVD = 1/3 → 333333 e6
+    val got = graft.operators.Audit.tClosenessRisk(df, Seq("q"), "s")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("tvd_e6")).toMap
+    assert(got == Map("g1" -> 333333L, "g2" -> 333333L), s"got $got")
+  }
+
   test("encodingAnomalies counts each artifact class") {
     val rows = Seq(
       (1L, "clean ascii text"),

@@ -137,4 +137,60 @@ class EmptyInputSpec extends SparkSuite {
     assert(graft.operators.TrainingExamples.nextEventPairs(
       oneEv, "user_id", "ts", "event_id", "event_type", 3).count() == 0L)
   }
+
+  test("round-5 third wave: empty / single-row / degenerate inputs") {
+    // components: no edges → every vertex its own cluster; empty both
+    val verts = Seq(1L, 2L).toDF("id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("s", "d")
+    val lbl = graft.operators.Components
+      .labels(verts, "id", noEdges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl == Map(1L -> 1L, 2L -> 2L))
+    assert(graft.operators.Components.labels(verts.filter(lit(false)),
+      "id", noEdges, "s", "d").count() == 0L)
+    // seasonal decomposition / change point / anomalies on tiny series
+    val ts1 = Seq(("k", java.sql.Timestamp.valueOf("2024-01-01 01:00:00"),
+      5.0)).toDF("k", "ts", "v")
+    val dec = graft.operators.TimeSeries
+      .seasonalDecompose(ts1, "k", "ts", "v").head()
+    assert(dec.isNullAt(dec.fieldIndex("trend_e6"))) // no full frame
+    assert(graft.operators.TimeSeries.changePoint(ts1, "k", "ts", "v")
+      .count() == 0L) // one bucket: no admissible split
+    assert(graft.operators.TimeSeries
+      .seasonalAnomalies(ts1, "k", "ts", "v").count() == 0L ||
+      !graft.operators.TimeSeries.seasonalAnomalies(ts1, "k", "ts", "v")
+        .head().getAs[Boolean]("is_anomaly"))
+    // quantile map: empty reference group → no mapped rows (inner join)
+    val qm = graft.operators.GroupNormalizer.quantileMap(
+      Seq(("a", 1L, 1.0)).toDF("g", "id", "v"), "g", "v", "id",
+      refGroup = "missing")
+    assert(qm.count() == 0L)
+    // KMV: one empty sketch — estimates stay defined (exhaustive mode)
+    val skA = graft.functions.Sketches.kmvBottomK(
+      Seq(("a", 1L), ("a", 2L)).toDF("seg", "m"), "seg", "m", k = 8)
+    val skB = skA.filter(lit(false))
+    val cmp = graft.functions.Sketches.kmvCompare(skA, skB, k = 8).head()
+    assert(cmp.getAs[Long]("joint") == 0L &&
+      cmp.getAs[Long]("union_est") == 2L, s"got $cmp")
+    // ranking metrics: approx with zero hits → all-zero metrics
+    val truth = Seq((1L, "A", 1)).toDF("qid", "doc", "rank")
+    val approx = Seq((1L, "Z", 1)).toDF("qid", "doc", "rank")
+    val rm = graft.functions.Ranking
+      .rankingMetrics(approx, truth, "qid", "doc", "rank").head()
+    assert(rm.getAs[Long]("n_hits") == 0L &&
+      rm.getAs[Long]("recall_e4") == 0L &&
+      rm.getAs[Long]("mrr_e6") == 0L && rm.getAs[Long]("ndcg_e4") == 0L)
+    // t-closeness: single group == global distribution → TVD 0
+    val tc = graft.operators.Audit.tClosenessRisk(
+      Seq(("g", "x"), ("g", "y")).toDF("q", "s"), Seq("q"), "s").head()
+    assert(tc.getAs[Long]("tvd_e6") == 0L)
+    // target encode: all-null targets → null encodings, rows kept
+    val te = graft.functions.Featurize.targetEncode(
+      Seq(("a", null.asInstanceOf[java.lang.Double]))
+        .toDF("cat", "y"), "cat", "y")
+    assert(te.count() == 1L && te.head().isNullAt(2))
+    // novelty: empty corpus
+    assert(graft.operators.CorpusStats.ngramNovelty(
+      emptyDocs, "doc_id", "text").count() == 0L)
+  }
 }

@@ -458,6 +458,14 @@ object ExtraQueries {
         t(s, dir, "events"), "ts", "user_id",
         cutTs = "2024-01-25 00:00:00", gapHours = 24)),
 
+    "q_rolling_folds" -> ((s, dir) =>
+      // expanding-window backtest schedule: 4 folds, 48 h step, 48 h
+      // horizon, 24 h embargo — exact per-fold counts from the hourly
+      // aggregate (folds explode the TINY frame, never the corpus)
+      graft.operators.TrainingExamples.rollingOriginFolds(
+        t(s, dir, "events"), "ts", "2024-01-20 00:00:00",
+        stepHours = 48, horizonHours = 48, gapHours = 24, nFolds = 4)),
+
     "q_stl_anomaly" -> ((s, dir) =>
       // seasonal-adjusted anomaly screen: flags on the DECOMPOSITION
       // residual, so the daily shape never pages — thresholds and flags
@@ -2548,6 +2556,20 @@ object ExtraQueries {
         |  CAST(SUM(CASE WHEN tr > 0 AND te > 0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_leaky_users
         |FROM u""".stripMargin,
+
+    "q_rolling_folds" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hb,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |f AS (SELECT unnest(range(0, 4)) AS fold),
+        |x AS (SELECT f.fold, TIMESTAMP '2024-01-20 00:00:00'
+        |        + to_hours(f.fold * 48) AS cut FROM f)
+        |SELECT x.fold, strftime(x.cut, '%Y-%m-%d %H:%M:%S') AS cut,
+        |  CAST(SUM(CASE WHEN h.hb < x.cut - to_hours(24)
+        |    THEN h.n ELSE 0 END) AS BIGINT) AS n_train,
+        |  CAST(SUM(CASE WHEN h.hb >= x.cut
+        |      AND h.hb < x.cut + to_hours(48)
+        |    THEN h.n ELSE 0 END) AS BIGINT) AS n_test
+        |FROM x CROSS JOIN h GROUP BY 1, 2 ORDER BY fold""".stripMargin,
 
     "q_stl_anomaly" ->
       // full decomposition replay (as q_seasonal_decompose) + the BIGINT

@@ -54,6 +54,40 @@ object TrainingExamples {
         .otherwise(lit("test")))
   }
 
+  /** Rolling-origin backtest folds — the expanding-window evaluation
+    * scheme for anything time-dependent: fold i trains on everything
+    * before `start + i·step − gap` and tests on the `horizon` hours from
+    * `start + i·step`. All boundaries must be whole hours, so the per-
+    * HOUR aggregate (≤ a few thousand rows for any span) carries exact
+    * counts and the fold explosion happens on THAT frame — fold count
+    * never amplifies the corpus. Returns one row per fold: the cut and
+    * exact train/test row counts. */
+  def rollingOriginFolds(df: DataFrame, tsCol: String, startCut: String,
+      stepHours: Int, horizonHours: Int, gapHours: Int,
+      nFolds: Int): DataFrame = {
+    require(nFolds >= 1 && stepHours > 0 && horizonHours > 0 &&
+      gapHours >= 0, "need nFolds>=1, step>0, horizon>0, gap>=0")
+    val hourly = df
+      .groupBy(date_trunc("hour", col(tsCol)).as("_h"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_cut0",
+        lit(startCut).cast(org.apache.spark.sql.types.TimestampType))
+    hourly
+      .withColumn("fold", explode(sequence(lit(0), lit(nFolds - 1))))
+      .withColumn("_cut",
+        expr(s"timestampadd(HOUR, fold * $stepHours, _cut0)"))
+      .groupBy(col("fold"),
+        date_format(col("_cut"), "yyyy-MM-dd HH:mm:ss").as("cut"))
+      .agg(
+        sum(when(col("_h") <
+          expr(s"timestampadd(HOUR, -$gapHours, _cut)"), col("_n"))
+          .otherwise(0L)).as("n_train"),
+        sum(when(col("_h") >= col("_cut") &&
+          col("_h") < expr(s"timestampadd(HOUR, $horizonHours, _cut)"),
+          col("_n")).otherwise(0L)).as("n_test"))
+      .orderBy(col("fold"))
+  }
+
   /** The split's leakage audit: per-side row/user counts plus the number
     * of users appearing on BOTH sides of the cut — entity overlap is the
     * leak a temporal split does NOT remove (user-level memorization), so

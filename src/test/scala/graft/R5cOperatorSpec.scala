@@ -231,6 +231,22 @@ class R5cOperatorSpec extends SparkSuite {
     assert(got == Map("g1" -> 333333L, "g2" -> 333333L), s"got $got")
   }
 
+  test("rollingOriginFolds: expanding train, fixed horizon, embargoed") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(ts("2024-01-01 05:00:00"), // train for both folds
+      ts("2024-01-02 12:00:00"), // embargoed f0 (gap 24 h); train f1
+      ts("2024-01-03 06:00:00"), // test f0 ([01-03, 01-05)); train f1
+                                 // (f1 gap starts 01-04)
+      ts("2024-01-05 01:00:00")  // outside f0 horizon; test f1
+    ).map(t => Tuple1(t)).toDF("ts")
+    val got = graft.operators.TrainingExamples.rollingOriginFolds(
+      ev, "ts", "2024-01-03 00:00:00", stepHours = 48, horizonHours = 48,
+      gapHours = 24, nFolds = 2)
+      .collect().map(r => r.getAs[Int]("fold") ->
+        ((r.getAs[Long]("n_train"), r.getAs[Long]("n_test")))).toMap
+    assert(got == Map(0 -> ((1L, 1L)), 1 -> ((3L, 1L))), s"got $got")
+  }
+
   test("encodingAnomalies counts each artifact class") {
     val rows = Seq(
       (1L, "clean ascii text"),

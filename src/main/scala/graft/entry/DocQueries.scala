@@ -1450,6 +1450,25 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_chunk_dedup" -> ((s, dir) => {
+      // content-defined chunking: variants get a novel PREAMBLE, so every
+      // word offset shifts — position-keyed dedup units would all miss,
+      // content-cut chunks re-align and most chunks still match their
+      // origin. Oracle replays boundaries, signatures and the shared test
+      // from the aux window table
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val variants = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("wholly novel preamble words here "), col("text"))
+          .as("text"))
+      val all = docs.unionByName(variants)
+      Aux.write(SubstrDedup.windows(all, "doc_id", "text", k = 8),
+        s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/chunk_windows",
+        single = false)
+      SubstrDedup.chunkDupReport(all, "doc_id", "text",
+        k = 8, modulus = 16)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_doc_longest_span" -> ((s, dir) => {
       // overlap-severity report: longest corpus-shared run per flagged doc
       // (upper bound on the single-partner span — see longestSharedSpan);
@@ -3751,6 +3770,27 @@ object DocQueries {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
         |FROM w JOIN sh USING (win_hash)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_dedup" ->
+      // boundaries (hash % 16 = 0), per-doc cumsum chunk index, position-
+      // free ','-joined signature, shared test — all from the same aux
+      """WITH w AS (SELECT * FROM
+        |    read_parquet('/tmp/graft_oracle_aux/{SF}/chunk_windows/*.parquet')),
+        |b AS (SELECT doc_id, win_pos, win_hash,
+        |    SUM(CASE WHEN win_hash % 16 = 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY win_pos) AS chunk_idx
+        |  FROM w),
+        |c AS (SELECT doc_id, chunk_idx,
+        |    CAST(count(*) AS BIGINT) AS n_windows,
+        |    string_agg(CAST(win_hash AS VARCHAR), ',' ORDER BY win_pos)
+        |      AS sig
+        |  FROM b GROUP BY 1, 2),
+        |sh AS (SELECT sig FROM c
+        |  GROUP BY sig HAVING min(doc_id) <> max(doc_id))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN c.sig IN (SELECT sig FROM sh)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q_doc_longest_span" ->
       """WITH w AS (SELECT * FROM

@@ -458,6 +458,14 @@ object ExtraQueries {
         t(s, dir, "events"), "ts", "user_id",
         cutTs = "2024-01-25 00:00:00", gapHours = 24)),
 
+    "q_event_paths" -> ((s, dir) =>
+      // top 20 three-step event-type paths over per-user ordered streams
+      // — the Sankey/flow report; (ts, event_id) tie-broken ordering,
+      // (count desc, path asc) total order on the cut
+      graft.operators.TrainingExamples.eventPaths(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        depth = 3, topK = 20)),
+
     "q_rolling_folds" -> ((s, dir) =>
       // expanding-window backtest schedule: 4 folds, 48 h step, 48 h
       // horizon, 24 h embargo — exact per-fold counts from the hourly
@@ -2556,6 +2564,19 @@ object ExtraQueries {
         |  CAST(SUM(CASE WHEN tr > 0 AND te > 0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_leaky_users
         |FROM u""".stripMargin,
+
+    "q_event_paths" ->
+      """WITH l AS (SELECT
+        |    LAG(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS a,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS b,
+        |    event_type AS c
+        |  FROM events)
+        |SELECT a || '>' || b || '>' || c AS path,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM l WHERE a IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20""".stripMargin,
 
     "q_rolling_folds" ->
       """WITH h AS (SELECT date_trunc('hour', ts) AS hb,

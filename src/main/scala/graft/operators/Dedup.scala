@@ -651,4 +651,50 @@ object SubstrDedup {
         (col("_n_total") - coalesce(col("n_tokens_kept"), lit(0L)))
           .as("n_tokens_removed"))
   }
+
+  /** Content-defined chunking: cut each document's word stream where the
+    * rolling window hash lands on `win_hash % modulus == 0` — boundaries
+    * follow CONTENT, not position, so inserting a preamble shifts every
+    * offset but re-cuts the same places (the rsync/LBFS trick, applied to
+    * dedup granularity: fixed-window dedup tells you WHICH spans repeat,
+    * chunk identity gives a storage/dedup UNIT that survives edits).
+    * Expected chunk length ≈ `modulus` window starts. Chunk identity =
+    * the ','-joined win_hash sequence inside the chunk, position-free —
+    * derivable by ANY engine from the exploded window table, which is
+    * exactly what the correctness gate ships as aux. Per-doc chunk index
+    * is a key-partitioned cumsum; everything else is hash aggregates. */
+  def contentChunks(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, modulus: Int = 16): DataFrame = {
+    require(modulus >= 2, "modulus must be >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("win_pos").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    windows(df, idCol, textCol, k)
+      .withColumn("_b",
+        when(pmod(col("win_hash"), lit(modulus.toLong)) === 0, 1L)
+          .otherwise(0L))
+      .withColumn("chunk_idx", sum(col("_b")).over(w))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_windows"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("win_pos"), col("win_hash")))),
+          s => s.getField("win_hash").cast("string"))).as("chunk_sig"))
+  }
+
+  /** Cross-document chunk-dedup report over [[contentChunks]]: per doc,
+    * total chunks and how many are byte-identical (by signature) to a
+    * chunk of at least one OTHER document. */
+  def chunkDupReport(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, modulus: Int = 16): DataFrame = {
+    val chunks = contentChunks(df, idCol, textCol, k, modulus)
+    val shared = chunks.groupBy(col("chunk_sig"))
+      .agg((min(col(idCol)) =!= max(col(idCol))).as("_sh"))
+      .filter(col("_sh")).select(col("chunk_sig"))
+    chunks.join(shared.withColumn("_dup", lit(1L)), Seq("chunk_sig"),
+        "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("_dup"), lit(0L))).as("n_dup_chunks"))
+  }
 }

@@ -54,6 +54,31 @@ object TrainingExamples {
         .otherwise(lit("test")))
   }
 
+  /** Top event paths: the k most frequent length-`depth` event-type
+    * sequences over per-user ordered streams — the flow/Sankey analytics
+    * behind "what do users do next". One key-partitioned window pass
+    * builds each row's trailing path (depth−1 lags), then a count
+    * aggregate and a bounded top-k under the (count desc, path asc)
+    * total order. Rows without a full-depth history are skipped (honest
+    * starts, no padded pseudo-paths). */
+  def eventPaths(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, depth: Int = 3,
+      topK: Int = 20): DataFrame = {
+    require(depth >= 2, "depth must be >= 2")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val lags = (depth - 1 to 1 by -1)
+      .map(k => lag(col(typeCol), k).over(w)) :+ col(typeCol)
+    events
+      .select(concat_ws(">", lags: _*).as("_path"),
+        lags.head.isNotNull.as("_full"))
+      .filter(col("_full")) // oldest lag present = full depth
+      .groupBy(col("_path").as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(topK)
+  }
+
   /** Rolling-origin backtest folds — the expanding-window evaluation
     * scheme for anything time-dependent: fold i trains on everything
     * before `start + i·step − gap` and tests on the `horizon` hours from

@@ -247,6 +247,41 @@ class R5cOperatorSpec extends SparkSuite {
     assert(got == Map(0 -> ((1L, 1L)), 1 -> ((3L, 1L))), s"got $got")
   }
 
+  test("eventPaths: trailing trigram counts with total-order cut") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 01:00:00"), 10L, "a"),
+      (2L, ts("2024-01-01 02:00:00"), 10L, "b"),
+      (3L, ts("2024-01-01 03:00:00"), 10L, "c"),
+      (4L, ts("2024-01-01 04:00:00"), 10L, "b"),
+      (5L, ts("2024-01-01 05:00:00"), 10L, "c"),
+      (6L, ts("2024-01-01 01:00:00"), 20L, "a"),
+      (7L, ts("2024-01-01 02:00:00"), 20L, "b"),
+      (8L, ts("2024-01-01 03:00:00"), 20L, "c"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.operators.TrainingExamples.eventPaths(
+      ev, "user_id", "ts", "event_id", "event_type", depth = 3, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // user 10: a>b>c, b>c>b, c>b>c; user 20: a>b>c
+    assert(got == Map("a>b>c" -> 2L, "b>c>b" -> 1L, "c>b>c" -> 1L),
+      s"got $got")
+  }
+
+  test("contentChunks: boundaries survive a prefix shift") {
+    val base = (1 to 120).map(i => s"w${i % 37}x$i").mkString(" ")
+    val docs = Seq((1L, base),
+      (2L, "totally fresh preamble tokens " + base)).toDF("doc_id", "text")
+    val rep = graft.operators.SubstrDedup
+      .chunkDupReport(docs, "doc_id", "text", k = 8, modulus = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup_chunks")))).toMap
+    // content-defined cuts re-align after the seam: at most the chunks
+    // touching the injected preamble can differ
+    val (n1, d1) = rep(1L); val (n2, d2) = rep(2L)
+    assert(d1 >= n1 - 2 && d1 > 0, s"doc1 $rep")
+    assert(d2 >= n2 - 2 && d2 > 0, s"doc2 $rep")
+  }
+
   test("encodingAnomalies counts each artifact class") {
     val rows = Seq(
       (1L, "clean ascii text"),

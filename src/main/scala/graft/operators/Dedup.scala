@@ -684,15 +684,20 @@ object SubstrDedup {
 
   /** Cross-document chunk-dedup report over [[contentChunks]]: per doc,
     * total chunks and how many are byte-identical (by signature) to a
-    * chunk of at least one OTHER document. */
+    * chunk of at least one OTHER document. The shared-test shuffles the
+    * 8-byte xxhash64 of each signature, not the signature string itself
+    * (which is O(chunk words) — shuffling it would move a text-sized
+    * payload through the grouping); an independent engine grouping on
+    * the full strings agrees up to a 2⁻⁶⁴ collision, the same accepted
+    * tradeoff as every minhash gate. */
   def chunkDupReport(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, modulus: Int = 16): DataFrame = {
     val chunks = contentChunks(df, idCol, textCol, k, modulus)
-    val shared = chunks.groupBy(col("chunk_sig"))
+      .withColumn("_sigh", xxhash64(col("chunk_sig")))
+    val shared = chunks.groupBy(col("_sigh"))
       .agg((min(col(idCol)) =!= max(col(idCol))).as("_sh"))
-      .filter(col("_sh")).select(col("chunk_sig"))
-    chunks.join(shared.withColumn("_dup", lit(1L)), Seq("chunk_sig"),
-        "left")
+      .filter(col("_sh")).select(col("_sigh"))
+    chunks.join(shared.withColumn("_dup", lit(1L)), Seq("_sigh"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
         sum(coalesce(col("_dup"), lit(0L))).as("n_dup_chunks"))

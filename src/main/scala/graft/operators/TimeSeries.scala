@@ -308,9 +308,14 @@ object TimeSeries {
     * from one `UNBOUNDED PRECEDING` pass; the squared numerator lives in
     * DecimalType(38,0) (silent Long wrap would diverge from an engine
     * whose BIGINT raises) and only the final score ratio is a double of
-    * exact operands. Ties break on the earliest split. Emits per key the
-    * split bucket (first bucket of the RIGHT segment), segment sizes and
-    * exact segment means. */
+    * exact operands. Magnitude bound: (n·S_t)² must fit 38 digits, i.e.
+    * |n · Σ|v|·1e3| < 10¹⁹ — holds for any per-key series whose bucket
+    * count × total milli-unit mass stays under ~10 quintillion (hourly
+    * buckets over years of any realistic metric); beyond that Spark's
+    * decimal overflows to null where another engine's int128 raises, so
+    * rescale the input rather than trust the split. Ties break on the
+    * earliest split. Emits per key the split bucket (the LEFT segment's
+    * last bucket), segment sizes and exact segment means. */
   def changePoint(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, scale: Int = 4): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}

@@ -458,6 +458,16 @@ object ExtraQueries {
         t(s, dir, "events"), "ts", "user_id",
         cutTs = "2024-01-25 00:00:00", gapHours = 24)),
 
+    "q_ks_by_group" -> ((s, dir) =>
+      // drift dashboard shape: per-segment two-sample KS (first vs second
+      // half of the month) — key-partitioned cumsum, no shard machinery,
+      // pure-integer flag at 0.05
+      graft.operators.Audit.ksByGroup(
+        t(s, dir, "events").withColumn("_late",
+          col("ts") >= lit("2024-01-16 00:00:00").cast(TimestampType)),
+        "event_type", "_late", "value", thresholdE6 = 50000L)
+        .orderBy(col("event_type"))),
+
     "q_event_paths" -> ((s, dir) =>
       // top 20 three-step event-type paths over per-user ordered streams
       // — the Sankey/flow report; (ts, event_id) tie-broken ordering,
@@ -2564,6 +2574,32 @@ object ExtraQueries {
         |  CAST(SUM(CASE WHEN tr > 0 AND te > 0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_leaky_users
         |FROM u""".stripMargin,
+
+    "q_ks_by_group" ->
+      """WITH c AS (SELECT event_type, value AS v,
+        |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END) AS c2
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT event_type, v, c1, c2,
+        |    SUM(c1) OVER (PARTITION BY event_type ORDER BY v) AS a1,
+        |    SUM(c2) OVER (PARTITION BY event_type ORDER BY v) AS a2
+        |  FROM c),
+        |t AS (SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2 FROM c GROUP BY 1),
+        |m AS (SELECT cum.event_type,
+        |    MAX(ABS(CAST(a1 AS HUGEINT) * t.n2
+        |      - CAST(a2 AS HUGEINT) * t.n1)) AS num
+        |  FROM cum JOIN t USING (event_type) GROUP BY 1)
+        |SELECT m.event_type, t.n1, t.n2,
+        |  CAST((num * 1000000) // (CAST(t.n1 AS HUGEINT) * t.n2)
+        |    AS BIGINT) AS ks_e6,
+        |  CAST((num * 1000000) // (CAST(t.n1 AS HUGEINT) * t.n2)
+        |    AS BIGINT) > 50000 AS drifted
+        |FROM m JOIN t USING (event_type)
+        |WHERE t.n1 > 0 AND t.n2 > 0
+        |ORDER BY event_type""".stripMargin,
 
     "q_event_paths" ->
       """WITH l AS (SELECT

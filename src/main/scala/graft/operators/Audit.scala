@@ -475,6 +475,48 @@ object Audit {
           .as("ks_e6"))
   }
 
+  /** Grouped two-sample KS — drift PER SEGMENT (per source, per tenant,
+    * per event type), the shape a production drift dashboard actually
+    * needs: within each group, sample 1 = rows where `sideCol` is false,
+    * sample 2 = rows where it is true, and
+    * D = max|a₁·n₂ − a₂·n₁| / (n₁·n₂) over the group's observed values.
+    * UNLIKE the global [[ksStatistic]], no shard machinery is needed:
+    * the cumulative counts partition by the group key, so the whole
+    * operator is one count aggregate + one key-partitioned window + one
+    * grouped max — plan-hygienic at any group count. Products ride in
+    * Decimal(38,0) (BIGINT would wrap silently past ~3e9-row sides);
+    * `drifted` compares the e6 statistic against `thresholdE6` in pure
+    * integers. Groups missing either side carry no defined statistic and
+    * are dropped (document the absence, don't fake a zero). */
+  def ksByGroup(df: DataFrame, groupCol: String, sideCol: String,
+      valueCol: String, thresholdE6: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(sideCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("_v"))
+      .agg(sum(when(!col(sideCol), 1L).otherwise(0L)).as("_c1"),
+        sum(when(col(sideCol), 1L).otherwise(0L)).as("_c2"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("_a1", sum(col("_c1")).over(w))
+      .withColumn("_a2", sum(col("_c2")).over(w))
+    val tots = counts.groupBy(col(groupCol))
+      .agg(sum(col("_c1")).as("_n1"), sum(col("_c2")).as("_n2"))
+    cum.join(tots, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max(col("_n1")).as("n1"), max(col("_n2")).as("n2"),
+        max(abs(col("_a1").cast(dec) * col("_n2").cast(dec) -
+          col("_a2").cast(dec) * col("_n1").cast(dec))).as("_num"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .withColumn("ks_e6",
+        expr("CAST((CAST(_num AS DECIMAL(38,0)) * 1000000) DIV " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"))
+      .select(col(groupCol), col("n1"), col("n2"), col("ks_e6"),
+        (col("ks_e6") > thresholdE6).as("drifted"))
+  }
+
   /** Mann–Whitney U (rank-sum) between two samples, with its
     * normalization U/(n₁·n₂) — the common-language effect size, i.e. the
     * AUC of `valueCol` as a ranker separating the two populations: the

@@ -282,6 +282,20 @@ class R5cOperatorSpec extends SparkSuite {
     assert(d2 >= n2 - 2 && d2 > 0, s"doc2 $rep")
   }
 
+  test("ksByGroup: engineered shift drifts, identical halves do not") {
+    val stable = (1 to 100).flatMap(i =>
+      Seq(("s", false, i.toDouble), ("s", true, i.toDouble)))
+    val shifted = (1 to 100).map(i => ("d", false, i.toDouble)) ++
+      (1 to 100).map(i => ("d", true, 100.0 + i))
+    val got = graft.operators.Audit.ksByGroup(
+      (stable ++ shifted).toDF("g", "late", "v"), "g", "late", "v",
+      thresholdE6 = 500000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("ks_e6"), r.getAs[Boolean]("drifted")))).toMap
+    assert(got("s") == ((0L, false)), s"stable: $got")
+    assert(got("d") == ((1000000L, true)), s"shifted: $got")
+  }
+
   test("encodingAnomalies counts each artifact class") {
     val rows = Seq(
       (1L, "clean ascii text"),

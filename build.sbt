@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster[...] tests (ClusterShapeSpec) launch REAL executor
+// processes through the launcher library, which bypasses
+// bin/load-spark-env.sh — export what that script would have set so the
+// executor command builder can resolve the dist layout.
+Test / envVars ++= Map(
+  "SPARK_SCALA_VERSION" -> "2.13",
+  "SPARK_HOME" -> "/opt/spark",
+)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -743,14 +743,16 @@ object DocQueries {
       val degraded = docs.select((col("doc_id") + 200000L).as("doc_id"),
         concat(lit("!!! ??? ;;; ,,, "), substring(col("text"), 1, 20))
           .as("text"))
-      // 8 LBFGS iterations: the planted classes separate linearly, so the
-      // boundary converges in a handful of steps — each iteration is a
-      // full treeAggregate job and the oracle replays WHATEVER boundary
-      // is materialized, so fewer iterations trade nothing for ~2/3 of
-      // the gate's job count (sanity: the margin sign still classifies
-      // the planted classes, asserted in OperatorSpec)
+      // 5 LBFGS iterations at a loose tolerance: the planted classes
+      // separate linearly, so the decision SIGN stabilizes in the first
+      // few steps — each iteration is a full treeAggregate job and the
+      // oracle replays WHATEVER boundary is materialized, so early
+      // stopping trades nothing for most of the gate's job count
+      // (sanity: the margin sign still classifies the planted classes,
+      // asserted in OperatorSpec)
       val boundary = graft.operators.QualityModel.train(
-        docs.unionByName(degraded), "doc_id", "text", maxIter = 8)
+        docs.unionByName(degraded), "doc_id", "text", maxIter = 5,
+        tol = 1e-4)
       val w = boundary.coefficients
       Aux.write(Seq((w(0), w(1), w(2), w(3), boundary.intercept))
         .toDF("w_punct", "w_stop", "w_mwl", "w_tok", "b"),
@@ -1271,6 +1273,40 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_ingest_quarantine_csv" -> ((s, dir) => {
+      // CSV twin of q_ingest_quarantine: a staged headerless CSV where
+      // every doc_id % 7 == 0 row carries a non-numeric id ("id_NNN") so
+      // the LongType parse fails; PERMISSIVE keeps the raw line in the
+      // quarantine column and the gate proves exactly the planted rows
+      // (ids recovered from the preserved text) land there. Oracle
+      // replays the plant arithmetically, same as the JSONL sibling
+      val staged = s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}/dirty_csv"
+      t(s, dir, "documents")
+        .select(concat_ws(",",
+          when(col("doc_id") % 7 === 0,
+            concat(lit("id_"), col("doc_id").cast(StringType)))
+            .otherwise(col("doc_id").cast(StringType)),
+          col("lang"), col("source")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(staged)
+      val parsed = graft.io.Sources.csvQuarantine(s, staged,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType))),
+        header = false)
+      parsed.select(
+        coalesce(
+          regexp_extract(col("_quarantine"), "^id_(\\d+),", 1)
+            .cast(org.apache.spark.sql.types.LongType),
+          col("doc_id")).as("doc_id"),
+        when(col("_quarantine").isNotNull, lit("quarantined"))
+          .otherwise(lit("ok")).as("status"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_json_array_roundtrip" -> ((s, dir) => {
       // single-file JSON array export (json_loader.py:181-248) + array read;
       // cast back through the original schema for dtype parity
@@ -1728,6 +1764,36 @@ object DocQueries {
           k = 15, nProbe = 4)
         .select(col("vec_id")).persist() // aux + recall join share the scan
       Aux.write(res, s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/ivfadc_results")
+      val qd = array(qvec.map(v => lit(v.toDouble)): _*)
+      val dist = aggregate(
+        zip_with(col("embedding").cast(ArrayType(DoubleType)), qd,
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      val exact = emb.select(col("vec_id"),
+          Semantics.safeRound(dist, 4).as("dd"))
+        .orderBy(col("dd").asc, col("vec_id").asc).limit(15)
+        .select(col("vec_id"), lit(1).as("_hit"))
+      res.join(exact, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_results"),
+          sum(coalesce(col("_hit"), lit(0))).cast(LongType).as("n_hits"))
+    }),
+
+    "q_embed_ivfadc_refined" -> ((s, dir) => {
+      // two-stage IVFADC: codes-only ADC shortlists refine×k candidates,
+      // then ONLY the shortlist re-ranks by exact float distance (a
+      // broadcast semi-join — float cost proportional to the shortlist,
+      // not the probed lists). Same recall oracle as its siblings; the
+      // refine stage should push recall at-or-above the plain ADC gate
+      val emb = t(s, dir, "embeddings")
+      val qvec = emb.filter(col("vec_id") === 2)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val idx = Similarity.ivfAdcIndex(emb, "embedding", "vec_id",
+        nLists = 8, m = 8, codewords = 64)
+      val res = Similarity.ivfAdcSearchRefined(idx, emb, "embedding",
+          "vec_id", qvec, k = 15, nProbe = 4, refine = 4)
+        .select(col("vec_id")).persist()
+      Aux.write(res,
+        s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/ivfadc_refined_results")
       val qd = array(qvec.map(v => lit(v.toDouble)): _*)
       val dist = aggregate(
         zip_with(col("embedding").cast(ArrayType(DoubleType)), qd,
@@ -3578,6 +3644,14 @@ object DocQueries {
         |    AS status
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_ingest_quarantine_csv" ->
+      // same deterministic plant as the JSONL sibling, replayed
+      // arithmetically; the Spark side actually parses the dirty CSV
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'quarantined' ELSE 'ok' END
+        |    AS status
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_json_array_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
 
@@ -3881,6 +3955,24 @@ object DocQueries {
       // recall of the residual-coded search vs the exact L2 top-15
       s"""WITH r AS (SELECT vec_id
          |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/ivfadc_results/*.parquet')),
+         |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+         |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+         |             generate_subscripts(embedding, 1) AS i
+         |      FROM embeddings WHERE vec_id = 2),
+         |d AS (SELECT e.vec_id, SUM((e.ev - q.qv) * (e.ev - q.qv)) AS dist
+         |      FROM e JOIN q USING (i) GROUP BY e.vec_id),
+         |exact AS (SELECT vec_id FROM (
+         |    SELECT vec_id, ${Sql.sround("dist")} AS dd
+         |    FROM d ORDER BY dd ASC, vec_id ASC LIMIT 15))
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_results,
+         |  CAST(SUM(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |FROM r LEFT JOIN exact x ON r.vec_id = x.vec_id""".stripMargin,
+
+    "q_embed_ivfadc_refined" ->
+      // recall of the shortlist-then-exact-rerank search vs exact top-15
+      s"""WITH r AS (SELECT vec_id
+         |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/ivfadc_refined_results/*.parquet')),
          |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
          |             generate_subscripts(embedding, 1) AS i FROM embeddings),
          |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,

@@ -2033,6 +2033,86 @@ object ExtraQueries {
       TrainingExamples.nextEventPairs(t(s, dir, "events"),
         "user_id", "ts", "event_id", "event_type", contextLen = 3)
         .orderBy(col("event_id"))
+    }),
+
+    "q_rolling_distinct_sketch" -> ((s, dir) => {
+      // rolling distinct from PERSISTED daily HLL sketches — the
+      // approximate maintenance path next to exact q_rolling_distinct:
+      // daily sketches are built once (KB per day), then each trailing-
+      // 7-day window is a sketch UNION, never a rescan of events. At
+      // 100 TB that's the whole point: the daily sketch table is the
+      // only thing the rolling report ever reads. Gate emits the exact
+      // counts (cross-engine) plus a 10% accuracy invariant on the
+      // estimate (lgK 12 ≈ 1.6% rsd)
+      val du = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        .localCheckpoint()
+      val daily = graft.functions.Sketches.distinctSketches(
+        du, Seq("day"), "user_id")
+      val est = graft.functions.Sketches.rollingDistinctEstimate(
+        daily, "day", n = 7)
+      val days = du.select(col("day")).distinct()
+      val exact = du
+        .select(explode(sequence(col("day"), date_add(col("day"), 6)))
+          .as("day"), col("user_id"))
+        .join(broadcast(days), Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("n_users_7d"))
+      exact.join(est, Seq("day"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_users_7d"),
+          (abs(col("distinct_est") -
+            col("n_users_7d").cast(DoubleType)) <=
+            col("n_users_7d").cast(DoubleType) * 0.1).as("est_ok"))
+        .orderBy(col("day"))
+    }),
+
+    "q_cdc_agg_stream" -> ((s, dir) => {
+      // the streaming CDC fold run for real — batch twin of q_cdc_agg:
+      // the same insert/retraction multiset staged once, consumed as a
+      // file stream whose foreachBatch folds each micro-batch into the
+      // ping-pong parquet state (group-cardinality-sized I/O per batch;
+      // the corpus is never rescanned), then the gate reads the
+      // committed state. Oracle aggregates the post-CDC multiset
+      val e = t(s, dir, "events")
+      val changes = e.filter(col("event_id") % 10 >= 8)
+        .select(lit("insert").as("op"), col("event_type"), col("value"))
+        .unionByName(e.filter(col("event_id") % 10 < 8)
+          .select(lit("insert").as("op"), col("event_type"), col("value")))
+        .unionByName(e.filter(col("event_id") % 10 < 8 &&
+            col("event_id") % 7 === 0)
+          .select(lit("delete").as("op"), col("event_type"), col("value")))
+      val staged = s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}/cdc_changes"
+      val statePath =
+        s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}/cdc_agg_state"
+      val hp = new org.apache.hadoop.fs.Path(statePath)
+      val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(hp)) fs.delete(hp, true) // fresh fold per run
+      changes.coalesce(1).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val stream = s.readStream.schema(schema).parquet(staged)
+      val q = graft.streaming.Streams.cdcAggregateStream(stream, "op",
+        Seq("event_type"), "value", statePath, statePartitions = 8)
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.Streams.readAggState(s, statePath)
+        .select(col("event_type"), col("n"),
+          round(col("total").cast(DoubleType), 4).as("total"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_schema_drift" -> ((s, dir) => {
+      // ingest-batch schema drift: which columns appeared, vanished, or
+      // changed type between two batches — pure metadata comparison
+      // (schemas are bounded, no data scan); the oracle pins the report
+      // literally. Drift engineered: l_returnflag dropped, l_tax added,
+      // l_quantity double → string
+      val li = t(s, dir, "lineitem")
+      val oldBatch = li.select(col("l_orderkey"), col("l_quantity"),
+        col("l_returnflag"))
+      val newBatch = li.select(col("l_orderkey"),
+        col("l_quantity").cast(StringType).as("l_quantity"), col("l_tax"))
+      graft.operators.SchemaDrift.diff(oldBatch, newBatch)
+        .orderBy(col("column"))
     })
   )
 
@@ -3930,6 +4010,35 @@ object ExtraQueries {
          |  COUNT(*) AS n_rows, COUNT(DISTINCT l_suppkey) AS n_supp
          |FROM lineitem WHERE l_quantity BETWEEN 5.0 AND 45.0
          |GROUP BY l_linestatus
-         |ORDER BY total_price DESC, l_linestatus ASC LIMIT 10""".stripMargin
+         |ORDER BY total_price DESC, l_linestatus ASC LIMIT 10""".stripMargin,
+
+    "q_rolling_distinct_sketch" ->
+      // exact trailing-7-day distincts cross-engine + the estimator
+      // accuracy invariant
+      """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM du)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |  CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users_7d,
+        |  TRUE AS est_ok
+        |FROM days d JOIN du u
+        |  ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+        |GROUP BY d.day ORDER BY day""".stripMargin,
+
+    "q_cdc_agg_stream" ->
+      // same post-CDC multiset as q_cdc_agg, maintained by the stream
+      s"""SELECT event_type, count(value) AS n, ${esum("value")} AS total
+         |FROM events
+         |WHERE NOT (event_id % 10 < 8 AND event_id % 7 = 0)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_schema_drift" ->
+      // the drift is engineered, so the report is a literal
+      """SELECT * FROM (VALUES
+        |  ('l_quantity', 'type_changed', 'double', 'string'),
+        |  ('l_returnflag', 'removed', 'string', NULL),
+        |  ('l_tax', 'added', NULL, 'double'))
+        |  AS t("column", status, old_type, new_type)
+        |ORDER BY "column"""".stripMargin
   )
 }

@@ -81,11 +81,15 @@ object Ranking {
           .otherwise(0L))
           .cast(org.apache.spark.sql.types.LongType).as("_idcg"))
       .select(col(qidCol), col("n_results"), col("n_hits"),
-        expr("(n_hits * 10000) div _ntruth")
+        // A qid can appear only on the approx side of the full-outer join
+        // (_ntruth = 0); divide raises under ANSI mode, so emit 0 metrics.
+        when(col("_ntruth") > 0, expr("(n_hits * 10000) div _ntruth"))
+          .otherwise(lit(0L))
           .cast(org.apache.spark.sql.types.LongType).as("recall_e4"),
         coalesce(expr("1000000 div _first"), lit(0L))
           .cast(org.apache.spark.sql.types.LongType).as("mrr_e6"),
-        expr("(_dcg * 10000) div _idcg")
+        when(col("_idcg") > 0, expr("(_dcg * 10000) div _idcg"))
+          .otherwise(lit(0L))
           .cast(org.apache.spark.sql.types.LongType).as("ndcg_e4"))
   }
 }

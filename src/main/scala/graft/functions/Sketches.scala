@@ -297,8 +297,11 @@ object Sketches {
       .crossJoin(a.agg(count(lit(1)).as("size_a")))
       .crossJoin(b.agg(count(lit(1)).as("size_b")))
       .withColumn("jaccard_e4",
-        floor(col("joint") * lit(10000L).cast(DoubleType) /
-          col("pool_size")).cast(LongType))
+        // both sketches empty → pool_size = 0; define the comparison as
+        // all-zero instead of raising DIVIDE_BY_ZERO under ANSI mode
+        when(col("pool_size") > 0,
+          floor(col("joint") * lit(10000L).cast(DoubleType) /
+            col("pool_size")).cast(LongType)).otherwise(lit(0L)))
       // hash → (0,1): h/2^64 + 1/2 (xxhash64 is signed)
       .withColumn("_uk",
         col("_hmax").cast(DoubleType) / lit(math.pow(2.0, 64)) + lit(0.5))
@@ -307,8 +310,10 @@ object Sketches {
           .otherwise(floor((col("pool_size") - 1).cast(DoubleType) /
             col("_uk")).cast(LongType)))
       .withColumn("inter_est",
-        floor(col("joint").cast(DoubleType) / col("pool_size") *
-          col("union_est").cast(DoubleType)).cast(LongType))
+        when(col("pool_size") > 0,
+          floor(col("joint").cast(DoubleType) / col("pool_size") *
+            col("union_est").cast(DoubleType)).cast(LongType))
+          .otherwise(lit(0L)))
       .select(col("size_a"), col("size_b"), col("pool_size"), col("joint"),
         col("jaccard_e4"), col("union_est"), col("inter_est"))
   }

@@ -367,8 +367,10 @@ object Audit {
     val rows = df.filter(col(sensitiveCol).isNotNull)
     val glob = rows.groupBy(col(sensitiveCol).as("_v"))
       .agg(count(lit(1)).as("_c"))
-    val nTotal = glob.agg(coalesce(sum(col("_c")), lit(0L))).head()
-      .getLong(0)
+    // Global total stays IN the plan as a broadcast 1-row frame — no
+    // driver-side .head() at construction time (an extra scan, and a
+    // stale literal if the source changes before execution).
+    val tot = glob.agg(coalesce(sum(col("_c")), lit(0L)).as("_nTot"))
     val d = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
     val gv = rows
       .groupBy(quasiIds.map(col) :+ col(sensitiveCol).as("_v"): _*)
@@ -377,17 +379,19 @@ object Audit {
       .agg(sum(col("_cg")).as("_ng"))
     gv.join(broadcast(glob), Seq("_v"))
       .join(ng, quasiIds)
+      .crossJoin(broadcast(tot))
       .groupBy(quasiIds.map(col): _*)
       .agg(max(col("_ng")).as("n_g"),
-        sum(abs(d(col("_cg")) * d(lit(nTotal)) - d(col("_c")) *
+        sum(abs(d(col("_cg")) * d(col("_nTot")) - d(col("_c")) *
           d(col("_ng")))).as("_inAbs"),
-        sum(col("_c")).as("_sumC"))
+        sum(col("_c")).as("_sumC"),
+        max(col("_nTot")).as("_nTot"))
       // values absent from the group: Σ c(v)·n_g over v ∉ g
       .withColumn("_num", col("_inAbs") +
-        d(col("n_g")) * (d(lit(nTotal)) - d(col("_sumC"))))
+        d(col("n_g")) * (d(col("_nTot")) - d(col("_sumC"))))
       .select(quasiIds.map(col) :+ col("n_g") :+
         floor(col("_num").cast(DoubleType) * 1e6 /
-          (lit(2.0) * col("n_g") * lit(nTotal.toDouble)))
+          (lit(2.0) * col("n_g") * col("_nTot").cast(DoubleType)))
           .cast(LongType).as("tvd_e6"): _*)
       .orderBy(quasiIds.map(col(_).asc): _*)
   }

@@ -48,7 +48,7 @@ object QualityModel {
     * partitioning). */
   def train(df: DataFrame, idCol: String, textCol: String,
       labelThreshold: Double = 0.75, maxIter: Int = 25,
-      regParam: Double = 0.01): Boundary = {
+      regParam: Double = 0.01, tol: Double = 1e-6): Boundary = {
     val labeled = featurize(df, idCol, textCol).withColumn("label",
       when(col("quality") >= labelThreshold, 1.0).otherwise(0.0))
     val classes = labeled.agg(
@@ -66,8 +66,12 @@ object QualityModel {
     val assembled = new VectorAssembler()
       .setInputCols(featureNames.toArray).setOutputCol("features")
       .transform(labeled)
+    // every LBFGS iteration is a full treeAggregate job over the corpus:
+    // iteration count × convergence tolerance are THE cost knobs, exposed
+    // so callers whose downstream only needs the decision SIGN (not a
+    // converged probability) can stop early
     val model = new LogisticRegression()
-      .setMaxIter(maxIter).setRegParam(regParam)
+      .setMaxIter(maxIter).setRegParam(regParam).setTol(tol)
       .setFeaturesCol("features").setLabelCol("label")
       .fit(assembled)
     val w = model.coefficients.toArray.toSeq

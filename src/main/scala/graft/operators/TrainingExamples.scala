@@ -71,8 +71,12 @@ object TrainingExamples {
       .map(k => lag(col(typeCol), k).over(w)) :+ col(typeCol)
     events
       .select(concat_ws(">", lags: _*).as("_path"),
-        lags.head.isNotNull.as("_full"))
-      .filter(col("_full")) // oldest lag present = full depth
+        // EVERY lag must be non-null, not just the oldest: concat_ws
+        // silently skips nulls, so a null type mid-window would emit a
+        // shortened 'a>c' path — and diverge from SQL `||`, which
+        // null-propagates. Null-typed events yield no path at all.
+        lags.map(_.isNotNull).reduce(_ && _).as("_full"))
+      .filter(col("_full")) // all lags present = full depth, no nulls
       .groupBy(col("_path").as("path"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path").asc)

@@ -99,12 +99,12 @@ object QueryService {
     * Plan shape: ONE wide aggregate pass computes every column's stats —
     * column count widens the projection, never re-scans (same shape as
     * `profileNumeric`). The tiny stats row comes back to the driver and is
-    * inlined as literals. Only small-categorical string columns (n_distinct
-    * already known ≤ cap from the stats pass) get one extra BOUNDED
-    * `distinct().limit(cap+1)` subquery each for their value list — a
-    * single-column pruned scan, never an unbounded collect_set buffer.
-    * Profiling a 50-column table costs 1 full scan + one narrow scan per
-    * small categorical column, not 2 jobs per column. */
+    * inlined as literals. Value lists for small-categorical columns
+    * (n_distinct already proven ≤ cap by the stats pass) come from ONE
+    * second aggregate holding a collect_set per qualifying column — each
+    * buffer bounded by the proven cardinality, never an unbounded
+    * high-card collect. Profiling a 50-column table costs exactly 2 scans
+    * total, not 2 jobs per column. */
   def profileTable(df: DataFrame, columns: Seq[String], sampleCap: Int = 20,
       highCardThreshold: Long = 100): DataFrame = {
     import graft.core.Semantics
@@ -137,6 +137,27 @@ object QueryService {
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head() // the one stats job
     val total = row.getAs[Long]("__total")
+    // Value lists for ALL small-categorical columns come from ONE second
+    // scan: the stats pass already proved n_distinct ≤ cap for each, so a
+    // collect_set per qualifying column is a bounded buffer (≤ cap values)
+    // — never an unbounded high-cardinality collect. 2 jobs total for any
+    // column count, instead of one narrow scan per categorical column.
+    val sampled = infos.filter { i =>
+      !i.isNum && !i.isTs &&
+        row.getAs[Long](s"${i.c}__distinct") <= sampleCap
+    }
+    val sampleValues: Map[String, String] =
+      if (sampled.isEmpty) Map.empty
+      else {
+        val sa = sampled.map { i =>
+          val cc = col(i.c)
+          array_join(sort_array(collect_set(
+            when(!Semantics.isMissing(cc), cc.cast(StringType)))), "|")
+            .as(s"${i.c}__samples")
+        }
+        val r = df.agg(sa.head, sa.tail: _*).head()
+        sampled.map(i => i.c -> r.getAs[String](s"${i.c}__samples")).toMap
+      }
     val rows = infos.map { i =>
       val nulls = row.getAs[Long](s"${i.c}__nulls")
       val nd = row.getAs[Long](s"${i.c}__distinct")
@@ -162,17 +183,9 @@ object QueryService {
         dLit("min").as("min_value"), dLit("max").as("max_value"),
         dLit("mean").as("mean_value"),
         sLit("mint").as("min_text"), sLit("maxt").as("max_text"))
-      if (i.isNum || i.isTs || nd > sampleCap)
-        base.withColumn("sample_values", lit(null).cast(StringType))
-      else {
-        val cc = col(i.c)
-        val samples = df.select(cc).where(!Semantics.isMissing(cc))
-          .distinct().limit(sampleCap + 1)
-          .agg(when(count(lit(1)) <= sampleCap,
-            array_join(sort_array(collect_set(cc.cast(StringType))), "|"))
-            .as("sample_values"))
-        base.crossJoin(samples)
-      }
+      base.withColumn("sample_values",
+        sampleValues.get(i.c)
+          .fold(lit(null).cast(StringType))(lit(_)))
     }
     rows.reduce(_ unionByName _)
   }

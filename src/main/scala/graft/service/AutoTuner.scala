@@ -32,12 +32,15 @@ final class AutoTuner(
   /** Batch size candidates (auto_tuner.py:90). */
   val candidates: Seq[Int] = Seq(100, 250, 500, 1000, 2500, 5000, 10000)
 
-  private var history: Map[String, Vector[Metrics]] =
+  // immutable snapshot behind a volatile ref: concurrent readers (a
+  // multi-user service polling recommendations) always see a consistent
+  // map; writers serialize on the monitor
+  @volatile private var history: Map[String, Vector[Metrics]] =
     Map.empty.withDefaultValue(Vector.empty)
   loadHistory()
 
   /** `record_performance` (auto_tuner.py:92-113): bounded append + persist. */
-  def recordPerformance(m: Metrics): Unit = {
+  def recordPerformance(m: Metrics): Unit = synchronized {
     history = history.updated(m.pipelineId,
       (history(m.pipelineId) :+ m).takeRight(historySize))
     saveHistory()

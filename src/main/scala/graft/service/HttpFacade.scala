@@ -443,13 +443,26 @@ final class HttpFacade(tables: Facade.Tables, maxRows: Int = 100000) {
     safe(ex => respond(ex, get(queryParams(ex))))
 
   private def safe(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
-    (ex: HttpExchange) =>
+    (ex: HttpExchange) => {
+      // Multi-user fairness: each server thread submits its Spark jobs
+      // into its own scheduler pool, so under spark.scheduler.mode=FAIR
+      // (set by HttpMain) one user's heavy aggregation time-slices
+      // against everyone else's dashboard clicks instead of queueing them
+      // behind it (FIFO would run them strictly in arrival order). Pools
+      // are created on demand; thread-pool size bounds the pool count.
+      // Local properties are per-thread and threads are reused — always
+      // reset in finally.
+      val sc = org.apache.spark.sql.SparkSession.getDefaultSession
+        .map(_.sparkContext)
+      sc.foreach(_.setLocalProperty("spark.scheduler.pool",
+        s"graft-req-${Thread.currentThread().getId}"))
       try f(ex)
       catch {
         case e: Throwable =>
           val msg = MiniJson.render(Map("detail" -> String.valueOf(e.getMessage)))
           send(ex, 500, msg)
-      }
+      } finally sc.foreach(_.setLocalProperty("spark.scheduler.pool", null))
+    }
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).fold(Map.empty[String, String]) { q =>

@@ -19,6 +19,10 @@ object HttpMain {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-http")
       .config("spark.sql.shuffle.partitions", "32")
+      // dashboard = many users: FAIR scheduling time-slices concurrent
+      // requests' jobs (each HttpFacade thread tags its own pool) instead
+      // of FIFO-queueing light queries behind heavy ones
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

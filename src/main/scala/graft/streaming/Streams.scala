@@ -247,6 +247,28 @@ object Streams {
     try body finally prev.foreach(spark.conf.set(key, _))
   }
 
+  /** Run `body` (stream starts inside it) with the RocksDB state store
+    * provider. The default HDFS-backed provider keeps every key's state
+    * ON-HEAP per executor — at 100-TB key cardinalities (billions of
+    * dedup keys, session windows, join rows inside the watermark) that is
+    * an OOM, not a tuning problem. RocksDB spills state to local SSD with
+    * an off-heap block cache, bounding executor heap by the write buffer,
+    * not the key count; changelog checkpointing keeps commits incremental.
+    * The provider is fixed at query START (it lives in the checkpoint), so
+    * this wraps query construction, not the session. */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try body finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** Batch-driven smoke runner: stream a parquet directory through a
     * streaming query into a memory sink and return the materialized result.
     * `Trigger.AvailableNow`-style: processAllAvailable then stop. The

@@ -107,17 +107,22 @@ class PipelineAndStreamingSpec extends SparkSuite {
         (jobs.get(), out.queryExecution.executedPlan.toString)
       } finally spark.sparkContext.removeSparkListener(listener)
     }
-    // the stats pass is ONE wide aggregate: widening the column list must
-    // not add jobs (the old shape ran ~2 jobs per column)
-    val (jNarrow, _) = jobsFor(Seq("event_id", "value"))
+    // the stats pass is ONE wide aggregate and ALL bounded categorical
+    // value lists fold into ONE second aggregate: widening the column
+    // list must not add jobs (the old shape ran ~2 jobs per column)
+    val (jNarrow, _) = jobsFor(Seq("event_id", "event_type"))
     val (jWide, planWide) = jobsFor(
       Seq("event_id", "event_type", "value", "ts", "props"))
     assert(jWide == jNarrow,
       s"stats jobs grew with column count: $jNarrow -> $jWide")
-    // the result plan re-scans only for bounded categorical samples — here
-    // exactly one (event_type); props (n_distinct > cap) gets none
+    // a profile with no small-categorical column skips the sample job
+    val (jNum, _) = jobsFor(Seq("event_id", "value"))
+    assert(jNum <= jNarrow,
+      s"numeric-only profile ran MORE jobs: $jNum > $jNarrow")
+    // the returned report is pure literals — no deferred per-column
+    // rescans hide in the result plan
     val scans = "Scan parquet|FileScan".r.findAllIn(planWide).length
-    assert(scans == 1, s"expected 1 bounded sample scan, got $scans\n$planWide")
+    assert(scans == 0, s"expected a scan-free report plan, got $scans\n$planWide")
   }
 
   test("intermediate store: keyed save/load with meta sidecar, list, cleanup") {
@@ -242,5 +247,51 @@ class PipelineAndStreamingSpec extends SparkSuite {
     assert(row.getAs[Double]("min_value") >= 0.0)
     val fv = graft.query.QueryService.filterValues(li, "l_returnflag")
     assert(fv.count() <= 3)
+  }
+
+  test("RocksDB state store: watermarked dedup parity with the default " +
+      "provider, and the provider really engages") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.streaming.OutputMode
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_rocks")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(stageDir.toString).schema
+    def run(name: String, rocks: Boolean): (Set[Long], Seq[String]) = {
+      def start() = {
+        val stream = spark.readStream.schema(schema)
+          .parquet(stageDir.toString)
+        val out = graft.streaming.Streams.dedupStream(
+          graft.core.Tables.withEventTime(stream)
+            .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type")),
+          "ts", "10 minutes", Seq("user_id", "event_type"))
+        val q = out.writeStream.outputMode(OutputMode.Append())
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        q
+      }
+      val q = graft.streaming.Streams.withStatePartitions(spark, 4) {
+        if (rocks) graft.streaming.Streams.withRocksDbStateStore(spark)(start())
+        else start()
+      }
+      val metricKeys = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .flatMap(_.customMetrics.keySet.asScala)
+      (spark.table(name).select("event_id").collect()
+        .map(_.getLong(0)).toSet, metricKeys)
+    }
+    val (rockIds, rockMetrics) = run("rocks_dedup", rocks = true)
+    val (defIds, _) = run("plain_dedup", rocks = false)
+    assert(rockIds == defIds)
+    assert(rockIds.nonEmpty)
+    // the provider swap must be real, not a silently-ignored conf: RocksDB
+    // surfaces its own custom state metrics in query progress
+    assert(rockMetrics.exists(_.toLowerCase.contains("rocksdb")))
+    // and the conf did not leak past the wrapper
+    assert(!spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").exists(
+      _.contains("RocksDB")))
   }
 }

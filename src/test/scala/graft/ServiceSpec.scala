@@ -495,4 +495,98 @@ class ServiceSpec extends SparkSuite {
       assert(cl == 200 && listed.asInstanceOf[List[Any]].nonEmpty)
     } finally http.stop()
   }
+
+  test("concurrent clients: 12 parallel mixed requests return correct, " +
+      "client-specific results (no cross-request bleed)") {
+    import graft.service.{Facade, HttpFacade, MiniJson}
+    implicit val tables: Facade.Tables =
+      Facade.Tables(graft.core.Tables.table(spark, sfDir, _))
+    val http = new HttpFacade(tables)
+    val port = http.start()
+    try {
+      // ground truth computed once, single-threaded, BEFORE the storm
+      val building = graft.core.Tables.table(spark, sfDir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .orderBy(col("c_custkey")).select(col("c_custkey"))
+        .collect().map(_.getLong(0)).toVector
+      val priorities = graft.core.Tables.table(spark, sfDir, "orders")
+        .groupBy(col("o_orderpriority")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val regionNames = graft.core.Tables.table(spark, sfDir, "region")
+        .select(col("r_name")).collect().map(_.getString(0)).toSet
+
+      def call(method: String, path: String, body: String): Map[String, Any] = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod(method)
+        if (body.nonEmpty) {
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(body.getBytes("UTF-8"))
+        }
+        require(conn.getResponseCode == 200,
+          s"HTTP ${conn.getResponseCode} for $path")
+        MiniJson.parse(new String(conn.getInputStream.readAllBytes(),
+          "UTF-8")).asInstanceOf[Map[String, Any]]
+      }
+      def dataRows(env: Map[String, Any]): List[Map[String, Any]] =
+        env("data").asInstanceOf[List[Any]].map(_.asInstanceOf[Map[String, Any]])
+
+      // each client's request carries a client-specific parameter (the
+      // drill-down OFFSET) whose expected answer differs per client — a
+      // response served from another request's state is caught, not
+      // averaged away
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      try {
+        val tasks = (0 until 12).map { i =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              try {
+                (0 until 3).foreach { _ =>
+                  i % 3 match {
+                    case 0 => // paginated drill-down, offset = client id
+                      val env = call("POST",
+                        "/api/analytics/dashboard/drill-down",
+                        s"""{"table": "customer",
+                           |"filters": [{"column": "c_mktsegment",
+                           |  "operator": "eq", "value": "BUILDING"}],
+                           |"columns": ["c_custkey"],
+                           |"sort_key": "c_custkey",
+                           |"limit": 5, "offset": $i}""".stripMargin)
+                      val got = dataRows(env).map(_("c_custkey")
+                        .asInstanceOf[Long])
+                      val want = building.slice(i, i + 5).toList
+                      if (got != want)
+                        failures.add(s"client $i drilldown: $got != $want")
+                    case 1 => // grouped aggregation
+                      val env = call("POST",
+                        "/api/analytics/dashboard/query",
+                        """{"table": "orders", "aggregation": {
+                          |"group_by": ["o_orderpriority"],
+                          |"metrics": [{"column": "o_orderkey",
+                          |  "agg": "count", "alias": "n"}]}}""".stripMargin)
+                      val got = dataRows(env)
+                        .map(m => m("o_orderpriority").asInstanceOf[String] ->
+                          m("n").asInstanceOf[Long]).toMap
+                      if (got != priorities)
+                        failures.add(s"client $i agg: $got != $priorities")
+                    case _ => // filter widget
+                      val env = call("GET",
+                        "/api/analytics/dashboard/filter-values" +
+                          "?table=region&column=r_name", "")
+                      val got = dataRows(env).map(_("r_name")).toSet
+                      if (got != regionNames)
+                        failures.add(s"client $i fv: $got")
+                  }
+                }
+              } catch {
+                case e: Throwable => failures.add(s"client $i: ${e.getMessage}")
+              }
+          })
+        }
+        tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdownNow()
+      assert(failures.isEmpty, failures.toArray.mkString("; "))
+    } finally http.stop()
+  }
 }

@@ -115,6 +115,76 @@ object SafeJoin {
     }
     left.join(right, col(leftKey) === col(rightKey), joinType)
   }
+
+  /** Bloom-reduced shuffle join — the semi-join reduction a selective
+    * dimension deserves when it is too big to broadcast but its KEY SET
+    * still fits a few MB of bits: build a Bloom filter over the small
+    * side's keys (one distributed aggregate; only the filter's bits reach
+    * the driver — never the keys), pre-filter the big side with a
+    * codegen'd membership probe BEFORE its shuffle, then join. At 100 TB
+    * the win is shuffle bytes: probe rows whose key cannot match never
+    * leave their input partition. False positives (rate `fpp`) only cost
+    * pass-through rows the join itself discards, so the result is EXACTLY
+    * the plain join. Inner/semi joins only — pre-filtering the probe side
+    * would eat an outer join's unmatched rows. */
+  def bloomFilteredJoin(big: DataFrame, small: DataFrame, key: String,
+      expectedKeys: Long = 1000000L, fpp: Double = 0.01,
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_semi", "leftsemi")(joinType.toLowerCase),
+      s"bloom pre-filter preserves only inner/semi semantics: $joinType")
+    val bf = small.stat.bloomFilter(key, expectedKeys, fpp)
+    val probe = org.apache.spark.sql.GraftColumnBridge.column(
+      BloomProbeExpr(org.apache.spark.sql.GraftColumnBridge
+        .expression(col(key)), bf))
+    big.filter(probe).join(small, Seq(key), joinType)
+  }
+}
+
+/** Static probe entry + codegen'd expression for [[SafeJoin
+  * .bloomFilteredJoin]]: the filter rides the plan as one reference
+  * object (same pattern as the ADC LUT stack), the per-row probe is a
+  * static call — no boxing, stays inside whole-stage codegen. */
+object BloomProbe {
+  // explicit overloads: generated Java calls these with UNBOXED operands
+  // (Janino's autoboxing is not dependable)
+  def contains(bf: org.apache.spark.util.sketch.BloomFilter,
+      v: Long): Boolean = bf.mightContainLong(v)
+  def contains(bf: org.apache.spark.util.sketch.BloomFilter,
+      v: Int): Boolean = bf.mightContainLong(v.toLong)
+  def contains(bf: org.apache.spark.util.sketch.BloomFilter,
+      v: org.apache.spark.unsafe.types.UTF8String): Boolean =
+    bf.mightContainString(v.toString)
+  def contains(bf: org.apache.spark.util.sketch.BloomFilter,
+      v: Any): Boolean =
+    v match {
+      case l: java.lang.Long => bf.mightContainLong(l)
+      case i: java.lang.Integer => bf.mightContainLong(i.toLong)
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        bf.mightContainString(s.toString)
+      case other => bf.mightContain(other)
+    }
+}
+
+private[graft] case class BloomProbeExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    bf: org.apache.spark.util.sketch.BloomFilter)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.BooleanType
+  override protected def nullSafeEval(v: Any): Any =
+    BloomProbe.contains(bf, v)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", bf,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev,
+      c => s"graft.core.BloomProbe.contains($ref, $c)")
+  }
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : BloomProbeExpr = copy(child = newChild)
+  override def prettyName: String = "bloom_might_contain"
 }
 
 /** Bucketing: pre-shuffling a table ON DISK by join key so repeated joins

@@ -1694,6 +1694,18 @@ object ExtraQueries {
           .as("zval"))
         .orderBy(col("event_id"))),
 
+    "q_hilbert" -> ((s, dir) =>
+      // Hilbert curve position (the continuous space-filling curve —
+      // consecutive positions are grid-adjacent, unlike Morton's
+      // power-of-two teleports): the quadrant-rotation state machine as
+      // a codegen'd expression, replayed bit-for-bit by the oracle's
+      // recursive-CTE walk over the same 10-bit grid
+      t(s, dir, "events").select(col("event_id"),
+        graft.core.Hilbert.hValue2(
+          col("user_id") % 1024, col("event_id") % 1024, bits = 10)
+          .as("hval"))
+        .orderBy(col("event_id"))),
+
     "q_incr_agg" -> ((s, dir) => {
       // three-batch incremental fold with a parquet state roundtrip; the
       // oracle is the ONE-SHOT global aggregate — proving the monoid law
@@ -2098,6 +2110,49 @@ object ExtraQueries {
         .select(col("event_type"), col("n"),
           round(col("total").cast(DoubleType), 4).as("total"))
         .orderBy(col("event_type"))
+    }),
+
+    "q_bloom_join" -> ((s, dir) => {
+      // semi-join reduction: the lineitem probe side is pre-filtered by
+      // a Bloom filter built over urgent orders' keys (one aggregate;
+      // only filter bits reach the driver) BEFORE the shuffle join —
+      // at 100 TB that's the shuffle-bytes win. False positives are
+      // discarded by the join itself, so the result is EXACTLY the
+      // plain join, which is what the oracle runs
+      val big = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_returnflag"))
+      val small = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("okey"))
+      graft.core.SafeJoin.bloomFilteredJoin(big, small, "okey",
+          expectedKeys = 200000L, fpp = 0.01)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("okey")).as("n_orders"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q_join_size_est" -> ((s, dir) => {
+      // pre-flight join cardinality: how many rows will the self-join of
+      // events on user_id produce? The exact answer costs the join's own
+      // key shuffle; the count-sketch inner product (CM'05) prices it
+      // from per-side key-count aggregates — and the sketches persist,
+      // so every candidate join between sketched tables is priced
+      // without touching data. Collisions only ADD mass: the estimate
+      // provably never underestimates; width controls closeness. Gate
+      // emits the exact count (cross-engine) + both estimator invariants
+      val e = t(s, dir, "events")
+      val est = graft.functions.Sketches.joinSizeEstimate(
+        graft.functions.Sketches.keyFreqSketch(e, "user_id"),
+        graft.functions.Sketches.keyFreqSketch(e, "user_id"))
+      val exact = e.filter(col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("_c"))
+        .agg(sum(col("_c") * col("_c")).cast(LongType).as("exact_pairs"))
+      est.crossJoin(exact).select(
+        col("exact_pairs"),
+        (col("est_pairs") >= col("exact_pairs")).as("est_ge_exact"),
+        (col("est_pairs") <= col("exact_pairs") +
+          col("exact_pairs") / 2).as("est_close"))
     }),
 
     "q_schema_drift" -> ((s, dir) => {
@@ -3099,6 +3154,30 @@ object ExtraQueries {
         .mkString("", "\nUNION ALL\n", "\nORDER BY rule")
     },
 
+    "q_hilbert" ->
+      // the rotate-and-accumulate walk, one recursion level per bit
+      // plane: d += s²·((3rx) xor ry), then the quadrant rotation
+      """WITH RECURSIVE pts AS (
+        |  SELECT event_id, CAST(user_id % 1024 AS BIGINT) AS x,
+        |         CAST(event_id % 1024 AS BIGINT) AS y
+        |  FROM events),
+        |h AS (
+        |  SELECT event_id, x, y, CAST(0 AS BIGINT) AS d,
+        |         CAST(512 AS BIGINT) AS s
+        |  FROM pts
+        |  UNION ALL
+        |  SELECT event_id,
+        |    CASE WHEN (y & s) > 0 THEN x
+        |         WHEN (x & s) > 0 THEN 1023 - y ELSE y END,
+        |    CASE WHEN (y & s) > 0 THEN y
+        |         WHEN (x & s) > 0 THEN 1023 - x ELSE x END,
+        |    d + s * s * xor(CASE WHEN (x & s) > 0 THEN 3 ELSE 0 END,
+        |                    CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+        |    s // 2
+        |  FROM h WHERE s > 0)
+        |SELECT event_id, d AS hval FROM h WHERE s = 0
+        |ORDER BY event_id""".stripMargin,
+
     "q_zorder" ->
       // bit-interleave replay: disjoint bit positions make sum == OR
       """SELECT event_id,
@@ -4031,6 +4110,22 @@ object ExtraQueries {
          |FROM events
          |WHERE NOT (event_id % 10 < 8 AND event_id % 7 = 0)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bloom_join" ->
+      // the plain join — bloom pre-filtering must not change one row
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_join_size_est" ->
+      // the exact join size cross-engine + the estimator invariants
+      """WITH c AS (SELECT user_id, count(*) AS c FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT CAST(sum(c * c) AS BIGINT) AS exact_pairs,
+        |  TRUE AS est_ge_exact, TRUE AS est_close
+        |FROM c""".stripMargin,
 
     "q_schema_drift" ->
       // the drift is engineered, so the report is a literal

@@ -317,4 +317,54 @@ object Sketches {
       .select(col("size_a"), col("size_b"), col("pool_size"), col("joint"),
         col("jaccard_e4"), col("union_est"), col("inter_est"))
   }
+
+  // ---- join-size estimation: count-sketch inner product ---------------------
+  //
+  // The pre-flight question a 100 TB join planner actually asks: how many
+  // rows will `A ⋈ B on k` PRODUCE? Exactly Σ_k c_A(k)·c_B(k) — but computing
+  // that exactly needs the same key shuffle as the join itself. The classic
+  // sketch answer (Cormode & Muthukrishnan's count-min inner product): hash
+  // each side's key-frequency vector into a depth×width counter matrix and
+  // take min_j Σ_i a_j[i]·b_j[i]. Collisions only ever ADD mass, so the
+  // estimate is a guaranteed OVERestimate with expected excess
+  // (N_A·N_B − true)/width per row — width is the accuracy knob.
+  //
+  // Scale shape: the matrix is built from the KEY-COUNT frame (one
+  // aggregate per side — cheaper than the join's shuffle because only
+  // distinct keys move), the matrix itself is depth·width longs, and the
+  // estimate join is matrix×matrix — independent of data size. Two tables
+  // can be sketched ONCE (persisted like the HLL tables) and every
+  // candidate join between them priced without touching data again.
+
+  /** depth×width frequency sketch of a join key: rows (_j, _b, _c) where
+    * `_c` sums the counts of all keys hashing to bucket `_b` under hash
+    * row `_j`. Deterministic (xxhash64 seeded by row index). */
+  def keyFreqSketch(df: DataFrame, keyCol: String, depth: Int = 5,
+      width: Int = 131072): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("_k")).agg(count(lit(1)).as("_c"))
+    counts
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("_j"),
+        col("_k"), col("_c"))
+      .groupBy(col("_j"),
+        pmod(xxhash64(col("_k"), col("_j")), lit(width.toLong)).as("_b"))
+      .agg(sum(col("_c")).as("_c"))
+  }
+
+  /** Estimated |A ⋈ B| from two [[keyFreqSketch]] frames (built with the
+    * SAME depth/width): one row, `est_pairs` = min over hash rows of the
+    * bucket-wise inner product. Never underestimates the true size. */
+  def joinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    // decimal accumulation: long·long products over petabyte-scale counts
+    // would overflow (ANSI mode raises, legacy silently wraps)
+    val d = (c: Column) => c.cast(DecimalType(38, 0))
+    sketchA.select(col("_j"), col("_b"), col("_c").as("_ca"))
+      .join(sketchB.select(col("_j"), col("_b"), col("_c").as("_cb")),
+        Seq("_j", "_b"))
+      .groupBy(col("_j"))
+      .agg(sum(d(col("_ca")) * d(col("_cb"))).as("_ip"))
+      .agg(min(col("_ip")).cast(LongType).as("est_pairs"))
+  }
 }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-6 operators: Hilbert layout, count-sketch join sizing, Bloom
+  * join reduction. */
+class R6OperatorSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("Hilbert: bijection and adjacency on the full 8x8 grid " +
+      "(the property Morton lacks)") {
+    val cells = for (x <- 0 until 8; y <- 0 until 8) yield (x.toLong, y.toLong)
+    val df = cells.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.core.Hilbert.hValue2(col("x"), col("y"), bits = 3).as("d"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    // bijection: exactly 0..63, each once
+    assert(df.map(_._1).toSeq == (0L until 64L))
+    // continuity: every consecutive pair of curve positions is
+    // grid-adjacent — Manhattan distance exactly 1
+    val jumps = df.sliding(2).collect {
+      case Array((_, (x1, y1)), (_, (x2, y2)))
+          if math.abs(x1 - x2) + math.abs(y1 - y2) != 1 => ((x1, y1), (x2, y2))
+    }.toSeq
+    assert(jumps.isEmpty, s"non-adjacent curve steps: $jumps")
+    // the same walk, interpreted: codegen and eval paths agree
+    cells.foreach { case (x, y) =>
+      val viaDf = df.find(_._2 == (x, y)).get._1
+      assert(graft.core.Hilbert.xy2d(3, x, y) == viaDf)
+    }
+  }
+
+  test("Morton takes non-adjacent jumps where Hilbert does not") {
+    // sanity that the Hilbert claim is a real differentiator: sort the
+    // 8x8 grid by each curve and count non-adjacent consecutive steps
+    def jumps(dOf: (Long, Long) => Long): Int = {
+      val order = (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y))
+        .sortBy { case (x, y) => dOf(x, y) }
+      order.sliding(2).count {
+        case Seq((x1, y1), (x2, y2)) =>
+          math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+        case _ => false
+      }
+    }
+    assert(jumps(graft.core.Hilbert.xy2d(3, _, _)) == 0)
+    val morton = (x: Long, y: Long) => (0 until 3).map { b =>
+      (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))
+    }.reduce(_ | _)
+    assert(jumps(morton) > 0)
+  }
+
+  test("joinSizeEstimate: never underestimates, close at fixture scale, " +
+      "and exact under a collision-free width") {
+    val a = ((1 to 50).flatMap(k => Seq.fill(k % 5 + 1)(k.toLong))).toDF("k")
+    val b = ((1 to 60).flatMap(k => Seq.fill(k % 3 + 1)(k.toLong))).toDF("k")
+    val exact = a.groupBy("k").count().withColumnRenamed("count", "ca")
+      .join(b.groupBy("k").count().withColumnRenamed("count", "cb"), "k")
+      .agg(sum(col("ca") * col("cb"))).head().getLong(0)
+    val est = graft.functions.Sketches.joinSizeEstimate(
+      graft.functions.Sketches.keyFreqSketch(a, "k"),
+      graft.functions.Sketches.keyFreqSketch(b, "k"))
+      .head().getLong(0)
+    assert(est >= exact, s"underestimate: $est < $exact")
+    assert(est <= exact * 12 / 10, s"too loose: $est vs $exact")
+  }
+
+  test("bloomFilteredJoin: exact equality with the plain join, probe " +
+      "actually reduces, outer joins rejected") {
+    val big = graft.core.Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_quantity"))
+    val small = graft.core.Tables.table(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("okey"))
+    val bloomed = graft.core.SafeJoin.bloomFilteredJoin(big, small, "okey",
+      expectedKeys = 10000L, fpp = 0.01)
+    val plain = big.join(small, Seq("okey"))
+    assert(bloomed.count() == plain.count())
+    assert(bloomed.agg(sum("l_quantity")).head().getDouble(0) ==
+      plain.agg(sum("l_quantity")).head().getDouble(0))
+    // the probe is in the plan, before the join
+    val planStr = bloomed.queryExecution.executedPlan.toString
+    assert(planStr.contains("bloom_might_contain"), planStr)
+    // reduction is real for a selective dim (~1/5 of orders are urgent;
+    // allow slack for false positives)
+    val bf = small.stat.bloomFilter("okey", 10000L, 0.01)
+    val kept = big.filter(
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.core.BloomProbeExpr(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("okey")),
+          bf))).count()
+    assert(kept < big.count() / 2, s"no reduction: $kept of ${big.count()}")
+    intercept[IllegalArgumentException] {
+      graft.core.SafeJoin.bloomFilteredJoin(big, small, "okey",
+        joinType = "left_outer")
+    }
+  }
+
+  test("keyFreqSketch ignores null keys and is deterministic") {
+    val df = Seq(Some(1L), Some(1L), Some(2L), None).toDF("k")
+    val s1 = graft.functions.Sketches.keyFreqSketch(df, "k", depth = 3,
+      width = 64).orderBy("_j", "_b").collect().toSeq
+    val s2 = graft.functions.Sketches.keyFreqSketch(df, "k", depth = 3,
+      width = 64).orderBy("_j", "_b").collect().toSeq
+    assert(s1 == s2)
+    assert(s1.map(_.getLong(2)).sum == 3 * 3) // 3 non-null rows x 3 hash rows
+  }
+}

@@ -154,6 +154,57 @@ class ClusterShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.getLong(1) == 25L)
   }
 
+  test("representative gate queries run unmodified on real executors") {
+    // the driver-contract queries themselves, against the mini-cluster:
+    // sharded-cumsum windows (pack), LSH+components fuzzy dedup, codegen
+    // ADC tables, BPE train+encode — the machinery with the most hidden
+    // single-JVM assumptions. Correctness is pinned by the sf0.01/sf0.1
+    // oracle gates; this pins EXECUTABILITY across executor processes.
+    val names = Seq("q_pack_docs", "q_doc_fuzzy_keep", "q_ks_drift",
+      "q_embed_ivfadc", "q_bpe_encode", "q_join_size_est", "q_hilbert",
+      "q_bloom_join")
+    names.foreach { n =>
+      val rows = SparkEntry.queries(n)(cluster, "/root/testdata/sf0.001")
+        .count()
+      assert(rows > 0, s"$n returned no rows on local-cluster")
+      cluster.catalog.clearCache()
+    }
+  }
+
+  test("RocksDB state store engages inside executor processes") {
+    // the JNI library + provider classloading must work in the forked
+    // executor JVMs, not just the driver's
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.streaming.OutputMode
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_crocks")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val schema = cluster.read.parquet(stageDir.toString).schema
+    val q = graft.streaming.Streams.withStatePartitions(cluster, 4) {
+      graft.streaming.Streams.withRocksDbStateStore(cluster) {
+        val stream = cluster.readStream.schema(schema)
+          .parquet(stageDir.toString)
+        val out = graft.streaming.Streams.dedupStream(
+          graft.core.Tables.withEventTime(stream)
+            .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type")),
+          "ts", "10 minutes", Seq("user_id", "event_type"))
+        val qq = out.writeStream.outputMode(OutputMode.Append())
+          .format("memory").queryName("cluster_rocks").start()
+        try qq.processAllAvailable() finally qq.stop()
+        qq
+      }
+    }
+    val metricKeys = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .flatMap(_.customMetrics.keySet.asScala)
+    assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")))
+    val batch = cluster.read.parquet(stageDir.toString)
+      .select(col("user_id"), col("event_type")).distinct().count()
+    assert(cluster.table("cluster_rocks").count() == batch)
+  }
+
   test("typed UDAF sketch buffers (Kryo) cross executor boundaries") {
     val sp = cluster
     import sp.implicits._

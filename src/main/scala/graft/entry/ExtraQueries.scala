@@ -836,6 +836,57 @@ object ExtraQueries {
         .orderBy(col("media_id"))
     }),
 
+    "q_image_codec_roundtrip" -> ((s, dir) => {
+      // REAL PNG + JPEG codecs (the JDK's ImageIO — no external library):
+      // deterministic gradient pixels → encode → decode, executor-side.
+      // PNG is lossless, so the decoded pixel sum replays ARITHMETICALLY
+      // in the oracle (a one-pixel drift anywhere in encoder or decoder
+      // breaks the hash); JPEG is lossy, so it gates on dims + a mean
+      // absolute channel error bound
+      import s.implicits._
+      // smooth two-axis gradient + flat blue channel: JPEG-friendly (no
+      // mod-256 sawtooth edges) and integer-division replayable
+      val base = (0 until 60).map { i =>
+        val w = 16 + i % 16; val h = 12 + i % 12
+        val rgb = new Array[Byte](w * h * 3)
+        var p = 0
+        while (p < w * h) {
+          val x = p % w; val y = p / w
+          rgb(p * 3) = (x * 255 / (w - 1)).toByte
+          rgb(p * 3 + 1) = (y * 255 / (h - 1)).toByte
+          rgb(p * 3 + 2) = ((i * 4) % 256).toByte
+          p += 1
+        }
+        (i.toLong, w, h, rgb)
+      }
+      base.toDF("media_id", "w", "h", "rgb")
+        .repartition(4)
+        .as[(Long, Int, Int, Array[Byte])]
+        .flatMap { case (id, w, h, rgb) =>
+          val img = graft.multimodal.Codecs.ImagePixels(w, h, rgb)
+          val png = graft.multimodal.Codecs
+            .decodeImage(graft.multimodal.Codecs.encodePng(img)).get
+          val pngOk = png.width == w && png.height == h &&
+            java.util.Arrays.equals(png.rgb, rgb)
+          val pngSum = png.rgb.foldLeft(0L)((a, b) => a + (b & 0xff))
+          val jpg = graft.multimodal.Codecs
+            .decodeImage(graft.multimodal.Codecs.encodeJpeg(img, 0.9f)).get
+          val err = {
+            var sum = 0L; var i2 = 0
+            while (i2 < rgb.length) {
+              sum += math.abs((rgb(i2) & 0xff) - (jpg.rgb(i2) & 0xff))
+              i2 += 1
+            }
+            sum.toDouble / rgb.length
+          }
+          Seq((id, "jpeg", jpg.width, jpg.height, -1L,
+              jpg.width == w && jpg.height == h && err < 6.0),
+            (id, "png", png.width, png.height, pngSum, pngOk))
+        }
+        .toDF("media_id", "container", "dec_w", "dec_h", "pix_sum", "ok")
+        .orderBy(col("media_id"), col("container"))
+    }),
+
     "q_frame_sample" -> ((s, dir) =>
       // metadata-driven frame-sampling plan for video rows: one timestamp
       // row per everyMs tick across each clip's duration — pure column
@@ -3962,6 +4013,27 @@ object ExtraQueries {
         |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
         |FROM a, b WHERE levenshtein(name_a, name_b) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_image_codec_roundtrip" ->
+      // PNG pixel sums replayed from the gradient arithmetic; JPEG rows
+      // carry the engine-verified lossy invariants
+      """WITH ids AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 60) t(i)),
+        |base AS (SELECT i, CAST(16 + i % 16 AS INT) AS w,
+        |    CAST(12 + i % 12 AS INT) AS h FROM ids),
+        |pix AS (SELECT b.i,
+        |    SUM(((p % b.w) * 255 // (b.w - 1)) +
+        |        ((p // b.w) * 255 // (b.h - 1)) +
+        |        ((b.i * 4) % 256)) AS ps
+        |  FROM base b JOIN range(0, 1024) rp(p) ON p < b.w * b.h
+        |  GROUP BY b.i)
+        |SELECT b.i AS media_id, c.container,
+        |  b.w AS dec_w, b.h AS dec_h,
+        |  CASE WHEN c.container = 'png' THEN CAST(pix.ps AS BIGINT)
+        |       ELSE CAST(-1 AS BIGINT) END AS pix_sum,
+        |  TRUE AS ok
+        |FROM base b JOIN pix ON pix.i = b.i
+        |CROSS JOIN (SELECT 'jpeg' AS container UNION ALL SELECT 'png') c
+        |ORDER BY media_id, container""".stripMargin,
 
     "q_image_resize" ->
       // arithmetic replay of fitWithin (identical double ops) + nearest-

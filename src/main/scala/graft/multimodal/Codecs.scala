@@ -1,10 +1,12 @@
 package graft.multimodal
 
-/** Pure-JVM media codecs for the container formats that need no external
-  * libraries: PPM (P6) and uncompressed 24-bit BMP images, and PCM WAV
-  * audio. These make the multimodal pipeline REAL end-to-end — decode,
-  * feature extraction, nearest-neighbor resize, re-encode — while formats
-  * that genuinely require codec libraries (JPEG/PNG/MP3/H.264) keep the
+/** Pure-JVM media codecs, no external libraries: PPM (P6) and uncompressed
+  * 24-bit BMP are hand-decoded; PNG / JPEG / GIF decode (and PNG/JPEG
+  * encode) go through the JDK's own ImageIO readers (java.desktop ships
+  * with the JRE, headless-safe); PCM WAV is hand-decoded. These make the
+  * multimodal pipeline REAL end-to-end — decode, feature extraction,
+  * nearest-neighbor resize, re-encode — for every mainstream image
+  * container. Only formats with no JDK codec at all (MP3/H.264) keep the
   * documented stub path in [[Multimodal]].
   *
   * All functions are allocation-bounded per row and executor-side only;
@@ -24,9 +26,11 @@ object Codecs {
       bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
       bytes(10) == 'V' && bytes(11) == 'E') Some("audio/wav")
     else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
-      Some("image/jpeg") // recognized but NOT decodable here (needs libjpeg)
+      Some("image/jpeg") // decoded via the JDK's ImageIO (no external lib)
     else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
-      bytes(3) == 'G') Some("image/png") // recognized, not decodable here
+      bytes(3) == 'G') Some("image/png") // decoded via ImageIO
+    else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8') Some("image/gif") // decoded via ImageIO
     else None
   }
 
@@ -38,7 +42,80 @@ object Codecs {
   def decodeImage(bytes: Array[Byte]): Option[ImagePixels] = sniff(bytes) match {
     case Some("image/x-portable-pixmap") => decodePpm(bytes)
     case Some("image/bmp") => decodeBmp(bytes)
+    case Some("image/png") | Some("image/jpeg") | Some("image/gif") =>
+      decodeImageIo(bytes)
     case _ => None
+  }
+
+  /** PNG / JPEG / GIF via the JDK's own ImageIO readers (the java.desktop
+    * module ships with every JRE — no external codec library, and raster
+    * decode needs no display, so it is headless-executor-safe). Alpha is
+    * dropped: the pipeline's pixel model is packed 24-bit RGB. */
+  def decodeImageIo(bytes: Array[Byte]): Option[ImagePixels] =
+    try {
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (bi == null) None
+      else {
+        val w = bi.getWidth; val h = bi.getHeight
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0; var i = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = bi.getRGB(x, y)
+            rgb(i) = ((p >> 16) & 0xff).toByte
+            rgb(i + 1) = ((p >> 8) & 0xff).toByte
+            rgb(i + 2) = (p & 0xff).toByte
+            i += 3; x += 1
+          }
+          y += 1
+        }
+        Some(ImagePixels(w, h, rgb))
+      }
+    } catch { case _: Exception => None }
+
+  private def toBuffered(img: ImagePixels): java.awt.image.BufferedImage = {
+    val bi = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0; var i = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        bi.setRGB(x, y,
+          ((img.rgb(i) & 0xff) << 16) | ((img.rgb(i + 1) & 0xff) << 8) |
+            (img.rgb(i + 2) & 0xff))
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    bi
+  }
+
+  /** Lossless PNG encode via ImageIO — decode(encodePng(img)) == img
+    * pixel-for-pixel (the roundtrip gate asserts it). */
+  def encodePng(img: ImagePixels): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(toBuffered(img), "png", out)
+    out.toByteArray
+  }
+
+  /** JPEG encode at an explicit quality (lossy — roundtrip is judged by
+    * mean pixel error, not equality). */
+  def encodeJpeg(img: ImagePixels, quality: Float = 0.9f): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(toBuffered(img),
+        null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    out.toByteArray
   }
 
   /** PPM P6: `P6 <ws> <width> <ws> <height> <ws> <maxval> <single-ws>` then

@@ -5,14 +5,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata. Containers that need no external libraries are
-  * decoded FOR REAL by [[Codecs]] — PPM/BMP images (pixels, stats,
-  * nearest-neighbor resize, re-encode) and PCM WAV audio (duration, RMS,
-  * peak, zero-cross rate). Formats that require codec libraries
-  * (JPEG/PNG/MP3/H.264 — none exist in this environment) fall back to a
-  * clearly-marked deterministic STUB, so the pipeline shape is exercised
-  * for them too; swapping in a real decoder changes only the function
-  * body, not the pipeline.
+  * with typed metadata. Images are decoded FOR REAL by [[Codecs]] —
+  * PPM/BMP by hand, PNG/JPEG/GIF through the JDK's ImageIO (pixels, stats,
+  * nearest-neighbor resize, re-encode) — as is PCM WAV audio (duration,
+  * RMS, peak, zero-cross rate). Only formats with no JDK codec at all
+  * (MP3/H.264 — their libraries don't exist in this environment) fall back
+  * to a clearly-marked deterministic STUB, so the pipeline shape is
+  * exercised for them too; swapping in a real decoder changes only the
+  * function body, not the pipeline.
   *
   * Scale notes: decode work is per-row CPU-bound — `mapPartitions` keeps it
   * executor-side and pipeline-parallel; binary payloads never shuffle unless
@@ -50,7 +50,7 @@ object Multimodal {
   private def pad(v: Array[Float], dim: Int): Array[Float] =
     if (v.length >= dim) v.take(dim) else v ++ new Array[Float](dim - v.length)
 
-  /** STUB decoder for containers with no pure-JVM codec (JPEG/PNG/MP3…): a
+  /** STUB decoder for containers with no JDK codec (MP3/H.264…): a
     * deterministic pseudo-feature from the payload bytes so downstream
     * plumbing (schema, batching, joins) is fully exercised. */
   private def fakeDecodeFeature(content: Array[Byte], dim: Int): Array[Float] = {
@@ -68,7 +68,7 @@ object Multimodal {
   }
 
   /** Feature extraction over the binary column: partition-local, zero
-    * shuffle. Equivalent of a batched decode UDF. PPM/BMP/WAV payloads are
+    * shuffle. Equivalent of a batched decode UDF. Image and WAV payloads are
     * actually decoded; undecodable containers get the stub pseudo-feature. */
   def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeature] = {
     val spark = media.sparkSession
@@ -111,10 +111,10 @@ object Multimodal {
   def filterByDims(media: DataFrame, minW: Int, minH: Int): DataFrame =
     media.filter(col("width") >= minW && col("height") >= minH)
 
-  /** Resize: decodable payloads (PPM/BMP) are REALLY decoded, scaled with
-    * nearest-neighbor, and re-encoded in the same container
+  /** Resize: decodable payloads (PPM/BMP/PNG/JPEG/GIF) are REALLY decoded,
+    * scaled with nearest-neighbor, and re-encoded container-preserving
     * (aspect-preserving fit into maxW×maxH, never upscaling). Containers
-    * with no pure-JVM codec take the STUB path: metadata rescaled exactly,
+    * with no JDK codec take the STUB path: metadata rescaled exactly,
     * payload replaced by a deterministic fake of plausible size — the
     * partitioning/schema behavior under byte-size change is still
     * exercised. Non-image rows pass through untouched. Partition-local,
@@ -128,9 +128,15 @@ object Multimodal {
         case Some(img) => // real path
           val (nw, nh) = Codecs.fitWithin(img.width, img.height, maxW, maxH)
           val resized = Codecs.resizeNearest(img, nw, nh)
-          val encoded =
-            if (Codecs.sniff(src).contains("image/bmp")) Codecs.encodeBmp(resized)
-            else Codecs.encodePpm(resized)
+          // container-preserving re-encode (GIF re-encodes as PNG — both
+          // lossless, and the JDK GIF writer would force palette quantize)
+          val encoded = Codecs.sniff(src) match {
+            case Some("image/bmp") => Codecs.encodeBmp(resized)
+            case Some("image/png") | Some("image/gif") =>
+              Codecs.encodePng(resized)
+            case Some("image/jpeg") => Codecs.encodeJpeg(resized)
+            case _ => Codecs.encodePpm(resized)
+          }
           (encoded, nw, nh)
         case None => // STUB path for codec-library formats
           val (nw, nh) = Codecs.fitWithin(w, h, maxW, maxH)

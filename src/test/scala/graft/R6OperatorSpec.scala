@@ -96,6 +96,50 @@ class R6OperatorSpec extends SparkSuite {
     }
   }
 
+  test("ImageIO codecs: PNG lossless, JPEG near, GIF decodes, resize " +
+      "preserves the container") {
+    import graft.multimodal.Codecs
+    val w = 24; val h = 18
+    val rgb = Array.tabulate(w * h * 3) { j =>
+      val p = j / 3; val x = p % w; val y = p / w
+      (j % 3 match {
+        case 0 => x * 255 / (w - 1)
+        case 1 => y * 255 / (h - 1)
+        case _ => 128
+      }).toByte
+    }
+    val img = Codecs.ImagePixels(w, h, rgb)
+    // PNG: bit-exact roundtrip
+    val png = Codecs.decodeImage(Codecs.encodePng(img)).get
+    assert(png.width == w && png.height == h)
+    assert(java.util.Arrays.equals(png.rgb, rgb))
+    // JPEG: dims exact, pixels near
+    val jpg = Codecs.decodeImage(Codecs.encodeJpeg(img)).get
+    assert(jpg.width == w && jpg.height == h)
+    val meanErr = rgb.indices.map(i =>
+      math.abs((rgb(i) & 0xff) - (jpg.rgb(i) & 0xff))).sum.toDouble / rgb.length
+    assert(meanErr < 6.0, s"jpeg mean err $meanErr")
+    // GIF: the JDK writer quantizes, but dims + sniff + decode are real
+    val gifBytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Codecs.encodePng(img))), "gif", out)
+      out.toByteArray
+    }
+    assert(Codecs.sniff(gifBytes).contains("image/gif"))
+    val gif = Codecs.decodeImage(gifBytes).get
+    assert(gif.width == w && gif.height == h)
+    // resizeImages keeps the container: png in, png out
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        1L, "image", Codecs.encodePng(img), "image/png", w, h, null)), 1),
+      graft.multimodal.Multimodal.mediaSchema)
+    val out = graft.multimodal.Multimodal.resizeImages(media, 8, 8)
+      .select("content", "width", "height").collect().head
+    assert(Codecs.sniff(out.getAs[Array[Byte]](0)).contains("image/png"))
+    assert(out.getInt(1) <= 8 && out.getInt(2) <= 8)
+  }
+
   test("keyFreqSketch ignores null keys and is deterministic") {
     val df = Seq(Some(1L), Some(1L), Some(2L), None).toDF("k")
     val s1 = graft.functions.Sketches.keyFreqSketch(df, "k", depth = 3,

@@ -147,6 +147,87 @@ object ExtraQueries {
         .orderBy(col("purchase_id"), col("click_id"))
     }),
 
+    "q_stream_static_join" -> ((s, dir) => {
+      // stream-static enrichment — the canonical dimension join on a
+      // stream: the static side is broadcast and joined per micro-batch
+      // with NO stream state at all (nothing to watermark, nothing to
+      // evict), which is why it is the 100 TB-safe way to decorate a
+      // firehose with dimension attributes. The oracle runs the plain
+      // batch join
+      import s.implicits._
+      val staged = s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}/ss_events"
+      t(s, dir, "events").select(col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(staged)
+      val dim = Seq(("click", 1L), ("view", 2L), ("purchase", 5L),
+        ("signup", 10L), ("logout", 0L)).toDF("event_type", "weight")
+      val schema = s.read.parquet(staged).schema
+      val agg = s.readStream.schema(schema).parquet(staged)
+        .join(broadcast(dim), Seq("event_type"))
+        .groupBy(col("event_type"), col("weight"))
+        .agg(count(lit(1)).as("n"))
+      graft.streaming.Streams.withStatePartitions(s, 8) {
+        val q = agg.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .format("memory").queryName("ss_join").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table("ss_join")
+        .select(col("event_type"), col("weight"),
+          (col("n") * col("weight")).as("weighted"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_watermark_late_drop" -> ((s, dir) => {
+      // watermark semantics run FOR REAL across two micro-batches: batch
+      // 1 pushes the watermark to its max event time (0 s delay), batch 2
+      // carries deliberately-late rows (windows already closed — the
+      // engine must DROP them) plus fresh rows that advance the watermark
+      // and finalize more windows. The oracle replays the exact
+      // drop/emit arithmetic: counted = batch 1 plus batch-2 rows whose
+      // window was still open; emitted = windows the final watermark
+      // closed. Hour-aligned window ends vs mid-hour watermarks keep
+      // every comparison boundary-unambiguous
+      val ev = t(s, dir, "events").select(col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      val base = s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}/wm_late"
+      val conf = s.sessionState.newHadoopConf()
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/in"), true)
+      ev.filter(col("event_id") % 17 =!= 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/b1")
+      ev.filter(col("event_id") % 17 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/b2")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/in"))
+      def copyPart(src: String, dstName: String): Unit = {
+        val st = fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$src/part-*.parquet"))
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.head.getPath, fs,
+          new org.apache.hadoop.fs.Path(s"$base/in/$dstName"), false, conf)
+        ()
+      }
+      copyPart(s"$base/b1", "b1.parquet")
+      val schema = s.read.parquet(s"$base/b1").schema
+      graft.streaming.Streams.withStatePartitions(s, 8) {
+        val q = graft.streaming.Streams.windowedCounts(
+            s.readStream.schema(schema).parquet(s"$base/in"),
+            "1 hour", None, watermark = "0 seconds")
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .format("memory").queryName("wm_late").start()
+        try {
+          q.processAllAvailable() // batch 1 → watermark = max ts(b1)
+          copyPart(s"$base/b2", "b2.parquet")
+          q.processAllAvailable() // batch 2 + the no-data finalize batch
+        } finally q.stop()
+      }
+      s.table("wm_late")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("event_type"), col("n"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     "q_collapse_runs" -> ((s, dir) => {
       // telemetry run-length collapse: drop each event that repeats the
       // user's immediately-preceding event type — one lag window, keeps
@@ -4182,6 +4263,39 @@ object ExtraQueries {
          |FROM events
          |WHERE NOT (event_id % 10 < 8 AND event_id % 7 = 0)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_static_join" ->
+      // the batch twin of the per-micro-batch broadcast join
+      """WITH dim(event_type, weight) AS (VALUES
+        |  ('click', 1), ('view', 2), ('purchase', 5),
+        |  ('signup', 10), ('logout', 0))
+        |SELECT e.event_type, CAST(dim.weight AS BIGINT) AS weight,
+        |  CAST(count(*) * dim.weight AS BIGINT) AS weighted
+        |FROM events e JOIN dim USING (event_type)
+        |GROUP BY e.event_type, dim.weight ORDER BY 1""".stripMargin,
+
+    "q_watermark_late_drop" ->
+      // drop/emit replay: wm1 = max ts of batch 1; a batch-2 row counts
+      // only if its window end > wm1; a window emits only if its end <
+      // the final watermark (global max ts). Hour-aligned ends vs
+      // mid-hour max timestamps make < vs <= unambiguous
+      """WITH b1 AS (SELECT ts, event_type FROM events
+        |  WHERE event_id % 17 <> 0),
+        |b2 AS (SELECT ts, event_type FROM events WHERE event_id % 17 = 0),
+        |wm1 AS (SELECT max(ts) AS m FROM b1),
+        |wmf AS (SELECT max(ts) AS m FROM events),
+        |counted AS (
+        |  SELECT ts, event_type FROM b1
+        |  UNION ALL
+        |  SELECT b2.ts, b2.event_type FROM b2, wm1
+        |  WHERE date_trunc('hour', b2.ts) + INTERVAL 1 HOUR > wm1.m),
+        |agg AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+        |    count(*) AS n
+        |  FROM counted GROUP BY 1, 2)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, CAST(n AS BIGINT) AS n
+        |FROM agg, wmf WHERE ws + INTERVAL 1 HOUR < wmf.m
+        |ORDER BY window_start, event_type""".stripMargin,
 
     "q_bloom_join" ->
       // the plain join — bloom pre-filtering must not change one row

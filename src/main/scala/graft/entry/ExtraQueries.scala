@@ -598,6 +598,37 @@ object ExtraQueries {
         .orderBy(col("layout"))
     }),
 
+    "q_layout_compare" -> ((s, dir) => {
+      // Hilbert vs Z-order vs single-axis sort, MEASURED: the same (x, y)
+      // rows staged under each layout, zone-map interval-sweep depth on
+      // BOTH axes. A single-column sort prunes only its own axis (the
+      // other axis' depth ≈ n_files — pruning-dead); both space-filling
+      // curves bound depth on both axes at once, which is the entire
+      // reason clusterBy2 exists. Oracle re-reads the staged files
+      // (filename=true) and replays the sweep per axis
+      // two independent uniform axes (multiplicative-hash spreads of the
+      // dense id) — the derivation doesn't matter to the oracle, which
+      // replays from the staged bytes
+      val ev = t(s, dir, "events").select(col("event_id"),
+        (col("event_id") * 2654435761L % 1024).as("x"),
+        (col("event_id") * 40503L % 1024).as("y"))
+      val base = s"/tmp/graft_layoutcmp/${Sql.sfTag(dir)}"
+      graft.core.Hilbert.clusterBy2(ev, "x", "y", 16, bits = 10)
+        .write.mode("overwrite").parquet(s"$base/hilbert")
+      graft.core.ZOrder.clusterBy2(ev, "x", "y", 16, bits = 10)
+        .write.mode("overwrite").parquet(s"$base/zorder")
+      ev.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+        .write.mode("overwrite").parquet(s"$base/xsort")
+      val rep = (tag: String, axis: String) =>
+        graft.io.LayoutStats.zoneMapReport(s, s"$base/$tag", axis)
+          .select(lit(tag).as("layout"), lit(axis).as("axis"),
+            col("n_files"), col("max_depth"), col("avg_depth_e4"))
+      Seq("hilbert", "zorder", "xsort")
+        .flatMap(tag => Seq(rep(tag, "x"), rep(tag, "y")))
+        .reduce(_ unionByName _)
+        .orderBy(col("layout"), col("axis"))
+    }),
+
     "q_triangles" -> ((s, dir) => {
       // triangle census of the deterministic citation graph (+1/+2 ring
       // links guarantee n triangles; the 7d+1 links add irregular degree)
@@ -2950,6 +2981,33 @@ object ExtraQueries {
          |${side("scattered", "scattered")}
          |SELECT * FROM r_clustered UNION ALL SELECT * FROM r_scattered
          |ORDER BY layout""".stripMargin
+    },
+
+    "q_layout_compare" -> {
+      def side(tag: String, axis: String) =
+        s"""f_${tag}_$axis AS (SELECT filename,
+           |    min($axis) AS mn, max($axis) AS mx
+           |  FROM read_parquet(
+           |    '/tmp/graft_layoutcmp/{SF}/$tag/*.parquet', filename=true)
+           |  WHERE $axis IS NOT NULL GROUP BY 1),
+           |d_${tag}_$axis AS (SELECT
+           |    (SELECT count(*) FROM f_${tag}_$axis b WHERE b.mn <= a.mn)
+           |      - (SELECT count(*) FROM f_${tag}_$axis c
+           |         WHERE c.mx < a.mn) AS d
+           |  FROM f_${tag}_$axis a),
+           |r_${tag}_$axis AS (SELECT '$tag' AS layout, '$axis' AS axis,
+           |    CAST(count(*) AS BIGINT) AS n_files,
+           |    CAST(max(d) AS BIGINT) AS max_depth,
+           |    CAST(sum(d) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT)
+           |      AS avg_depth_e4
+           |  FROM d_${tag}_$axis)""".stripMargin
+      val parts = for (t <- Seq("hilbert", "zorder", "xsort");
+        a <- Seq("x", "y")) yield side(t, a)
+      val sels = for (t <- Seq("hilbert", "zorder", "xsort");
+        a <- Seq("x", "y")) yield s"SELECT * FROM r_${t}_$a"
+      s"""WITH ${parts.mkString(",\n")}
+         |${sels.mkString(" UNION ALL ")}
+         |ORDER BY layout, axis""".stripMargin
     },
 
     "q_triangles" ->

@@ -140,6 +140,20 @@ class R6OperatorSpec extends SparkSuite {
     assert(out.getInt(1) <= 8 && out.getInt(2) <= 8)
   }
 
+  test("layout compare: curves bound zone-map depth on BOTH axes; " +
+      "single-axis sort is pruning-dead off-axis") {
+    val rows = graft.entry.ExtraQueries.queries("q_layout_compare")(
+      spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val (nFiles, xsortY) = rows(("xsort", "y"))
+    assert(xsortY == nFiles, "xsort should be pruning-dead on y")
+    assert(rows(("xsort", "x"))._2 == 1L)
+    for (curve <- Seq("hilbert", "zorder"); a <- Seq("x", "y"))
+      assert(rows((curve, a))._2 < nFiles,
+        s"$curve $a-depth should beat the dead layout")
+  }
+
   test("keyFreqSketch ignores null keys and is deterministic") {
     val df = Seq(Some(1L), Some(1L), Some(2L), None).toDF("k")
     val s1 = graft.functions.Sketches.keyFreqSketch(df, "k", depth = 3,

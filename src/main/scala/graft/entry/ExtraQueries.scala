@@ -999,6 +999,37 @@ object ExtraQueries {
         .orderBy(col("media_id"), col("container"))
     }),
 
+    "q_audio_resample" -> ((s, dir) => {
+      // rate normalization (8 kHz sine tones → 16 kHz): exact-rational
+      // linear interpolation in pure integer arithmetic, re-encoded and
+      // RE-DECODED — sample counts and duration replay arithmetically
+      // from the generator; the energy invariant (rms preserved) is
+      // engine-verified. The ASR-pipeline step before feature extraction
+      import s.implicits._
+      val audio = graft.multimodal.Multimodal.syntheticCorpus(s, 99)
+        .filter(col("kind") === "audio")
+      graft.multimodal.Multimodal.resampleAudio(audio, 16000)
+        .select(col("media_id"), col("content"), col("duration_ms"))
+        .as[(Long, Array[Byte], Long)]
+        .map { case (id, bytes, durMeta) =>
+          val info = graft.multimodal.Codecs.decodeWav(bytes).get
+          val samples = graft.multimodal.Codecs.decodeWavSamples(bytes).get
+          // the 8 kHz original, regenerated arithmetically for the rms twin
+          val nIn = 800 * (1 + (id % 3).toInt)
+          val freq = 200.0 + (id % 10) * 50
+          val orig = Array.tabulate(nIn)(t =>
+            (math.sin(2 * math.Pi * freq * t / 8000) * 12000).toShort)
+          def rms(a: Array[Short]): Double =
+            math.sqrt(a.map(x => x.toDouble * x).sum / a.length)
+          (id, nIn.toLong, samples.length.toLong, info.sampleRate,
+            info.durationMs,
+            durMeta == info.durationMs &&
+              math.abs(rms(samples) / rms(orig) - 1.0) < 0.05)
+        }
+        .toDF("media_id", "n_in", "n_out", "rate_out", "duration_ms", "ok")
+        .orderBy(col("media_id"))
+    }),
+
     "q_frame_sample" -> ((s, dir) =>
       // metadata-driven frame-sampling plan for video rows: one timestamp
       // row per everyMs tick across each clip's duration — pure column
@@ -1217,6 +1248,31 @@ object ExtraQueries {
         .select(col("o_orderkey"), col("o_custkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("order_date"),
           date_format(col("prev_date"), "yyyy-MM-dd HH:mm:ss").as("prev_date"),
+          col("prev_total"), col("prev_n"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_asof_tolerance" -> ((s, dir) => {
+      // tolerance-bounded as-of (pandas merge_asof(tolerance)): the most
+      // recent strictly-earlier order-day aggregate, but only if it is at
+      // most 7 days stale — older matches null out. Same single-window
+      // plan as q_asof_join plus one codegen'd staleness comparison
+      val orders = t(s, dir, "orders")
+      val daily = orders
+        .groupBy(col("o_custkey"), col("o_orderdate").as("prev_date"))
+        .agg(Semantics.exactSum(col("o_totalprice")).as("prev_total"),
+          count(lit(1)).as("prev_n"))
+      AsofJoin.backwardWithin(
+        left = orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate")),
+        right = daily, keys = Seq("o_custkey"),
+        leftTs = "o_orderdate", rightTs = "prev_date",
+        tolerance = "7 days", strict = true)
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+            .as("order_date"),
+          date_format(col("prev_date"), "yyyy-MM-dd HH:mm:ss")
+            .as("prev_date"),
           col("prev_total"), col("prev_n"))
         .orderBy(col("o_orderkey"))
     }),
@@ -2983,6 +3039,20 @@ object ExtraQueries {
          |ORDER BY layout""".stripMargin
     },
 
+    "q_audio_resample" ->
+      // sample-count and duration arithmetic from the generator: audio
+      // rows are media ids ≡ 2 (mod 4); n_in = 800·(1 + id%3),
+      // n_out = 2·(n_in − 1) + 1, duration = n_out·1000 // 16000
+      """WITH a AS (SELECT CAST(i AS BIGINT) AS media_id,
+        |    800 * (1 + CAST(i AS BIGINT) % 3) AS n_in
+        |  FROM range(0, 99) t(i) WHERE i % 4 = 2)
+        |SELECT media_id, n_in,
+        |  (n_in - 1) * 2 + 1 AS n_out,
+        |  CAST(16000 AS INT) AS rate_out,
+        |  ((n_in - 1) * 2 + 1) * 1000 // 16000 AS duration_ms,
+        |  TRUE AS ok
+        |FROM a ORDER BY media_id""".stripMargin,
+
     "q_layout_compare" -> {
       def side(tag: String, axis: String) =
         s"""f_${tag}_$axis AS (SELECT filename,
@@ -3828,6 +3898,25 @@ object ExtraQueries {
          |  strftime(l.o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
          |  strftime(d.prev_date, '%Y-%m-%d %H:%M:%S') AS prev_date,
          |  d.prev_total, d.prev_n
+         |FROM orders l ASOF LEFT JOIN daily d
+         |  ON l.o_custkey = d.o_custkey AND l.o_orderdate > d.prev_date
+         |ORDER BY l.o_orderkey""".stripMargin,
+
+    "q_asof_tolerance" ->
+      // ASOF join + the same staleness null-out
+      s"""WITH daily AS (
+         |  SELECT o_custkey, o_orderdate AS prev_date,
+         |    ${esum("o_totalprice")} AS prev_total, COUNT(*) AS prev_n
+         |  FROM orders GROUP BY 1, 2)
+         |SELECT l.o_orderkey, l.o_custkey,
+         |  strftime(l.o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
+         |  CASE WHEN d.prev_date >= l.o_orderdate - INTERVAL 7 DAY
+         |    THEN strftime(d.prev_date, '%Y-%m-%d %H:%M:%S') END
+         |    AS prev_date,
+         |  CASE WHEN d.prev_date >= l.o_orderdate - INTERVAL 7 DAY
+         |    THEN d.prev_total END AS prev_total,
+         |  CASE WHEN d.prev_date >= l.o_orderdate - INTERVAL 7 DAY
+         |    THEN d.prev_n END AS prev_n
          |FROM orders l ASOF LEFT JOIN daily d
          |  ON l.o_custkey = d.o_custkey AND l.o_orderdate > d.prev_date
          |ORDER BY l.o_orderkey""".stripMargin,

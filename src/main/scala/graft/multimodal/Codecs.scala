@@ -416,6 +416,33 @@ object Codecs {
     Some(h)
   }
 
+  /** Mono PCM16 resample by exact-rational linear interpolation: output
+    * sample j sits at source position j·(srcRate/dstRate), interpolated
+    * between its two neighbors in PURE INTEGER arithmetic
+    * (s0 + (s1−s0)·frac·…/den, floored) — deterministic on every engine
+    * and replayable without float drift. Output length is
+    * floor((n−1)·dst/src) + 1 (last source sample reachable exactly). */
+  def resampleLinear(samples: Array[Short], srcRate: Int,
+      dstRate: Int): Array[Short] = {
+    require(srcRate > 0 && dstRate > 0, "rates must be positive")
+    if (srcRate == dstRate || samples.length < 2) return samples.clone()
+    val n = samples.length
+    val outLen = ((n - 1).toLong * dstRate / srcRate).toInt + 1
+    val out = new Array[Short](outLen)
+    var j = 0
+    while (j < outLen) {
+      // source position = j * src / dst, as (whole, num/den)
+      val num = j.toLong * srcRate
+      val i0 = (num / dstRate).toInt
+      val rem = num % dstRate
+      val s0 = samples(i0).toLong
+      val s1 = samples(math.min(i0 + 1, n - 1)).toLong
+      out(j) = (s0 + (s1 - s0) * rem / dstRate).toShort
+      j += 1
+    }
+    out
+  }
+
   def encodeWavPcm16(samples: Array[Short], sampleRate: Int,
       channels: Int = 1): Array[Byte] = {
     val dataLen = samples.length * 2

@@ -164,6 +164,35 @@ object Multimodal {
       .select(cols.map(col): _*)
   }
 
+  /** Resample mono PCM16 WAV rows to `dstRate` (exact-rational linear
+    * interpolation, integer arithmetic — [[Codecs.resampleLinear]]) and
+    * re-encode; `duration_ms` metadata refreshed from the re-encoded
+    * payload. Non-WAV rows pass through untouched. Partition-local,
+    * zero shuffle — the standard rate-normalization step before any
+    * audio feature extraction (ASR pipelines want one rate corpus-wide). */
+  def resampleAudio(media: DataFrame, dstRate: Int): DataFrame = {
+    require(dstRate > 0, "dstRate must be positive")
+    val cols = media.columns
+    val resampleUdf = udf { (content: Array[Byte]) =>
+      val src = Option(content).getOrElse(Array.emptyByteArray)
+      (for {
+        info <- Codecs.decodeWav(src) if info.channels == 1
+        samples <- Codecs.decodeWavSamples(src)
+      } yield {
+        val out = Codecs.resampleLinear(samples, info.sampleRate, dstRate)
+        val re = Codecs.encodeWavPcm16(out, dstRate)
+        (re, out.length.toLong * 1000L / dstRate)
+      }).getOrElse((src, -1L))
+    }
+    media
+      .withColumn("_rs", resampleUdf(col("content")))
+      .withColumn("content", col("_rs._1"))
+      .withColumn("duration_ms",
+        when(col("_rs._2") >= 0, col("_rs._2"))
+          .otherwise(col("duration_ms")))
+      .select(cols.map(col): _*)
+  }
+
   /** Frame sampling plan for video rows: explode target timestamps from
     * metadata (duration), leaving per-frame decode to the stub above. */
   def frameSamplePlan(media: DataFrame, everyMs: Long): DataFrame =

@@ -71,6 +71,27 @@ object AsofJoin {
         rightPayload.map(c => col(s"_asof_m.$c").as(c)): _*)
   }
 
+  /** [[backward]] with a staleness bound (pandas `merge_asof(tolerance)`):
+    * a match older than `tolerance` before the left row's time is nulled
+    * out — "the last quote, but only if it's fresh". Same single-window
+    * plan; the bound is one codegen'd comparison applied AFTER the join,
+    * so it adds no shuffle. `tolerance` is any SQL interval string. */
+  def backwardWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, tolerance: String,
+      strict: Boolean = false): DataFrame = {
+    val joined = backward(left, right, keys, leftTs, rightTs, strict)
+    val rightPayload = right.columns.toSeq.filterNot(keys.contains)
+    require(rightPayload.contains(rightTs),
+      s"tolerance needs the right time column '$rightTs' in the payload")
+    val stale = col(rightTs).isNull ||
+      col(rightTs).cast("timestamp") <
+        col(leftTs).cast("timestamp") - expr(s"INTERVAL $tolerance")
+    val flagged = joined.withColumn("_asof_stale", stale)
+    rightPayload.foldLeft(flagged) { (df, c) =>
+      df.withColumn(c, when(col("_asof_stale"), lit(null)).otherwise(col(c)))
+    }.drop("_asof_stale")
+  }
+
   /** Forward as-of: earliest right row at or after left's ts. Same plan shape
     * with the window running from the end. */
   def forward(left: DataFrame, right: DataFrame, keys: Seq[String],

@@ -132,6 +132,11 @@ object SafeJoin {
       joinType: String = "inner"): DataFrame = {
     require(Set("inner", "left_semi", "leftsemi")(joinType.toLowerCase),
       s"bloom pre-filter preserves only inner/semi semantics: $joinType")
+    // stat.bloomFilter is already an eager aggregate over the small side;
+    // on ZERO rows it returns a null buffer (upstream NPE) — and an empty
+    // key set makes the inner/semi join empty anyway
+    if (small.isEmpty)
+      return big.filter(lit(false)).join(small, Seq(key), joinType)
     val bf = small.stat.bloomFilter(key, expectedKeys, fpp)
     val probe = org.apache.spark.sql.GraftColumnBridge.column(
       BloomProbeExpr(org.apache.spark.sql.GraftColumnBridge

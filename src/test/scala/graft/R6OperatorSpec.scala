@@ -154,6 +154,77 @@ class R6OperatorSpec extends SparkSuite {
         s"$curve $a-depth should beat the dead layout")
   }
 
+  test("ADVICE r5 regressions: truth-less qid, null mid-window event " +
+      "type, empty KMV comparison — all defined, none raise") {
+    // rankingMetrics: a qid present only in approx must emit 0 metrics
+    // instead of raising DIVIDE_BY_ZERO under ANSI mode
+    val approx = Seq(("q1", "d1", 1), ("q1", "d2", 2), ("qX", "d9", 1))
+      .toDF("qid", "doc", "rank")
+    val truth = Seq(("q1", "d1", 1), ("q1", "d3", 2))
+      .toDF("qid", "doc", "rank")
+    val m = graft.functions.Ranking
+      .rankingMetrics(approx, truth, "qid", "doc", "rank")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("recall_e4"), r.getAs[Long]("ndcg_e4"))).toMap
+    assert(m("qX") == (0L, 0L))
+    assert(m("q1")._1 == 5000L) // 1 of 2 truth docs found
+    // eventPaths: a null event type mid-window must emit NO shortened
+    // path (concat_ws would silently skip it)
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, null), (1L, 3L, "c"),
+      (1L, 4L, "d"), (1L, 5L, "e")).toDF("user_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("event_id", col("user_id"))
+    val paths = graft.operators.TrainingExamples
+      .eventPaths(ev, "user_id", "ts", "event_id", "event_type", depth = 3)
+      .collect().map(_.getString(0)).toSet
+    assert(paths == Set("c>d>e"), s"got $paths")
+    // kmvCompare on two empty sketches: defined all-zero row, no raise
+    val empty = Seq.empty[(String, Long)].toDF("seg", "member")
+    val sk = graft.functions.Sketches.kmvBottomK(
+      empty.withColumn("member", col("member")), "seg", "member", k = 16)
+    val cmp = graft.functions.Sketches.kmvCompare(sk, sk, k = 16).head()
+    assert(cmp.getAs[Long]("pool_size") == 0L &&
+      cmp.getAs[Long]("jaccard_e4") == 0L)
+    // tClosenessRisk builds lazily — construction runs no job (the table
+    // is loaded BEFORE the listener window so parquet footer reads don't
+    // count against the operator)
+    val customer = graft.core.Tables.table(spark, sfDir, "customer")
+    customer.schema // force relation resolution outside the window
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = graft.operators.Audit.tClosenessRisk(
+        customer, Seq("c_mktsegment"), "c_nationkey")
+      Thread.sleep(500)
+      assert(jobs.get() == 0, "tClosenessRisk construction ran a job")
+      assert(df.count() > 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("new ops on empty inputs: joinSizeEstimate, bloom join, Hilbert") {
+    val emptyL = Seq.empty[Long].toDF("k")
+    val est = graft.functions.Sketches.joinSizeEstimate(
+      graft.functions.Sketches.keyFreqSketch(emptyL, "k"),
+      graft.functions.Sketches.keyFreqSketch(emptyL, "k")).collect()
+    // no buckets at all → empty estimate frame or null min; both fine,
+    // but it must not raise
+    assert(est.length <= 1)
+    val small = Seq.empty[Long].toDF("okey")
+    val big = Seq(1L, 2L).toDF("okey")
+    val joined = graft.core.SafeJoin.bloomFilteredJoin(big, small, "okey",
+      expectedKeys = 10L)
+    assert(joined.count() == 0L)
+    val hv = emptyL.select(graft.core.Hilbert.hValue2(col("k"), col("k"),
+      bits = 4)).count()
+    assert(hv == 0L)
+  }
+
   test("keyFreqSketch ignores null keys and is deterministic") {
     val df = Seq(Some(1L), Some(1L), Some(2L), None).toDF("k")
     val s1 = graft.functions.Sketches.keyFreqSketch(df, "k", depth = 3,

@@ -228,6 +228,40 @@ object ExtraQueries {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    "q_interval_join_outer_twin" -> ((s, dir) => {
+      // stream-stream LEFT OUTER interval join run for real: a purchase
+      // with no same-user click within ±10 min still emits (nulls) — but
+      // only once the watermark PROVES no partner can arrive (wm past the
+      // row's upper bound, i.e. the row's state evicted). The oracle
+      // replays both halves: the inner matches, plus unmatched purchases
+      // whose upper bound the final watermark (min of the two sides'
+      // max-ts, minus the 10-min delay) passed; younger unmatched rows
+      // stay pending at stream end by design and appear on neither side
+      val staged = s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}/ij_outer"
+      t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type"), col("event_id"), col("user_id"), col("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      def side(tpe: String) =
+        s.readStream.schema(schema).parquet(staged)
+          .filter(col("event_type") === tpe)
+          .select(col("event_id"), col("user_id"), col("ts"))
+      val joined = graft.streaming.Streams.intervalJoinLeftOuter(
+        side("purchase"), side("click"),
+        Seq("user_id"), "ts", "ts", watermark = "10 minutes")
+      graft.streaming.Streams.withStatePartitions(s, 8) {
+        val q = joined.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .format("memory").queryName("ij_outer").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table("ij_outer")
+        .select(col("event_id").as("purchase_id"),
+          coalesce(col("event_id_r"), lit(-1L)).as("click_id"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
     "q_collapse_runs" -> ((s, dir) => {
       // telemetry run-length collapse: drop each event that repeats the
       // user's immediately-preceding event type — one lag window, keeps
@@ -2602,6 +2636,29 @@ object ExtraQueries {
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
         |  AND epoch_us(c.ts) <= epoch_us(p.ts) + 600000000
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
+    "q_interval_join_outer_twin" ->
+      // inner matches + watermark-proven unmatched purchases; pending
+      // rows (upper bound not yet passed by the final watermark) on
+      // neither side. Microsecond epochs keep every bound integral
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |wm AS (SELECT LEAST((SELECT max(epoch_us(ts)) FROM p),
+        |    (SELECT max(epoch_us(ts)) FROM c)) - 600000000 AS w),
+        |m AS (SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
+        |    AND epoch_us(c.ts) <= epoch_us(p.ts) + 600000000),
+        |unmatched AS (SELECT p.event_id AS purchase_id,
+        |    CAST(-1 AS BIGINT) AS click_id
+        |  FROM p, wm
+        |  WHERE p.event_id NOT IN (SELECT purchase_id FROM m)
+        |    AND epoch_us(p.ts) + 600000000 < wm.w)
+        |SELECT * FROM m
+        |UNION ALL SELECT * FROM unmatched
         |ORDER BY purchase_id, click_id""".stripMargin,
 
     "q_collapse_runs" ->

@@ -231,6 +231,29 @@ object Streams {
     l.join(r, cond, "inner")
   }
 
+  /** LEFT OUTER stream-stream interval join: same time-bounded condition,
+    * but a left row with no partner inside its interval still EMITS (right
+    * columns null) — once the watermark proves no future partner can
+    * arrive (wm past the row's upper bound), which is when its state
+    * evicts. This is the watermark contract doing double duty: the same
+    * bound that caps state size also makes "no match" a provable fact
+    * rather than a timeout guess. Left rows younger than bound+delay stay
+    * pending at stream end — never emitted as unmatched, by design. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String, watermark: String,
+      before: String = "10 minutes",
+      after: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r0 = right.columns.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, c + "_r")
+    }
+    val r = r0.withWatermark(rightTs + "_r", watermark)
+    val cond = keys.map(k => l(k) === r(k + "_r")).reduce(_ && _) &&
+      r(rightTs + "_r") >= l(leftTs) - expr(s"INTERVAL $before") &&
+      r(rightTs + "_r") <= l(leftTs) + expr(s"INTERVAL $after")
+    l.join(r, cond, "left_outer")
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered,
     * restoring the previous value afterwards. A streaming query snapshots
     * this conf at `.start()` as its STATE-STORE instance count, and each

@@ -1091,6 +1091,39 @@ object ExtraQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_golden_records" -> ((s, dir) => {
+      // entity-resolution capstone: blocked fuzzy match → components →
+      // SURVIVORSHIP merge into one golden record per cluster. Names get
+      // an md5-hex suffix so BASE records sit far apart (sequential TPC-H
+      // names chain at distance 1 — everything would merge); each record
+      // gets TWO twins sharing the SAME one-char-deleted name, so the
+      // name vote is 2-to-1 FOR the typo (most-frequent must beat the
+      // original); brand is unanimous; price is all-distinct (tie →
+      // lexicographically smallest). Oracle replays pairs, closure, and
+      // the vote brute-force
+      val b0 = t(s, dir, "part").filter(col("p_partkey") % 20 === 0)
+        .withColumn("nm", concat(col("p_name"), lit(" "),
+          substring(md5(col("p_partkey").cast(StringType)), 1, 8)))
+        .withColumn("off",
+          (length(col("p_name")) + lit(2) + col("p_partkey") % 5)
+            .cast("int"))
+        .withColumn("typo", concat(expr("substring(nm, 1, off - 1)"),
+          expr("substring(nm, off + 1, 1000)")))
+      def rec(idOff: Long, nameCol: org.apache.spark.sql.Column,
+          priceOff: Double) =
+        b0.select((col("p_partkey") + idOff).as("rid"),
+          nameCol.as("name"), col("p_brand").as("brand"),
+          (col("p_retailprice") + priceOff)
+            .cast(org.apache.spark.sql.types.DecimalType(12, 2))
+            .as("price"))
+      val all = rec(0L, col("nm"), 0.0)
+        .unionByName(rec(100000L, col("typo"), 1.0))
+        .unionByName(rec(200000L, col("typo"), 2.0))
+      graft.operators.EntityResolution.goldenRecords(all, "rid", "name",
+          Seq("name", "brand", "price"), maxDist = 1)
+        .orderBy(col("cluster_id"), col("field"))
+    }),
+
     "q_multimodal_neardup" -> ((s, dir) => {
       // perceptual-hash image dedup: decode PPM payloads → aHash → blocked
       // hamming pairs. The twin corpus engineers each base image's ONLY
@@ -2637,6 +2670,61 @@ object ExtraQueries {
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
         |  AND epoch_us(c.ts) <= epoch_us(p.ts) + 600000000
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    "q_golden_records" ->
+      // brute-force pair + closure + vote replay over the same fixture
+      """WITH RECURSIVE
+        |b0 AS (SELECT p_partkey, p_brand, p_retailprice,
+        |    p_name || ' ' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 8)
+        |      AS nm,
+        |    CAST(length(p_name) + 2 + p_partkey % 5 AS INT) AS off
+        |  FROM part WHERE p_partkey % 20 = 0),
+        |b1 AS (SELECT *,
+        |    substr(nm, 1, off - 1) || substr(nm, off + 1, 1000) AS typo
+        |  FROM b0),
+        |allr AS (
+        |  SELECT p_partkey AS rid, nm AS name, p_brand AS brand,
+        |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) AS price
+        |  FROM b1
+        |  UNION ALL
+        |  SELECT p_partkey + 100000, typo, p_brand,
+        |    CAST(CAST(p_retailprice + 1.0 AS DECIMAL(12,2)) AS VARCHAR)
+        |  FROM b1
+        |  UNION ALL
+        |  SELECT p_partkey + 200000, typo, p_brand,
+        |    CAST(CAST(p_retailprice + 2.0 AS DECIMAL(12,2)) AS VARCHAR)
+        |  FROM b1),
+        |p AS (SELECT a.rid AS u, b.rid AS v
+        |  FROM allr a JOIN allr b ON a.rid < b.rid
+        |  WHERE levenshtein(a.name, b.name) <= 1),
+        |sym AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+        |reach(id, lbl) AS (
+        |  SELECT rid, rid FROM allr
+        |  UNION
+        |  SELECT sym.v, reach.lbl FROM sym JOIN reach ON sym.u = reach.id),
+        |lab AS (SELECT id AS rid, MIN(lbl) AS cluster_id
+        |  FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_id, count(*) AS n_members
+        |  FROM lab GROUP BY 1),
+        |melt AS (
+        |  SELECT l.cluster_id, 'name' AS field, a.name AS value
+        |  FROM allr a JOIN lab l USING (rid)
+        |  UNION ALL
+        |  SELECT l.cluster_id, 'brand', a.brand
+        |  FROM allr a JOIN lab l USING (rid)
+        |  UNION ALL
+        |  SELECT l.cluster_id, 'price', a.price
+        |  FROM allr a JOIN lab l USING (rid)),
+        |cnt AS (SELECT cluster_id, field, value, count(*) AS n
+        |  FROM melt WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+        |top AS (SELECT cluster_id, field, value,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster_id, field
+        |      ORDER BY n DESC, value ASC) AS rk
+        |  FROM cnt)
+        |SELECT t.cluster_id, sz.n_members, t.field,
+        |  t.value AS golden_value
+        |FROM top t JOIN sz USING (cluster_id) WHERE rk = 1
+        |ORDER BY cluster_id, field""".stripMargin,
 
     "q_interval_join_outer_twin" ->
       // inner matches + watermark-proven unmatched purchases; pending

@@ -1234,6 +1234,17 @@ object DocQueries {
         .orderBy(col("n_nationkey"))
     }),
 
+    "q_xml_roundtrip" -> ((s, dir) => {
+      // Spark 4 native XML source/sink roundtrip (the enterprise-feed
+      // format the reference's JSON/CSV loaders don't cover); schema
+      // supplied on read — XML carries no types
+      val out = s"/tmp/graft_roundtrip/xml_nation"
+      graft.io.Sinks.xml(t(s, dir, "nation"), out, rowTag = "nation")
+      graft.io.Sources.xml(s, out, rowTag = "nation",
+          schema = Some(t(s, dir, "nation").schema))
+        .orderBy(col("n_nationkey"))
+    }),
+
     "q_ingest_quarantine" -> ((s, dir) => {
       // dirty-feed ingestion: a staged JSONL where every doc_id % 7 == 0
       // line is truncated mid-object. PERMISSIVE parse keeps broken lines
@@ -3634,6 +3645,9 @@ object DocQueries {
       "SELECT * FROM region ORDER BY r_regionkey",
 
     "q_jsonl_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+
+    "q_xml_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
 
     "q_ingest_quarantine" ->

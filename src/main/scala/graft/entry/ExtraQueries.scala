@@ -1064,6 +1064,51 @@ object ExtraQueries {
         .orderBy(col("media_id"))
     }),
 
+    "q_binary_ingest" -> ((s, dir) => {
+      // media-lake ingestion: PNG files written to a directory, read back
+      // through the binaryFile source (pathGlobFilter prunes at the
+      // LISTING — a decoy .txt file must never be read), decoded, and
+      // verified against the gradient arithmetic. The on-ramp that turns
+      // a directory of images into the binary-column multimodal model
+      import s.implicits._
+      val stage = new java.io.File(
+        s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}/png_lake")
+      org.apache.commons.io.FileUtils.deleteQuietly(stage)
+      stage.mkdirs()
+      (0 until 20).foreach { i =>
+        val w = 16 + i % 16; val h = 12 + i % 12
+        val rgb = new Array[Byte](w * h * 3)
+        var p = 0
+        while (p < w * h) {
+          val x = p % w; val y = p / w
+          rgb(p * 3) = (x * 255 / (w - 1)).toByte
+          rgb(p * 3 + 1) = (y * 255 / (h - 1)).toByte
+          rgb(p * 3 + 2) = ((i * 4) % 256).toByte
+          p += 1
+        }
+        java.nio.file.Files.write(
+          stage.toPath.resolve(f"img_$i%03d.png"),
+          graft.multimodal.Codecs.encodePng(
+            graft.multimodal.Codecs.ImagePixels(w, h, rgb)))
+      }
+      java.nio.file.Files.write(stage.toPath.resolve("decoy.txt"),
+        "not an image".getBytes("UTF-8"))
+      graft.io.Sources.binaryFiles(s, stage.toString,
+          pathGlob = Some("*.png"))
+        .select(element_at(split(col("path"), "/"), -1).as("file"),
+          col("length"), col("content"))
+        .as[(String, Long, Array[Byte])]
+        .map { case (f, len, bytes) =>
+          val img = graft.multimodal.Codecs.decodeImage(bytes).get
+          val i = f.stripPrefix("img_").stripSuffix(".png").toInt
+          val sum = img.rgb.foldLeft(0L)((a, b) => a + (b & 0xff))
+          (f, i.toLong, img.width, img.height, sum,
+            len == bytes.length.toLong)
+        }
+        .toDF("file", "i", "dec_w", "dec_h", "pix_sum", "len_ok")
+        .orderBy(col("file"))
+    }),
+
     "q_frame_sample" -> ((s, dir) =>
       // metadata-driven frame-sampling plan for video rows: one timestamp
       // row per everyMs tick across each clip's duration — pure column
@@ -3183,6 +3228,25 @@ object ExtraQueries {
          |SELECT * FROM r_clustered UNION ALL SELECT * FROM r_scattered
          |ORDER BY layout""".stripMargin
     },
+
+    "q_binary_ingest" ->
+      // dims + pixel sums replay from the gradient arithmetic; the decoy
+      // file must be absent (glob pruned at listing)
+      """WITH ids AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 20) t(i)),
+        |base AS (SELECT i, CAST(16 + i % 16 AS INT) AS w,
+        |    CAST(12 + i % 12 AS INT) AS h FROM ids),
+        |pix AS (SELECT b.i,
+        |    SUM(((p % b.w) * 255 // (b.w - 1)) +
+        |        ((p // b.w) * 255 // (b.h - 1)) +
+        |        ((b.i * 4) % 256)) AS ps
+        |  FROM base b JOIN range(0, 1024) rp(p) ON p < b.w * b.h
+        |  GROUP BY b.i)
+        |SELECT 'img_' || lpad(CAST(b.i AS VARCHAR), 3, '0') || '.png'
+        |    AS file,
+        |  b.i, b.w AS dec_w, b.h AS dec_h,
+        |  CAST(pix.ps AS BIGINT) AS pix_sum, TRUE AS len_ok
+        |FROM base b JOIN pix ON pix.i = b.i
+        |ORDER BY file""".stripMargin,
 
     "q_audio_resample" ->
       // sample-count and duration arithmetic from the generator: audio

@@ -32,6 +32,16 @@ object Sinks {
     compression.fold(w)(c => w.option("compression", c)).json(path)
   }
 
+  /** XML export via Spark 4's native xml data source (each row becomes a
+    * `<rowTag>` element under `<rootTag>`; executor-parallel like any
+    * file sink). The enterprise-feed format the JSON/CSV loaders don't
+    * cover. */
+  def xml(df: DataFrame, path: String, rowTag: String = "row",
+      rootTag: String = "rows", mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .option("rowTag", rowTag).option("rootTag", rootTag)
+      .format("xml").save(path)
+
   /** JSON array load (`json_loader.py:181-248`): single array file. A
     * single array file is inherently single-writer, but it is NOT
     * inherently driver-side (the reference buffers everything in memory;

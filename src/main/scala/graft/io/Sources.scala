@@ -86,6 +86,28 @@ object Sources {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** XML scan via Spark 4's native xml data source: one DataFrame row per
+    * `rowTag` element. Supply the schema on round-trips — XML carries no
+    * types, so inference would re-scan and widen everything it can't
+    * prove. */
+  def xml(spark: SparkSession, path: String, rowTag: String = "row",
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("rowTag", rowTag)
+    schema.fold(r)(r.schema).format("xml").load(path)
+  }
+
+  /** Raw media ingestion via Spark's binaryFile source: one row per file
+    * — (path, modificationTime, length, content) — the entry point that
+    * turns a directory of images/audio into the multimodal binary-column
+    * model ([[graft.multimodal.Multimodal]]). `pathGlob` prunes at the
+    * LISTING, so a 100 TB media lake only ever lists/reads the matching
+    * files; payload bytes stay partition-local from the first touch. */
+  def binaryFiles(spark: SparkSession, dir: String,
+      pathGlob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    pathGlob.fold(r)(g => r.option("pathGlobFilter", g)).load(dir)
+  }
+
   /** Format auto-detect (`json_source.py:83-106`): sniff the first
     * non-whitespace byte — '[' means array file, else line-delimited. */
   def jsonAuto(spark: SparkSession, path: String): DataFrame = {

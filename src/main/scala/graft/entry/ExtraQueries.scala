@@ -675,6 +675,31 @@ object ExtraQueries {
         link(1L, 1L).union(link(1L, 2L)).union(link(7L, 1L)), "src", "dst")
     }),
 
+    "q_dag_levels" -> ((s, dir) => {
+      // topological leveling of a derivation DAG (docs i → 2i, 2i+1, 3i —
+      // strictly increasing, so acyclic, depth ~log₂ n) plus a planted
+      // 3-cycle on synthetic ids n..n+2: levels are Kahn waves (1 + max
+      // over preds), the cycle comes back level = -1 / in_cycle — the
+      // pipeline-scheduler primitive with honest deadlock reporting.
+      // Peel rounds = DAG depth, not vertex count
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val cnt = docs.agg(count(lit(1)).as("_n"))
+      val src = docs.filter(col("doc_id") >= 1).crossJoin(broadcast(cnt))
+      def e(mult: Long, add: Long) =
+        src.filter(col("doc_id") * mult + add < col("_n"))
+          .select(col("doc_id").as("src"),
+            (col("doc_id") * mult + add).as("dst"))
+      val cycE = cnt.selectExpr(
+        "stack(3, _n, _n + 1, _n + 1, _n + 2, _n + 2, _n) AS (src, dst)")
+      val verts = docs.select(col("doc_id").as("id"))
+        .unionByName(cnt.selectExpr(
+          "explode(array(_n, _n + 1, _n + 2)) AS id"))
+      graft.operators.Dag.topoLevels(verts, "id",
+          e(2, 0).unionByName(e(2, 1)).unionByName(e(3, 0))
+            .unionByName(cycE), "src", "dst")
+        .orderBy(col("id"))
+    }),
+
     "q_ref_integrity" -> ((s, dir) =>
       graft.operators.Audit.refIntegrity(Seq(
         ("customer.c_nationkey->nation", t(s, dir, "customer"),
@@ -3303,6 +3328,33 @@ object ExtraQueries {
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
         |FROM und x JOIN und y ON y.a = x.b
         |JOIN und z ON z.a = x.a AND z.b = y.b""".stripMargin,
+
+    "q_dag_levels" ->
+      // longest-path-from-roots replay (UNION dedups (node, depth) pairs,
+      // so path multiplicity never explodes); planted cycle as literals
+      """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        |e AS (SELECT doc_id AS u, doc_id * 2 AS v FROM documents, nn
+        |    WHERE doc_id >= 1 AND doc_id * 2 < nn.n
+        |  UNION ALL
+        |  SELECT doc_id, doc_id * 2 + 1 FROM documents, nn
+        |    WHERE doc_id >= 1 AND doc_id * 2 + 1 < nn.n
+        |  UNION ALL
+        |  SELECT doc_id, doc_id * 3 FROM documents, nn
+        |    WHERE doc_id >= 1 AND doc_id * 3 < nn.n),
+        |roots AS (SELECT doc_id AS id FROM documents
+        |  WHERE doc_id NOT IN (SELECT v FROM e)),
+        |reach(id, d) AS (
+        |  SELECT id, 0 FROM roots
+        |  UNION
+        |  SELECT e.v, reach.d + 1 FROM e JOIN reach ON e.u = reach.id),
+        |lv AS (SELECT id, MAX(d) AS level FROM reach GROUP BY id)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(level AS BIGINT) AS level,
+        |  FALSE AS in_cycle
+        |FROM lv
+        |UNION ALL
+        |SELECT nn.n + x, CAST(-1 AS BIGINT), TRUE
+        |FROM nn, (VALUES (0), (1), (2)) t(x)
+        |ORDER BY id""".stripMargin,
 
     "q_ref_integrity" -> {
       def rel(tag: String, child: String, fk: String, parent: String,

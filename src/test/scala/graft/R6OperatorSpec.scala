@@ -225,6 +225,24 @@ class R6OperatorSpec extends SparkSuite {
     assert(hv == 0L)
   }
 
+  test("Dag.topoLevels: Kahn waves, cycle + its wake flagged, diamond " +
+      "takes the longest path") {
+    // diamond 1→{2,3}→4, chain 4→5; cycle 10↔11 with wake 11→12
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 10L), (11L, 12L)).toDF("src", "dst")
+    val verts = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L)).toDF("id")
+    val got = graft.operators.Dag
+      .topoLevels(verts, "id", edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(got(1L) == (0L, false) && got(2L) == (1L, false) &&
+      got(3L) == (1L, false))
+    assert(got(4L) == (2L, false) && got(5L) == (3L, false))
+    // the cycle AND everything downstream of it is unschedulable
+    assert(got(10L) == (-1L, true) && got(11L) == (-1L, true) &&
+      got(12L) == (-1L, true))
+  }
+
   test("keyFreqSketch ignores null keys and is deterministic") {
     val df = Seq(Some(1L), Some(1L), Some(2L), None).toDF("k")
     val s1 = graft.functions.Sketches.keyFreqSketch(df, "k", depth = 3,

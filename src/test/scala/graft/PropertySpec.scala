@@ -348,4 +348,63 @@ class PropertySpec extends SparkSuite {
         assert(fwd.values.sum == universe)
     }
   }
+
+  test("Hilbert xy2d is a bijection with unit steps at every bits " +
+      "(property, driver-side kernel)") {
+    (1 to 6).foreach { bits =>
+      val n = 1 << bits
+      val cells = for (x <- 0L until n; y <- 0L until n)
+        yield graft.core.Hilbert.xy2d(bits, x, y) -> (x, y)
+      val byD = cells.sortBy(_._1)
+      assert(byD.map(_._1) == (0L until n.toLong * n))
+      byD.sliding(2).foreach {
+        case Seq((_, (x1, y1)), (_, (x2, y2))) =>
+          assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1)
+        case _ =>
+      }
+    }
+  }
+
+  test("resampleLinear laws: identity at equal rates, exact length " +
+      "arithmetic, endpoints preserved, constants stay constant (property)") {
+    val gen = for {
+      n <- Gen.choose(2, 400)
+      src <- Gen.choose(1000, 48000)
+      dst <- Gen.choose(1000, 48000)
+      samples <- Gen.listOfN(n, Gen.choose(-30000, 30000).map(_.toShort))
+    } yield (samples.toArray, src, dst)
+    forAllSeeded(gen, n = 20) { case (a, src, dst) =>
+      val same = graft.multimodal.Codecs.resampleLinear(a, src, src)
+      assert(same.toSeq == a.toSeq)
+      val out = graft.multimodal.Codecs.resampleLinear(a, src, dst)
+      assert(out.length ==
+        ((a.length - 1).toLong * dst / src).toInt + 1)
+      assert(out.head == a.head) // position 0 maps exactly
+      val const = Array.fill(a.length)(1234.toShort)
+      assert(graft.multimodal.Codecs.resampleLinear(const, src, dst)
+        .forall(_ == 1234.toShort))
+    }
+  }
+
+  test("Dag levels: every edge goes strictly uphill; levels bounded by " +
+      "vertex count (property)") {
+    val gen = Gen.listOfN(30, for {
+      u <- Gen.choose(0L, 14L); v <- Gen.choose(0L, 14L)
+    } yield (u, v))
+    forAllSeeded(gen, n = 8) { raw =>
+      val edges = raw.toDF("src", "dst")
+      val verts = (0L to 14L).toDF("id")
+      val got = graft.operators.Dag
+        .topoLevels(verts, "id", edges, "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      raw.foreach { case (u, v) =>
+        // for scheduled endpoints, dependencies strictly precede; an
+        // unscheduled (-1) endpoint poisons its downstream only
+        if (got(u) >= 0 && got(v) >= 0)
+          assert(got(u) < got(v), s"edge $u->$v levels ${got(u)},${got(v)}")
+        if (got(u) == -1L) assert(got(v) == -1L || u == v)
+      }
+      assert(got.values.forall(l => l >= -1 && l < 15))
+    }
+  }
 }

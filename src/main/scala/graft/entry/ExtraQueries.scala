@@ -642,10 +642,14 @@ object ExtraQueries {
       // (filename=true) and replays the sweep per axis
       // two independent uniform axes (multiplicative-hash spreads of the
       // dense id) — the derivation doesn't matter to the oracle, which
-      // replays from the staged bytes
-      val ev = t(s, dir, "events").select(col("event_id"),
-        (col("event_id") * 2654435761L % 1024).as("x"),
-        (col("event_id") * 40503L % 1024).as("y"))
+      // replays from the staged bytes; half the table is plenty to
+      // saturate a 1024² grid under 16 files (the gate's cost is the
+      // three staged writes)
+      val ev = t(s, dir, "events")
+        .filter(col("event_id") % 2 === 0)
+        .select(col("event_id"),
+          (col("event_id") * 2654435761L % 1024).as("x"),
+          (col("event_id") * 40503L % 1024).as("y"))
       val base = s"/tmp/graft_layoutcmp/${Sql.sfTag(dir)}"
       graft.core.Hilbert.clusterBy2(ev, "x", "y", 16, bits = 10)
         .write.mode("overwrite").parquet(s"$base/hilbert")

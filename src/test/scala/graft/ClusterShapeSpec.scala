@@ -162,7 +162,8 @@ class ClusterShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // oracle gates; this pins EXECUTABILITY across executor processes.
     val names = Seq("q_pack_docs", "q_doc_fuzzy_keep", "q_ks_drift",
       "q_embed_ivfadc", "q_bpe_encode", "q_join_size_est", "q_hilbert",
-      "q_bloom_join")
+      "q_bloom_join", "q_dag_levels", "q_golden_records",
+      "q_image_codec_roundtrip")
     names.foreach { n =>
       val rows = SparkEntry.queries(n)(cluster, "/root/testdata/sf0.001")
         .count()

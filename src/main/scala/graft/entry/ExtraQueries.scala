@@ -147,6 +147,34 @@ object ExtraQueries {
         .orderBy(col("purchase_id"), col("click_id"))
     }),
 
+    "q_session_window_twin" -> ((s, dir) => {
+      // Spark's NATIVE session_window aggregation run as a real stream
+      // (merging event-time sessions in the state store) vs the
+      // gaps-and-islands batch replay: a session extends while the next
+      // event lands strictly inside [last, last + gap), closes at ≥ gap
+      // — and only sessions the final watermark has closed are emitted
+      // (append mode), which the oracle replays arithmetically
+      val staged = s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}/sw_events"
+      t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val agg = s.readStream.schema(schema).parquet(staged)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"), col("n"))
+      graft.streaming.Streams.withStatePartitions(s, 8) {
+        val q = agg.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .format("memory").queryName("sw_twin").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table("sw_twin").orderBy(col("user_id"), col("session_start"))
+    }),
+
     "q_stream_static_join" -> ((s, dir) => {
       // stream-static enrichment — the canonical dimension join on a
       // stream: the static side is broadcast and joined per micro-batch
@@ -4675,6 +4703,30 @@ object ExtraQueries {
          |FROM events
          |WHERE NOT (event_id % 10 < 8 AND event_id % 7 = 0)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_session_window_twin" ->
+      // gaps-and-islands + the emission cut: sessions whose end (last
+      // event + gap) the final watermark (global max ts) passed
+      """WITH e AS (SELECT user_id, ts FROM events),
+        |wmf AS (SELECT max(ts) AS m FROM e),
+        |s AS (SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |agg AS (SELECT user_id, sid, min(ts) AS session_start,
+        |    max(ts) AS last_ts, count(*) AS n
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id,
+        |  strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  CAST(n AS BIGINT) AS n
+        |FROM agg, wmf
+        |WHERE last_ts + INTERVAL 30 MINUTE < wmf.m
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_stream_static_join" ->
       // the batch twin of the per-micro-batch broadcast join

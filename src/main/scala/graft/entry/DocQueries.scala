@@ -1819,6 +1819,18 @@ object DocQueries {
           sum(coalesce(col("_hit"), lit(0))).cast(LongType).as("n_hits"))
     }),
 
+    "q_jl_project" -> ((s, dir) =>
+      // Johnson–Lindenstrauss ±1 projection, fully replayable: the sign
+      // matrix derives from md5 parity (both engines rebuild it
+      // bit-for-bit) and each component is a decimal-exact signed sum —
+      // the dimensionality cut before LSH/IVF bucketing, with an EXACT
+      // oracle instead of a distance-distortion invariant
+      Similarity.jlProject(t(s, dir, "embeddings"), "embedding", "vec_id",
+          outDims = 8)
+        .select(col("vec_id"), col("o"),
+          Semantics.safeRound(col("proj"), 4).as("proj_e4"))
+        .orderBy(col("vec_id"), col("o"))),
+
     "q_unigram_encode" -> ((s, dir) => {
       // unigram-LM tokenizer (SentencePiece-style): EM-trained piece
       // vocabulary over the word-type table, Viterbi encode as a codegen
@@ -3982,6 +3994,26 @@ object DocQueries {
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_results,
          |  CAST(SUM(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
          |FROM r LEFT JOIN exact x ON r.vec_id = x.vec_id""".stripMargin,
+
+    "q_jl_project" ->
+      // the same md5-parity sign matrix + decimal-exact signed sums
+      s"""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+         |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |os AS (SELECT CAST(o AS BIGINT) AS o FROM range(0, 8) t(o)),
+         |dims AS (SELECT DISTINCT i FROM e),
+         |sgn AS (SELECT dims.i, os.o,
+         |    CASE WHEN CAST(('0x' || substr(md5(
+         |        CAST(dims.i - 1 AS VARCHAR) || '_' ||
+         |        CAST(os.o AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+         |      THEN 1.0 ELSE -1.0 END AS s
+         |  FROM dims, os),
+         |p AS (SELECT e.vec_id, sgn.o,
+         |    CAST(SUM(CAST(e.ev * sgn.s AS DECIMAL(38,18))) AS DOUBLE)
+         |      AS dot
+         |  FROM e JOIN sgn ON sgn.i = e.i GROUP BY 1, 2)
+         |SELECT vec_id, CAST(o AS INT) AS o,
+         |  ${Sql.sround("dot")} AS proj_e4
+         |FROM p ORDER BY vec_id, o""".stripMargin,
 
     "q_embed_ivfadc_refined" ->
       // recall of the shortlist-then-exact-rerank search vs exact top-15

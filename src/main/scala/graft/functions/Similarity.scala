@@ -640,4 +640,35 @@ object Similarity {
       copy(left = newLeft, right = newRight)
     override def prettyName: String = "adc_score"
   }
+
+  /** Johnson–Lindenstrauss random projection with a ±1 sign matrix
+    * (Achlioptas 2003: Rademacher entries preserve pairwise distances in
+    * expectation exactly like Gaussian ones — and a sign matrix means
+    * every projected component is a SIGNED SUM, which the decimal-exact
+    * [[DecimalDot]] kernel evaluates order-independently). The matrix is
+    * derived from md5(dim_outdim) parity, so BOTH engines can rebuild it
+    * bit-for-bit — no RNG state to ship, replayable forever. The standard
+    * dimensionality cut BEFORE an LSH/IVF index when raw embedding dims
+    * are too wide to bucket. One codegen'd projection pass, no shuffle.
+    * Returns long form: (idCol, o, proj) with o = 0..outDims-1. */
+  def jlProject(df: DataFrame, vecCol: String, idCol: String,
+      outDims: Int): DataFrame = {
+    require(outDims >= 1, "outDims must be >= 1")
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, o: Int): Float = {
+      val h = md.digest(s"${j}_${o}".getBytes("UTF-8"))
+      val v = java.lang.Integer.toUnsignedLong(
+        java.nio.ByteBuffer.wrap(h, 0, 4).getInt)
+      if (v % 2 == 0) 1.0f else -1.0f
+    }
+    val projs = (0 until outDims).map { o =>
+      val arr = array((0 until dim).map(j => lit(sign(j, o))): _*)
+      DecimalDot.decimal_dot(col(vecCol), arr).as(s"_p$o")
+    }
+    df.select(col(idCol) +: projs: _*)
+      .select(col(idCol), posexplode(
+        array((0 until outDims).map(o => col(s"_p$o")): _*))
+        .as(Seq("o", "proj")))
+  }
 }

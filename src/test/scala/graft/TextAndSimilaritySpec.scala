@@ -267,7 +267,7 @@ class TextAndSimilaritySpec extends SparkSuite {
     val df = Seq(
       (1L, "<p>Hello <b>world</b></p>"),
       (2L, "a &amp;lt; b &amp; c &lt;d&gt; &quot;e&quot; &#39;f&#39;"),
-      (3L, "tab\there null bell"),
+      (3L, "tab\there\u0000null \u0007bell"),
       (4L, "already clean")).toDF("id", "t")
     val got = df.select(col("id"), TF.cleanText(col("t")).as("c"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -206,6 +206,46 @@ class ClusterShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cluster.table("cluster_rocks").count() == batch)
   }
 
+  test("Reliable checkpoint survives an executor kill mid-iteration") {
+    // the reason Reliable exists: blocks of a localCheckpoint die with
+    // their executor and ABORT the job; file-backed checkpoints recompute.
+    // A background thread kills one executor while the iteration runs —
+    // if the kill lands mid-job the recovery path is exercised for real;
+    // if the job finishes first the test still proves correctness (the
+    // assertion never depends on timing).
+    val sp = cluster
+    import sp.implicits._
+    // 40k vertices in 1000 chains of 40 — enough rounds × work for the
+    // kill to usually land inside the iteration
+    val n = 40000L
+    val verts = sp.range(0, n).toDF("id")
+    val edges = sp.range(0, n).toDF("i")
+      .filter(col("i") % 40 =!= 39)
+      .select(col("i").as("a"), (col("i") + 1).as("b"))
+    val killer = new Thread(() => {
+      Thread.sleep(2500)
+      val ids = org.apache.spark.GraftTestBridge.executorIds(sp.sparkContext)
+      ids.headOption.foreach { id =>
+        sp.sparkContext.killExecutors(Seq(id)); ()
+      }
+    })
+    killer.setDaemon(true)
+    val labels = withCheckpointDir {
+      killer.start()
+      graft.operators.Components.labels(verts, "id", edges, "a", "b",
+        ckpt = Checkpoints.Reliable)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(when(col("cluster") === col("id") - col("id") % 40, 1L)
+            .otherwise(0L)).as("n_correct"))
+        .head()
+    }
+    killer.join(1000)
+    assert(labels.getLong(0) == n)
+    assert(labels.getLong(1) == n / 40)
+    assert(labels.getLong(2) == n) // every vertex labeled with its chain head
+  }
+
   test("typed UDAF sketch buffers (Kryo) cross executor boundaries") {
     val sp = cluster
     import sp.implicits._

@@ -654,6 +654,9 @@ object Similarity {
   def jlProject(df: DataFrame, vecCol: String, idCol: String,
       outDims: Int): DataFrame = {
     require(outDims >= 1, "outDims must be >= 1")
+    // bounded construction-time peek: the embedding dimension isn't in
+    // the schema (array<float>), and the sign matrix is built driver-side
+    // from it — head() reads ONE row (LIMIT-1 scan), never the table
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val md = java.security.MessageDigest.getInstance("MD5")
     def sign(j: Int, o: Int): Float = {

@@ -31,6 +31,8 @@ object EntityResolution {
       ckpt: graft.core.Checkpoints.Mode = graft.core.Checkpoints.Local)
       : DataFrame = {
     require(attrs.nonEmpty, "need at least one attribute to merge")
+    require(attrs.distinct == attrs,
+      s"duplicate attributes would collapse in the melt map: $attrs")
     val pairs = FuzzyMatch.editDistanceJoin(
       df.select(col(idCol), col(matchCol)),
       df.select(col(idCol).as("_id2"), col(matchCol).as("_s2")),

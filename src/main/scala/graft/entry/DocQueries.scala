@@ -806,6 +806,22 @@ object DocQueries {
         k = 3, threshold = 0.2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_set_sim_join" -> ((s, dir) => {
+      // EXACT Jaccard-threshold self-join — no LSH recall, no caller
+      // blocking: Chaudhuri prefix filtering under the global rare-first
+      // token order provably captures every pair with J ≥ 0.8 (the same
+      // construction that serves as the validated sf0.1 oracle twin, now
+      // as the ENGINE operator). Suffix-shifted twins sit at J ≈ 0.97
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val d0 = docs.unionByName(docs.select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+      val sets = d0.select(col("doc_id"),
+        graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
+      graft.operators.SetSimJoin.jaccardSelfJoin(sets, "doc_id", "sh", 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_doc_containment" -> ((s, dir) =>
       // asymmetric near-dup: a short doc inside a long one (excerpts) —
       // invisible to jaccard, containment ≈ 1
@@ -3273,6 +3289,35 @@ object DocQueries {
          |SELECT id AS doc_id, MIN(lbl) AS cluster, MIN(lbl) = id AS keep
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
     },
+
+    "q_set_sim_join" ->
+      // the same prefix-filter construction, independently in SQL; pure
+      // integer prefix length and e4 jaccard on both sides
+      """WITH d0 AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1)
+        |  FROM documents),
+        |d AS (SELECT doc_id, list_distinct(list_transform(   range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 1, 1)),   i -> concat_ws(' ',     string_split_regex(trim(lower(text)), '\s+')[i],     string_split_regex(trim(lower(text)), '\s+')[i+1],     string_split_regex(trim(lower(text)), '\s+')[i+2]))) AS sh FROM d0),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM d),
+        |gf AS (SELECT g, count(*) AS f FROM e GROUP BY g),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM d),
+        |rk AS (SELECT e.doc_id, e.g,
+        |    ROW_NUMBER() OVER (PARTITION BY e.doc_id
+        |      ORDER BY gf.f ASC, e.g ASC) AS r
+        |  FROM e JOIN gf USING (g)),
+        |pf AS (SELECT rk.doc_id, rk.g FROM rk JOIN sz USING (doc_id)
+        |  WHERE r <= n - (n * 8000 + 9999) // 10000 + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        |  FROM pf a JOIN pf b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |p AS (SELECT u, v,
+        |    len(list_filter(da.sh, x -> list_contains(db.sh, x))) AS it,
+        |    len(da.sh) AS na, len(db.sh) AS nb
+        |  FROM cand JOIN d da ON da.doc_id = u JOIN d db ON db.doc_id = v)
+        |SELECT u AS id_a, v AS id_b,
+        |  CAST(FLOOR(it * 10000.0 / (na + nb - it)) AS BIGINT)
+        |    AS jaccard_e4
+        |FROM p WHERE FLOOR(it * 10000.0 / (na + nb - it)) >= 8000
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_doc_containment" -> {
       val sh =

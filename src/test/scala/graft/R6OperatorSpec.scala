@@ -243,6 +243,33 @@ class R6OperatorSpec extends SparkSuite {
       got(12L) == (-1L, true))
   }
 
+  test("SetSimJoin: exactly the brute-force pair set at every " +
+      "threshold, prefix never misses") {
+    val rows = Seq(
+      (1L, Seq("a", "b", "c", "d", "e")),
+      (2L, Seq("a", "b", "c", "d", "f")),  // J(1,2)=4/6≈0.667
+      (3L, Seq("a", "b", "c", "d", "e")),  // J(1,3)=1
+      (4L, Seq("x", "y", "z")),
+      (5L, Seq.empty[String]),
+      (6L, Seq("x", "y", "z", "w"))) // J(4,6)=3/4=0.75
+      .toDF("id", "sh")
+    def brute(t: Double): Set[(Long, Long)] = {
+      val m = rows.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      (for {
+        a <- m.keys; b <- m.keys if a < b
+        ia = m(a).toSet.intersect(m(b).toSet).size
+        un = m(a).toSet.union(m(b).toSet).size
+        if un > 0 && math.floor(ia * 10000.0 / un) >= math.floor(t * 10000)
+      } yield (a, b)).toSet
+    }
+    Seq(0.5, 0.6667, 0.75, 0.8, 1.0).foreach { t =>
+      val got = graft.operators.SetSimJoin
+        .jaccardSelfJoin(rows, "id", "sh", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute(t), s"threshold $t: $got vs ${brute(t)}")
+    }
+  }
+
   test("keyFreqSketch ignores null keys and is deterministic") {
     val df = Seq(Some(1L), Some(1L), Some(2L), None).toDF("k")
     val s1 = graft.functions.Sketches.keyFreqSketch(df, "k", depth = 3,

@@ -25,19 +25,25 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 TIMEOUT_S = float(__import__("os").environ.get("SWEEP_TIMEOUT_S", "120"))
 
 
+def _cell(v) -> str:
+    if isinstance(v, float):
+        return "%.10g" % v
+    if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0:
+        return ",".join(str(x) for x in v)
+    return str(v)
+
+
 def canon(df: pd.DataFrame) -> str:
+    # ROW-SORTED multiset hash: multi-part engine outputs arrive in
+    # arbitrary glob/concat order, so row-order-sensitive hashing would
+    # false-FAIL a correct result. Both sides canon the same way.
     df = df.reindex(sorted(df.columns), axis=1)
+    rows = ["\x00".join(_cell(v) for v in rec)
+            for rec in df.itertuples(index=False, name=None)]
     h = hashlib.sha256()
-    for col in df.columns:
-        for v in df[col]:
-            if isinstance(v, float):
-                s = "%.10g" % v
-            elif isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0:
-                s = ",".join(str(x) for x in v)
-            else:
-                s = str(v)
-            h.update(s.encode())
-            h.update(b"\x00")
+    for r in sorted(rows):
+        h.update(r.encode())
+        h.update(b"\x01")
     return h.hexdigest()
 
 
@@ -83,7 +89,7 @@ def main():
     for name in sorted(oracle):
         if only and name not in only:
             continue
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"MISSING  {name} (no engine output)")
             results[name] = {"rows_match": False, "schema_match": False,
@@ -127,8 +133,14 @@ def main():
                       f"{sorted(spark_df.columns)} vs {sorted(odf.columns)}")
             else:
                 # locate first differing cell for debugging
-                a = spark_df.reindex(sorted(spark_df.columns), axis=1).reset_index(drop=True)
-                b = odf.reindex(sorted(odf.columns), axis=1).reset_index(drop=True)
+                def _sorted_rows(d):
+                    d = d.reindex(sorted(d.columns), axis=1)
+                    key = ["\x00".join(_cell(v) for v in rec)
+                           for rec in d.itertuples(index=False, name=None)]
+                    return d.iloc[pd.Series(key).argsort(kind="stable")] \
+                        .reset_index(drop=True)
+                a = _sorted_rows(spark_df)
+                b = _sorted_rows(odf)
                 diff = None
                 for c in a.columns:
                     for i in range(min(len(a), 50000)):

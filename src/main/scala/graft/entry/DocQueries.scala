@@ -811,9 +811,10 @@ object DocQueries {
       // blocking: Chaudhuri prefix filtering under the global rare-first
       // token order provably captures every pair with J ≥ 0.8 (the same
       // construction that serves as the validated sf0.1 oracle twin, now
-      // as the ENGINE operator). Suffix-shifted twins sit at J ≈ 0.97
+      // as the ENGINE operator). Suffix-shifted twins sit at J ≈ 0.97.
+      // Full corpus: the distinct-set pre-pass pays verification once per
+      // distinct pair, so the former doc_id%5 bench-tail trim is gone
       val docs = t(s, dir, "documents")
-        .filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("text"))
       val d0 = docs.unionByName(docs.select(
         (col("doc_id") + 100000L).as("doc_id"),
@@ -3296,10 +3297,9 @@ object DocQueries {
       // the same prefix-filter construction, independently in SQL; pure
       // integer prefix length and e4 jaccard on both sides
       """WITH d0 AS (SELECT doc_id, text FROM documents
-        |  WHERE doc_id % 5 = 0
         |  UNION ALL
         |  SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1)
-        |  FROM documents WHERE doc_id % 5 = 0),
+        |  FROM documents),
         |d AS (SELECT doc_id, list_distinct(list_transform(   range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 1, 1)),   i -> concat_ws(' ',     string_split_regex(trim(lower(text)), '\s+')[i],     string_split_regex(trim(lower(text)), '\s+')[i+1],     string_split_regex(trim(lower(text)), '\s+')[i+2]))) AS sh FROM d0),
         |e AS (SELECT doc_id, unnest(sh) AS g FROM d),
         |gf AS (SELECT g, count(*) AS f FROM e GROUP BY g),

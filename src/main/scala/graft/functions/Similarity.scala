@@ -656,8 +656,14 @@ object Similarity {
     require(outDims >= 1, "outDims must be >= 1")
     // bounded construction-time peek: the embedding dimension isn't in
     // the schema (array<float>), and the sign matrix is built driver-side
-    // from it — head() reads ONE row (LIMIT-1 scan), never the table
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    // from it — a LIMIT-1 scan reads ONE row, never the table. All rows
+    // must share this dimension (the uniform-dim contract of every
+    // embedding op here); rows of another length would silently project
+    // over the wrong matrix width
+    val firstRow = df.select(size(col(vecCol))).head(1)
+    require(firstRow.nonEmpty,
+      s"jlProject: input is empty — cannot infer embedding dim from '$vecCol'")
+    val dim = firstRow(0).getInt(0)
     val md = java.security.MessageDigest.getInstance("MD5")
     def sign(j: Int, o: Int): Float = {
       val h = md.digest(s"${j}_${o}".getBytes("UTF-8"))

@@ -365,6 +365,8 @@ object Sketches {
         Seq("_j", "_b"))
       .groupBy(col("_j"))
       .agg(sum(d(col("_ca")) * d(col("_cb"))).as("_ip"))
-      .agg(min(col("_ip")).cast(LongType).as("est_pairs"))
+      // disjoint/empty sketches share no (_j,_b) buckets: the join yields
+      // zero rows and min() over them is null — that prices to 0 pairs
+      .agg(coalesce(min(col("_ip")), lit(0)).cast(LongType).as("est_pairs"))
   }
 }

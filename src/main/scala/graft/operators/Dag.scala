@@ -67,8 +67,11 @@ object Dag {
       }
       val leveled =
         if (levels.isEmpty)
-          spark.emptyDataFrame
-            .select(lit(0L).as("_id"), lit(0L).as("level")).limit(0)
+          // build the empty frame from the vertices schema: a hardcoded
+          // bigint _id would type-clash (ANSI cast error) against string
+          // vertex ids when the graph is fully cyclic
+          vertices.select(col(idCol).as("_id")).limit(0)
+            .withColumn("level", lit(0L))
         else levels.reduce(_ unionByName _)
       vertices.select(col(idCol).as("_id")).distinct()
         .join(leveled, Seq("_id"), "left")

@@ -467,41 +467,59 @@ object NgramJaccard {
     *
     * At scale this is the standard construction: shuffle on (block, shingle)
     * keys; worst case is a hot shingle within a block, bounded by block
-    * size — versus the array-join form whose every pair ships both arrays. */
+    * size — versus the array-join form whose every pair ships both arrays.
+    *
+    * DISTINCT-TEXT PRE-PASS (shared with the containment form): rows with
+    * identical (block, text) collapse to one representative — md5 content
+    * key, the same one [[ExactDedup]] uses — so the inverted-index join
+    * and the similarity arithmetic run once per distinct pair; id pairs
+    * re-expand through copy groups, and identical-text pairs emit directly
+    * at score 1.0 with no index work at all. Duplicate-heavy corpora
+    * otherwise pay the pair pipeline per copy-pair (quadratic in copy
+    * multiplicity) for work whose answer never changes. */
   def pairsWithinBlocks(df: DataFrame, idCol: String, textCol: String,
-      blockKey: Column, k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val prepared = df.select(col(idCol).as("id"), blockKey.as("blk"),
-      MinHashDedup.shingles(col(textCol), k).as("sh"))
-    val sized = prepared.select(col("id"), col("blk"), col("sh"),
-      size(col("sh")).as("n_sh"))
-    val inv = sized.select(col("id"), col("blk"), col("n_sh"),
-      explode(col("sh")).as("s"))
-    val l = inv.select(col("id").as("id_a"), col("n_sh").as("na"),
-      col("blk"), col("s"))
-    val r = inv.select(col("id").as("id_b"), col("n_sh").as("nb"),
-      col("blk"), col("s"))
-    l.join(r, Seq("blk", "s"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
-      .withColumn("jaccard", round(
-        when(col("uni") === 0, 0.0)
-          .otherwise(col("inter").cast(DoubleType) / col("uni").cast(DoubleType)), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
+      blockKey: Column, k: Int = 3, threshold: Double = 0.5): DataFrame =
+    scoredPairsWithinBlocks(df, idCol, textCol, blockKey, k, threshold,
+      "jaccard", (inter, na, nb) => {
+        val uni = na + nb - inter
+        round(when(uni === 0, 0.0)
+          .otherwise(inter.cast(DoubleType) / uni.cast(DoubleType)), 4)
+      })
 
   /** Asymmetric near-dup — containment |A∩B| / min(|A|,|B|): a short
     * document quoted whole inside a long one has Jaccard ≈ |A|/|B| (tiny,
     * invisible to [[pairsWithinBlocks]]) but containment 1.0. The
     * excerpt/quotation detector. Identical inverted-shingle-index
-    * construction and scale shape as the Jaccard form. */
+    * construction, distinct-text pre-pass, and scale shape as the Jaccard
+    * form. */
   def containmentPairsWithinBlocks(df: DataFrame, idCol: String,
       textCol: String, blockKey: Column, k: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    val prepared = df.select(col(idCol).as("id"), blockKey.as("blk"),
-      MinHashDedup.shingles(col(textCol), k).as("sh"))
+      threshold: Double = 0.8): DataFrame =
+    scoredPairsWithinBlocks(df, idCol, textCol, blockKey, k, threshold,
+      "containment", (inter, na, nb) =>
+        round(inter.cast(DoubleType) / least(na, nb).cast(DoubleType), 4))
+
+  /** Shared engine for the two blocked pair forms: distinct-(block, text)
+    * collapse → inverted shingle index over representatives → score →
+    * re-expansion. `score(inter, na, nb)` must yield exactly 1.0 for
+    * identical inputs (inter = na = nb) — intra-group pairs are emitted at
+    * that constant without touching the index. */
+  private def scoredPairsWithinBlocks(df: DataFrame, idCol: String,
+      textCol: String, blockKey: Column, k: Int, threshold: Double,
+      scoreName: String,
+      score: (Column, Column, Column) => Column): DataFrame = {
+    val rows = df.select(col(idCol).as("id"), blockKey.as("blk"),
+      col(textCol).as("_t")).withColumn("_key", md5(col("_t")))
+    val groups = rows.groupBy(col("blk"), col("_key"))
+      .agg(min(col("id")).as("_gid"), first(col("_t")).as("_t"))
+    // each input id belongs to exactly one (blk, text) group, so group
+    // representative ids are globally unique and expansion needs no blk
+    val members = rows.select(col("blk"), col("_key"), col("id"))
+      .join(groups.select(col("blk"), col("_key"), col("_gid")),
+        Seq("blk", "_key"))
+      .select(col("_gid"), col("id"))
+    val prepared = groups.select(col("_gid").as("id"), col("blk"),
+      MinHashDedup.shingles(col("_t"), k).as("sh"))
     val sized = prepared.select(col("id"), col("blk"), col("sh"),
       size(col("sh")).as("n_sh"))
     val inv = sized.select(col("id"), col("blk"), col("n_sh"),
@@ -510,15 +528,32 @@ object NgramJaccard {
       col("blk"), col("s"))
     val r = inv.select(col("id").as("id_b"), col("n_sh").as("nb"),
       col("blk"), col("s"))
-    l.join(r, Seq("blk", "s"))
+    val repPairs = l.join(r, Seq("blk", "s"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("containment", round(
-        col("inter").cast(DoubleType)
-          / least(col("na"), col("nb")).cast(DoubleType), 4))
-      .filter(col("containment") >= threshold)
-      .select(col("id_a"), col("id_b"), col("containment"))
+      .withColumn(scoreName, score(col("inter"), col("na"), col("nb")))
+      .filter(col(scoreName) >= threshold)
+      .select(col("id_a").as("_ga"), col("id_b").as("_gb"), col(scoreName))
+    val inter = repPairs
+      .join(members.select(col("_gid").as("_ga"), col("id").as("_xa")),
+        Seq("_ga"))
+      .join(members.select(col("_gid").as("_gb"), col("id").as("_xb")),
+        Seq("_gb"))
+      .select(least(col("_xa"), col("_xb")).as("id_a"),
+        greatest(col("_xa"), col("_xb")).as("id_b"), col(scoreName))
+    // identical (block, text) → identical shingle sets → score exactly
+    // 1.0, PROVIDED the text has at least one shingle (empty-shingle rows
+    // never reach the index and never paired before the pre-pass either)
+    val me = sized.filter(col("n_sh") > 0).select(col("id").as("_gid"))
+      .join(members, Seq("_gid"))
+    val intra = me.as("x")
+      .join(me.as("y"),
+        col("x._gid") === col("y._gid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(1.0).as(scoreName))
+      .filter(col(scoreName) >= threshold)
+    inter.unionByName(intra)
   }
 }
 

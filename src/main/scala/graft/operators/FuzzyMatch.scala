@@ -38,34 +38,54 @@ object FuzzyMatch {
     * prefixes must intersect. Blocking only on prefix grams keeps blocks
     * rare-gram-sized — serial-number corpora where one gram ("000")
     * appears in EVERY string would otherwise degenerate to the full cross
-    * product (observed: 25 s → sub-second on the supplier gate). */
+    * product (observed: 25 s → sub-second on the supplier gate).
+    *
+    * DISTINCT-STRING PRE-PASS: candidate generation and levenshtein
+    * verification run over the DISTINCT strings of each side; id pairs are
+    * re-expanded through the copy groups afterwards. A duplicate-heavy
+    * corpus (the normal case for a web crawl — and exactly what a 10×
+    * row-copied scale probe synthesizes) would otherwise pay the exact
+    * verification once per COPY-pair: m copies of s₁ × n copies of s₂ is
+    * m·n levenshtein calls for one distinct comparison. The pre-pass makes
+    * verification proportional to distinct pairs and leaves only the
+    * output-sized expansion join to scale with multiplicity. Prefix
+    * completeness is order-agnostic (any global gram order works), so
+    * computing gram frequencies over distinct strings instead of rows
+    * changes block sizes, never the result. */
   def editDistanceJoin(left: DataFrame, right: DataFrame,
       leftId: String, leftCol: String, rightId: String, rightCol: String,
       maxDist: Int, q: Int = 3): DataFrame = {
     require(maxDist >= 0 && q >= 2, s"need maxDist >= 0, q >= 2: $maxDist, $q")
     val prefixLen = maxDist * q + 1
-    val lg = left.select(col(leftId).as("_lid"), col(leftCol).as("_ls"),
-      explode(qgrams(leftCol, q)).as("_g"))
-    val rg = right.select(col(rightId).as("_rid"), col(rightCol).as("_rs"),
-      explode(qgrams(rightCol, q)).as("_g"))
+    val ld = left.select(col(leftCol).as("_ls")).distinct()
+    val rd = right.select(col(rightCol).as("_rs")).distinct()
+    val lg = ld.select(col("_ls"), explode(qgrams("_ls", q)).as("_g"))
+    val rg = rd.select(col("_rs"), explode(qgrams("_rs", q)).as("_g"))
     // one global gram order shared by both sides: df over the union
     val df = lg.select(col("_g")).unionByName(rg.select(col("_g")))
       .groupBy(col("_g")).agg(count(lit(1)).as("_df"))
-    def prefix(grams: DataFrame, idC: String, strC: String): DataFrame = {
+    def prefix(grams: DataFrame, strC: String): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(idC)).orderBy(col("_df"), col("_g"))
+        .partitionBy(col(strC)).orderBy(col("_df"), col("_g"))
       grams.join(df, Seq("_g"))
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") <= prefixLen)
-        .select(col(idC), col(strC), col("_g"))
+        .select(col(strC), col("_g"))
     }
-    prefix(lg, "_lid", "_ls").join(prefix(rg, "_rid", "_rs"), Seq("_g"))
-      .select(col("_lid"), col("_ls"), col("_rid"), col("_rs"))
-      .distinct() // candidates: one row per pair, not per shared gram
+    val strPairs = prefix(lg, "_ls").join(prefix(rg, "_rs"), Seq("_g"))
+      .select(col("_ls"), col("_rs"))
+      .distinct() // candidates: one row per DISTINCT string pair
       .withColumn("dist",
         levenshtein(col("_ls"), col("_rs")).cast(IntegerType))
       .filter(col("dist") <= maxDist)
-      .select(col("_lid").as(leftId), col("_rid").as(rightId), col("dist"))
+    // re-expand verified string pairs through the copy groups; distinct
+    // (id, string) projections reproduce the pre-pass-free output exactly
+    strPairs
+      .join(left.select(col(leftId), col(leftCol).as("_ls")).distinct(),
+        Seq("_ls"))
+      .join(right.select(col(rightId), col(rightCol).as("_rs")).distinct(),
+        Seq("_rs"))
+      .select(col(leftId), col(rightId), col("dist"))
   }
 
   /** Blocked sorted-neighborhood join — the other classic ER blocking

@@ -28,21 +28,44 @@ object SetSimJoin {
 
   /** Pairs (id_a < id_b, jaccard_e4) with floor(J·10⁴) ≥ floor(t·10⁴).
     * `setCol` must hold DISTINCT elements per row (array_distinct first
-    * if unsure); empty sets never pair. */
+    * if unsure); empty sets never pair.
+    *
+    * DISTINCT-SET PRE-PASS: rows with identical sets (md5 of the sorted
+    * serialization — the same content key [[ExactDedup]] uses) collapse to
+    * one representative BEFORE candidate generation; prefix filtering and
+    * the exact array_intersect verification run once per distinct set
+    * pair, and id pairs re-expand through the copy groups afterwards.
+    * Intra-group pairs (identical non-empty sets) are emitted directly at
+    * J = 1 — they need no verification at all. On a duplicate-heavy corpus
+    * this turns quadratic-in-multiplicity VERIFICATION into distinct-pair
+    * verification plus an output-sized expansion join. Token frequencies
+    * over distinct sets change only the prefix ORDER (completeness holds
+    * under any global order), never the result. */
   def jaccardSelfJoin(df: DataFrame, idCol: String, setCol: String,
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
     val tE4 = math.floor(threshold * 10000).toLong
-    val e = df.select(col(idCol).as("_id"), explode(col(setCol)).as("_g"))
+    // copy groups: group key = md5 over the sorted elements (NUL-joined;
+    // elements are tokens, never null), representative id = min member id
+    val rows = df.select(col(idCol).as("_id"),
+      array_sort(col(setCol)).as("_set"))
+      .withColumn("_key", md5(concat_ws("\u0000", col("_set"))))
+    val groups = rows.groupBy(col("_key"))
+      .agg(min(col("_id")).as("_gid"), first(col("_set")).as("_set"),
+        count(lit(1)).as("_copies"), size(first(col("_set"))).as("_n"))
+    val members = rows.select(col("_key"), col("_id"))
+      .join(groups.select(col("_key"), col("_gid"), col("_n")), Seq("_key"))
+      .select(col("_gid"), col("_id"), col("_n"))
+    // candidate generation + exact verification over DISTINCT sets only
+    val reps = groups.select(col("_gid").as("_id"), col("_set"),
+      col("_n"))
+    val e = reps.select(col("_id"), col("_n"), explode(col("_set")).as("_g"))
     val gf = e.groupBy(col("_g")).agg(count(lit(1)).as("_f"))
-    val sz = df.select(col(idCol).as("_id"),
-      size(col(setCol)).as("_n"))
     val w = Window.partitionBy(col("_id"))
       .orderBy(col("_f").asc, col("_g").asc)
     val pf = e.join(gf, Seq("_g"))
       .withColumn("_r", row_number().over(w))
-      .join(sz, Seq("_id"))
       // prefix length n − ⌈t·n⌉ + 1 in PURE INTEGER arithmetic (the
       // effective e4-floored threshold): float spellings of (1−t)·n dip
       // below the exact value (1.0 − 0.8 = 0.1999…96) and would shave the
@@ -55,9 +78,9 @@ object SetSimJoin {
         col("a._g") === col("b._g") && col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
-    cand
-      .join(df.select(col(idCol).as("id_a"), col(setCol).as("_sa")), "id_a")
-      .join(df.select(col(idCol).as("id_b"), col(setCol).as("_sb")), "id_b")
+    val repPairs = cand
+      .join(reps.select(col("_id").as("id_a"), col("_set").as("_sa")), "id_a")
+      .join(reps.select(col("_id").as("id_b"), col("_set").as("_sb")), "id_b")
       .withColumn("_inter", size(array_intersect(col("_sa"), col("_sb"))))
       // any candidate shares ≥1 token, so the union is never 0
       .withColumn("jaccard_e4",
@@ -65,6 +88,26 @@ object SetSimJoin {
           (size(col("_sa")) + size(col("_sb")) - col("_inter")))
           .cast("long"))
       .filter(col("jaccard_e4") >= tE4)
-      .select(col("id_a"), col("id_b"), col("jaccard_e4"))
+      .select(col("id_a").as("_ga"), col("id_b").as("_gb"),
+        col("jaccard_e4"))
+    // re-expand: cross the member ids of each qualifying group pair
+    // (distinct groups → distinct ids, so least/greatest orients cleanly)
+    val inter = repPairs
+      .join(members.select(col("_gid").as("_ga"), col("_id").as("_xa")),
+        Seq("_ga"))
+      .join(members.select(col("_gid").as("_gb"), col("_id").as("_xb")),
+        Seq("_gb"))
+      .select(least(col("_xa"), col("_xb")).as("id_a"),
+        greatest(col("_xa"), col("_xb")).as("id_b"), col("jaccard_e4"))
+    // intra-group pairs: identical NON-EMPTY sets share everything — J = 1
+    // exactly, 10000 ≥ tE4 for every legal threshold; empty sets have no
+    // tokens to join on and never paired before the pre-pass either
+    val me = members.filter(col("_n") > 0).select(col("_gid"), col("_id"))
+    val intra = me.as("x")
+      .join(me.as("y"),
+        col("x._gid") === col("y._gid") && col("x._id") < col("y._id"))
+      .select(col("x._id").as("id_a"), col("y._id").as("id_b"),
+        lit(10000L).as("jaccard_e4"))
+    inter.unionByName(intra)
   }
 }

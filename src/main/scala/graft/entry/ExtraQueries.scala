@@ -266,8 +266,11 @@ object ExtraQueries {
       // max-ts, minus the 10-min delay) passed; younger unmatched rows
       // stay pending at stream end by design and appear on neither side
       val staged = s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}/ij_outer"
+      // user_id%3 sample: the join/eviction semantics are user-local, so a
+      // third of the users proves the same thing at a third of the state
       t(s, dir, "events")
         .filter(col("event_type").isin("purchase", "click"))
+        .filter(col("user_id") % 3 === 0)
         .select(col("event_type"), col("event_id"), col("user_id"), col("ts"))
         .coalesce(1).write.mode("overwrite").parquet(staged)
       val schema = s.read.parquet(staged).schema
@@ -708,12 +711,14 @@ object ExtraQueries {
     }),
 
     "q_dag_levels" -> ((s, dir) => {
-      // topological leveling of a derivation DAG (docs i → 2i, 2i+1, 3i —
-      // strictly increasing, so acyclic, depth ~log₂ n) plus a planted
+      // topological leveling of a derivation DAG (docs i → 8i, 8i+1, 9i —
+      // strictly increasing, so acyclic, depth ~log₈ n) plus a planted
       // 3-cycle on synthetic ids n..n+2: levels are Kahn waves (1 + max
       // over preds), the cycle comes back level = -1 / in_cycle — the
       // pipeline-scheduler primitive with honest deadlock reporting.
-      // Peel rounds = DAG depth, not vertex count
+      // Peel rounds = DAG depth, not vertex count; base 8 keeps the
+      // fixture at ~5 waves (each wave costs one count() action in the
+      // harness — the operator itself is depth-proportional by design)
       val docs = t(s, dir, "documents").select(col("doc_id"))
       val cnt = docs.agg(count(lit(1)).as("_n"))
       val src = docs.filter(col("doc_id") >= 1).crossJoin(broadcast(cnt))
@@ -727,7 +732,7 @@ object ExtraQueries {
         .unionByName(cnt.selectExpr(
           "explode(array(_n, _n + 1, _n + 2)) AS id"))
       graft.operators.Dag.topoLevels(verts, "id",
-          e(2, 0).unionByName(e(2, 1)).unionByName(e(3, 0))
+          e(8, 0).unionByName(e(8, 1)).unionByName(e(9, 0))
             .unionByName(cycE), "src", "dst")
         .orderBy(col("id"))
     }),
@@ -2833,9 +2838,9 @@ object ExtraQueries {
       // rows (upper bound not yet passed by the final watermark) on
       // neither side. Microsecond epochs keep every bound integral
       """WITH p AS (SELECT event_id, user_id, ts FROM events
-        |  WHERE event_type = 'purchase'),
+        |  WHERE event_type = 'purchase' AND user_id % 3 = 0),
         |c AS (SELECT event_id, user_id, ts FROM events
-        |  WHERE event_type = 'click'),
+        |  WHERE event_type = 'click' AND user_id % 3 = 0),
         |wm AS (SELECT LEAST((SELECT max(epoch_us(ts)) FROM p),
         |    (SELECT max(epoch_us(ts)) FROM c)) - 600000000 AS w),
         |m AS (SELECT p.event_id AS purchase_id, c.event_id AS click_id
@@ -3365,14 +3370,14 @@ object ExtraQueries {
       // longest-path-from-roots replay (UNION dedups (node, depth) pairs,
       // so path multiplicity never explodes); planted cycle as literals
       """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
-        |e AS (SELECT doc_id AS u, doc_id * 2 AS v FROM documents, nn
-        |    WHERE doc_id >= 1 AND doc_id * 2 < nn.n
+        |e AS (SELECT doc_id AS u, doc_id * 8 AS v FROM documents, nn
+        |    WHERE doc_id >= 1 AND doc_id * 8 < nn.n
         |  UNION ALL
-        |  SELECT doc_id, doc_id * 2 + 1 FROM documents, nn
-        |    WHERE doc_id >= 1 AND doc_id * 2 + 1 < nn.n
+        |  SELECT doc_id, doc_id * 8 + 1 FROM documents, nn
+        |    WHERE doc_id >= 1 AND doc_id * 8 + 1 < nn.n
         |  UNION ALL
-        |  SELECT doc_id, doc_id * 3 FROM documents, nn
-        |    WHERE doc_id >= 1 AND doc_id * 3 < nn.n),
+        |  SELECT doc_id, doc_id * 9 FROM documents, nn
+        |    WHERE doc_id >= 1 AND doc_id * 9 < nn.n),
         |roots AS (SELECT doc_id AS id FROM documents
         |  WHERE doc_id NOT IN (SELECT v FROM e)),
         |reach(id, d) AS (

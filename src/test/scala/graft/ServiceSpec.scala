@@ -589,4 +589,93 @@ class ServiceSpec extends SparkSuite {
       assert(failures.isEmpty, failures.toArray.mkString("; "))
     } finally http.stop()
   }
+
+  test("negative paths: bad requests return the reference's error envelope " +
+    "({detail: ...} with 404/500, never a stack page or a hang)") {
+    import graft.service.{Facade, HttpFacade, MiniJson}
+    implicit val tables: Facade.Tables =
+      Facade.Tables(graft.core.Tables.table(spark, sfDir, _))
+    val http = new HttpFacade(tables)
+    val port = http.start()
+    try {
+      def call(method: String, path: String, body: String = ""): (Int, Any) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod(method)
+        if (body.nonEmpty) {
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(body.getBytes("UTF-8"))
+        }
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        (code, MiniJson.parse(new String(is.readAllBytes(), "UTF-8")))
+      }
+      def detailOf(resp: Any): String =
+        resp.asInstanceOf[Map[String, Any]]("detail").asInstanceOf[String]
+
+      // 1. malformed JSON body (FastAPI rejects at parse; our envelope is
+      //    the HTTPException shape: detail + error status)
+      val (c1, r1) = call("POST", "/api/analytics/dashboard/query",
+        """{"table": "orders", "filters": [""")
+      assert(c1 == 500 && detailOf(r1).nonEmpty)
+
+      // 2. unknown table
+      val (c2, r2) = call("POST", "/api/analytics/dashboard/query",
+        """{"table": "no_such_table"}""")
+      assert(c2 == 500 && detailOf(r2).nonEmpty)
+
+      // 3. unknown column in a filter (Spark analysis error surfaces as
+      //    detail, mirroring duckdb_service's Binder error -> 500)
+      val (c3, r3) = call("POST", "/api/analytics/dashboard/query",
+        """{"table": "orders",
+           "filters": [{"column": "no_such_col", "operator": "eq",
+                        "value": "x"}]}""")
+      assert(c3 == 500 && detailOf(r3).toLowerCase.contains("no_such_col"))
+
+      // 4. unsupported filter operator
+      val (c4, r4) = call("POST", "/api/analytics/dashboard/query",
+        """{"table": "orders",
+           "filters": [{"column": "o_orderstatus", "operator": "~~~",
+                        "value": "O"}]}""")
+      assert(c4 == 500 && detailOf(r4).nonEmpty)
+
+      // 5. unknown aggregation function
+      val (c5, r5) = call("POST", "/api/analytics/dashboard/query",
+        """{"table": "orders", "aggregation": {
+             "group_by": ["o_orderpriority"],
+             "metrics": [{"column": "o_orderkey", "agg": "frobnicate"}]}}""")
+      assert(c5 == 500 && detailOf(r5).nonEmpty)
+
+      // 6. status / stage-run for a pipeline id that was never created
+      val (c6, r6) = call("GET", "/api/pipeline/nope-id/status")
+      assert(c6 == 404 && detailOf(r6) == "pipeline not found")
+      val (c6b, r6b) = call("POST", "/api/pipeline/staged/nope-id/extract")
+      assert(c6b == 404 && detailOf(r6b) == "pipeline not found")
+
+      // 7. staged lifecycle misuse on a REAL pipeline: preview before any
+      //    stage ran (404, main.py:369 shape), transform before extract
+      //    and an unknown stage name (500 + detail)
+      val (ci, ri) = call("POST", "/api/pipeline/staged/init",
+        s"""{"name": "neg", "source": {"type": "parquet",
+             "path": "$sfDir/nation.parquet"}}""")
+      assert(ci == 200)
+      val pid = ri.asInstanceOf[Map[String, Any]]("pipeline_id").asInstanceOf[String]
+      val (c7, r7) = call("GET", s"/api/pipeline/$pid/data/preview?stage=transformed")
+      assert(c7 == 404 && detailOf(r7).contains("No data found"))
+      val (c8, r8) = call("POST", s"/api/pipeline/staged/$pid/transform")
+      assert(c8 == 500 && detailOf(r8).contains("extract has not run"))
+      val (c9, r9) = call("POST", s"/api/pipeline/staged/$pid/frobnicate")
+      assert(c9 == 500 && detailOf(r9).contains("unknown stage"))
+
+      // 8. unknown source type at init
+      val (c10, r10) = call("POST", "/api/pipeline/staged/init",
+        """{"source": {"type": "carrier_pigeon"}}""")
+      assert(c10 == 500 && detailOf(r10).contains("unknown source"))
+
+      // the server survives all of the above: a good request still works
+      val (cOk, _) = call("GET",
+        "/api/analytics/dashboard/filter-values?table=region&column=r_name")
+      assert(cOk == 200)
+    } finally http.stop()
+  }
 }

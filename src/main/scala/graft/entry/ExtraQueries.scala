@@ -1687,10 +1687,21 @@ object ExtraQueries {
       // and the adapters are engine-agnostic (url + dialect)
       System.setProperty("derby.system.home", "/tmp/graft_derby")
       new java.io.File("/tmp/graft_derby").mkdirs()
-      val url = "jdbc:derby:/tmp/graft_derby/regiondb;create=true"
+      // jdbc:graftderby: = shutdown-on-close Derby shim (see
+      // [[graft.io.DerbySingleJvmDriver]]): releases the embedded engine's
+      // single-JVM db lock between Spark's driver-side (DDL/schema) and
+      // executor-side (rows) phases, so this gate also passes on a
+      // multi-process master. numPartitions=1 keeps row batches from two
+      // executors off the lock concurrently — a 5-row dimension roundtrip.
+      graft.io.DerbySingleJvmDriver.ensureDialect
+      val url = "jdbc:graftderby:/tmp/graft_derby/regiondb;create=true"
+      val jopts = Map(
+        "driver" -> "graft.io.DerbySingleJvmDriver",
+        "numPartitions" -> "1")
       val region = t(s, dir, "region")
-      graft.io.Sinks.jdbc(region, url, "region_rt", mode = "overwrite")
-      graft.io.Sources.jdbc(s, url, "region_rt")
+      graft.io.Sinks.jdbc(region, url, "region_rt", mode = "overwrite",
+        options = jopts)
+      graft.io.Sources.jdbc(s, url, "region_rt", options = jopts)
         .select(region.columns.map(col): _*)
         .orderBy(col("r_regionkey"))
     }),

@@ -136,14 +136,123 @@ object Sinks {
       .orc(path)
   }
 
-  /** JDBC load (`postgres_loader.py`/`sqlite_loader.py`): batched inserts via
-    * the connector's batchsize; overwrite maps to drop_if_exists. */
+  /** JDBC load (`postgres_loader.py:118-170`/`sqlite_loader.py`): dialect-
+    * driven CREATE TABLE from the driver, then per-partition batched
+    * INSERTs from the executors — the reference loader's own
+    * DDL + executemany shape. Overwrite maps to drop_if_exists; `batchsize`
+    * bounds each executeBatch; `numPartitions` caps insert parallelism
+    * (connection count at the database = partition count, the knob a real
+    * warehouse load tunes).
+    *
+    * Deliberately NOT `df.write.format("jdbc")`: Spark's writer holds the
+    * driver's DDL connection open ACROSS the executor insert stage, which
+    * deadlocks single-booter embedded engines (Derby) on any multi-JVM
+    * master. Here the driver connection is closed before the insert action
+    * starts — hand-over-hand with [[DerbySingleJvmDriver]]'s
+    * shutdown-on-close, and a plain sequential pattern for servers. */
   def jdbc(df: DataFrame, url: String, table: String,
-      mode: String = "append", options: Map[String, String] = Map.empty): Unit =
-    df.write.format("jdbc").mode(mode)
-      .option("url", url).option("dbtable", table)
-      .option("batchsize", options.getOrElse("batchsize", "1000"))
-      .options(options).save()
+      mode: String = "append", options: Map[String, String] = Map.empty): Unit = {
+    val batchSize = options.getOrElse("batchsize", "1000").toInt
+    val driverClass = options.get("driver")
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    val schema = df.schema
+
+    import org.apache.spark.sql.types._
+    def sqlTypeOf(dt: DataType): (String, Int) = {
+      import java.sql.Types
+      dialect.getJDBCType(dt)
+        .map(j => (j.databaseTypeDefinition, j.jdbcNullType))
+        .getOrElse(dt match { // Spark's common fallback mapping
+          case IntegerType => ("INTEGER", Types.INTEGER)
+          case LongType => ("BIGINT", Types.BIGINT)
+          case DoubleType => ("DOUBLE PRECISION", Types.DOUBLE)
+          case FloatType => ("REAL", Types.FLOAT)
+          case ShortType => ("INTEGER", Types.SMALLINT)
+          case ByteType => ("BYTE", Types.TINYINT)
+          case BooleanType => ("BIT(1)", Types.BIT)
+          case StringType => ("TEXT", Types.CLOB)
+          case BinaryType => ("BLOB", Types.BLOB)
+          case TimestampType => ("TIMESTAMP", Types.TIMESTAMP)
+          case DateType => ("DATE", Types.DATE)
+          case d: DecimalType =>
+            (s"DECIMAL(${d.precision},${d.scale})", Types.DECIMAL)
+          case other =>
+            throw new IllegalArgumentException(s"no JDBC type for $other")
+        })
+    }
+
+    def connect(): java.sql.Connection = driverClass match {
+      case Some(c) => Class.forName(c).getDeclaredConstructor().newInstance()
+        .asInstanceOf[java.sql.Driver]
+        .connect(url, new java.util.Properties)
+      case None => java.sql.DriverManager.getConnection(url)
+    }
+
+    // DDL phase: one driver-side connection, closed before any task runs
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      try {
+        if (mode == "overwrite") {
+          try { st.executeUpdate(s"DROP TABLE $table"); () }
+          catch { case _: java.sql.SQLException => () } // didn't exist
+        }
+        val cols = schema.fields.map { f =>
+          val (t, _) = sqlTypeOf(f.dataType)
+          s"${dialect.quoteIdentifier(f.name)} $t" +
+            (if (f.nullable) "" else " NOT NULL")
+        }
+        // append onto an existing table surfaces here as already-exists —
+        // swallowed; a genuinely bad DDL fails the insert below loudly
+        try { st.executeUpdate(s"CREATE TABLE $table (${cols.mkString(", ")})"); () }
+        catch { case e: java.sql.SQLException if mode != "overwrite" => () }
+      } finally st.close()
+    } finally conn.close()
+
+    // insert phase: executors connect independently, batch, commit once
+    val nullTypes = schema.fields.map(f => sqlTypeOf(f.dataType)._2)
+    val insertSql = s"INSERT INTO $table " +
+      s"(${schema.fields.map(f => dialect.quoteIdentifier(f.name)).mkString(", ")}) " +
+      s"VALUES (${schema.fields.map(_ => "?").mkString(", ")})"
+    val nCols = schema.fields.length
+    val data = options.get("numPartitions").map(_.toInt)
+      .map(df.coalesce).getOrElse(df)
+    data.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        val c = driverClass match {
+          case Some(cl) => Class.forName(cl).getDeclaredConstructor()
+            .newInstance().asInstanceOf[java.sql.Driver]
+            .connect(url, new java.util.Properties)
+          case None => java.sql.DriverManager.getConnection(url)
+        }
+        try {
+          c.setAutoCommit(false)
+          val ps = c.prepareStatement(insertSql)
+          try {
+            var n = 0
+            rows.foreach { r =>
+              var i = 0
+              while (i < nCols) {
+                val v = r.get(i)
+                if (v == null) ps.setNull(i + 1, nullTypes(i))
+                else v match {
+                  case d: scala.math.BigDecimal =>
+                    ps.setBigDecimal(i + 1, d.bigDecimal)
+                  case x => ps.setObject(i + 1, x)
+                }
+                i += 1
+              }
+              ps.addBatch()
+              n += 1
+              if (n % batchSize == 0) { ps.executeBatch(); () }
+            }
+            ps.executeBatch()
+            c.commit()
+          } finally ps.close()
+        } finally c.close()
+      }
+    }
+  }
 
   /** Bucketed, bucket-sorted parquet table — the co-located-join layout for
     * repeatedly-joined fact/dim pairs. See [[graft.core.Bucketing]]. */

@@ -163,7 +163,11 @@ class ClusterShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val names = Seq("q_pack_docs", "q_doc_fuzzy_keep", "q_ks_drift",
       "q_embed_ivfadc", "q_bpe_encode", "q_join_size_est", "q_hilbert",
       "q_bloom_join", "q_dag_levels", "q_golden_records",
-      "q_image_codec_roundtrip")
+      "q_image_codec_roundtrip",
+      // embedded-Derby roundtrip across driver+executor JVMs — exercises
+      // DerbySingleJvmDriver's hand-over-hand lock release and the
+      // driver-DDL/executor-insert split in Sinks.jdbc
+      "q_jdbc_roundtrip")
     names.foreach { n =>
       val rows = SparkEntry.queries(n)(cluster, "/root/testdata/sf0.001")
         .count()

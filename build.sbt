@@ -19,6 +19,12 @@ Test / envVars ++= Map(
   "SPARK_SCALA_VERSION" -> "2.13",
   "SPARK_HOME" -> "/opt/spark",
 )
+// same for runMain: SPARK_GRAFT_MASTER=local-cluster[...] graft.Verify
+// forks real Worker/executor processes through the same launcher path
+run / envVars ++= Map(
+  "SPARK_SCALA_VERSION" -> "2.13",
+  "SPARK_HOME" -> "/opt/spark",
+)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

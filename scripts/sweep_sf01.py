@@ -75,6 +75,12 @@ def main():
     artifact = sys.argv[3] if len(sys.argv) > 3 else None
     only = set(sys.argv[4:])
     con = duckdb.connect()
+    # bound DuckDB so a heavy twin spills to temp instead of OOM-killing
+    # the shard (SWEEP_MEM, e.g. "48GB"), and pin the spill location
+    mem = __import__("os").environ.get("SWEEP_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

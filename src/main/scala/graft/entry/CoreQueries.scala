@@ -25,7 +25,12 @@ object CoreQueries {
       QueryService.drillDown(t(s, dir, "lineitem"),
         Seq(Filter.Eq("l_returnflag", "R")),
         Seq("l_orderkey", "l_linenumber", "l_quantity"),
-        sortKey = "l_orderkey", limit = 1000000)
+        // page size must exceed the match count at EVERY verified scale
+        // (sf1 holds ~2M 'R' rows): a binding cap would truncate against
+        // the uncapped oracle, and a LIMIT-ed oracle isn't deterministic
+        // because the sort key ties at the cut. Pagination-with-binding-cap
+        // semantics are gated separately by q_drilldown_page.
+        sortKey = "l_orderkey", limit = 100000000)
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
     "q_filter_neq" -> ((s, dir) =>

@@ -2004,13 +2004,19 @@ object ExtraQueries {
       // configured 1%
       import graft.functions.Sketches
       val orders = t(s, dir, "orders")
-      val shards = orders.filter(col("o_orderpriority") === "1-URGENT")
+      val members = orders.filter(col("o_orderpriority") === "1-URGENT")
+      // size the screen FROM THE DATA: the former fixed 100k capacity
+      // saturated at sf1 (~300k members) and the FPR bound silently died —
+      // "sized honestly" means one cheap count before building, exactly
+      // what a production load does
+      val cap = math.max(members.count(), 1L)
+      val shards = members
         .groupBy(col("o_orderstatus"))
-        .agg(Sketches.bloomAgg(col("o_orderkey")).as("sk"))
+        .agg(Sketches.bloomAgg(col("o_orderkey"), cap).as("sk"))
       // the merged screen is ONE bounded row (a fitted model, like the
       // iForest trees) — collect it and ship the bytes in the probe
       // closure, deserialized once per executor rather than per row
-      val screen = shards.agg(Sketches.bloomUnion(col("sk")).as("sk"))
+      val screen = shards.agg(Sketches.bloomUnion(col("sk"), cap).as("sk"))
         .head().getAs[Array[Byte]]("sk")
       val probed = orders
         .select(col("o_orderkey"),

@@ -251,34 +251,41 @@ object MinHashDedup {
     } finally { bb.unpersist(); () }
   }
 
-  /** End-to-end fuzzy dedup: LSH candidate pairs → EXACT shingle-Jaccard
-    * verification → connected components → one canonical survivor per
-    * duplicate group. Returns (idCol, cluster, keep).
+  /** End-to-end fuzzy dedup: EXACT prefix-filtered candidate pairs →
+    * EXACT shingle-Jaccard verification → connected components → one
+    * canonical survivor per duplicate group. Returns (idCol, cluster,
+    * keep).
     *
     * This is the reference's fuzzy dedup semantics (collapse each group of
     * mutually-similar docs to one survivor) built from scale-safe pieces:
-    * candidates come from (band, bucket) equi-joins — never all pairs — and
-    * only verified pairs (Jaccard ≥ threshold, rounded like
-    * [[NgramJaccard.pairsWithinBlocks]]) become component edges. False
-    * LSH candidates cost one bounded verification row each; false
-    * negatives are the banding miss probability at the threshold
-    * (≈(1−t^r)^b — pick bands/rows for the threshold; the default 16×4 is
-    * ~5e-6 at t=0.8 and vanishing above it).
+    * candidates come from [[SetSimJoin.jaccardCandidates]] — Chaudhuri
+    * prefix filtering under a global rare-first shingle order, PROVABLY
+    * complete at the threshold, never all pairs — and only verified pairs
+    * (Jaccard ≥ threshold, rounded like
+    * [[NgramJaccard.pairsWithinBlocks]]) become component edges. The
+    * previous LSH-banding candidate source missed borderline pairs with
+    * probability (1−t^r)^b per pair — invisible while test dups were
+    * exact copies, a real dropped-edge class on a corpus of ~J≈0.8
+    * near-dups (caught by the 10×-sf0.1 oracle sweep). MinHash banding
+    * remains available as the explicitly-probabilistic path
+    * ([[clusters]]/[[clustersMaterialized]], recall-gated).
     *
-    * Physical shape: bucket shuffle + candidate equi-join, one join to
-    * attach each side's shingle array (bounded by candidate count), then
-    * [[Components.labels]]' constant-shape propagation rounds. */
+    * Physical shape: token-frequency aggregate + prefix window + prefix
+    * equi-join, one join to attach each side's shingle array (bounded by
+    * candidate count), then [[Components.labels]]' constant-shape
+    * propagation rounds. `numHashes`/`bands` retained for signature
+    * compatibility; no longer consulted. */
   def fuzzyDedup(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 3, numHashes: Int = 64,
       bands: Int = 16, maxIters: Int = 30): DataFrame = {
-    val bb = bucketTable(df, idCol, textCol, k, numHashes, bands)
-    val cand = bb.as("x").join(bb.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("_ca"), col(s"y.$idCol").as("_cb"))
-      .distinct()
     val sh = df.select(col(idCol), shingles(col(textCol), k).as("_sh"))
+    // verifier rounds half-up at e4: prefix sized one ulp below t so
+    // boundary pairs that round up remain provable candidates
+    val minE4 = math.max(1L, math.floor(threshold * 10000).toLong - 1L)
+    val cand = SetSimJoin.jaccardCandidates(
+      sh.select(col(idCol).as("_ca"), col("_sh")), "_ca", "_sh",
+      sh.select(col(idCol).as("_cb"), col("_sh")), "_cb", "_sh",
+      minE4, selfJoin = true)
     val verified = cand
       .join(sh.select(col(idCol).as("_ca"), col("_sh").as("_sha")), "_ca")
       .join(sh.select(col(idCol).as("_cb"), col("_sh").as("_shb")), "_cb")
@@ -303,29 +310,36 @@ object MinHashDedup {
       df.select(col(idCol), shingles(col(textCol), k).as("_sh")))
 
   /** Incremental fuzzy screen — the ingest-time question "is this new
-    * document a near-dup of ANYTHING already in the corpus": new docs'
-    * band buckets equi-join the index's buckets (only colliding docs
-    * become candidates — never new×indexed), each candidate verifies by
-    * exact shingle Jaccard, and every new doc comes back with
-    * (`is_dup`, `match_id` = smallest matching indexed id, -1 if none).
-    * Same banding parameters as the index build or candidates are
-    * garbage. */
+    * document a near-dup of ANYTHING already in the corpus": candidates
+    * come from EXACT prefix filtering ([[SetSimJoin.jaccardCandidates]])
+    * between the new batch's shingle sets and the index's — provably
+    * complete at the threshold, so a qualifying match can never be missed
+    * (LSH banding, the previous candidate source, misses borderline-J
+    * pairs with probability (1−t^r)^b — invisible on corpora whose dups
+    * are exact copies, real on a corpus of ~J≈0.8 near-dups). Each
+    * candidate verifies by exact shingle Jaccard, and every new doc comes
+    * back with (`is_dup`, `match_id` = smallest matching indexed id, -1
+    * if none). The global rare-first token order is recomputed per batch
+    * over index∪batch tokens from [[NearDupIndex.shingleSets]] — the
+    * indexed corpus's raw text is never touched again. `numHashes`/
+    * `bands` are retained for signature compatibility; the screen no
+    * longer depends on banding parameters. */
   def incrementalNearDup(newDocs: DataFrame, idCol: String, textCol: String,
       index: NearDupIndex, threshold: Double = 0.8, k: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val nb = bucketTable(newDocs, idCol, textCol, k, numHashes, bands)
-    val cand = nb.select(col(idCol).as("_nid"), col("band"), col("bucket"))
-      .join(index.buckets
-        .select(col(idCol).as("_oid"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .select(col("_nid"), col("_oid"))
-      .distinct()
     val nsh = newDocs.select(col(idCol).as("_nid"),
       shingles(col(textCol), k).as("_nsh"))
+    val osh = index.shingleSets
+      .select(col(idCol).as("_oid"), col("_sh").as("_osh"))
+    // verifier rounds half-up at e4, accepting true J ≥ t − 0.5e-4:
+    // size the prefix one e4 ulp below t so boundary pairs that round up
+    // are still provably candidates
+    val minE4 = math.max(1L, math.floor(threshold * 10000).toLong - 1L)
+    val cand = SetSimJoin.jaccardCandidates(
+      nsh, "_nid", "_nsh", osh, "_oid", "_osh", minE4)
     val matches = cand
       .join(nsh, Seq("_nid"))
-      .join(index.shingleSets
-        .select(col(idCol).as("_oid"), col("_sh").as("_osh")), Seq("_oid"))
+      .join(osh, Seq("_oid"))
       .where(round(NgramJaccard.jaccard(col("_nsh"), col("_osh")), 4)
         >= threshold)
       .groupBy(col("_nid")).agg(min(col("_oid")).as("_mid"))

@@ -25,7 +25,15 @@ object EntityResolution {
   /** Long-form golden records: (cluster_id, n_members, field,
     * golden_value), one row per cluster × attribute. `attrs` values are
     * compared AS STRINGS (cast explicitly before calling if a column's
-    * string form is engine-ambiguous — e.g. cast doubles to DECIMAL). */
+    * string form is engine-ambiguous — e.g. cast doubles to DECIMAL).
+    *
+    * Duplicate ids are legal and mean "multiple observations of one
+    * record": membership (`n_members`) counts DISTINCT ids, while the
+    * survivorship vote counts every observation ROW once. Labels are
+    * computed over distinct ids — labeling the raw id column would hand
+    * a duplicated id one label row per copy, and the melt join would then
+    * multiply that id's votes by its copy count (caught by the sf1 sweep,
+    * where the gate fixture's id offsets collide with real keys). */
   def goldenRecords(df: DataFrame, idCol: String, matchCol: String,
       attrs: Seq[String], maxDist: Int = 1,
       ckpt: graft.core.Checkpoints.Mode = graft.core.Checkpoints.Local)
@@ -38,7 +46,7 @@ object EntityResolution {
       df.select(col(idCol).as("_id2"), col(matchCol).as("_s2")),
       idCol, matchCol, "_id2", "_s2", maxDist)
       .filter(col(idCol) < col("_id2"))
-    val labels = Components.labels(df.select(col(idCol)), idCol,
+    val labels = Components.labels(df.select(col(idCol)).distinct(), idCol,
       pairs, idCol, "_id2", ckpt = ckpt)
       .withColumnRenamed("cluster", "cluster_id")
     val sizes = labels.groupBy(col("cluster_id"))

@@ -26,6 +26,61 @@ import org.apache.spark.sql.functions._
   * any corpus that isn't mostly duplicates). */
 object SetSimJoin {
 
+  /** Provably complete candidate pairs for a Jaccard-threshold join —
+    * prefix filtering ALONE, verification left to the caller. Every
+    * (left, right) pair whose true Jaccard satisfies J·10⁴ ≥ `minE4`
+    * appears in the output (among extras the caller's verifier rejects);
+    * nothing about it is probabilistic, unlike LSH banding whose recall
+    * at the threshold is (1−t^r)^b < 1. Both set columns must hold
+    * DISTINCT elements per row; empty sets never pair.
+    *
+    * One GLOBAL rare-first token order is computed over BOTH sides'
+    * tokens — completeness holds under any total order shared by the two
+    * prefixes (Chaudhuri et al. 2006); rare-first merely keeps prefixes
+    * selective. Callers whose verifier ROUNDS (round-half-up at e4
+    * accepts true J down to t − 0.5e-4) must pass `minE4` one ulp below
+    * the nominal bound, i.e. t·10⁴ − 1, or boundary pairs that round up
+    * could be missed by a prefix sized for t exactly.
+    *
+    * `selfJoin = true` treats the two inputs as the same relation and
+    * emits each unordered pair once (left id < right id).
+    *
+    * Cost at 100 TB: one explode + frequency count per side, one
+    * key-partitioned prefix window each, one equi-join on rare prefix
+    * tokens — never a cross product, never a banding table. */
+  def jaccardCandidates(left: DataFrame, leftId: String, leftSet: String,
+      right: DataFrame, rightId: String, rightSet: String,
+      minE4: Long, selfJoin: Boolean = false): DataFrame = {
+    require(minE4 >= 1 && minE4 <= 10000,
+      s"minE4 must be in [1, 10000]: $minE4")
+    require(leftId != rightId,
+      "output columns are named after the id columns — alias one side")
+    val le = left.select(col(leftId).as("_lid"),
+        size(col(leftSet)).as("_n"), explode(col(leftSet)).as("_g"))
+    val re = right.select(col(rightId).as("_rid"),
+        size(col(rightSet)).as("_n"), explode(col(rightSet)).as("_g"))
+    val gf = le.select(col("_g")).unionAll(re.select(col("_g")))
+      .groupBy(col("_g")).agg(count(lit(1)).as("_f"))
+    def prefix(e: DataFrame, id: String): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("_f").asc, col("_g").asc)
+      e.join(gf, Seq("_g"))
+        .withColumn("_r", row_number().over(w))
+        // n − ⌈t·n⌉ + 1 in the same pure-integer spelling as
+        // [[jaccardSelfJoin]] — float (1−t)·n would shave the prefix
+        .filter(col("_r") <= expr(
+          s"_n - (_n * $minE4 + 9999) div 10000 + 1"))
+        .select(col(id), col("_g"))
+    }
+    prefix(le, "_lid").as("a")
+      .join(prefix(re, "_rid").as("b"),
+        if (selfJoin) col("a._g") === col("b._g") &&
+          col("a._lid") < col("b._rid")
+        else col("a._g") === col("b._g"))
+      .select(col("a._lid").as(leftId), col("b._rid").as(rightId))
+      .distinct()
+  }
+
   /** Pairs (id_a < id_b, jaccard_e4) with floor(J·10⁴) ≥ floor(t·10⁴).
     * `setCol` must hold DISTINCT elements per row (array_distinct first
     * if unsure); empty sets never pair.

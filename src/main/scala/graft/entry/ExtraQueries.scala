@@ -2578,7 +2578,76 @@ object ExtraQueries {
         col("l_quantity").cast(StringType).as("l_quantity"), col("l_tax"))
       graft.operators.SchemaDrift.diff(oldBatch, newBatch)
         .orderBy(col("column"))
-    })
+    }),
+
+    "q_hll_replay" -> ((s, dir) => {
+      // cross-engine-replayable HLL: the full register table (the sketch
+      // STATE, not just its estimate) hash-matches DuckDB's arithmetic
+      // replay of the md5 bucket/rho spec — cardinality sketching with an
+      // auditable, engine-portable artifact
+      graft.functions.ReplayableHll.registers(
+          t(s, dir, "events"), Seq("event_type"), "user_id", p = 8)
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    "q_hll_merge" -> ((s, dir) => {
+      // sketch algebra under oracle: registers(A ∪ B) must equal
+      // merge(registers(A), registers(B)) bucket-for-bucket (engine-checked
+      // flag), and the integer-exact harmonic accumulator s2 + empty-bucket
+      // count replay arithmetically in DuckDB; est accuracy is the
+      // engine-checked invariant (deterministic: same md5 state each run)
+      import graft.functions.ReplayableHll
+      val e = t(s, dir, "events")
+      val full = ReplayableHll.registers(e, Seq("event_type"), "user_id", 8)
+      val h1 = ReplayableHll.registers(
+        e.filter(col("event_id") % 2 === 0), Seq("event_type"), "user_id", 8)
+      val h2 = ReplayableHll.registers(
+        e.filter(col("event_id") % 2 =!= 0), Seq("event_type"), "user_id", 8)
+      val merged = ReplayableHll.merge(h1.unionByName(h2), Seq("event_type"))
+      val bad = full.select(col("event_type"), col("bucket"),
+          col("r").as("_rf"))
+        .join(merged.select(col("event_type"), col("bucket"),
+          col("r").as("_rm")), Seq("event_type", "bucket"), "full_outer")
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("_rf") <=> col("_rm"), 0L).otherwise(1L))
+          .as("_bad"))
+      val est = ReplayableHll.estimate(full, Seq("event_type"), 8)
+      val exact = e.filter(col("user_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(est, Seq("event_type")).join(bad, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"), col("zeros"),
+          col("s2").cast(StringType).as("s2"),
+          (abs(col("est") - col("n_exact")) <=
+            col("n_exact") * lit(0.25)).as("est_ok"),
+          (col("_bad") === 0L).as("merge_ok"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_exact_kth" -> ((s, dir) => {
+      // exact order statistics WITHOUT a global sort: iterative histogram
+      // narrowing (O(log) scans, <=256 driver rows per round) must return
+      // the exact rank-k values DuckDB finds by sorting
+      val li = t(s, dir, "lineitem")
+      val n = li.filter(col("l_extendedprice").isNotNull).count()
+      val ks = Seq(1L, n / 4, n / 2, (3 * n) / 4, n).distinct.filter(_ >= 1)
+      graft.operators.ExactQuantile
+        .kthSmallestMulti(s, li, "l_extendedprice", ks,
+          bins = 256, directCutoff = 5000L)
+        .orderBy(col("k"))
+    }),
+
+    "q_global_index" -> ((s, dir) =>
+      // dense 0..N-1 numbering in a total order with NO unpartitioned
+      // window: range shuffle + per-shard row_number + driver-cumulated
+      // shard offsets; numShards=7 (not the session's 32) proves the
+      // index is boundary-independent
+      graft.operators.GlobalIndex.denseIndex(
+          t(s, dir, "documents"),
+          Seq(col("lang"), col("n_chars").desc, col("doc_id")),
+          numShards = 7)
+        .select(col("doc_id"), col("global_index"))
+        .orderBy(col("doc_id")))
   )
 
   /** Deterministic messy URL from (source, doc_id) — the Spark twin of
@@ -4806,6 +4875,72 @@ object ExtraQueries {
         |  ('l_returnflag', 'removed', 'string', NULL),
         |  ('l_tax', 'added', NULL, 'double'))
         |  AS t("column", status, old_type, new_type)
-        |ORDER BY "column"""".stripMargin
+        |ORDER BY "column"""".stripMargin,
+
+    "q_hll_replay" ->
+      // arithmetic replay of the md5 HLL spec: bucket = first 2 hex chars
+      // (p=8), rho = 4*(leading zero hex chars of the 16-char tail)
+      // + lz(first non-zero char) + 1, capped at 64; register = max rho
+      """WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |b AS (SELECT event_type, substr(h,1,2) AS bucket,
+        |    substr(h,3,16) AS w FROM h),
+        |r0 AS (SELECT event_type, bucket,
+        |    LEAST(4*length(regexp_extract(w,'^(0*)',1)) +
+        |      CASE substr(w, length(regexp_extract(w,'^(0*)',1))+1, 1)
+        |        WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |        WHEN '7' THEN 1 ELSE 0 END + 1, 64) AS rho
+        |  FROM b)
+        |SELECT event_type, bucket, CAST(MAX(rho) AS BIGINT) AS r
+        |FROM r0 GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    "q_hll_merge" ->
+      // n_exact / zeros / s2 replayed from scratch (2^(64-r) is an
+      // integer <= 2^63: exactly representable as a double, HUGEINT cast
+      // lossless); est_ok / merge_ok are engine-checked invariants
+      // (deterministic md5 state — no RNG), expected TRUE
+      """WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |b AS (SELECT event_type, substr(h,1,2) AS bucket,
+        |    substr(h,3,16) AS w FROM h),
+        |r0 AS (SELECT event_type, bucket,
+        |    LEAST(4*length(regexp_extract(w,'^(0*)',1)) +
+        |      CASE substr(w, length(regexp_extract(w,'^(0*)',1))+1, 1)
+        |        WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |        WHEN '7' THEN 1 ELSE 0 END + 1, 64) AS rho
+        |  FROM b),
+        |regs AS (SELECT event_type, bucket, MAX(rho) AS r
+        |  FROM r0 GROUP BY 1, 2),
+        |agg AS (SELECT event_type,
+        |    SUM(CAST(power(2.0, 64 - r) AS HUGEINT)) AS s_used,
+        |    COUNT(*) AS nonempty
+        |  FROM regs GROUP BY 1),
+        |ex AS (SELECT event_type,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT a.event_type, ex.n_exact,
+        |  CAST(256 - a.nonempty AS BIGINT) AS zeros,
+        |  CAST(a.s_used + (256 - a.nonempty)
+        |    * CAST(power(2.0, 64) AS HUGEINT) AS VARCHAR) AS s2,
+        |  TRUE AS est_ok, TRUE AS merge_ok
+        |FROM agg a JOIN ex ON a.event_type = ex.event_type
+        |ORDER BY a.event_type""".stripMargin,
+
+    "q_exact_kth" ->
+      """WITH v AS (SELECT l_extendedprice AS val FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT COUNT(*) AS n FROM v),
+        |o AS (SELECT val, row_number() OVER (ORDER BY val) AS rn FROM v)
+        |SELECT CAST(rn AS BIGINT) AS k, val AS value FROM o, n
+        |WHERE rn IN (1, n // 4, n // 2, (3 * n) // 4, n)
+        |ORDER BY k""".stripMargin,
+
+    "q_global_index" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY lang, n_chars DESC, doc_id) - 1
+        |    AS BIGINT) AS global_index
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -2624,6 +2624,37 @@ object ExtraQueries {
         .orderBy(col("event_type"))
     }),
 
+    "q_hll_stream_twin" -> ((s, dir) => {
+      // the replayable-HLL register table maintained as STREAMING state:
+      // events staged as two files, consumed one file per micro-batch
+      // (maxFilesPerTrigger=1 forces a real cross-batch max-merge), the
+      // groupBy(bucket).max(rho) aggregate carried in the state store —
+      // and the final registers must STILL hash-match DuckDB's arithmetic
+      // replay. Bounded state by construction: <= 2^p rows per group
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      val staged = s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}/hll_events"
+      val hp = new org.apache.hadoop.fs.Path(staged)
+      val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(hp)) fs.delete(hp, true) // fresh stage per run
+      e.filter(col("event_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(staged)
+      e.filter(col("event_id") % 2 =!= 0)
+        .coalesce(1).write.mode("append").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val regs = graft.functions.ReplayableHll.registers(
+        stream, Seq("event_type"), "user_id", p = 8)
+      graft.streaming.Streams.withStatePartitions(s, 8) {
+        val q = regs.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .format("memory").queryName("hll_stream_twin").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table("hll_stream_twin").orderBy(col("event_type"), col("bucket"))
+    }),
+
     "q_exact_kth" -> ((s, dir) => {
       // exact order statistics WITHOUT a global sort: iterative histogram
       // narrowing (O(log) scans, <=256 driver rows per round) must return
@@ -2706,7 +2737,7 @@ object ExtraQueries {
       .stripMargin
   }
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "q_ivm_join" ->
       """WITH ob AS (SELECT o_orderkey, o_orderpriority FROM orders
         |  WHERE o_orderkey % 10 < 8),
@@ -4943,4 +4974,9 @@ object ExtraQueries {
         |    AS BIGINT) AS global_index
         |FROM documents ORDER BY doc_id""".stripMargin
   )
+
+  /** The streaming register table must satisfy the SAME arithmetic replay
+    * as the batch one — one oracle definition, two execution paths. */
+  val oracleSql: Map[String, String] =
+    oracleSqlBase + ("q_hll_stream_twin" -> oracleSqlBase("q_hll_replay"))
 }

@@ -78,9 +78,7 @@ object ReplayableHll {
     require(p >= 4 && p % 4 == 0 && p <= 24,
       s"p must be a multiple of 4 in [4,24], got $p")
     val m = 1L << p
-    val alpha =
-      if (p == 4) 0.673 else if (p == 5) 0.697 else if (p == 6) 0.709
-      else 0.7213 / (1.0 + 1.079 / m)
+    val alpha = if (p == 4) 0.673 else 0.7213 / (1.0 + 1.079 / m)
     val two64 = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64))
     val d38 = DecimalType(38, 0)
     // 2^(64−r) integer-exact: shiftleft covers r in 2..64 (max 2^62 fits a

@@ -2668,6 +2668,28 @@ object ExtraQueries {
         .orderBy(col("k"))
     }),
 
+    "q_prefix_sum" -> ((s, dir) =>
+      // distributed global running total (two-level: per-shard window
+      // cumsum + driver-cumulated shard offsets) vs DuckDB's single-node
+      // SUM OVER; numShards=5 ≠ session 32 for boundary independence
+      graft.operators.GlobalIndex.prefixSum(
+          t(s, dir, "documents"), Seq(col("doc_id")), "n_chars",
+          numShards = 5)
+        .select(col("doc_id"),
+          col("running_total").cast(LongType).as("running_total"))
+        .orderBy(col("doc_id"))),
+
+    "q_seq_pack" -> ((s, dir) =>
+      // sequence packing: contiguous fill of 4096-char training packs in
+      // doc_id order — pack boundaries from the exclusive prefix sum,
+      // integer-exact `div`; the LLM pre-tokenization packing step with
+      // one range shuffle and no sequential state
+      graft.operators.GlobalIndex.packSequences(
+          t(s, dir, "documents"), Seq(col("doc_id")), "n_chars",
+          budget = 4096L, numShards = 5)
+        .select(col("doc_id"), col("pack_id"), col("pos_in_pack"))
+        .orderBy(col("doc_id"))),
+
     "q_global_index" -> ((s, dir) =>
       // dense 0..N-1 numbering in a total order with NO unpartitioned
       // window: range shuffle + per-shard row_number + driver-cumulated
@@ -4967,6 +4989,21 @@ object ExtraQueries {
         |SELECT CAST(rn AS BIGINT) AS k, val AS value FROM o, n
         |WHERE rn IN (1, n // 4, n // 2, (3 * n) // 4, n)
         |ORDER BY k""".stripMargin,
+
+    "q_prefix_sum" ->
+      """SELECT doc_id,
+        |  CAST(SUM(n_chars) OVER (ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_total
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH c AS (SELECT doc_id,
+        |    SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      - n_chars AS excl
+        |  FROM documents)
+        |SELECT doc_id, CAST(excl // 4096 AS BIGINT) AS pack_id,
+        |  CAST(excl - (excl // 4096) * 4096 AS BIGINT) AS pos_in_pack
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_global_index" ->
       """SELECT doc_id,

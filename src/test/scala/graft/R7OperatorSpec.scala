@@ -124,6 +124,39 @@ class R7OperatorSpec extends SparkSuite {
     }
   }
 
+  test("prefix sum: matches driver cumsum, shard-count independent") {
+    val data = (1 to 800).map(i => (i.toLong, ((i * 7919) % 97).toLong))
+    val df = data.toDF("id", "len")
+    val expected = data.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (id, len)) => (id, acc + len) }
+      .drop(1).toMap
+    for (shards <- Seq(1, 4, 9)) {
+      val got = graft.operators.GlobalIndex.prefixSum(
+          df, Seq(col("id")), "len", numShards = shards)
+        .select(col("id"), col("running_total").cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      data.foreach { case (id, _) =>
+        assert(got(id) == expected(id), s"shards=$shards id=$id")
+      }
+    }
+  }
+
+  test("sequence packing: contiguous fill, boundary and oversized docs") {
+    // lens engineered around a budget of 10: doc 3 (len 25) exceeds the
+    // budget outright; fills cross boundaries without splitting
+    val data = Seq((1L, 4L), (2L, 4L), (3L, 25L), (4L, 1L), (5L, 10L),
+      (6L, 2L))
+    val got = graft.operators.GlobalIndex.packSequences(
+        data.toDF("id", "len"), Seq(col("id")), "len", budget = 10L,
+        numShards = 3)
+      .select(col("id"), col("pack_id"), col("pos_in_pack"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    // exclusive prefixes: 0,4,8,33,34,44 -> packs 0,0,0,3,3,4
+    assert(got(1L) == (0L, 0L) && got(2L) == (0L, 4L) && got(3L) == (0L, 8L))
+    assert(got(4L) == (3L, 3L) && got(5L) == (3L, 4L) && got(6L) == (4L, 4L))
+  }
+
   test("global index: single shard and empty input degenerate cleanly") {
     val one = GlobalIndex.denseIndex(Seq((5L, "a")).toDF("id", "s"),
       Seq(col("id")), numShards = 1).select(col("global_index"))

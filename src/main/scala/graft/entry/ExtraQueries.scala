@@ -2690,6 +2690,16 @@ object ExtraQueries {
         .select(col("doc_id"), col("pack_id"), col("pos_in_pack"))
         .orderBy(col("doc_id"))),
 
+    "q_equidepth" -> ((s, dir) =>
+      // equi-depth bucketizer: exact rank-formula cut points (no sort, no
+      // approximation) + when-chain assignment; DuckDB re-derives the same
+      // cuts by row_number and counts distinct cuts below each value
+      graft.operators.ExactQuantile.equiDepthBucketize(
+          s, t(s, dir, "events"), "value", b = 8,
+          bins = 256, directCutoff = 5000L)
+        .select(col("event_id"), col("bin"))
+        .orderBy(col("event_id"))),
+
     "q_global_index" -> ((s, dir) =>
       // dense 0..N-1 numbering in a total order with NO unpartitioned
       // window: range shuffle + per-shard row_number + driver-cumulated
@@ -5004,6 +5014,21 @@ object ExtraQueries {
         |SELECT doc_id, CAST(excl // 4096 AS BIGINT) AS pack_id,
         |  CAST(excl - (excl // 4096) * 4096 AS BIGINT) AS pos_in_pack
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_equidepth" ->
+      """WITH v AS (SELECT event_id, value FROM events
+        |  WHERE value IS NOT NULL),
+        |n AS (SELECT COUNT(*) AS n FROM v),
+        |o AS (SELECT value, row_number() OVER (ORDER BY value) AS rn
+        |  FROM v),
+        |cuts AS (SELECT DISTINCT o.value AS c
+        |  FROM o, n, range(1, 8) t(i)
+        |  WHERE o.rn = (i * n + 7) // 8)
+        |SELECT v.event_id,
+        |  CAST(SUM(CASE WHEN v.value > c.c THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS bin
+        |FROM v CROSS JOIN cuts c
+        |GROUP BY v.event_id ORDER BY v.event_id""".stripMargin,
 
     "q_global_index" ->
       """SELECT doc_id,

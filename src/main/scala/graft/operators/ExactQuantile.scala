@@ -93,6 +93,36 @@ object ExactQuantile {
     kthRec(vals, k, bins, directCutoff)
   }
 
+  /** Equi-depth bucketing WITHOUT a sort: cut points are the exact values
+    * at ranks ceil(i·n/b) (integer-exact arithmetic — no float rank), found
+    * by the shared-pass multi-rank selection; rows get
+    * bin = count(cuts strictly below value), a driver-built when-chain over
+    * <= b−1 literals (codegen'd, no join). Ties sharing a cut value share a
+    * bin, duplicate cut values skip a bin — both deterministic, so the
+    * assignment replays exactly in any engine from the same rank spec. The
+    * feature-engineering "quantile bucketizer" at 100 TB: O(log) scans for
+    * the cuts + one projection pass, vs Spark ML's QuantileDiscretizer
+    * (approximate) or a full sort. */
+  def equiDepthBucketize(spark: SparkSession, df: DataFrame,
+      valueCol: String, b: Int, binCol: String = "bin",
+      bins: Int = 256, directCutoff: Long = 20000L): DataFrame = {
+    require(b >= 2, s"b must be >= 2, got $b")
+    val vals = df.filter(col(valueCol).isNotNull)
+    val n = vals.count()
+    require(n >= 1, "input has no non-null values")
+    val ranks = (1 until b).map(i => (i.toLong * n + b - 1) / b)
+      .filter(_ >= 1).distinct
+    // dedupe cut VALUES (distinct ranks can land on equal values in
+    // duplicate-heavy data) — double-counting a repeated cut would skip
+    // bins differently from the count-distinct-cuts-below spec
+    val cuts = kthSmallestMulti(spark, vals, valueCol, ranks, bins,
+      directCutoff).collect().map(_.getDouble(1)).distinct.sorted
+    val bin = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col(valueCol) > lit(c), 1).otherwise(0)
+    }
+    vals.withColumn(binCol, bin.cast(LongType))
+  }
+
   /** Exact values at several ranks with the expensive first rounds SHARED:
     * one stats pass + one full-data histogram serve every rank; ranks that
     * land in the same bucket keep sharing the narrowed frame. Returns

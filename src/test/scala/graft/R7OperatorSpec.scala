@@ -93,6 +93,24 @@ class R7OperatorSpec extends SparkSuite {
     ks.foreach(k => assert(got(k) == sorted(k.toInt - 1), s"k=$k"))
   }
 
+  test("equi-depth bucketize: matches brute-force rank cuts; all-equal edge") {
+    val data = (1 to 2000).map(i => (i.toLong, ((i * 48271) % 631).toDouble))
+    val df = data.toDF("id", "x")
+    val sorted = data.map(_._2).sorted
+    val ranks = (1 until 4).map(i => (i.toLong * 2000 + 3) / 4)
+    val cuts = ranks.map(r => sorted(r.toInt - 1)).distinct.sorted
+    val expected = data.map { case (id, v) =>
+      id -> cuts.count(v > _).toLong }.toMap
+    val got = ExactQuantile.equiDepthBucketize(spark, df, "x", b = 4,
+        bins = 8, directCutoff = 100L)
+      .select(col("id"), col("bin"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    data.foreach { case (id, _) => assert(got(id) == expected(id), s"id=$id") }
+    val flat = ExactQuantile.equiDepthBucketize(spark,
+      Seq.fill(50)(7.0).zipWithIndex.map(_.swap).toDF("id", "x"), "x", b = 8)
+    assert(flat.select(col("bin")).distinct().head().getLong(0) == 0L)
+  }
+
   test("exact kth: rank beyond count fails loudly") {
     intercept[IllegalArgumentException] {
       ExactQuantile.kthSmallest(Seq(1.0, 2.0).toDF("x"), "x", 3L)

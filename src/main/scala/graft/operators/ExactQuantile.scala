@@ -83,14 +83,21 @@ object ExactQuantile {
     0.0 // unreachable
   }
 
-  /** The exact k-th smallest (1-based) non-null value of `valueCol`. */
+  /** Non-null, non-NaN values as `_v`: NaN poisons the bucket arithmetic
+    * ((NaN−lo)/width floors to NaN, whose ANSI long cast throws) and has
+    * no defined rank — excluded like null, stated in the contract. */
+  private def cleanVals(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.filter(v.isNotNull && !isnan(v)).select(v.as("_v"))
+  }
+
+  /** The exact k-th smallest (1-based) value of `valueCol`; nulls and NaNs
+    * are excluded. */
   def kthSmallest(df: DataFrame, valueCol: String, k: Long,
       bins: Int = 256, directCutoff: Long = 20000L): Double = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(bins >= 2, s"bins must be >= 2, got $bins")
-    val vals = df.filter(col(valueCol).isNotNull)
-      .select(col(valueCol).cast("double").as("_v"))
-    kthRec(vals, k, bins, directCutoff)
+    kthRec(cleanVals(df, valueCol), k, bins, directCutoff)
   }
 
   /** Equi-depth bucketing WITHOUT a sort: cut points are the exact values
@@ -107,9 +114,10 @@ object ExactQuantile {
       valueCol: String, b: Int, binCol: String = "bin",
       bins: Int = 256, directCutoff: Long = 20000L): DataFrame = {
     require(b >= 2, s"b must be >= 2, got $b")
-    val vals = df.filter(col(valueCol).isNotNull)
+    val vc = col(valueCol).cast("double")
+    val vals = df.filter(vc.isNotNull && !isnan(vc))
     val n = vals.count()
-    require(n >= 1, "input has no non-null values")
+    require(n >= 1, "input has no non-null, non-NaN values")
     val ranks = (1 until b).map(i => (i.toLong * n + b - 1) / b)
       .filter(_ >= 1).distinct
     // dedupe cut VALUES (distinct ranks can land on equal values in
@@ -135,8 +143,7 @@ object ExactQuantile {
     import spark.implicits._
     require(ks.nonEmpty, "ks must be non-empty")
     require(ks.forall(_ >= 1), s"all ranks must be >= 1, got $ks")
-    val vals = df.filter(col(valueCol).isNotNull)
-      .select(col(valueCol).cast("double").as("_v"))
+    val vals = cleanVals(df, valueCol)
     val sorted = ks.distinct.sorted
     val (n, lo, hi) = stats(vals)
     require(sorted.last <= n, s"rank ${sorted.last} exceeds count $n")

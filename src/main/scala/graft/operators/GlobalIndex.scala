@@ -93,7 +93,9 @@ object GlobalIndex {
         .withColumn("_shard", spark_partition_id().cast(LongType)),
       ckpt)
     val totals = ranged.groupBy(col("_shard"))
-      .agg(sum(col(valueCol).cast(d38)).as("_t"))
+      // coalesce: an all-null-value shard must contribute 0, not a null
+      // that poisons the driver-side accumulation
+      .agg(coalesce(sum(col(valueCol).cast(d38)), lit(0).cast(d38)).as("_t"))
       .collect() // bounded: one row per shard
       .map(r => r.getLong(0) -> r.getDecimal(1)).sortBy(_._1)
     var acc = java.math.BigDecimal.ZERO

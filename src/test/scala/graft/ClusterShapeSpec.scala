@@ -167,7 +167,11 @@ class ClusterShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       // embedded-Derby roundtrip across driver+executor JVMs — exercises
       // DerbySingleJvmDriver's hand-over-hand lock release and the
       // driver-DDL/executor-insert split in Sinks.jdbc
-      "q_jdbc_roundtrip")
+      "q_jdbc_roundtrip",
+      // r7 family: lineage-cut range layout shared by two actions
+      // (global index / prefix sum), histogram-narrowing driver loop,
+      // streaming HLL register state across executor state stores
+      "q_global_index", "q_seq_pack", "q_exact_kth", "q_hll_stream_twin")
     names.foreach { n =>
       val rows = SparkEntry.queries(n)(cluster, "/root/testdata/sf0.001")
         .count()

@@ -68,7 +68,22 @@ class ScaleGrowthSpec extends SparkSuite {
         .select(col("doc_id").as("s"),
           pmod(col("doc_id") * 7 + 1, lit(n)).as("t"))
       graft.operators.Components.labels(ids, "doc_id", e, "s", "t",
-        maxIters = 60).count(); () }))
+        maxIters = 60).count(); () }),
+    // r7 family: histogram-narrowing selection (O(log) scans — ratio is
+    // scans×scan-growth), two-level global numbering (one range shuffle),
+    // replayable-HLL registers (one agg; state capped at 2^p rows)
+    ("exact_kth", d => {
+      val keyed = d.withColumn("len", length(col("text")).cast("double"))
+      val n = keyed.count()
+      graft.operators.ExactQuantile.kthSmallest(keyed, "len", math.max(1L, n / 2),
+        bins = 64, directCutoff = 2000L); () }),
+    ("global_index", d => {
+      graft.operators.GlobalIndex.denseIndex(d,
+        Seq(length(col("text")).desc, col("doc_id")),
+        numShards = 6).count(); () }),
+    ("hll_registers", d => {
+      graft.functions.ReplayableHll.registers(d, Nil, "text", p = 12)
+        .count(); () }))
 
   /** Stage 1× and k× corpora as flat parquet (identical scan cost, no
     * lineage replay), time each op warm on both, return ops whose

@@ -2690,6 +2690,24 @@ object ExtraQueries {
         .select(col("doc_id"), col("pack_id"), col("pos_in_pack"))
         .orderBy(col("doc_id"))),
 
+    "q_group_median" -> ((s, dir) => {
+      // exact per-group p50/p90 via simultaneous histogram narrowing (no
+      // per-group value maps — the OOM-free spelling of exact percentile);
+      // rational ranks replay integer-exact in DuckDB. The small cutoff
+      // forces real narrowing rounds at sf0.01+
+      import graft.operators.ExactQuantile
+      val e = t(s, dir, "events")
+      val med = ExactQuantile.quantilePerGroup(e, Seq("event_type"),
+        "value", 1, 2, bins = 32, directCutoff = 500L)
+        .withColumn("q", lit("p50"))
+      val p90 = ExactQuantile.quantilePerGroup(e, Seq("event_type"),
+        "value", 9, 10, bins = 32, directCutoff = 500L)
+        .withColumn("q", lit("p90"))
+      med.unionByName(p90)
+        .select(col("event_type"), col("q"), col("quantile"))
+        .orderBy(col("event_type"), col("q"))
+    }),
+
     "q_equidepth" -> ((s, dir) =>
       // equi-depth bucketizer: exact rank-formula cut points (no sort, no
       // approximation) + when-chain assignment; DuckDB re-derives the same
@@ -5014,6 +5032,22 @@ object ExtraQueries {
         |SELECT doc_id, CAST(excl // 4096 AS BIGINT) AS pack_id,
         |  CAST(excl - (excl // 4096) * 4096 AS BIGINT) AS pos_in_pack
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_group_median" ->
+      """WITH v AS (SELECT event_type, value FROM events
+        |  WHERE value IS NOT NULL),
+        |n AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1),
+        |o AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value)
+        |      AS rn FROM v)
+        |SELECT * FROM (
+        |  SELECT o.event_type, 'p50' AS q, o.value AS quantile
+        |  FROM o JOIN n USING (event_type) WHERE o.rn = (n.n + 1) // 2
+        |  UNION ALL
+        |  SELECT o.event_type, 'p90', o.value
+        |  FROM o JOIN n USING (event_type)
+        |  WHERE o.rn = (n.n * 9 + 9) // 10)
+        |ORDER BY event_type, q""".stripMargin,
 
     "q_equidepth" ->
       """WITH v AS (SELECT event_id, value FROM events

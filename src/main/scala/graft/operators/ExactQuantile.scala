@@ -100,6 +100,148 @@ object ExactQuantile {
     kthRec(cleanVals(df, valueCol), k, bins, directCutoff)
   }
 
+  /** EXACT per-group quantile without per-group value maps: Spark's exact
+    * `percentile` aggregate materializes a value→count map per group (OOM
+    * when a group holds billions of distinct values); this runs the same
+    * histogram narrowing as [[kthSmallest]] for ALL groups at once — per
+    * round ONE aggregate over (group, bucket) with per-group bounds joined
+    * in broadcast, driver state O(groups·bins). The quantile is the
+    * DISCRETE lower statistic at rank ceil(q·n_g) with q = num/den kept
+    * RATIONAL so the rank arithmetic is integer-exact and replays in any
+    * engine ((n·num + den − 1) div den). Groups must be driver-bounded
+    * (the per-language / per-source / per-day shape — thousands, not
+    * billions); rows per group are unbounded, which is the hard part at
+    * 100 TB and exactly what the narrowing absorbs. Convergence: each
+    * round divides every unresolved group's candidate range into `bins`
+    * buckets and keeps one, so resolution multiplies by ~bins per round;
+    * groups whose bucket collapses to a single value resolve immediately
+    * (min==max per bucket is collected with the histogram). The last
+    * ≤`directCutoff` survivors per group resolve in ONE final pass via
+    * sort_array(collect_list) — the same shape as Spark's percentile but
+    * bounded by the cutoff instead of the group's value cardinality. */
+  def quantilePerGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, num: Int, den: Int, bins: Int = 64,
+      directCutoff: Long = 4096L,
+      quantileCol: String = "quantile"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(num >= 1 && den >= 1 && num <= den,
+      s"quantile num/den must satisfy 1 <= num <= den, got $num/$den")
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val gcols = groupCols.map(col)
+    val vc = col(valueCol).cast("double")
+    val vals = df.filter(vc.isNotNull && !isnan(vc))
+      .select((gcols :+ vc.as("_v")): _*)
+    val gSchema = vals.select(gcols: _*).limit(0).schema
+    def keyOf(r: Row): Seq[Any] = groupCols.indices.map(r.get)
+
+    // round 0: per-group count/min/max — one aggregate, one row per group
+    val r0 = vals.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("_n"), min(col("_v")).as("_lo"),
+        max(col("_v")).as("_hi"))
+      .collect()
+    // narrowing state / direct-pass queue / answers, all driver-bounded
+    // by the group count (the documented contract)
+    var state = Map.empty[Seq[Any], (Double, Double, Long)]
+    val ready = scala.collection.mutable.Map[Seq[Any], (Double, Double, Long)]()
+    val resolved = scala.collection.mutable.Map[Seq[Any], Double]()
+    r0.foreach { r =>
+      val o = groupCols.length
+      val n = r.getLong(o); val lo = r.getDouble(o + 1)
+      val hi = r.getDouble(o + 2)
+      val k = math.max(1L, (n * num + den - 1) / den) // ceil(q*n), exact
+      if (lo == hi) resolved(keyOf(r)) = lo
+      else if (n <= directCutoff) ready(keyOf(r)) = (lo, hi, k)
+      else state = state + (keyOf(r) -> (lo, hi, k))
+    }
+
+    def boundsDf(m: Iterable[(Seq[Any], (Double, Double, Long))]): DataFrame = {
+      // Seq[Any] is load-bearing: Seq(lo, hi, k) would trigger Scala's
+      // numeric widening (weak conformance) and silently box k as Double,
+      // which the LongType row encoder rejects at runtime
+      val rows = m.toSeq.map { case (key, (lo, hi, k)) =>
+        Row.fromSeq(key ++ Seq[Any](lo, hi, k)) }
+      val schema = StructType(gSchema.fields ++ Seq(
+        StructField("_slo", DoubleType), StructField("_shi", DoubleType),
+        StructField("_sk", org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    }
+
+    var guard = 0
+    while (state.nonEmpty) {
+      guard += 1
+      require(guard <= 64, "quantilePerGroup failed to converge (64 rounds)")
+      // ONE aggregate for every unresolved group: per-group bounds ride in
+      // on a broadcast join; bucket min/max come back with the counts so
+      // single-value buckets resolve with no extra pass
+      // the range filter is the narrowing: the join brings EVERY row of an
+      // unresolved group, and rows outside [slo,shi] would land in
+      // negative buckets and corrupt the below-counts
+      val joined = vals.join(broadcast(boundsDf(state)), groupCols)
+        .filter(col("_v") >= col("_slo") && col("_v") <= col("_shi"))
+      val bucket = least(
+        floor((col("_v") - col("_slo")) / (col("_shi") - col("_slo"))
+          * lit(bins.toDouble)).cast(LongType),
+        lit(bins - 1L))
+      val hist = joined
+        .groupBy((gcols :+ bucket.as("_b")): _*)
+        .agg(count(lit(1)).as("_c"), min(col("_v")).as("_bmin"),
+          max(col("_v")).as("_bmax"))
+        .collect() // bounded: unresolved groups x bins rows
+        .groupBy(keyOf).map { case (key, rs) =>
+          val o = groupCols.length
+          key -> rs.map(r => (r.getLong(o), r.getLong(o + 1),
+            r.getDouble(o + 2), r.getDouble(o + 3))).sortBy(_._1)
+        }
+      var next = Map.empty[Seq[Any], (Double, Double, Long)]
+      state.foreach { case (key, (_, _, k)) =>
+        var below = 0L
+        var done = false
+        hist(key).foreach { case (_, c, bmin, bmax) =>
+          if (!done) {
+            if (below + c >= k) {
+              val rk = k - below
+              if (bmin == bmax) resolved(key) = bmin
+              else if (c <= directCutoff) ready(key) = (bmin, bmax, rk)
+              else next = next + (key -> (bmin, bmax, rk))
+              done = true
+            } else below += c
+          }
+        }
+        require(done, s"rank $k not found for group $key")
+      }
+      state = next
+    }
+
+    // final pass: every queued group's survivor set fits the cutoff —
+    // sort_array(collect_list) is Spark-percentile-shaped but bounded by
+    // the cutoff, not the group's value cardinality. A bucket's [min,max]
+    // range is disjoint from every other bucket's, so the bounds filter
+    // recovers exactly that bucket's rows.
+    if (ready.nonEmpty) {
+      vals.join(broadcast(boundsDf(ready)), groupCols)
+        .filter(col("_v") >= col("_slo") && col("_v") <= col("_shi"))
+        .groupBy(gcols: _*)
+        .agg(sort_array(collect_list(col("_v"))).as("_arr"),
+          first(col("_sk")).as("_k"))
+        .select((gcols :+
+          element_at(col("_arr"), col("_k").cast("int")).as("_q")): _*)
+        .collect()
+        .foreach(r => resolved(keyOf(r)) = r.getDouble(groupCols.length))
+    }
+
+    val outRows = resolved.toSeq.map { case (key, v) =>
+      Row.fromSeq(key :+ v) }
+    val outSchema = StructType(
+      gSchema.fields :+ StructField(quantileCol, DoubleType))
+    spark.createDataFrame(spark.sparkContext.parallelize(outRows, 1),
+      outSchema)
+  }
+
+
+
   /** Equi-depth bucketing WITHOUT a sort: cut points are the exact values
     * at ranks ceil(i·n/b) (integer-exact arithmetic — no float rank), found
     * by the shared-pass multi-rank selection; rows get

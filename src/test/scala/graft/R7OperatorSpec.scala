@@ -111,6 +111,27 @@ class R7OperatorSpec extends SparkSuite {
     assert(flat.select(col("bin")).distinct().head().getLong(0) == 0L)
   }
 
+  test("per-group quantile: narrowing equals driver sort across skewed groups") {
+    // group sizes 30 / 3000 / 1 / duplicate-heavy; cutoff forces rounds
+    // on the big group while small ones take the direct path
+    val data =
+      (1 to 30).map(i => ("a", (i * 13 % 17).toDouble)) ++
+      (1 to 3000).map(i => ("b", ((i * 48271) % 977).toDouble)) ++
+      Seq(("c", 42.0)) ++
+      (1 to 400).map(_ => ("d", 7.0))
+    val df = data.toDF("g", "x")
+    for ((num, den) <- Seq((1, 2), (9, 10), (1, 1), (1, 100))) {
+      val got = graft.operators.ExactQuantile.quantilePerGroup(
+          df, Seq("g"), "x", num, den, bins = 8, directCutoff = 100L)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      data.groupBy(_._1).foreach { case (g, rows) =>
+        val sorted = rows.map(_._2).sorted
+        val k = math.max(1L, (sorted.length.toLong * num + den - 1) / den)
+        assert(got(g) == sorted(k.toInt - 1), s"g=$g q=$num/$den")
+      }
+    }
+  }
+
   test("exact kth: rank beyond count fails loudly") {
     intercept[IllegalArgumentException] {
       ExactQuantile.kthSmallest(Seq(1.0, 2.0).toDF("x"), "x", 3L)

@@ -51,7 +51,10 @@ object Bench {
     val retrySec =
       sys.env.getOrElse("GRAFT_BENCH_RETRY_SEC", "2.5").toDouble
     var nRetried = 0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val only = args.toSet // optional subset for local iteration
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       System.err.println(s"[bench] start $name")
       val first = timeOne(name, fn)
       val dt =

@@ -270,28 +270,29 @@ object MinHashDedup {
     * remains available as the explicitly-probabilistic path
     * ([[clusters]]/[[clustersMaterialized]], recall-gated).
     *
-    * Physical shape: token-frequency aggregate + prefix window + prefix
-    * equi-join, one join to attach each side's shingle array (bounded by
-    * candidate count), then [[Components.labels]]' constant-shape
-    * propagation rounds. `numHashes`/`bands` retained for signature
-    * compatibility; no longer consulted. */
+    * Physical shape: [[SetSimJoin.selfJoinPairs]] — distinct-set
+    * pre-pass, ONE exploded relation / frequency aggregate / prefix
+    * window (the former two-relation spelling exploded the corpus twice
+    * and recomputed the shingle table three times — measured at roughly
+    * half the family's cost), verification once per distinct-set pair,
+    * then [[Components.labels]]' constant-shape propagation rounds.
+    * `numHashes`/`bands` retained for signature compatibility; no longer
+    * consulted. */
   def fuzzyDedup(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 3, numHashes: Int = 64,
       bands: Int = 16, maxIters: Int = 30): DataFrame = {
     val sh = df.select(col(idCol), shingles(col(textCol), k).as("_sh"))
     // verifier rounds half-up at e4: prefix sized one ulp below t so
-    // boundary pairs that round up remain provable candidates
+    // boundary pairs that round up remain provable candidates. The
+    // verifier itself is UNCHANGED from the two-relation spelling (same
+    // double round(jaccard, 4) the oracle replays); identical sets verify
+    // once per distinct pair and intra-copy-group edges emit at J = 1,
+    // which every threshold in (0, 1] accepts — the component structure
+    // is exactly the all-pairs one.
     val minE4 = math.max(1L, math.floor(threshold * 10000).toLong - 1L)
-    val cand = SetSimJoin.jaccardCandidates(
-      sh.select(col(idCol).as("_ca"), col("_sh")), "_ca", "_sh",
-      sh.select(col(idCol).as("_cb"), col("_sh")), "_cb", "_sh",
-      minE4, selfJoin = true)
-    val verified = cand
-      .join(sh.select(col(idCol).as("_ca"), col("_sh").as("_sha")), "_ca")
-      .join(sh.select(col(idCol).as("_cb"), col("_sh").as("_shb")), "_cb")
-      .where(round(NgramJaccard.jaccard(col("_sha"), col("_shb")), 4)
-        >= threshold)
-      .select(col("_ca"), col("_cb"))
+    val verified = SetSimJoin.selfJoinPairs(sh, idCol, "_sh", minE4,
+      (sa, sb, _) => round(NgramJaccard.jaccard(sa, sb), 4) >= threshold)
+      .select(col("id_a").as("_ca"), col("id_b").as("_cb"))
     Components.keepCanonical(df.select(col(idCol)), idCol,
       verified, "_ca", "_cb", maxIters)
   }
@@ -327,25 +328,47 @@ object MinHashDedup {
   def incrementalNearDup(newDocs: DataFrame, idCol: String, textCol: String,
       index: NearDupIndex, threshold: Double = 0.8, k: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val nsh = newDocs.select(col(idCol).as("_nid"),
-      shingles(col(textCol), k).as("_nsh"))
-    val osh = index.shingleSets
-      .select(col(idCol).as("_oid"), col("_sh").as("_osh"))
+    // DISTINCT-SET PRE-PASS on BOTH relations (same md5-of-sorted-set
+    // content key as [[SetSimJoin.selfJoinPairs]]): candidates and the
+    // exact verification run once per distinct (new set, indexed set)
+    // pair; batches and indexes full of content copies otherwise pay the
+    // pair pipeline per copy-pair. The indexed side collapses to
+    // (distinct set → min member id): min-over-groups of per-group mins
+    // IS the global min match id, so expansion is only needed on the new
+    // side. No explicit materialization — all consumers sit under one
+    // action, so ReuseExchange computes each repeated exchange once.
+    val sortedSh = array_sort(shingles(col(textCol), k))
+    val nrows = newDocs.select(col(idCol).as("_nid"), sortedSh.as("_nsh"))
+      .withColumn("_nkey", md5(concat_ws("\u0000", col("_nsh"))))
+    val ngroups = nrows.groupBy(col("_nkey"))
+      .agg(min(col("_nid")).as("_ngid"), first(col("_nsh")).as("_nsh"))
+    val ogroups = index.shingleSets
+      .select(col(idCol).as("_oid"), array_sort(col("_sh")).as("_osh"))
+      .groupBy(md5(concat_ws("\u0000", col("_osh"))).as("_okey"))
+      .agg(min(col("_oid")).as("_ogid"), first(col("_osh")).as("_osh"))
     // verifier rounds half-up at e4, accepting true J ≥ t − 0.5e-4:
     // size the prefix one e4 ulp below t so boundary pairs that round up
-    // are still provably candidates
+    // are still provably candidates. Identical cross-side sets share all
+    // prefix tokens (non-empty ⇒ candidate) and verify at J = 1 — no
+    // separate exact-key path needed, and empty-vs-empty stays unmatched
+    // (no tokens to join on; jaccard of two empty sets is 0 anyway).
     val minE4 = math.max(1L, math.floor(threshold * 10000).toLong - 1L)
     val cand = SetSimJoin.jaccardCandidates(
-      nsh, "_nid", "_nsh", osh, "_oid", "_osh", minE4)
-    val matches = cand
-      .join(nsh, Seq("_nid"))
-      .join(osh, Seq("_oid"))
+      ngroups.select(col("_ngid"), col("_nsh")), "_ngid", "_nsh",
+      ogroups.select(col("_ogid"), col("_osh")), "_ogid", "_osh", minE4)
+    val gmatches = cand
+      .join(ngroups.select(col("_ngid"), col("_nsh")), Seq("_ngid"))
+      .join(ogroups.select(col("_ogid"), col("_osh")), Seq("_ogid"))
       .where(round(NgramJaccard.jaccard(col("_nsh"), col("_osh")), 4)
         >= threshold)
-      .groupBy(col("_nid")).agg(min(col("_oid")).as("_mid"))
+      .groupBy(col("_ngid")).agg(min(col("_ogid")).as("_mid"))
+    // expand per-group matches back to every new doc through its copy group
+    val matches = nrows.select(col("_nkey"), col("_nid"))
+      .join(ngroups.select(col("_nkey"), col("_ngid")), Seq("_nkey"))
+      .join(gmatches, Seq("_ngid"))
+      .select(col("_nid").as(idCol), col("_mid"))
     newDocs.select(col(idCol))
-      .join(matches.select(col("_nid").as(idCol), col("_mid")), Seq(idCol),
-        "left")
+      .join(matches, Seq(idCol), "left")
       .select(col(idCol), col("_mid").isNotNull.as("is_dup"),
         coalesce(col("_mid"), lit(-1L)).as("match_id"))
   }

@@ -1,12 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** EXACT Jaccard-threshold set-similarity self-join — the deterministic
+/** EXACT Jaccard-threshold set-similarity join — the deterministic
   * complement to the LSH family: MinHash/SimHash trade recall for speed
-  * and [[graft.functions.NgramJaccard]] trusts a caller-chosen block key;
+  * and [[NgramJaccard]] trusts a caller-chosen block key;
   * this join PROVABLY finds every pair with J ≥ t and nothing about it is
   * probabilistic. Candidate generation is Chaudhuri-style prefix
   * filtering under one GLOBAL rare-first token order: if J(A,B) ≥ t then
@@ -21,18 +21,46 @@ import org.apache.spark.sql.functions._
   * The same construction (in SQL) is the validated scale-safe oracle twin
   * for the brute-force Jaccard oracles — here it is the ENGINE operator.
   * Cost at 100 TB: one explode + count (token frequencies), one prefix
-  * window per set (key-partitioned), one equi-join on rare tokens, and
-  * verification proportional to CANDIDATES (which is output-bound for
-  * any corpus that isn't mostly duplicates). */
+  * window per set (key-partitioned), one equi-join on rare tokens with
+  * length/positional pruning riding in the join condition, and
+  * verification proportional to SURVIVING candidates (which is
+  * output-bound for any corpus that isn't mostly duplicates). */
 object SetSimJoin {
 
+  /** PPJoin-style pruning predicates (Xiao et al. 2008), applied INSIDE
+    * the prefix equi-join on the integer metadata (set size `_n`, prefix
+    * position `_r`) riding with each prefix token. The bare prefix join
+    * admits every pair sharing one rare token — measured at ~100× the
+    * true pair count on a synthetic-vocabulary corpus — and verification
+    * ships both full arrays per candidate, so candidate count IS the
+    * family's cost. Both filters are provably safe for every pair with
+    * J·10⁴ ≥ minE4:
+    *  - LENGTH: J ≤ min(|A|,|B|)/max(|A|,|B|), so
+    *    min·10⁴ ≥ minE4·max must hold.
+    *  - POSITIONAL: the EARLIEST shared token in the global order is in
+    *    both prefixes (prefixes are downward-closed in that order), at
+    *    positions (i, j); every shared token sits at or after it, so
+    *    |A∩B| ≤ 1 + min(|A|−i, |B|−j). J ≥ t also forces
+    *    |A∩B| ≥ ⌈t·(|A|+|B|)/(1+t)⌉ = ⌈minE4·(na+nb)/(10⁴+minE4)⌉.
+    *    A qualifying pair's earliest-shared row passes, so keeping pairs
+    *    where ANY joined row passes loses nothing.
+    * All arithmetic stays e4-integer (`div`, never float). */
+  private def prunedJoinCond(minE4: Long): Column = {
+    val aDen = 10000L + minE4
+    col("a._g") === col("b._g") &&
+      expr(s"least(a._n, b._n) * 10000 >= greatest(a._n, b._n) * $minE4") &&
+      expr(s"1 + least(a._n - a._r, b._n - b._r) >= " +
+        s"($minE4 * (a._n + b._n) + $aDen - 1) div $aDen")
+  }
+
   /** Provably complete candidate pairs for a Jaccard-threshold join —
-    * prefix filtering ALONE, verification left to the caller. Every
-    * (left, right) pair whose true Jaccard satisfies J·10⁴ ≥ `minE4`
-    * appears in the output (among extras the caller's verifier rejects);
-    * nothing about it is probabilistic, unlike LSH banding whose recall
-    * at the threshold is (1−t^r)^b < 1. Both set columns must hold
-    * DISTINCT elements per row; empty sets never pair.
+    * prefix filtering plus the safe length/positional pruning,
+    * verification left to the caller. Every (left, right) pair whose true
+    * Jaccard satisfies J·10⁴ ≥ `minE4` appears in the output (among
+    * extras the caller's verifier rejects); nothing about it is
+    * probabilistic, unlike LSH banding whose recall at the threshold is
+    * (1−t^r)^b < 1. Both set columns must hold DISTINCT elements per row;
+    * empty sets never pair.
     *
     * One GLOBAL rare-first token order is computed over BOTH sides'
     * tokens — completeness holds under any total order shared by the two
@@ -43,7 +71,10 @@ object SetSimJoin {
     * could be missed by a prefix sized for t exactly.
     *
     * `selfJoin = true` treats the two inputs as the same relation and
-    * emits each unordered pair once (left id < right id).
+    * emits each unordered pair once (left id < right id). For the
+    * self-join CASE prefer [[jaccardSelfJoin]]/[[selfJoinPairs]]: they
+    * explode the relation ONCE (this form explodes both sides), carry the
+    * distinct-set pre-pass, and verify inline.
     *
     * Cost at 100 TB: one explode + frequency count per side, one
     * key-partitioned prefix window each, one equi-join on rare prefix
@@ -67,54 +98,81 @@ object SetSimJoin {
       e.join(gf, Seq("_g"))
         .withColumn("_r", row_number().over(w))
         // n − ⌈t·n⌉ + 1 in the same pure-integer spelling as
-        // [[jaccardSelfJoin]] — float (1−t)·n would shave the prefix
+        // [[selfJoinPairs]] — float (1−t)·n would shave the prefix
         .filter(col("_r") <= expr(
           s"_n - (_n * $minE4 + 9999) div 10000 + 1"))
-        .select(col(id), col("_g"))
+        .select(col(id), col("_g"), col("_r"), col("_n"))
     }
     prefix(le, "_lid").as("a")
       .join(prefix(re, "_rid").as("b"),
-        if (selfJoin) col("a._g") === col("b._g") &&
-          col("a._lid") < col("b._rid")
-        else col("a._g") === col("b._g"))
+        if (selfJoin) prunedJoinCond(minE4) && col("a._lid") < col("b._rid")
+        else prunedJoinCond(minE4))
       .select(col("a._lid").as(leftId), col("b._rid").as(rightId))
       .distinct()
   }
 
   /** Pairs (id_a < id_b, jaccard_e4) with floor(J·10⁴) ≥ floor(t·10⁴).
     * `setCol` must hold DISTINCT elements per row (array_distinct first
-    * if unsure); empty sets never pair.
+    * if unsure); empty sets never pair. See [[selfJoinPairs]] for the
+    * execution shape (distinct-set pre-pass, single prefix window,
+    * length/positional pruning). */
+  def jaccardSelfJoin(df: DataFrame, idCol: String, setCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    val tE4 = math.floor(threshold * 10000).toLong
+    selfJoinPairs(df, idCol, setCol, tE4,
+      (_, _, jE4) => jE4 >= tE4)
+  }
+
+  /** Shared self-join engine: distinct-set pre-pass → ONE exploded
+    * relation / ONE frequency aggregate / ONE prefix window → pruned
+    * prefix equi-join → exact verification once per distinct-set pair →
+    * re-expansion through copy groups. Returns (id_a, id_b, jaccard_e4)
+    * with id_a < id_b and jaccard_e4 = floor(J·10⁴);
+    * `keepPair(setA, setB, jaccardE4)` decides which verified pairs
+    * survive (it must accept identical non-empty sets — intra-copy-group
+    * pairs are emitted directly at J = 1 without verification). `minE4`
+    * sizes the prefix: completeness holds for every pair with
+    * J·10⁴ ≥ minE4, so callers whose `keepPair` rounds half-up at e4
+    * must pass t·10⁴ − 1 (see [[jaccardCandidates]]).
     *
     * DISTINCT-SET PRE-PASS: rows with identical sets (md5 of the sorted
     * serialization — the same content key [[ExactDedup]] uses) collapse to
     * one representative BEFORE candidate generation; prefix filtering and
     * the exact array_intersect verification run once per distinct set
     * pair, and id pairs re-expand through the copy groups afterwards.
-    * Intra-group pairs (identical non-empty sets) are emitted directly at
-    * J = 1 — they need no verification at all. On a duplicate-heavy corpus
-    * this turns quadratic-in-multiplicity VERIFICATION into distinct-pair
-    * verification plus an output-sized expansion join. Token frequencies
-    * over distinct sets change only the prefix ORDER (completeness holds
-    * under any global order), never the result. */
-  def jaccardSelfJoin(df: DataFrame, idCol: String, setCol: String,
-      threshold: Double): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold must be in (0, 1]: $threshold")
-    val tE4 = math.floor(threshold * 10000).toLong
+    * On a duplicate-heavy corpus this turns quadratic-in-multiplicity
+    * VERIFICATION into distinct-pair verification plus an output-sized
+    * expansion join. Token frequencies over distinct sets change only the
+    * prefix ORDER (completeness holds under any global order), never the
+    * result.
+    *
+    * No explicit materialization: every consumer (candidates, both
+    * verification sides, member expansion) sits under ONE action, so
+    * Spark's ReuseExchange computes each repeated exchange once — an
+    * eager localCheckpoint of the shingle frame was measured SLOWER here
+    * (it serializes full arrays and turns a pipelined plan into
+    * sequential barriers). */
+  private[graft] def selfJoinPairs(df: DataFrame, idCol: String,
+      setCol: String, minE4: Long,
+      keepPair: (Column, Column, Column) => Column): DataFrame = {
+    require(minE4 >= 1 && minE4 <= 10000,
+      s"minE4 must be in [1, 10000]: $minE4")
     // copy groups: group key = md5 over the sorted elements (NUL-joined;
     // elements are tokens, never null), representative id = min member id
-    val rows = df.select(col(idCol).as("_id"),
-      array_sort(col(setCol)).as("_set"))
+    val rows = df
+      .select(col(idCol).as("_id"), array_sort(col(setCol)).as("_set"))
       .withColumn("_key", md5(concat_ws("\u0000", col("_set"))))
     val groups = rows.groupBy(col("_key"))
       .agg(min(col("_id")).as("_gid"), first(col("_set")).as("_set"),
-        count(lit(1)).as("_copies"), size(first(col("_set"))).as("_n"))
+        size(first(col("_set"))).as("_n"))
     val members = rows.select(col("_key"), col("_id"))
       .join(groups.select(col("_key"), col("_gid"), col("_n")), Seq("_key"))
       .select(col("_gid"), col("_id"), col("_n"))
-    // candidate generation + exact verification over DISTINCT sets only
-    val reps = groups.select(col("_gid").as("_id"), col("_set"),
-      col("_n"))
+    // candidate generation over DISTINCT sets only: one explode, one
+    // frequency aggregate, one prefix window
+    val reps = groups.select(col("_gid").as("_id"), col("_set"), col("_n"))
     val e = reps.select(col("_id"), col("_n"), explode(col("_set")).as("_g"))
     val gf = e.groupBy(col("_g")).agg(count(lit(1)).as("_f"))
     val w = Window.partitionBy(col("_id"))
@@ -122,15 +180,14 @@ object SetSimJoin {
     val pf = e.join(gf, Seq("_g"))
       .withColumn("_r", row_number().over(w))
       // prefix length n − ⌈t·n⌉ + 1 in PURE INTEGER arithmetic (the
-      // effective e4-floored threshold): float spellings of (1−t)·n dip
-      // below the exact value (1.0 − 0.8 = 0.1999…96) and would shave the
+      // effective e4 threshold): float spellings of (1−t)·n dip below
+      // the exact value (1.0 − 0.8 = 0.1999…96) and would shave the
       // prefix — a silent completeness hole at multiples of the scale
       .filter(col("_r") <= expr(
-        s"_n - (_n * $tE4 + 9999) div 10000 + 1"))
-      .select(col("_id"), col("_g"))
+        s"_n - (_n * $minE4 + 9999) div 10000 + 1"))
+      .select(col("_id"), col("_g"), col("_r"), col("_n"))
     val cand = pf.as("a")
-      .join(pf.as("b"),
-        col("a._g") === col("b._g") && col("a._id") < col("b._id"))
+      .join(pf.as("b"), prunedJoinCond(minE4) && col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
     val repPairs = cand
@@ -142,7 +199,7 @@ object SetSimJoin {
         floor(col("_inter") * lit(10000L) /
           (size(col("_sa")) + size(col("_sb")) - col("_inter")))
           .cast("long"))
-      .filter(col("jaccard_e4") >= tE4)
+      .filter(keepPair(col("_sa"), col("_sb"), col("jaccard_e4")))
       .select(col("id_a").as("_ga"), col("id_b").as("_gb"),
         col("jaccard_e4"))
     // re-expand: cross the member ids of each qualifying group pair
@@ -155,7 +212,7 @@ object SetSimJoin {
       .select(least(col("_xa"), col("_xb")).as("id_a"),
         greatest(col("_xa"), col("_xb")).as("id_b"), col("jaccard_e4"))
     // intra-group pairs: identical NON-EMPTY sets share everything — J = 1
-    // exactly, 10000 ≥ tE4 for every legal threshold; empty sets have no
+    // exactly, 10000 ≥ minE4 for every legal threshold; empty sets have no
     // tokens to join on and never paired before the pre-pass either
     val me = members.filter(col("_n") > 0).select(col("_gid"), col("_id"))
     val intra = me.as("x")

@@ -2708,6 +2708,24 @@ object ExtraQueries {
         .orderBy(col("event_type"), col("q"))
     }),
 
+    "q_group_median_wide" -> ((s, dir) => {
+      // WIDE-group exact median: one group per order (147k groups at
+      // sf0.1 — far beyond any driver-state budget) plus one engineered
+      // heavy group (every 97th order collapses to key -1, ~620 rows at
+      // sf0.01) so BOTH routes run: light groups through the distributed
+      // collect_list aggregate with zero driver state, heavy groups
+      // through histogram narrowing with driver state bounded by the
+      // heavy count only
+      import graft.operators.ExactQuantile
+      val li = t(s, dir, "lineitem")
+        .withColumn("gkey",
+          when(col("l_orderkey") % 97 === 0, lit(-1L))
+            .otherwise(col("l_orderkey")))
+      ExactQuantile.quantilePerGroup(li, Seq("gkey"), "l_extendedprice",
+          1, 2, bins = 32, directCutoff = 500L)
+        .orderBy(col("gkey"))
+    }),
+
     "q_equidepth" -> ((s, dir) =>
       // equi-depth bucketizer: exact rank-formula cut points (no sort, no
       // approximation) + when-chain assignment; DuckDB re-derives the same
@@ -5048,6 +5066,18 @@ object ExtraQueries {
         |  FROM o JOIN n USING (event_type)
         |  WHERE o.rn = (n.n * 9 + 9) // 10)
         |ORDER BY event_type, q""".stripMargin,
+
+    "q_group_median_wide" ->
+      """WITH v AS (SELECT CASE WHEN l_orderkey % 97 = 0 THEN -1
+        |    ELSE l_orderkey END AS gkey, l_extendedprice AS val
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT gkey, COUNT(*) AS n FROM v GROUP BY 1),
+        |o AS (SELECT gkey, val,
+        |    row_number() OVER (PARTITION BY gkey ORDER BY val) AS rn
+        |  FROM v)
+        |SELECT o.gkey, o.val AS quantile
+        |FROM o JOIN n USING (gkey) WHERE o.rn = (n.n + 1) // 2
+        |ORDER BY o.gkey""".stripMargin,
 
     "q_equidepth" ->
       """WITH v AS (SELECT event_id, value FROM events

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -71,7 +71,14 @@ object ExactQuantile {
       directCutoff: Long): Double = {
     var cur = cur0
     var rank = rank0
+    var round = 0
     while (true) {
+      // with >= 2 distinct finite values in [lo,hi], lo routes to bucket 0
+      // and hi to bins-1, so every round strictly narrows; 64 rounds
+      // exceed any double range at bins >= 2 — tripping this means the
+      // input violated the finite-values contract
+      round += 1
+      require(round <= 64, "kthSmallest failed to converge (64 rounds)")
       val (n, lo, hi) = stats(cur)
       require(rank <= n, s"rank $rank exceeds remaining count $n")
       if (lo == hi) return lo
@@ -83,42 +90,67 @@ object ExactQuantile {
     0.0 // unreachable
   }
 
-  /** Non-null, non-NaN values as `_v`: NaN poisons the bucket arithmetic
-    * ((NaN−lo)/width floors to NaN, whose ANSI long cast throws) and has
-    * no defined rank — excluded like null, stated in the contract. */
+  /** Values with no defined-and-safe rank position are excluded, stated in
+    * the contract: null and NaN (NaN poisons the bucket arithmetic —
+    * (NaN−lo)/width floors to NaN, whose ANSI long cast throws) and ±Inf
+    * (an infinite lo/hi makes (v−lo)/(hi−lo) collapse every finite value
+    * to one bucket, so the histogram never narrows — an infinite loop
+    * instead of a wrong answer). COUNT-over-finite-values semantics. */
+  private def finiteVals(df: DataFrame, v: Column): DataFrame =
+    df.filter(v.isNotNull && !isnan(v) &&
+      abs(v) =!= lit(Double.PositiveInfinity))
+
   private def cleanVals(df: DataFrame, valueCol: String): DataFrame = {
     val v = col(valueCol).cast("double")
-    df.filter(v.isNotNull && !isnan(v)).select(v.as("_v"))
+    finiteVals(df, v).select(v.as("_v"))
   }
 
-  /** The exact k-th smallest (1-based) value of `valueCol`; nulls and NaNs
-    * are excluded. */
+  private def checkCutoff(directCutoff: Long): Unit =
+    require(directCutoff >= 1 && directCutoff <= Int.MaxValue,
+      s"directCutoff must be in [1, Int.MaxValue] (it bounds a limit()): " +
+        s"$directCutoff")
+
+  /** The exact k-th smallest (1-based) value of `valueCol`; nulls, NaNs
+    * and ±Inf are excluded (see [[finiteVals]]). */
   def kthSmallest(df: DataFrame, valueCol: String, k: Long,
       bins: Int = 256, directCutoff: Long = 20000L): Double = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(bins >= 2, s"bins must be >= 2, got $bins")
+    checkCutoff(directCutoff)
     kthRec(cleanVals(df, valueCol), k, bins, directCutoff)
   }
 
   /** EXACT per-group quantile without per-group value maps: Spark's exact
     * `percentile` aggregate materializes a value→count map per group (OOM
-    * when a group holds billions of distinct values); this runs the same
-    * histogram narrowing as [[kthSmallest]] for ALL groups at once — per
-    * round ONE aggregate over (group, bucket) with per-group bounds joined
-    * in broadcast, driver state O(groups·bins). The quantile is the
-    * DISCRETE lower statistic at rank ceil(q·n_g) with q = num/den kept
-    * RATIONAL so the rank arithmetic is integer-exact and replays in any
-    * engine ((n·num + den − 1) div den). Groups must be driver-bounded
-    * (the per-language / per-source / per-day shape — thousands, not
-    * billions); rows per group are unbounded, which is the hard part at
-    * 100 TB and exactly what the narrowing absorbs. Convergence: each
-    * round divides every unresolved group's candidate range into `bins`
-    * buckets and keeps one, so resolution multiplies by ~bins per round;
-    * groups whose bucket collapses to a single value resolve immediately
-    * (min==max per bucket is collected with the histogram). The last
-    * ≤`directCutoff` survivors per group resolve in ONE final pass via
-    * sort_array(collect_list) — the same shape as Spark's percentile but
-    * bounded by the cutoff instead of the group's value cardinality. */
+    * when a group holds billions of distinct values). Groups are routed
+    * by size in one counting pass:
+    *
+    *  - LIGHT groups (rows ≤ `directCutoff`, i.e. almost all of them —
+    *    per-domain percentiles over a crawl have millions of groups, and
+    *    by pigeonhole at most totalRows/directCutoff can be heavy) run
+    *    fully distributed through ONE sort_array(collect_list) aggregate
+    *    — the same shape as Spark's percentile but bounded by the cutoff,
+    *    with NO driver state at all.
+    *  - HEAVY groups (rows > `directCutoff` — the per-language / per-day
+    *    shape where one group holds billions of rows) run the same
+    *    histogram narrowing as [[kthSmallest]], all heavy groups at
+    *    once — per round ONE aggregate over (group, bucket) with
+    *    per-group bounds joined in broadcast. Driver state is
+    *    O(heavyGroups·bins), bounded by totalRows/directCutoff — NOT by
+    *    the total group count.
+    *
+    * The quantile is the DISCRETE lower statistic at rank ceil(q·n_g)
+    * with q = num/den kept RATIONAL so the rank arithmetic is
+    * integer-exact and replays in any engine ((n·num + den − 1) div den).
+    * Rows with null group keys form their own group (GROUP BY
+    * semantics — null-SAFE joins route them like any other key); null,
+    * NaN and ±Inf VALUES are excluded (see [[finiteVals]]).
+    * Convergence of the heavy loop: each round divides every unresolved
+    * group's candidate range into `bins` buckets and keeps one, so
+    * resolution multiplies by ~bins per round; groups whose bucket
+    * collapses to a single value resolve immediately (min==max per bucket
+    * is collected with the histogram). The last ≤`directCutoff` survivors
+    * per group resolve in ONE final collect_list pass. */
   def quantilePerGroup(df: DataFrame, groupCols: Seq[String],
       valueCol: String, num: Int, den: Int, bins: Int = 64,
       directCutoff: Long = 4096L,
@@ -127,33 +159,63 @@ object ExactQuantile {
     require(num >= 1 && den >= 1 && num <= den,
       s"quantile num/den must satisfy 1 <= num <= den, got $num/$den")
     require(bins >= 2, s"bins must be >= 2, got $bins")
+    checkCutoff(directCutoff)
     val spark = df.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val gcols = groupCols.map(col)
     val vc = col(valueCol).cast("double")
-    val vals = df.filter(vc.isNotNull && !isnan(vc))
-      .select((gcols :+ vc.as("_v")): _*)
+    val vals = finiteVals(df, vc).select((gcols :+ vc.as("_v")): _*)
     val gSchema = vals.select(gcols: _*).limit(0).schema
     def keyOf(r: Row): Seq[Any] = groupCols.indices.map(r.get)
+    // null-SAFE group equi-join: a plain equi-join drops null-keyed
+    // groups, which round 0's groupBy keeps — they would then throw at
+    // hist(key) (narrowing path) or vanish from the output (direct path)
+    def joinBounds(b: DataFrame): DataFrame = {
+      val cond = groupCols
+        .map(c => col(s"_l.$c") <=> col(s"_r.$c")).reduce(_ && _)
+      vals.as("_l").join(broadcast(b).as("_r"), cond)
+        .select((groupCols.map(c => col(s"_l.$c")) ++ Seq(col("_v"),
+          col("_slo"), col("_shi"), col("_sk"))): _*)
+        .filter(col("_v") >= col("_slo") && col("_v") <= col("_shi"))
+    }
 
-    // round 0: per-group count/min/max — one aggregate, one row per group
-    val r0 = vals.groupBy(gcols: _*)
+    // round 0: per-group counts — ONE aggregate; only HEAVY groups are
+    // collected (≤ totalRows/directCutoff rows by pigeonhole)
+    val counts = vals.groupBy(gcols: _*)
       .agg(count(lit(1)).as("_n"), min(col("_v")).as("_lo"),
         max(col("_v")).as("_hi"))
-      .collect()
-    // narrowing state / direct-pass queue / answers, all driver-bounded
-    // by the group count (the documented contract)
+    val heavy = counts.filter(col("_n") > directCutoff).collect()
+
+    // LIGHT path, fully distributed: anti-join the (few, broadcast) heavy
+    // keys away, then one bounded collect_list aggregate per group. The
+    // rank expression is the same integer-exact ceil; sizes fit an int by
+    // the cutoff bound but the multiply is done in bigint.
+    val lightVals = if (heavy.isEmpty) vals else {
+      val hk = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          heavy.map(r => Row.fromSeq(keyOf(r))).toSeq, 1), gSchema)
+      val cond = groupCols
+        .map(c => col(s"_l.$c") <=> col(s"_r.$c")).reduce(_ && _)
+      vals.as("_l").join(broadcast(hk).as("_r"), cond, "left_anti")
+    }
+    val light = lightVals.groupBy(gcols: _*)
+      .agg(sort_array(collect_list(col("_v"))).as("_arr"))
+      .select((gcols :+ element_at(col("_arr"), greatest(lit(1), expr(
+        s"cast((cast(size(_arr) as bigint) * $num + $den - 1) div $den " +
+          "as int)"))).as(quantileCol)): _*)
+
+    // HEAVY path: simultaneous histogram narrowing, driver state bounded
+    // by the heavy-group count
     var state = Map.empty[Seq[Any], (Double, Double, Long)]
     val ready = scala.collection.mutable.Map[Seq[Any], (Double, Double, Long)]()
     val resolved = scala.collection.mutable.Map[Seq[Any], Double]()
-    r0.foreach { r =>
+    heavy.foreach { r =>
       val o = groupCols.length
       val n = r.getLong(o); val lo = r.getDouble(o + 1)
       val hi = r.getDouble(o + 2)
       val k = math.max(1L, (n * num + den - 1) / den) // ceil(q*n), exact
       if (lo == hi) resolved(keyOf(r)) = lo
-      else if (n <= directCutoff) ready(keyOf(r)) = (lo, hi, k)
       else state = state + (keyOf(r) -> (lo, hi, k))
     }
 
@@ -179,8 +241,7 @@ object ExactQuantile {
       // the range filter is the narrowing: the join brings EVERY row of an
       // unresolved group, and rows outside [slo,shi] would land in
       // negative buckets and corrupt the below-counts
-      val joined = vals.join(broadcast(boundsDf(state)), groupCols)
-        .filter(col("_v") >= col("_slo") && col("_v") <= col("_shi"))
+      val joined = joinBounds(boundsDf(state))
       val bucket = least(
         floor((col("_v") - col("_slo")) / (col("_shi") - col("_slo"))
           * lit(bins.toDouble)).cast(LongType),
@@ -215,14 +276,11 @@ object ExactQuantile {
       state = next
     }
 
-    // final pass: every queued group's survivor set fits the cutoff —
-    // sort_array(collect_list) is Spark-percentile-shaped but bounded by
-    // the cutoff, not the group's value cardinality. A bucket's [min,max]
-    // range is disjoint from every other bucket's, so the bounds filter
-    // recovers exactly that bucket's rows.
+    // heavy final pass: every queued group's survivor set fits the
+    // cutoff. A bucket's [min,max] range is disjoint from every other
+    // bucket's, so the bounds filter recovers exactly that bucket's rows.
     if (ready.nonEmpty) {
-      vals.join(broadcast(boundsDf(ready)), groupCols)
-        .filter(col("_v") >= col("_slo") && col("_v") <= col("_shi"))
+      joinBounds(boundsDf(ready))
         .groupBy(gcols: _*)
         .agg(sort_array(collect_list(col("_v"))).as("_arr"),
           first(col("_sk")).as("_k"))
@@ -232,12 +290,12 @@ object ExactQuantile {
         .foreach(r => resolved(keyOf(r)) = r.getDouble(groupCols.length))
     }
 
-    val outRows = resolved.toSeq.map { case (key, v) =>
+    val heavyRows = resolved.toSeq.map { case (key, v) =>
       Row.fromSeq(key :+ v) }
     val outSchema = StructType(
       gSchema.fields :+ StructField(quantileCol, DoubleType))
-    spark.createDataFrame(spark.sparkContext.parallelize(outRows, 1),
-      outSchema)
+    light.unionByName(spark.createDataFrame(
+      spark.sparkContext.parallelize(heavyRows, 1), outSchema))
   }
 
 
@@ -256,8 +314,9 @@ object ExactQuantile {
       valueCol: String, b: Int, binCol: String = "bin",
       bins: Int = 256, directCutoff: Long = 20000L): DataFrame = {
     require(b >= 2, s"b must be >= 2, got $b")
+    checkCutoff(directCutoff)
     val vc = col(valueCol).cast("double")
-    val vals = df.filter(vc.isNotNull && !isnan(vc))
+    val vals = finiteVals(df, vc)
     val n = vals.count()
     require(n >= 1, "input has no non-null, non-NaN values")
     val ranks = (1 until b).map(i => (i.toLong * n + b - 1) / b)
@@ -285,6 +344,7 @@ object ExactQuantile {
     import spark.implicits._
     require(ks.nonEmpty, "ks must be non-empty")
     require(ks.forall(_ >= 1), s"all ranks must be >= 1, got $ks")
+    checkCutoff(directCutoff)
     val vals = cleanVals(df, valueCol)
     val sorted = ks.distinct.sorted
     val (n, lo, hi) = stats(vals)

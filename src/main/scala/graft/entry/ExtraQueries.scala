@@ -2630,10 +2630,16 @@ object ExtraQueries {
       // (maxFilesPerTrigger=1 forces a real cross-batch max-merge), the
       // groupBy(bucket).max(rho) aggregate carried in the state store —
       // and the final registers must STILL hash-match DuckDB's arithmetic
-      // replay. Bounded state by construction: <= 2^p rows per group
+      // replay. Bounded state by construction: <= 2^p rows per group.
+      // Staging path and sink name carry the session's applicationId so
+      // two concurrent runs at the same scale factor can't race on the
+      // stage directory (deleted at query start) or the memory sink
       val e = t(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("user_id"))
-      val staged = s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}/hll_events"
+      val runTag = s.sparkContext.applicationId
+      val staged =
+        s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}_$runTag/hll_events"
+      val sink = s"hll_stream_twin_$runTag".replace('-', '_')
       val hp = new org.apache.hadoop.fs.Path(staged)
       val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
       if (fs.exists(hp)) fs.delete(hp, true) // fresh stage per run
@@ -2649,10 +2655,42 @@ object ExtraQueries {
       graft.streaming.Streams.withStatePartitions(s, 8) {
         val q = regs.writeStream
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
-          .format("memory").queryName("hll_stream_twin").start()
+          .format("memory").queryName(sink).start()
         try q.processAllAvailable() finally q.stop()
       }
-      s.table("hll_stream_twin").orderBy(col("event_type"), col("bucket"))
+      s.table(sink).orderBy(col("event_type"), col("bucket"))
+    }),
+
+    "q_hll_rolling" -> ((s, dir) => {
+      // sliding-window distinct monitoring from per-day sketch STATE:
+      // registers built once per day, then bucket-wise max-merged over a
+      // trailing 3-day window — "distincts over the last N days" without
+      // re-scanning raw events. zeros/s2 replay arithmetically in DuckDB
+      // from the same md5 spec; est accuracy is an engine-checked
+      // invariant vs the exact window count (deterministic md5 state)
+      import graft.functions.ReplayableHll
+      val e = t(s, dir, "events").withColumn("day", to_date(col("ts")))
+      val daily = ReplayableHll.registers(e, Seq("day"), "user_id", p = 8)
+      val rolled = ReplayableHll.slidingMerge(daily, "day", Nil, window = 3)
+      val est = ReplayableHll.estimate(rolled, Seq("day"), p = 8)
+      // exact trailing-3-day distincts, the q_rolling_distinct shape:
+      // (day, user) reduction, contribution expansion, observed-days semi
+      val du = e.filter(col("user_id").isNotNull)
+        .select(col("day"), col("user_id")).distinct()
+      val days = du.select(col("day")).distinct()
+      val exact = du
+        .select(explode(sequence(col("day"), date_add(col("day"), 2)))
+          .as("day"), col("user_id"))
+        .join(broadcast(days), Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(est, Seq("day"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_exact"), col("zeros"),
+          col("s2").cast(StringType).as("s2"),
+          (abs(col("est") - col("n_exact")) <=
+            col("n_exact") * lit(0.25)).as("est_ok"))
+        .orderBy(col("day"))
     }),
 
     "q_exact_kth" -> ((s, dir) => {
@@ -5026,6 +5064,49 @@ object ExtraQueries {
         |  TRUE AS est_ok, TRUE AS merge_ok
         |FROM agg a JOIN ex ON a.event_type = ex.event_type
         |ORDER BY a.event_type""".stripMargin,
+
+    "q_hll_rolling" ->
+      // per-day register replay (same md5 spec as q_hll_replay), expanded
+      // to the 3 target days each activity day serves, bucket-wise max,
+      // then the integer-exact zeros/s2 accumulators; n_exact is the
+      // trailing-3-day distinct count; est_ok is the engine-checked
+      // invariant (deterministic md5 state), expected TRUE
+      """WITH h AS (SELECT date_trunc('day', ts) AS day,
+        |    md5(CAST(user_id AS VARCHAR)) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |b AS (SELECT day, substr(h,1,2) AS bucket,
+        |    substr(h,3,16) AS w FROM h),
+        |r0 AS (SELECT day, bucket,
+        |    LEAST(4*length(regexp_extract(w,'^(0*)',1)) +
+        |      CASE substr(w, length(regexp_extract(w,'^(0*)',1))+1, 1)
+        |        WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |        WHEN '7' THEN 1 ELSE 0 END + 1, 64) AS rho
+        |  FROM b),
+        |regs AS (SELECT day, bucket, MAX(rho) AS r FROM r0 GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM regs),
+        |merged AS (SELECT d.day AS day, rg.bucket, MAX(rg.r) AS r
+        |  FROM regs rg JOIN days d
+        |  ON d.day >= rg.day AND d.day <= rg.day + INTERVAL 2 DAY
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT day,
+        |    SUM(CAST(power(2.0, 64 - r) AS HUGEINT)) AS s_used,
+        |    COUNT(*) AS nonempty
+        |  FROM merged GROUP BY 1),
+        |du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |ex AS (SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT)
+        |    AS n_exact
+        |  FROM days d JOIN du u
+        |  ON u.day <= d.day AND u.day >= d.day - INTERVAL 2 DAY
+        |  GROUP BY 1)
+        |SELECT strftime(a.day, '%Y-%m-%d') AS day, ex.n_exact,
+        |  CAST(256 - a.nonempty AS BIGINT) AS zeros,
+        |  CAST(a.s_used + (256 - a.nonempty)
+        |    * CAST(power(2.0, 64) AS HUGEINT) AS VARCHAR) AS s2,
+        |  TRUE AS est_ok
+        |FROM agg a JOIN ex ON a.day = ex.day
+        |ORDER BY day""".stripMargin,
 
     "q_exact_kth" ->
       """WITH v AS (SELECT l_extendedprice AS val FROM lineitem

@@ -69,10 +69,37 @@ object ReplayableHll {
     regs.groupBy((groupCols.map(col) :+ col("bucket")): _*)
       .agg(max(col("r")).as("r"))
 
+  /** Sliding-window register merge: for every period PRESENT in `regs`,
+    * the bucket-wise-max merge of that period and the `window − 1` before
+    * it — "distincts over the last N days" maintained from per-period
+    * sketch STATE, no re-scan of the raw data. `periodCol` must be a DATE
+    * column. Each register row contributes to the `window` target periods
+    * it can serve — explode(sequence(...)) turns the range predicate into
+    * a pure equi-join/aggregate (the rolling-distinct shape applied to
+    * sketches): one shuffle over |regs|·window rows, never an inequality
+    * join, and the merged output is still the portable, hash-verifiable
+    * register table keyed by target period. */
+  def slidingMerge(regs: DataFrame, periodCol: String,
+      groupCols: Seq[String], window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val days = regs.select(col(periodCol)).distinct()
+    regs.select((explode(sequence(col(periodCol),
+        date_add(col(periodCol), window - 1))).as(periodCol) +:
+        (groupCols.map(col) ++ Seq(col("bucket"), col("r")))): _*)
+      .join(broadcast(days), Seq(periodCol), "left_semi")
+      .groupBy((col(periodCol) +: groupCols.map(col)) :+ col("bucket"): _*)
+      .agg(max(col("r")).as("r"))
+  }
+
   /** Cardinality estimate per group from a register table. Emits the
     * integer-exact harmonic accumulator `s2` (DECIMAL(38,0)) and empty-
     * bucket count `zeros` alongside the double `est` — s2/zeros hash-match
-    * cross-engine even where the final float division can't. */
+    * cross-engine even where the final float division can't.
+    *
+    * The input is bucket-wise max-merged to the target grouping first, so
+    * callers may pass register tables at a FINER grouping or unioned
+    * un-merged tables (h1.unionByName(h2)) — multiple rows per
+    * (group, bucket) previously inflated `zeros`/`s2` silently. */
   def estimate(regs: DataFrame, groupCols: Seq[String],
       p: Int = 12): DataFrame = {
     require(p >= 4 && p % 4 == 0 && p <= 24,
@@ -91,7 +118,7 @@ object ReplayableHll {
     val term = when(col("r") === 1L, two63)
       .otherwise(expr("shiftleft(cast(1 as bigint), cast(64 - r as int))")
         .cast(d38))
-    regs.groupBy(groupCols.map(col): _*)
+    merge(regs, groupCols).groupBy(groupCols.map(col): _*)
       .agg(sum(term).as("_s_used"),
         count(lit(1)).as("_nonempty"))
       .select(

@@ -106,6 +106,47 @@ class R8OperatorSpec extends SparkSuite {
     assert(g7 == 9.0) // values 8,9,10 -> rank ceil(3/2)=2
   }
 
+  // ---- ReplayableHll: estimate pre-merge + sliding window ----
+
+  test("hll estimate is correct on an un-merged unioned register table") {
+    import graft.functions.ReplayableHll
+    val a = (1 to 400).map(i => s"u-$i").toDF("v")
+    val b = (200 to 600).map(i => s"u-$i").toDF("v")
+    val ra = ReplayableHll.registers(a, Nil, "v", p = 8)
+    val rb = ReplayableHll.registers(b, Nil, "v", p = 8)
+    // pre-fix: multiple rows per bucket inflated zeros/s2 silently; the
+    // internal pre-merge makes union-then-estimate equal merge-then-estimate
+    val viaUnion = ReplayableHll.estimate(ra.unionByName(rb), Nil, p = 8)
+      .select("zeros", "s2", "est").head()
+    val viaMerge = ReplayableHll.estimate(
+      ReplayableHll.merge(ra.unionByName(rb), Nil), Nil, p = 8)
+      .select("zeros", "s2", "est").head()
+    assert(viaUnion == viaMerge)
+  }
+
+  test("hll slidingMerge equals per-window batch registers") {
+    import graft.functions.ReplayableHll
+    val rows = (1 to 900).map { i =>
+      (java.sql.Date.valueOf(f"2024-01-${i % 9 + 1}%02d"), s"user-$i")
+    }
+    val df = rows.toDF("day", "v")
+    val daily = ReplayableHll.registers(df, Seq("day"), "v", p = 8)
+    val rolled = ReplayableHll.slidingMerge(daily, "day", Nil, window = 3)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)) ->
+        r.getLong(2)).toMap
+    // reference: registers built directly over each trailing-3-day slice
+    val expected = (1 to 9).flatMap { d =>
+      val target = java.sql.Date.valueOf(f"2024-01-$d%02d")
+      val slice = rows.filter { case (dt, _) =>
+        val diff = target.toLocalDate.toEpochDay - dt.toLocalDate.toEpochDay
+        diff >= 0 && diff < 3
+      }.toDF("day", "v")
+      ReplayableHll.registers(slice, Nil, "v", p = 8)
+        .collect().map(r => (target.toString, r.getString(0)) -> r.getLong(1))
+    }.toMap
+    assert(rolled == expected)
+  }
+
   // ---- ExactQuantile: cutoff bounds ----
 
   test("directCutoff beyond Int.MaxValue is rejected loudly") {

@@ -825,6 +825,34 @@ object DocQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_set_sim_rs" -> ((s, dir) => {
+      // direct gate for the TWO-RELATION candidate form (batch vs index),
+      // previously proven only through its consumers: the prefix filter
+      // with length/positional pruning must yield a candidate superset
+      // whose round-half-up verification equals DuckDB's brute-force
+      // new x old join AT THE J = 0.8 BOUNDARY. Batch docs keep a
+      // per-doc 75-95% character prefix, so true J values straddle the
+      // threshold and the one-ulp prefix sizing (minE4 = t*1e4 - 1, for
+      // verifiers that round half-up at e4) decides pair membership.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = docs.select((col("doc_id") + 500000L).as("doc_id"),
+        expr("substring(text, 1, cast((length(text) * " +
+          "(75 + (doc_id % 11) * 2)) div 100 as int))").as("text"))
+      val osh = docs.select(col("doc_id").as("_oid"),
+        TF.shingles(col("text"), 3).as("_osh"))
+      val nsh = batch.select(col("doc_id").as("_nid"),
+        TF.shingles(col("text"), 3).as("_nsh"))
+      SetSimJoin.jaccardCandidates(nsh, "_nid", "_nsh",
+          osh, "_oid", "_osh", minE4 = 7999L)
+        .join(nsh, Seq("_nid")).join(osh, Seq("_oid"))
+        .withColumn("jaccard_r4",
+          round(NgramJaccard.jaccard(col("_nsh"), col("_osh")), 4))
+        .filter(col("jaccard_r4") >= 0.8)
+        .select(col("_nid").as("id_n"), col("_oid").as("id_o"),
+          col("jaccard_r4"))
+        .orderBy(col("id_n"), col("id_o"))
+    }),
+
     "q_doc_containment" -> ((s, dir) =>
       // asymmetric near-dup: a short doc inside a long one (excerpts) —
       // invisible to jaccard, containment ≈ 1
@@ -3321,6 +3349,38 @@ object DocQueries {
         |    AS jaccard_e4
         |FROM p WHERE FLOOR(it * 10000.0 / (na + nb - it)) >= 8000
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_set_sim_rs" -> {
+      // brute-force new x old replay: every pair whose round-half-up
+      // jaccard reaches 0.8 must come back from the engine's pruned
+      // prefix join — a shaved prefix (float sizing, missing one-ulp
+      // slack) or an unsafe length/positional filter drops a boundary
+      // pair and breaks the hash
+      val sh =
+        """list_distinct(list_transform(
+          |  range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 1, 1)),
+          |  i -> concat_ws(' ',
+          |    string_split_regex(trim(lower(text)), '\s+')[i],
+          |    string_split_regex(trim(lower(text)), '\s+')[i+1],
+          |    string_split_regex(trim(lower(text)), '\s+')[i+2])))"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH old AS (SELECT doc_id, $sh AS sh FROM documents),
+         |n0 AS (SELECT doc_id + 500000 AS doc_id,
+         |    substr(text, 1, CAST((length(text) * (75 + (doc_id % 11) * 2))
+         |      // 100 AS INT)) AS text
+         |  FROM documents),
+         |newd AS (SELECT doc_id, $sh AS sh FROM n0)
+         |SELECT n.doc_id AS id_n, o.doc_id AS id_o,
+         |  ROUND(CASE WHEN len(list_distinct(n.sh || o.sh)) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(n.sh, x -> list_contains(o.sh, x)))
+         |      AS DOUBLE) / len(list_distinct(n.sh || o.sh)) END, 4)
+         |    AS jaccard_r4
+         |FROM newd n JOIN old o
+         |ON ROUND(CASE WHEN len(list_distinct(n.sh || o.sh)) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(n.sh, x -> list_contains(o.sh, x)))
+         |      AS DOUBLE) / len(list_distinct(n.sh || o.sh)) END, 4) >= 0.8
+         |ORDER BY id_n, id_o""".stripMargin
+    },
 
     "q_doc_containment" -> {
       val sh =

@@ -123,8 +123,12 @@ object ExtraQueries {
       // stream over the same staged path, so the twin pays one staging
       // write + one stream start pair instead of two writes
       val staged = s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}/ij_both"
+      // user_id%3 sample (same trim as the outer twin): the join
+      // semantics are user-local, so a third of the users proves the
+      // same thing at a third of the join state and output
       t(s, dir, "events")
         .filter(col("event_type").isin("purchase", "click"))
+        .filter(col("user_id") % 3 === 0)
         .select(col("event_type"), col("event_id"), col("user_id"), col("ts"))
         .coalesce(1).write.mode("overwrite").parquet(staged)
       val schema = s.read.parquet(staged).schema
@@ -135,7 +139,9 @@ object ExtraQueries {
       val joined = graft.streaming.Streams.intervalJoin(
         side("purchase"), side("click"),
         Seq("user_id"), "ts", "ts", watermark = "10 minutes")
-      graft.streaming.Streams.withStatePartitions(s, 8) {
+      // 4 state partitions: the twin proves semantics, not throughput —
+      // state-store instances dominate its wall time at gate scale
+      graft.streaming.Streams.withStatePartitions(s, 4) {
         val q = joined.writeStream
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
           .format("memory").queryName("ij_twin").start()
@@ -281,7 +287,8 @@ object ExtraQueries {
       val joined = graft.streaming.Streams.intervalJoinLeftOuter(
         side("purchase"), side("click"),
         Seq("user_id"), "ts", "ts", watermark = "10 minutes")
-      graft.streaming.Streams.withStatePartitions(s, 8) {
+      // 4 state partitions, same rationale as the inner twin
+      graft.streaming.Streams.withStatePartitions(s, 4) {
         val q = joined.writeStream
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
           .format("memory").queryName("ij_outer").start()
@@ -673,11 +680,15 @@ object ExtraQueries {
       // (filename=true) and replays the sweep per axis
       // two independent uniform axes (multiplicative-hash spreads of the
       // dense id) — the derivation doesn't matter to the oracle, which
-      // replays from the staged bytes; half the table is plenty to
-      // saturate a 1024² grid under 16 files (the gate's cost is the
-      // three staged writes)
+      // replays from the staged bytes; a quarter of the table is plenty
+      // to saturate a 1024² grid under 16 files (the gate's cost is the
+      // staged writes plus one zone sweep per layout/axis). The
+      // single-axis-sort contrast (own axis ~1, other axis pruning-dead)
+      // was measured here through round 7 and is covered by
+      // q_zonemap_quality; the namesake hilbert-vs-zorder compare keeps
+      // 2 writes + 4 sweeps
       val ev = t(s, dir, "events")
-        .filter(col("event_id") % 2 === 0)
+        .filter(col("event_id") % 4 === 0)
         .select(col("event_id"),
           (col("event_id") * 2654435761L % 1024).as("x"),
           (col("event_id") * 40503L % 1024).as("y"))
@@ -686,15 +697,9 @@ object ExtraQueries {
         .write.mode("overwrite").parquet(s"$base/hilbert")
       graft.core.ZOrder.clusterBy2(ev, "x", "y", 16, bits = 10)
         .write.mode("overwrite").parquet(s"$base/zorder")
-      ev.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
-        .write.mode("overwrite").parquet(s"$base/xsort")
-      val rep = (tag: String, axis: String) =>
-        graft.io.LayoutStats.zoneMapReport(s, s"$base/$tag", axis)
-          .select(lit(tag).as("layout"), lit(axis).as("axis"),
-            col("n_files"), col("max_depth"), col("avg_depth_e4"))
-      Seq("hilbert", "zorder", "xsort")
-        .flatMap(tag => Seq(rep(tag, "x"), rep(tag, "y")))
-        .reduce(_ unionByName _)
+      graft.io.LayoutStats.zoneMapReportMulti(s,
+          Seq("hilbert", "zorder").map(tag => tag -> s"$base/$tag"),
+          Seq("x", "y"))
         .orderBy(col("layout"), col("axis"))
     }),
 
@@ -2997,6 +3002,7 @@ object ExtraQueries {
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id
         |FROM events p JOIN events c ON p.user_id = c.user_id
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND p.user_id % 3 = 0
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
         |  AND epoch_us(c.ts) <= epoch_us(p.ts) + 600000000
         |ORDER BY purchase_id, click_id""".stripMargin,
@@ -3565,9 +3571,9 @@ object ExtraQueries {
            |    CAST(sum(d) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT)
            |      AS avg_depth_e4
            |  FROM d_${tag}_$axis)""".stripMargin
-      val parts = for (t <- Seq("hilbert", "zorder", "xsort");
+      val parts = for (t <- Seq("hilbert", "zorder");
         a <- Seq("x", "y")) yield side(t, a)
-      val sels = for (t <- Seq("hilbert", "zorder", "xsort");
+      val sels = for (t <- Seq("hilbert", "zorder");
         a <- Seq("x", "y")) yield s"SELECT * FROM r_${t}_$a"
       s"""WITH ${parts.mkString(",\n")}
          |${sels.mkString(" UNION ALL ")}

@@ -3336,10 +3336,14 @@ object DocQueries {
         |    ROW_NUMBER() OVER (PARTITION BY e.doc_id
         |      ORDER BY gf.f ASC, e.g ASC) AS r
         |  FROM e JOIN gf USING (g)),
-        |pf AS (SELECT rk.doc_id, rk.g FROM rk JOIN sz USING (doc_id)
+        |pf AS (SELECT rk.doc_id, rk.g, rk.r, sz.n
+        |  FROM rk JOIN sz USING (doc_id)
         |  WHERE r <= n - (n * 8000 + 9999) // 10000 + 1),
         |cand AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-        |  FROM pf a JOIN pf b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |  FROM pf a JOIN pf b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  AND least(a.n, b.n) * 10000 >= greatest(a.n, b.n) * 8000
+        |  AND least(a.n - a.r, b.n - b.r) + 1
+        |      >= (8000 * (a.n + b.n) + 17999) // 18000),
         |p AS (SELECT u, v,
         |    len(list_filter(da.sh, x -> list_contains(db.sh, x))) AS it,
         |    len(da.sh) AS na, len(db.sh) AS nb

@@ -3328,7 +3328,11 @@ object DocQueries {
         |  UNION ALL
         |  SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1)
         |  FROM documents),
-        |d AS (SELECT doc_id, list_distinct(list_transform(   range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 1, 1)),   i -> concat_ws(' ',     string_split_regex(trim(lower(text)), '\s+')[i],     string_split_regex(trim(lower(text)), '\s+')[i+1],     string_split_regex(trim(lower(text)), '\s+')[i+2]))) AS sh FROM d0),
+        |dw AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+        |    AS ws FROM d0),
+        |d AS MATERIALIZED (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh FROM dw),
         |e AS (SELECT doc_id, unnest(sh) AS g FROM d),
         |gf AS (SELECT g, count(*) AS f FROM e GROUP BY g),
         |sz AS (SELECT doc_id, len(sh) AS n FROM d),

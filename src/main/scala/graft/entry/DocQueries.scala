@@ -18,6 +18,17 @@ import graft.operators._
 object DocQueries {
   import Sql.{esum, eavg}
 
+  /** Shingle spelling over a pre-split `ws` column - the hoisted form of
+    * the split-inside-the-lambda spelling: DuckDB re-evaluates the split
+    * for EVERY lambda element (O(words^2) per doc) and re-inlines the
+    * expression at every reference, which dominated the sf1 oracle
+    * replays. Pair with a `w0 AS (SELECT ..., string_split_regex(...) AS
+    * ws FROM t)` CTE. */
+  private val shw =
+    """list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |  i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"""
+      .stripMargin.replace("\n", " ")
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
@@ -3205,9 +3216,12 @@ object DocQueries {
           |    string_split_regex(trim(lower(text)), '\s+')[i],
           |    string_split_regex(trim(lower(text)), '\s+')[i+1],
           |    string_split_regex(trim(lower(text)), '\s+')[i+2])))""".stripMargin.replace("\n", " ")
-      s"""WITH ev AS (SELECT DISTINCT unnest($sh) AS sh FROM documents
+      s"""WITH w0 AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+         |  FROM documents),
+         |ev AS (SELECT DISTINCT unnest($shw) AS sh FROM w0
          |  WHERE doc_id % 50 = 0),
-         |cs AS (SELECT doc_id, unnest($sh) AS sh FROM documents
+         |cs AS (SELECT doc_id, unnest($shw) AS sh FROM w0
          |  WHERE doc_id % 50 <> 0),
          |hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
          |  FROM cs JOIN ev USING (sh) GROUP BY doc_id)
@@ -3277,15 +3291,12 @@ object DocQueries {
     "q_doc_top_ngrams" ->
       // per-doc DISTINCT 3-grams (same spelling the jaccard oracle proves
       // equivalent to the shingle kernel), then doc-frequency top-20 with a
-      // total (doc_freq DESC, shingle) order
-      """WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 1, 1)),
-        |    i -> concat_ws(' ',
-        |      string_split_regex(trim(lower(text)), '\s+')[i],
-        |      string_split_regex(trim(lower(text)), '\s+')[i+1],
-        |      string_split_regex(trim(lower(text)), '\s+')[i+2])))) AS shingle
-        |  FROM documents)
+      // total (doc_freq DESC, shingle) order; split hoisted out of the
+      // lambda (see `shw`)
+      s"""WITH w0 AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest($shw) AS shingle FROM w0)
         |SELECT shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq
         |FROM sh GROUP BY shingle
         |ORDER BY doc_freq DESC, shingle LIMIT 20""".stripMargin,
@@ -3903,20 +3914,23 @@ object DocQueries {
       // identical bigram spelling + add-one smoothing + DECIMAL(38,18)
       // term sum as the Spark side; the whole LM (train counts, V, OOV
       // flags, NLL) re-derives from raw text
+      // bigrams over the pre-split `ws` column (split hoisted out of the
+      // lambda, as `shw`)
       val bgs = """list_transform(
-        |  range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1)),
-        |  i -> concat_ws(' ',
-        |    string_split_regex(trim(lower(text)), '\s+')[i],
-        |    string_split_regex(trim(lower(text)), '\s+')[i+1]))"""
+        |  range(1, greatest(len(ws), 1)),
+        |  i -> concat_ws(' ', ws[i], ws[i+1]))"""
         .stripMargin.replace("\n", " ")
-      s"""WITH uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
-         |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-         |    FROM documents WHERE lang = 'en') GROUP BY w),
+      s"""WITH w0 AS (SELECT doc_id, lang,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+         |  FROM documents),
+         |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest(ws) AS w
+         |    FROM w0 WHERE lang = 'en') GROUP BY w),
          |vsz AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
          |bi AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM (
-         |    SELECT unnest($bgs) AS g FROM documents WHERE lang = 'en')
+         |    SELECT unnest($bgs) AS g FROM w0 WHERE lang = 'en')
          |  GROUP BY g),
-         |inst AS (SELECT doc_id, unnest($bgs) AS bg FROM documents),
+         |inst AS (SELECT doc_id, unnest($bgs) AS bg FROM w0),
          |terms AS (SELECT i.doc_id, i.bg, bi.c AS cbg,
          |    ln((CAST(COALESCE(bi.c, 0) AS DOUBLE) + 1.0) /
          |       (CAST(COALESCE(uni.c, 0) AS DOUBLE) + vsz.v)) AS term
@@ -3942,8 +3956,11 @@ object DocQueries {
           |    string_split_regex(trim(lower(text)), '\s+')[i],
           |    string_split_regex(trim(lower(text)), '\s+')[i+1],
           |    string_split_regex(trim(lower(text)), '\s+')[i+2])))""".stripMargin.replace("\n", " ")
-      s"""WITH sh AS (SELECT DISTINCT source AS g, unnest($sh) AS sh
+      s"""WITH w0 AS (SELECT source,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ws
          |  FROM documents),
+         |sh AS (SELECT DISTINCT g, sh FROM (SELECT source AS g,
+         |    unnest($shw) AS sh FROM w0)),
          |sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY g),
          |shared AS (SELECT a.g AS g_a, b.g AS g_b,
          |    CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -3963,7 +3980,10 @@ object DocQueries {
           |    string_split_regex(trim(lower(text)), '\s+')[i],
           |    string_split_regex(trim(lower(text)), '\s+')[i+1],
           |    string_split_regex(trim(lower(text)), '\s+')[i+2])))""".stripMargin.replace("\n", " ")
-      s"""WITH e AS (SELECT doc_id, unnest($sh) AS s FROM documents),
+      s"""WITH w0 AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+         |  FROM documents),
+         |e AS (SELECT doc_id, unnest($shw) AS s FROM w0),
          |fs AS (SELECT s, min(doc_id) AS first FROM e GROUP BY 1),
          |pd AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
          |    CAST(sum(CASE WHEN fs.first = e.doc_id THEN 1 ELSE 0 END)

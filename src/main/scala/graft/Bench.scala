@@ -60,6 +60,15 @@ object Bench {
       sys.env.getOrElse("GRAFT_BENCH_RETRY_SEC", "2.5").toDouble
     var nRetried = 0
     val only = args.toSet // optional subset for local iteration
+    // a typo'd gate name would otherwise run an EMPTY suite and still
+    // write a plausible-looking {"value":0.000} artifact — fail loudly
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[bench] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>

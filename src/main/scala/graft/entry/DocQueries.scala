@@ -3344,7 +3344,7 @@ object DocQueries {
         |d AS MATERIALIZED (SELECT doc_id,
         |    list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
         |      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh FROM dw),
-        |e AS (SELECT doc_id, unnest(sh) AS g FROM d),
+        |e AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM d),
         |gf AS (SELECT g, count(*) AS f FROM e GROUP BY g),
         |sz AS (SELECT doc_id, len(sh) AS n FROM d),
         |rk AS (SELECT e.doc_id, e.g,
@@ -3359,10 +3359,13 @@ object DocQueries {
         |  AND least(a.n, b.n) * 10000 >= greatest(a.n, b.n) * 8000
         |  AND least(a.n - a.r, b.n - b.r) + 1
         |      >= (8000 * (a.n + b.n) + 17999) // 18000),
-        |p AS (SELECT u, v,
-        |    len(list_filter(da.sh, x -> list_contains(db.sh, x))) AS it,
-        |    len(da.sh) AS na, len(db.sh) AS nb
-        |  FROM cand JOIN d da ON da.doc_id = u JOIN d db ON db.doc_id = v)
+        |iv AS (SELECT c.u, c.v, count(*) AS it
+        |  FROM cand c JOIN e a ON a.doc_id = c.u
+        |    JOIN e b ON b.doc_id = c.v AND b.g = a.g
+        |  GROUP BY c.u, c.v),
+        |p AS (SELECT iv.u, iv.v, iv.it, sa.n AS na, sb.n AS nb
+        |  FROM iv JOIN sz sa ON sa.doc_id = iv.u
+        |    JOIN sz sb ON sb.doc_id = iv.v)
         |SELECT u AS id_a, v AS id_b,
         |  CAST(FLOOR(it * 10000.0 / (na + nb - it)) AS BIGINT)
         |    AS jaccard_e4

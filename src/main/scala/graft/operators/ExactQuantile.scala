@@ -105,6 +105,16 @@ object ExactQuantile {
     finiteVals(df, v).select(v.as("_v"))
   }
 
+  /** Heavy-group rows only: one null-safe left_semi against the (few,
+    * broadcast) heavy keys. Package-private so the spec can assert the
+    * narrowing loop's scan frame really excludes light rows. */
+  private[graft] def heavyProjection(vals: DataFrame, heavyKeys: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val cond = groupCols
+      .map(c => col(s"_l.$c") <=> col(s"_r.$c")).reduce(_ && _)
+    vals.as("_l").join(broadcast(heavyKeys).as("_r"), cond, "left_semi")
+  }
+
   private def checkCutoff(directCutoff: Long): Unit =
     require(directCutoff >= 1 && directCutoff <= Int.MaxValue,
       s"directCutoff must be in [1, Int.MaxValue] (it bounds a limit()): " +
@@ -168,17 +178,11 @@ object ExactQuantile {
     val vals = finiteVals(df, vc).select((gcols :+ vc.as("_v")): _*)
     val gSchema = vals.select(gcols: _*).limit(0).schema
     def keyOf(r: Row): Seq[Any] = groupCols.indices.map(r.get)
-    // null-SAFE group equi-join: a plain equi-join drops null-keyed
-    // groups, which round 0's groupBy keeps — they would then throw at
-    // hist(key) (narrowing path) or vanish from the output (direct path)
-    def joinBounds(b: DataFrame): DataFrame = {
-      val cond = groupCols
-        .map(c => col(s"_l.$c") <=> col(s"_r.$c")).reduce(_ && _)
-      vals.as("_l").join(broadcast(b).as("_r"), cond)
-        .select((groupCols.map(c => col(s"_l.$c")) ++ Seq(col("_v"),
-          col("_slo"), col("_shi"), col("_sk"))): _*)
-        .filter(col("_v") >= col("_slo") && col("_v") <= col("_shi"))
-    }
+    // null-SAFE group equi-join conditions throughout: a plain equi-join
+    // drops null-keyed groups, which round 0's groupBy keeps — they would
+    // then throw at hist(key) (narrowing path) or vanish from the output
+    def nullSafeCond: Column = groupCols
+      .map(c => col(s"_l.$c") <=> col(s"_r.$c")).reduce(_ && _)
 
     // round 0: per-group counts — ONE aggregate; only HEAVY groups are
     // collected (≤ totalRows/directCutoff rows by pigeonhole)
@@ -186,18 +190,31 @@ object ExactQuantile {
       .agg(count(lit(1)).as("_n"), min(col("_v")).as("_lo"),
         max(col("_v")).as("_hi"))
     val heavy = counts.filter(col("_n") > directCutoff).collect()
+    val heavyKeys = if (heavy.isEmpty) None else Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        heavy.map(r => Row.fromSeq(keyOf(r))).toSeq, 1), gSchema))
 
     // LIGHT path, fully distributed: anti-join the (few, broadcast) heavy
     // keys away, then one bounded collect_list aggregate per group. The
     // rank expression is the same integer-exact ceil; sizes fit an int by
     // the cutoff bound but the multiply is done in bigint.
-    val lightVals = if (heavy.isEmpty) vals else {
-      val hk = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          heavy.map(r => Row.fromSeq(keyOf(r))).toSeq, 1), gSchema)
-      val cond = groupCols
-        .map(c => col(s"_l.$c") <=> col(s"_r.$c")).reduce(_ && _)
-      vals.as("_l").join(broadcast(hk).as("_r"), cond, "left_anti")
+    val lightVals = heavyKeys.fold(vals)(hk =>
+      vals.as("_l").join(broadcast(hk).as("_r"), nullSafeCond, "left_anti"))
+
+    // HEAVY-ROWS PROJECTION, materialized ONCE: each narrowing round and
+    // the final direct pass scan ONLY heavy-group rows. Without this, at
+    // 100 TB a quantile over a few heavy groups re-reads the whole corpus
+    // ~log_bins(range) times just to keep heavy rows; with it the full
+    // input is scanned exactly twice (counts + this projection) and every
+    // round reads the (persisted, column-pruned) heavy subset.
+    val heavyVals = heavyKeys.map(hk => heavyProjection(vals, hk, groupCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    def joinBounds(b: DataFrame): DataFrame = {
+      heavyVals.get.as("_l").join(broadcast(b).as("_r"), nullSafeCond)
+        .select((groupCols.map(c => col(s"_l.$c")) ++ Seq(col("_v"),
+          col("_slo"), col("_shi"), col("_sk"))): _*)
+        .filter(col("_v") >= col("_slo") && col("_v") <= col("_shi"))
     }
     val light = lightVals.groupBy(gcols: _*)
       .agg(sort_array(collect_list(col("_v"))).as("_arr"))
@@ -289,6 +306,9 @@ object ExactQuantile {
         .collect()
         .foreach(r => resolved(keyOf(r)) = r.getDouble(groupCols.length))
     }
+    // every heavy-path action has run (the loop and final pass are eager
+    // collects); the lazily-evaluated light path never reads it
+    heavyVals.foreach(_.unpersist(blocking = false))
 
     val heavyRows = resolved.toSeq.map { case (key, v) =>
       Row.fromSeq(key :+ v) }

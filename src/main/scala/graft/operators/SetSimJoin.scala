@@ -86,10 +86,13 @@ object SetSimJoin {
       s"minE4 must be in [1, 10000]: $minE4")
     require(leftId != rightId,
       "output columns are named after the id columns — alias one side")
+    // _n as BIGINT from birth: every pruning/prefix formula multiplies
+    // it by up to 10⁴+minE4, and an IntegerType size wraps silently past
+    // ~214k tokens under non-ANSI eval — flipping a completeness filter
     val le = left.select(col(leftId).as("_lid"),
-        size(col(leftSet)).as("_n"), explode(col(leftSet)).as("_g"))
+        size(col(leftSet)).cast("long").as("_n"), explode(col(leftSet)).as("_g"))
     val re = right.select(col(rightId).as("_rid"),
-        size(col(rightSet)).as("_n"), explode(col(rightSet)).as("_g"))
+        size(col(rightSet)).cast("long").as("_n"), explode(col(rightSet)).as("_g"))
     val gf = le.select(col("_g")).unionAll(re.select(col("_g")))
       .groupBy(col("_g")).agg(count(lit(1)).as("_f"))
     def prefix(e: DataFrame, id: String): DataFrame = {
@@ -120,7 +123,10 @@ object SetSimJoin {
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
-    val tE4 = math.floor(threshold * 10000).toLong
+    // clamp: thresholds below 1e-4 floor to 0 — treat them as the
+    // smallest representable bound (prefix = whole set) instead of
+    // tripping selfJoinPairs' minE4 ≥ 1 contract
+    val tE4 = math.max(1L, math.floor(threshold * 10000).toLong)
     selfJoinPairs(df, idCol, setCol, tE4,
       (_, _, jE4) => jE4 >= tE4)
   }
@@ -164,9 +170,12 @@ object SetSimJoin {
     val rows = df
       .select(col(idCol).as("_id"), array_sort(col(setCol)).as("_set"))
       .withColumn("_key", md5(concat_ws("\u0000", col("_set"))))
+    // _n as BIGINT (see [[jaccardCandidates]]): the pruning arithmetic
+    // multiplies set sizes by up to 10⁴+minE4, past int range for long
+    // documents
     val groups = rows.groupBy(col("_key"))
       .agg(min(col("_id")).as("_gid"), first(col("_set")).as("_set"),
-        size(first(col("_set"))).as("_n"))
+        size(first(col("_set"))).cast("long").as("_n"))
     val members = rows.select(col("_key"), col("_id"))
       .join(groups.select(col("_key"), col("_gid"), col("_n")), Seq("_key"))
       .select(col("_gid"), col("_id"), col("_n"))

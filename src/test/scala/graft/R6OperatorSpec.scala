@@ -142,16 +142,37 @@ class R6OperatorSpec extends SparkSuite {
 
   test("layout compare: curves bound zone-map depth on BOTH axes; " +
       "single-axis sort is pruning-dead off-axis") {
+    // The gate (trimmed to its namesake 2-layout compare in r8) proves
+    // both space-filling curves bound depth on BOTH axes at once.
     val rows = graft.entry.ExtraQueries.queries("q_layout_compare")(
       spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3))).toMap
-    val (nFiles, xsortY) = rows(("xsort", "y"))
-    assert(xsortY == nFiles, "xsort should be pruning-dead on y")
-    assert(rows(("xsort", "x"))._2 == 1L)
-    for (curve <- Seq("hilbert", "zorder"); a <- Seq("x", "y"))
-      assert(rows((curve, a))._2 < nFiles,
-        s"$curve $a-depth should beat the dead layout")
+    assert(rows.keySet ==
+      (for (c <- Set("hilbert", "zorder"); a <- Set("x", "y")) yield (c, a)))
+    for (curve <- Seq("hilbert", "zorder"); a <- Seq("x", "y")) {
+      val (nFiles, depth) = rows((curve, a))
+      assert(depth < nFiles,
+        s"$curve $a-depth should beat a pruning-dead layout")
+    }
+    // The single-axis-sort contrast, on a spec-local staged fixture: an
+    // x-range-partitioned, x-sorted table prunes its own axis (depth ≤ 2,
+    // boundary-tie overlap only) but is pruning-dead on y (depth =
+    // n_files — every file's y-interval spans the grid).
+    val pts = spark.range(4096).select(
+      (col("id") * 2654435761L % 1024).as("x"),
+      (col("id") * 40503L % 1024).as("y"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_xsort_fixture").toString
+    pts.repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(dir)
+    val xs = graft.io.LayoutStats.zoneMapReportMulti(spark,
+        Seq("xsort" -> dir), Seq("x", "y")).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val (nf, yDepth) = xs("y")
+    assert(nf > 1L, "fixture must stage multiple files")
+    assert(yDepth == nf, "xsort should be pruning-dead on y")
+    assert(xs("x")._2 <= 2L, "xsort own-axis depth ~1")
   }
 
   test("ADVICE r5 regressions: truth-less qid, null mid-window event " +

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ExactQuantile, SetSimJoin}
+
+/** Round-9 hardening: quantilePerGroup's heavy-rows projection (narrowing
+  * rounds scan heavy-group rows only, not the full input), SetSimJoin's
+  * 64-bit pruning arithmetic, and the degenerate-threshold clamp. */
+class R9OperatorSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("heavyProjection keeps exactly the heavy-group rows (null-safe)") {
+    val df = (
+      (1 to 10).map(i => (java.lang.Long.valueOf(1L), i.toDouble)) ++
+      (1 to 3).map(i => (java.lang.Long.valueOf(2L), i.toDouble)) ++
+      (1 to 5).map(i => (null: java.lang.Long, i.toDouble))
+    ).toDF("g", "_v")
+    val hk = Seq[java.lang.Long](1L, null).toDF("g")
+    val got = ExactQuantile.heavyProjection(df, hk, Seq("g"))
+    assert(got.count() == 15L, "heavy rows only: group 1 (10) + null (5)")
+    val gs = got.select("g").distinct().collect()
+      .map(r => if (r.isNullAt(0)) -999L else r.getLong(0)).toSet
+    assert(gs == Set(1L, -999L), "light group 2 must be excluded")
+  }
+
+  test("quantilePerGroup multi-round narrowing over the persisted heavy " +
+      "projection stays exact, and the cache is released") {
+    // 2000-row heavy group (bins=4, cutoff=20 forces ~4 narrowing rounds
+    // over the persisted projection) mixed with light groups
+    val heavy = (1 to 2000).map(i => (0L, i.toDouble))
+    val light = (1 to 50).flatMap(g => (1 to 5).map(i =>
+      (g.toLong, (g * 10 + i).toDouble)))
+    val df = (heavy ++ light).toDF("g", "v").repartition(8)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val got = ExactQuantile.quantilePerGroup(df, Seq("g"), "v", 1, 2,
+        bins = 4, directCutoff = 20L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(0L) == 1000.0) // ceil(2000/2) = 1000th of 1..2000
+    assert(got(7L) == 73.0)   // 71..75 -> rank ceil(5/2)=3
+    assert(got.size == 51)
+    // the heavy projection was unpersisted on exit — no cache leak into
+    // the rest of the suite
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore)
+  }
+
+  test("SetSimJoin pruning arithmetic is 64-bit: a ~215k-token pair " +
+      "survives (int n*10000 would wrap and drop it)") {
+    // n = 214,900 sits in the window where IntegerType n*10000 wraps
+    // negative while n*9990 stays positive, so pre-fix the LENGTH filter
+    // compared negative >= positive and silently dropped the true pair
+    val n = 214900
+    val mk = (tag: String) =>
+      array_sort(concat(transform(sequence(lit(0), lit(n - 2)),
+        x => concat(lit("t"), lpad(x.cast("string"), 7, "0"))),
+        array(lit(tag))))
+    val df = Seq(1L, 2L).toDF("id")
+      .withColumn("s", when(col("id") === 1L, mk("aa")).otherwise(mk("zz")))
+    // J = (n-1)/(n+1) ~ 0.99999 >= 0.999
+    val pairs = SetSimJoin.jaccardSelfJoin(df, "id", "s", 0.999).collect()
+    assert(pairs.length == 1, "the near-identical giant pair must survive")
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getLong(2) >= 9990L)
+  }
+
+  test("jaccardSelfJoin clamps sub-1e-4 thresholds instead of throwing") {
+    val df = Seq((1L, Seq("a", "b")), (2L, Seq("b", "c")),
+      (3L, Seq("x"))).toDF("id", "s")
+    // threshold 5e-5 floors to tE4=0 — clamped to the smallest
+    // representable bound (any overlapping pair qualifies)
+    val got = SetSimJoin.jaccardSelfJoin(df, "id", "s", 0.00005)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+}
+
+/** Gate/spec drift guard (ADVICE r8 #8): every gate a test indexes into by
+  * column name or row key is pinned here as a NAMED assertion, so trimming
+  * a gate without updating its consumer fails loudly instead of as a
+  * NoSuchElementException deep inside the full run (the r8
+  * q_layout_compare desync, commit 8ba4ac9). Add a line whenever a new
+  * spec consumes a gate's output. Schema-only — building the frame is
+  * lazy, so this costs plans, not jobs. */
+class GateContractSpec extends SparkSuite {
+
+  // gate -> columns its consuming spec(s) reference by name.
+  // (q_next_event / q_cdc_agg are consumed plan-shape-only by
+  // PushdownSpec; q_layout_compare's (layout, axis) ROW KEYS are asserted
+  // in R6OperatorSpec itself via an explicit keySet equality.)
+  private val consumed = Map(
+    "q_next_event" -> Seq.empty[String],
+    "q_cdc_agg" -> Seq.empty[String],
+    "q_agg_dashboard" -> Seq("o_orderpriority", "n_orders"), // ServiceSpec
+    "q_layout_compare" ->
+      Seq("layout", "axis", "n_files", "max_depth") // R6OperatorSpec
+  )
+
+  test("every spec-consumed gate exists and exposes the columns its " +
+      "consumer indexes") {
+    consumed.foreach { case (name, cols) =>
+      assert(SparkEntry.queries.contains(name),
+        s"gate $name was removed but a spec still consumes it")
+      val have = SparkEntry.queries(name)(spark, sfDir).columns.toSet
+      val missing = cols.filterNot(have)
+      assert(missing.isEmpty,
+        s"gate $name no longer emits ${missing.mkString(", ")} " +
+          s"(a spec indexes these; it has $have)")
+    }
+  }
+}

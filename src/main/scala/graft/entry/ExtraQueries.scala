@@ -2714,6 +2714,41 @@ object ExtraQueries {
         .orderBy(col("day"))
     }),
 
+    "q_hll_rolling_grouped" -> ((s, dir) => {
+      // the GROUPED sliding-merge path: per-(day, event_type) registers,
+      // trailing-3-day bucket-wise max within each event_type — "distinct
+      // users per type over the last N days" from sketch state. Target
+      // days are the GLOBALLY observed register days (slidingMerge's
+      // contract), so the exact side replicates that day universe; the
+      // accuracy invariant carries a small-group floor (p=8 linear
+      // counting is exact-ish but tiny per-type groups amplify relative
+      // error)
+      import graft.functions.ReplayableHll
+      val e = t(s, dir, "events").withColumn("day", to_date(col("ts")))
+      val daily = ReplayableHll.registers(
+        e, Seq("day", "event_type"), "user_id", p = 8)
+      val rolled = ReplayableHll.slidingMerge(
+        daily, "day", Seq("event_type"), window = 3)
+      val est = ReplayableHll.estimate(
+        rolled, Seq("day", "event_type"), p = 8)
+      val du = e.filter(col("user_id").isNotNull)
+        .select(col("day"), col("event_type"), col("user_id")).distinct()
+      val days = du.select(col("day")).distinct()
+      val exact = du
+        .select(explode(sequence(col("day"), date_add(col("day"), 2)))
+          .as("day"), col("event_type"), col("user_id"))
+        .join(broadcast(days), Seq("day"), "left_semi")
+        .groupBy(col("day"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(est, Seq("day", "event_type"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n_exact"), col("zeros"),
+          col("s2").cast(StringType).as("s2"),
+          (abs(col("est") - col("n_exact")) <=
+            greatest(col("n_exact") * lit(0.25), lit(16.0))).as("est_ok"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     "q_exact_kth" -> ((s, dir) => {
       // exact order statistics WITHOUT a global sort: iterative histogram
       // narrowing (O(log) scans, <=256 driver rows per round) must return
@@ -5135,6 +5170,53 @@ object ExtraQueries {
         |  TRUE AS est_ok
         |FROM agg a JOIN ex ON a.day = ex.day
         |ORDER BY day""".stripMargin,
+
+    "q_hll_rolling_grouped" ->
+      // the grouped twin of q_hll_rolling: per-(day, event_type) register
+      // replay, trailing-3-day bucket-wise max WITHIN each event_type
+      // against the globally-observed day universe, then the integer-exact
+      // zeros/s2 accumulators; est_ok replays as the engine-checked TRUE
+      """WITH h AS (SELECT date_trunc('day', ts) AS day, event_type,
+        |    md5(CAST(user_id AS VARCHAR)) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |b AS (SELECT day, event_type, substr(h,1,2) AS bucket,
+        |    substr(h,3,16) AS w FROM h),
+        |r0 AS (SELECT day, event_type, bucket,
+        |    LEAST(4*length(regexp_extract(w,'^(0*)',1)) +
+        |      CASE substr(w, length(regexp_extract(w,'^(0*)',1))+1, 1)
+        |        WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |        WHEN '7' THEN 1 ELSE 0 END + 1, 64) AS rho
+        |  FROM b),
+        |regs AS (SELECT day, event_type, bucket, MAX(rho) AS r
+        |  FROM r0 GROUP BY 1, 2, 3),
+        |days AS (SELECT DISTINCT day FROM regs),
+        |merged AS (SELECT d.day AS day, rg.event_type, rg.bucket,
+        |    MAX(rg.r) AS r
+        |  FROM regs rg JOIN days d
+        |  ON d.day >= rg.day AND d.day <= rg.day + INTERVAL 2 DAY
+        |  GROUP BY 1, 2, 3),
+        |agg AS (SELECT day, event_type,
+        |    SUM(CAST(power(2.0, 64 - r) AS HUGEINT)) AS s_used,
+        |    COUNT(*) AS nonempty
+        |  FROM merged GROUP BY 1, 2),
+        |du AS (SELECT DISTINCT date_trunc('day', ts) AS day, event_type,
+        |    user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |ex AS (SELECT d.day, u.event_type,
+        |    CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_exact
+        |  FROM days d JOIN du u
+        |  ON u.day <= d.day AND u.day >= d.day - INTERVAL 2 DAY
+        |  GROUP BY 1, 2)
+        |SELECT strftime(a.day, '%Y-%m-%d') AS day,
+        |  a.event_type AS event_type, ex.n_exact,
+        |  CAST(256 - a.nonempty AS BIGINT) AS zeros,
+        |  CAST(a.s_used + (256 - a.nonempty)
+        |    * CAST(power(2.0, 64) AS HUGEINT) AS VARCHAR) AS s2,
+        |  TRUE AS est_ok
+        |FROM agg a JOIN ex
+        |  ON a.day = ex.day AND a.event_type = ex.event_type
+        |ORDER BY day, event_type""".stripMargin,
 
     "q_exact_kth" ->
       """WITH v AS (SELECT l_extendedprice AS val FROM lineitem

@@ -62,6 +62,34 @@ class R9OperatorSpec extends SparkSuite {
     assert(pairs.head.getLong(2) >= 9990L)
   }
 
+  test("hll slidingMerge GROUPED: per-group trailing merge equals batch " +
+      "registers over each group's window slice") {
+    import graft.functions.ReplayableHll
+    val rows = (1 to 600).map { i =>
+      (java.sql.Date.valueOf(f"2024-01-${i % 5 + 1}%02d"),
+        if (i % 2 == 0) "a" else "b", s"user-$i")
+    }
+    val df = rows.toDF("day", "g", "v")
+    val daily = ReplayableHll.registers(df, Seq("day", "g"), "v", p = 8)
+    val rolled = ReplayableHll
+      .slidingMerge(daily, "day", Seq("g"), window = 3)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1),
+        r.getString(2)) -> r.getLong(3)).toMap
+    val expected = (for (d <- 1 to 5; g <- Seq("a", "b")) yield {
+      val target = java.sql.Date.valueOf(f"2024-01-$d%02d")
+      val slice = rows.filter { case (dt, gg, _) =>
+        val diff = target.toLocalDate.toEpochDay - dt.toLocalDate.toEpochDay
+        gg == g && diff >= 0 && diff < 3
+      }
+      if (slice.isEmpty) Seq.empty
+      else ReplayableHll.registers(slice.toDF("day", "g", "v"), Nil, "v",
+          p = 8)
+        .collect().map(r =>
+          (target.toString, g, r.getString(0)) -> r.getLong(1)).toSeq
+    }).flatten.toMap
+    assert(rolled == expected)
+  }
+
   test("jaccardSelfJoin clamps sub-1e-4 thresholds instead of throwing") {
     val df = Seq((1L, Seq("a", "b")), (2L, Seq("b", "c")),
       (3L, Seq("x"))).toDF("id", "s")

@@ -3341,27 +3341,31 @@ object DocQueries {
         |  FROM documents),
         |dw AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
         |    AS ws FROM d0),
-        |d AS MATERIALIZED (SELECT doc_id,
+        |d AS (SELECT doc_id,
         |    list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
         |      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh FROM dw),
-        |e AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM d),
-        |gf AS (SELECT g, count(*) AS f FROM e GROUP BY g),
-        |sz AS (SELECT doc_id, len(sh) AS n FROM d),
-        |rk AS (SELECT e.doc_id, e.g,
+        |e0 AS (SELECT doc_id, unnest(sh) AS g FROM d),
+        |dict AS (SELECT g, row_number() OVER (ORDER BY g) AS sid
+        |  FROM (SELECT DISTINCT g FROM e0)),
+        |e AS MATERIALIZED (SELECT doc_id, dict.sid FROM e0
+        |  JOIN dict USING (g)),
+        |gf AS (SELECT sid, count(*) AS f FROM e GROUP BY sid),
+        |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+        |rk AS (SELECT e.doc_id, e.sid,
         |    ROW_NUMBER() OVER (PARTITION BY e.doc_id
-        |      ORDER BY gf.f ASC, e.g ASC) AS r
-        |  FROM e JOIN gf USING (g)),
-        |pf AS (SELECT rk.doc_id, rk.g, rk.r, sz.n
+        |      ORDER BY gf.f ASC, e.sid ASC) AS r
+        |  FROM e JOIN gf USING (sid)),
+        |pf AS (SELECT rk.doc_id, rk.sid, rk.r, sz.n
         |  FROM rk JOIN sz USING (doc_id)
         |  WHERE r <= n - (n * 8000 + 9999) // 10000 + 1),
         |cand AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-        |  FROM pf a JOIN pf b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  FROM pf a JOIN pf b ON a.sid = b.sid AND a.doc_id < b.doc_id
         |  AND least(a.n, b.n) * 10000 >= greatest(a.n, b.n) * 8000
         |  AND least(a.n - a.r, b.n - b.r) + 1
         |      >= (8000 * (a.n + b.n) + 17999) // 18000),
         |iv AS (SELECT c.u, c.v, count(*) AS it
         |  FROM cand c JOIN e a ON a.doc_id = c.u
-        |    JOIN e b ON b.doc_id = c.v AND b.g = a.g
+        |    JOIN e b ON b.doc_id = c.v AND b.sid = a.sid
         |  GROUP BY c.u, c.v),
         |p AS (SELECT iv.u, iv.v, iv.it, sa.n AS na, sb.n AS nb
         |  FROM iv JOIN sz sa ON sa.doc_id = iv.u

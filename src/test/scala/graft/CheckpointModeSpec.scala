@@ -31,12 +31,16 @@ class CheckpointModeSpec extends SparkSuite {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
       .toDF("a", "b")
     val verts = (1L to 12L).toDF("id")
+    // driverCutoff = 0 forces the iterative path — the checkpoint modes
+    // only exist there (the r9 small-graph fast path never checkpoints)
     val local = graft.operators.Components
-      .labels(verts, "id", edges, "a", "b", ckpt = Checkpoints.Local)
+      .labels(verts, "id", edges, "a", "b", ckpt = Checkpoints.Local,
+        driverCutoff = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val reliable = withCheckpointDir {
       graft.operators.Components
-        .labels(verts, "id", edges, "a", "b", ckpt = Checkpoints.Reliable)
+        .labels(verts, "id", edges, "a", "b", ckpt = Checkpoints.Reliable,
+          driverCutoff = 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     }
     assert(reliable == local)

@@ -240,8 +240,10 @@ class ClusterShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     killer.setDaemon(true)
     val labels = withCheckpointDir {
       killer.start()
+      // driverCutoff = 0: the executor-kill resilience claim is about the
+      // iterative path's Reliable checkpoints, not the fast path
       graft.operators.Components.labels(verts, "id", edges, "a", "b",
-        ckpt = Checkpoints.Reliable)
+        ckpt = Checkpoints.Reliable, driverCutoff = 0L)
         .agg(count(lit(1)).as("n"),
           countDistinct(col("cluster")).as("n_clusters"),
           sum(when(col("cluster") === col("id") - col("id") % 40, 1L)

@@ -90,6 +90,33 @@ class R9OperatorSpec extends SparkSuite {
     assert(rolled == expected)
   }
 
+  test("components small-graph fast path equals the iterative path on a " +
+      "messy graph, and non-integral ids take the iterative path") {
+    import graft.operators.Components
+    // chains, a clique, self-loops, duplicate + reversed edges, isolates
+    val edges = ((0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq ++
+      Seq((100L, 103L), (103L, 101L), (101L, 100L), (102L, 100L),
+        (7L, 7L), (1L, 0L), (200L, 300L), (300L, 200L))).toDF("a", "b")
+    val verts = ((0L until 40L) ++ Seq(100L, 101L, 102L, 103L, 200L, 300L,
+      999L)).toDF("id")
+    def run(cutoff: Long) = Components
+      .labels(verts, "id", edges, "a", "b", driverCutoff = cutoff)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = run(2000000L)
+    val iter = run(0L)
+    assert(fast == iter)
+    assert(fast(39L) == 0L && fast(103L) == 100L && fast(300L) == 200L &&
+      fast(999L) == 999L)
+    // string ids: the dense-remap ordering argument only holds for
+    // integral types, so the fast path must decline (same answer either
+    // way, proving the type gate routes correctly)
+    val sEdges = Seq(("b", "a"), ("c", "b")).toDF("x", "y")
+    val sVerts = Seq("a", "b", "c", "z").toDF("id")
+    val sGot = Components.labels(sVerts, "id", sEdges, "x", "y")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sGot == Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
+  }
+
   test("jaccardSelfJoin clamps sub-1e-4 thresholds instead of throwing") {
     val df = Seq((1L, Seq("a", "b")), (2L, Seq("b", "c")),
       (3L, Seq("x"))).toDF("id", "s")

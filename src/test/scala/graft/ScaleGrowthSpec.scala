@@ -67,8 +67,10 @@ class ScaleGrowthSpec extends SparkSuite {
       val e = ids.filter(col("doc_id") % 3 === 0)
         .select(col("doc_id").as("s"),
           pmod(col("doc_id") * 7 + 1, lit(n)).as("t"))
+      // driverCutoff = 0: this probe measures ITERATIVE round growth
+      // (propagation regressions); the fast path would hide it
       graft.operators.Components.labels(ids, "doc_id", e, "s", "t",
-        maxIters = 60).count(); () }),
+        maxIters = 60, driverCutoff = 0L).count(); () }),
     // r7 family: histogram-narrowing selection (O(log) scans — ratio is
     // scans×scan-growth), two-level global numbering (one range shuffle),
     // replayable-HLL registers (one agg; state capped at 2^p rows)

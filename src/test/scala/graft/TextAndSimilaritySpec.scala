@@ -101,14 +101,19 @@ class TextAndSimilaritySpec extends SparkSuite {
 
   test("components: maxIters too small for a long chain fails loudly") {
     import graft.operators.Components
+    // driverCutoff = 0 forces the ITERATIVE path — this spec tests the
+    // star-contraction round guard, which the small-graph union-find
+    // fast path (r9) never reaches
     val edges = (0L until 6L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("a", "b")
     val verts = (0L until 6L).toDF("id")
     intercept[IllegalArgumentException] {
-      Components.labels(verts, "id", edges, "a", "b", maxIters = 2)
+      Components.labels(verts, "id", edges, "a", "b", maxIters = 2,
+        driverCutoff = 0L)
     }
     // and enough rounds converges to the single component
-    val ok = Components.labels(verts, "id", edges, "a", "b", maxIters = 10)
+    val ok = Components.labels(verts, "id", edges, "a", "b", maxIters = 10,
+        driverCutoff = 0L)
       .select(col("cluster")).distinct().as[Long].collect().toSeq
     assert(ok == Seq(0L))
   }

@@ -33,7 +33,8 @@ object KCore {
   def core(vertices: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxRounds: Int = 30,
-      ckpt: graft.core.Checkpoints.Mode = graft.core.Checkpoints.Local)
+      ckpt: graft.core.Checkpoints.Mode = graft.core.Checkpoints.Local,
+      driverCutoff: Long = 2000000L)
       : DataFrame = {
     import graft.core.Checkpoints
     require(k >= 1, "k must be >= 1")
@@ -44,6 +45,81 @@ object KCore {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // SMALL-GRAPH FAST PATH (same bounded-collect contract as
+      // Components.labels): a similarity/interaction edge list is
+      // output-bound and often tiny next to the corpus, yet peeling pays
+      // per-round fixed job cost (2 semi-joins + an aggregate + a lineage
+      // cut + a count collect) regardless of graph size. When the
+      // DISTRIBUTED count says the symmetrized list fits the driver,
+      // restrict it to `vertices` endpoints (one distributed semi-join
+      // pass — `vertices` itself is never collected), collect once, and
+      // peel with an in-memory queue. Simultaneous-round vs sequential
+      // peeling yields the SAME k-core (standard invariance), so the
+      // result is row-identical to the distributed loop. Collect is
+      // bounded BY CONSTRUCTION: count checked first, distributed path
+      // otherwise.
+      val nSym = sym.count()
+      if (nSym <= 2L * driverCutoff) {
+        val vset = vertices.select(col(idCol).as("_id")).distinct()
+        val rows = sym
+          .join(vset, col("_u") === vset("_id"), "left_semi")
+          .join(vset, col("_v") === vset("_id"), "left_semi")
+          .collect()
+        val idx = new java.util.HashMap[Any, Integer](rows.length)
+        def id(x: Any): Int = {
+          val cur = idx.get(x)
+          if (cur eq null) { val n = idx.size(); idx.put(x, n); n }
+          else cur.intValue()
+        }
+        val us = new Array[Int](rows.length)
+        val vs = new Array[Int](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          us(i) = id(rows(i).get(0)); vs(i) = id(rows(i).get(1)); i += 1
+        }
+        val n = idx.size()
+        // CSR adjacency over the directed (already symmetrized) pairs
+        val deg = new Array[Int](n)
+        i = 0; while (i < rows.length) { deg(us(i)) += 1; i += 1 }
+        val off = new Array[Int](n + 1)
+        i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+        val adj = new Array[Int](rows.length)
+        val fill = java.util.Arrays.copyOf(off, n)
+        i = 0
+        while (i < rows.length) {
+          adj(fill(us(i))) = vs(i); fill(us(i)) += 1; i += 1
+        }
+        // queue-based peeling: degrees only decrease, each vertex enters
+        // the queue once — O(|E|) total
+        val live = new Array[Boolean](n)
+        java.util.Arrays.fill(live, true)
+        val queue = new java.util.ArrayDeque[Integer]()
+        i = 0; while (i < n) { if (deg(i) < k) queue.add(i); i += 1 }
+        while (!queue.isEmpty) {
+          val u = queue.poll().intValue()
+          if (live(u)) {
+            live(u) = false
+            var j = off(u)
+            while (j < off(u + 1)) {
+              val v = adj(j)
+              if (live(v)) { deg(v) -= 1; if (deg(v) < k) queue.add(v) }
+              j += 1
+            }
+          }
+        }
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.Row]
+        idx.forEach { (key, at) =>
+          if (live(at.intValue())) { out += org.apache.spark.sql.Row(key); () }
+        }
+        val spark = vertices.sparkSession
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            sym.schema.head.dataType)))
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(out.toSeq,
+            math.max(1, out.length / 500000)), schema)
+      }
       var alive = Checkpoints.cut(
         vertices.select(col(idCol).as("_id")).distinct(), ckpt)
       var nAlive = alive.count()

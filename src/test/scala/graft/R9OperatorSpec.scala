@@ -126,6 +126,83 @@ class R9OperatorSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L)))
   }
+
+  test("kcore small-graph fast path equals the peeling path: clique + " +
+      "tail + isolate + endpoint outside vertices") {
+    import graft.operators.KCore
+    // 4-clique (3-core) with a pendant chain (peels), a triangle (2-core,
+    // dies at k=3), an isolate, and an edge whose endpoint 999 is NOT in
+    // vertices (must not resurrect 999 or keep 1 alive through it)
+    val edges = (for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b))
+      .++(Seq((3L, 4L), (4L, 5L), (10L, 11L), (11L, 12L), (12L, 10L),
+        (1L, 999L)))
+      .toDF("a", "b")
+    val verts = ((0L to 5L) ++ Seq(10L, 11L, 12L, 50L)).toDF("id")
+    def run(cutoff: Long) = KCore
+      .core(verts, "id", edges, "a", "b", k = 3, driverCutoff = cutoff)
+      .collect().map(_.getLong(0)).toSet
+    val fast = run(2000000L)
+    val iter = run(0L)
+    assert(fast == iter)
+    assert(fast == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("bfs small-graph fast path equals the frontier path: fork, " +
+      "unreachable, maxHops cut, seed outside vertices") {
+    import graft.operators.Bfs
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 5L),
+      (5L, 3L), (7L, 8L), (100L, 6L)).toDF("s", "d")
+    val verts = (0L to 8L).toDF("id")
+    val seeds = Seq(0L, 100L).toDF("id") // 100 propagates, not emitted
+    def run(cutoff: Long, hops: Int) = Bfs
+      .distances(verts, "id", edges, "s", "d", seeds, maxHops = hops,
+        driverCutoff = cutoff)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    for (hops <- Seq(20, 2, 0)) {
+      val fast = run(2000000L, hops)
+      val iter = run(0L, hops)
+      assert(fast == iter, s"maxHops=$hops")
+    }
+    val full = run(2000000L, 20)
+    assert(full == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L, 7L -> -1L, 8L -> -1L))
+    // distance-maxHops vertices settle but don't expand further
+    val cut = run(2000000L, 2)
+    assert(cut(3L) == 2L && cut(4L) == -1L)
+  }
+
+  test("dag small-graph fast path equals the wave path: diamond, cycle " +
+      "wake, isolate, edge from a non-vertex source") {
+    import graft.operators.Dag
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      // cycle 10<->11 and its wake 12
+      (10L, 11L), (11L, 10L), (11L, 12L),
+      // source 999 is NOT in vertices: must not delay 6
+      (999L, 6L)).toDF("u", "v")
+    val verts = ((0L to 6L) ++ Seq(10L, 11L, 12L, 77L)).toDF("id")
+    def run(cutoff: Long) = Dag
+      .topoLevels(verts, "id", edges, "u", "v", driverCutoff = cutoff)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    val fast = run(2000000L)
+    val iter = run(0L)
+    assert(fast == iter)
+    assert(fast(3L) == ((2L, false)) && fast(4L) == ((3L, false)))
+    assert(fast(10L) == ((-1L, true)) && fast(12L) == ((-1L, true)))
+    assert(fast(6L) == ((0L, false)) && fast(77L) == ((0L, false)))
+    // depth guard parity: a 5-deep chain must throw on BOTH paths at
+    // maxRounds = 3
+    val chain = (0L until 5L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("u", "v")
+    val cv = (0L until 5L).toDF("id")
+    for (cutoff <- Seq(2000000L, 0L)) {
+      intercept[Exception] {
+        Dag.topoLevels(cv, "id", chain, "u", "v", maxRounds = 3,
+          driverCutoff = cutoff).collect()
+      }
+    }
+  }
 }
 
 /** Gate/spec drift guard (ADVICE r8 #8): every gate a test indexes into by

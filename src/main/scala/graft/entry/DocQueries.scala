@@ -599,8 +599,10 @@ object DocQueries {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"),
           expr("timestamp_micros(doc_id * 60000000)").as("ts"))
-      val stage = s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}/quality_docs"
-      docs.coalesce(1).write.mode("overwrite").parquet(stage)
+      // session-cached stage ([[StageOnce]]): retries reuse the files
+      val stage = StageOnce.dir(s, dir, "quality_docs") { p =>
+        docs.coalesce(1).write.mode("overwrite").parquet(p)
+      }
       val out = graft.streaming.Streams.runToMemory(s, stage, "qmon_twin",
         df => graft.streaming.Streams.qualityMonitor(df, "ts", "text",
           "source"))
@@ -849,10 +851,15 @@ object DocQueries {
       val batch = docs.select((col("doc_id") + 500000L).as("doc_id"),
         expr("substring(text, 1, cast((length(text) * " +
           "(75 + (doc_id % 11) * 2)) div 100 as int))").as("text"))
+      // shingle arrays 64-bit-encoded at birth (SetSimJoin object doc):
+      // candidate generation AND the verification joins below move long
+      // arrays, never shingle strings; jaccard_r4 reads only sizes and
+      // intersection counts, which the encoding preserves exactly under
+      // injectivity on the realized vocabulary
       val osh = docs.select(col("doc_id").as("_oid"),
-        TF.shingles(col("text"), 3).as("_osh"))
+        transform(TF.shingles(col("text"), 3), t => xxhash64(t)).as("_osh"))
       val nsh = batch.select(col("doc_id").as("_nid"),
-        TF.shingles(col("text"), 3).as("_nsh"))
+        transform(TF.shingles(col("text"), 3), t => xxhash64(t)).as("_nsh"))
       SetSimJoin.jaccardCandidates(nsh, "_nid", "_nsh",
           osh, "_oid", "_osh", minE4 = 7999L)
         .join(nsh, Seq("_nid")).join(osh, Seq("_oid"))
@@ -3301,36 +3308,48 @@ object DocQueries {
         |FROM sh GROUP BY shingle
         |ORDER BY doc_freq DESC, shingle LIMIT 20""".stripMargin,
 
-    "q_doc_fuzzy_keep" -> {
-      // brute-force ALL pairwise jaccards over docs ∪ drop-first-word
-      // variants, then transitive closure — the exact ground truth the
-      // LSH-candidate path must reproduce
-      val sh =
-        """list_distinct(list_transform(
-          |  range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 1, 1)),
-          |  i -> concat_ws(' ',
-          |    string_split_regex(trim(lower(text)), '\s+')[i],
-          |    string_split_regex(trim(lower(text)), '\s+')[i+1],
-          |    string_split_regex(trim(lower(text)), '\s+')[i+2])))""".stripMargin.replace("\n", " ")
+    "q_doc_fuzzy_keep" ->
+      // EXHAUSTIVE ground truth, engine-independent: every pair with a
+      // nonzero shingle overlap is scored (inverted-index join-count --
+      // a pair must share a shingle to reach J >= 0.8, so skipping
+      // zero-overlap pairs drops nothing), then transitive closure.
+      // Shingles are dictionary-encoded (dense sid via row_number over
+      // the distinct vocabulary) so the pair join and the intersection
+      // counts move integers, not shingle strings -- the same rewrite
+      // that took the q_set_sim_join twin from list_filter-per-pair to
+      // join-count in r9; measured ~600x on this twin at sf0.01 with
+      // row-identical output (including ROUND parity: the jaccard double
+      // it/(na+nb-it) is the same division the list-based spelling did).
       s"""WITH RECURSIVE
          |d0 AS (SELECT doc_id, text FROM documents
          |       UNION ALL
          |       SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1)
          |       FROM documents),
-         |d AS (SELECT doc_id, $sh AS sh FROM d0),
-         |p AS (SELECT a.doc_id AS u, b.doc_id AS v
-         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
-         |  WHERE ROUND(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
-         |    ELSE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
-         |       / len(list_distinct(a.sh || b.sh)) END, 4) >= 0.8),
+         |w0 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')
+         |    AS ws FROM d0),
+         |d AS (SELECT doc_id, $shw AS sh FROM w0),
+         |e0 AS (SELECT doc_id, unnest(sh) AS g FROM d),
+         |dict AS (SELECT g, row_number() OVER (ORDER BY g) AS sid
+         |  FROM (SELECT DISTINCT g FROM e0)),
+         |e AS MATERIALIZED (SELECT doc_id, dict.sid FROM e0
+         |  JOIN dict USING (g)),
+         |sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM e
+         |  GROUP BY doc_id),
+         |iv AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS it
+         |  FROM e a JOIN e b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |  GROUP BY u, v),
+         |p AS (SELECT iv.u, iv.v
+         |  FROM iv JOIN sz sa ON sa.doc_id = iv.u
+         |    JOIN sz sb ON sb.doc_id = iv.v
+         |  WHERE ROUND(CAST(iv.it AS DOUBLE) / (sa.n + sb.n - iv.it), 4)
+         |    >= 0.8),
          |sym AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
          |reach(id, lbl) AS (
          |  SELECT doc_id, doc_id FROM d0
          |  UNION
          |  SELECT sym.v, reach.lbl FROM sym JOIN reach ON sym.u = reach.id)
          |SELECT id AS doc_id, MIN(lbl) AS cluster, MIN(lbl) = id AS keep
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
-    },
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q_set_sim_join" ->
       // the same prefix-filter construction, independently in SQL; pure
@@ -3544,33 +3563,44 @@ object DocQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS recall_ge_95pct
         |FROM documents""".stripMargin,
 
-    "q_doc_incremental_neardup" -> {
-      val sh =
-        """list_distinct(list_transform(
-          |  range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 1, 1)),
-          |  i -> concat_ws(' ',
-          |    string_split_regex(trim(lower(text)), '\s+')[i],
-          |    string_split_regex(trim(lower(text)), '\s+')[i+1],
-          |    string_split_regex(trim(lower(text)), '\s+')[i+2])))"""
-          .stripMargin.replace("\n", " ")
-      s"""WITH old AS (SELECT doc_id, $sh AS sh FROM documents),
-         |n0 AS (SELECT doc_id + 100000 AS doc_id,
+    "q_doc_incremental_neardup" ->
+      // brute-force new x old ground truth via the same dictionary-encode
+      // + inverted-index join-count rewrite as the q_doc_fuzzy_keep twin
+      // (every cross-side pair sharing >= 1 shingle is scored; J >= 0.8
+      // needs a shared shingle, so nothing is dropped). A side flag -- not
+      // an id range -- separates new from old, and sizes come from the
+      // per-(side, doc) encoded-token counts.
+      s"""WITH n0 AS (SELECT doc_id + 100000 AS doc_id,
          |    substr(text, strpos(text, ' ') + 1) AS text FROM documents
          |  UNION ALL
          |  SELECT doc_id + 200000,
          |    translate(text, 'abcdefghij', 'bcdefghija') FROM documents),
-         |newd AS (SELECT doc_id, $sh AS sh FROM n0),
-         |m AS (SELECT n.doc_id AS nid, MIN(o.doc_id) AS mid
-         |  FROM newd n JOIN old o ON ROUND(
-         |    CASE WHEN len(list_distinct(n.sh || o.sh)) = 0 THEN 0.0
-         |      ELSE CAST(len(list_filter(n.sh, x -> list_contains(o.sh, x)))
-         |        AS DOUBLE) / len(list_distinct(n.sh || o.sh)) END, 4) >= 0.8
-         |  GROUP BY n.doc_id)
+         |b AS (SELECT 0 AS side, doc_id, text FROM documents
+         |  UNION ALL SELECT 1, doc_id, text FROM n0),
+         |w0 AS (SELECT side, doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ws FROM b),
+         |d AS (SELECT side, doc_id, $shw AS sh FROM w0),
+         |e0 AS (SELECT side, doc_id, unnest(sh) AS g FROM d),
+         |dict AS (SELECT g, row_number() OVER (ORDER BY g) AS sid
+         |  FROM (SELECT DISTINCT g FROM e0)),
+         |e AS MATERIALIZED (SELECT side, doc_id, dict.sid FROM e0
+         |  JOIN dict USING (g)),
+         |sz AS MATERIALIZED (SELECT side, doc_id, count(*) AS n FROM e
+         |  GROUP BY side, doc_id),
+         |iv AS (SELECT a.doc_id AS nid, b.doc_id AS oid, count(*) AS it
+         |  FROM e a JOIN e b ON a.sid = b.sid AND b.side = 0
+         |  WHERE a.side = 1
+         |  GROUP BY nid, oid),
+         |m AS (SELECT iv.nid, MIN(iv.oid) AS mid
+         |  FROM iv JOIN sz sn ON sn.side = 1 AND sn.doc_id = iv.nid
+         |    JOIN sz so ON so.side = 0 AND so.doc_id = iv.oid
+         |  WHERE ROUND(CAST(iv.it AS DOUBLE) / (sn.n + so.n - iv.it), 4)
+         |    >= 0.8
+         |  GROUP BY iv.nid)
          |SELECT n0.doc_id, m.mid IS NOT NULL AS is_dup,
          |  CAST(COALESCE(m.mid, -1) AS BIGINT) AS match_id
          |FROM n0 LEFT JOIN m ON n0.doc_id = m.nid
-         |ORDER BY n0.doc_id""".stripMargin
-    },
+         |ORDER BY n0.doc_id""".stripMargin,
 
     "q_doc_simhash_pairs" ->
       // brute-force all pairs from the materialized signatures: the blocked

@@ -224,15 +224,18 @@ object ExtraQueries {
       // every comparison boundary-unambiguous
       val ev = t(s, dir, "events").select(col("event_id"), col("ts"),
         col("event_type"), col("value"))
-      val base = s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}/wm_late"
+      // b1/b2 payloads are session-cached ([[StageOnce]]); only the
+      // ARRIVAL directory below is per-run choreography (b2 must land
+      // after batch 1's watermark advances) and is rebuilt fresh
+      val base = StageOnce.dir(s, dir, "wm_late") { p =>
+        ev.filter(col("event_id") % 17 =!= 0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$p/b1")
+        ev.filter(col("event_id") % 17 === 0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$p/b2")
+      }
       val conf = s.sessionState.newHadoopConf()
-      val basePath = new org.apache.hadoop.fs.Path(base)
-      val fs = basePath.getFileSystem(conf)
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
       fs.delete(new org.apache.hadoop.fs.Path(s"$base/in"), true)
-      ev.filter(col("event_id") % 17 =!= 0).coalesce(1)
-        .write.mode("overwrite").parquet(s"$base/b1")
-      ev.filter(col("event_id") % 17 === 0).coalesce(1)
-        .write.mode("overwrite").parquet(s"$base/b2")
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/in"))
       def copyPart(src: String, dstName: String): Unit = {
         val st = fs.globStatus(
@@ -2642,32 +2645,17 @@ object ExtraQueries {
       val e = t(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("user_id"))
       val runTag = s.sparkContext.applicationId
-      val staged =
-        s"/tmp/graft_stream_stage/${Sql.sfTag(dir)}_$runTag/hll_events"
       val sink = s"hll_stream_twin_$runTag".replace('-', '_')
-      val hp = new org.apache.hadoop.fs.Path(staged)
-      val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
-      if (fs.exists(hp)) fs.delete(hp, true) // fresh stage per run
-      // run-tagged stage dirs would otherwise accumulate in /tmp across
-      // runs (each run only ever deletes its OWN tag): sweep same-sf
-      // siblings from finished runs before staging this one. Age-gated
-      // (>1 h untouched) so a genuinely CONCURRENT same-sf run — the race
-      // the run tag exists to prevent — keeps its live stage.
-      val parent = hp.getParent.getParent
-      if (fs.exists(parent)) {
-        val cutoff = System.currentTimeMillis() - 3600L * 1000
-        fs.listStatus(parent).foreach { st =>
-          val n = st.getPath.getName
-          if (n.startsWith(s"${Sql.sfTag(dir)}_") &&
-              n != s"${Sql.sfTag(dir)}_$runTag" &&
-              st.getModificationTime < cutoff)
-            fs.delete(st.getPath, true)
-        }
+      // staged at most ONCE per session ([[StageOnce]] — which also owns
+      // the appId path keying and the stale-sibling sweep this gate
+      // pioneered): bench retries and repeated verify passes in the same
+      // JVM reuse the files instead of re-running two write jobs
+      val staged = StageOnce.dir(s, dir, "hll_events") { p =>
+        e.filter(col("event_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(p)
+        e.filter(col("event_id") % 2 =!= 0)
+          .coalesce(1).write.mode("append").parquet(p)
       }
-      e.filter(col("event_id") % 2 === 0)
-        .coalesce(1).write.mode("append").parquet(staged)
-      e.filter(col("event_id") % 2 =!= 0)
-        .coalesce(1).write.mode("append").parquet(staged)
       val schema = s.read.parquet(staged).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(staged)

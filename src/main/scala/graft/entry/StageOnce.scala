@@ -1,0 +1,61 @@
+package graft.entry
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped stream-stage registry for the streaming twins.
+  *
+  * Every file-source streaming gate stages a deterministic slice of the
+  * test tables under /tmp before starting its query — and re-staged it on
+  * EVERY run: twice per gate when the bench retries, once more for each
+  * verify pass in the same JVM. The staged bytes are a pure function of
+  * (scale factor, fixture name), so the writes after the first are pure
+  * waste — measured as roughly half a second per streaming gate at sf0.1.
+  * This registry builds each fixture AT MOST ONCE per Spark application
+  * and hands back the path on every later call.
+  *
+  * Path layout (same contract the q_hll_stream_twin staging established):
+  * `/tmp/graft_stream_stage/<sfTag>_<applicationId>/<name>` — the
+  * applicationId keeps two CONCURRENT runs at the same scale factor from
+  * racing on a shared directory, and an age-gated sweep (>1 h untouched)
+  * clears finished runs' leftovers without touching a live concurrent
+  * run's stage.
+  */
+object StageOnce {
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The staged directory for (`dataDir`'s sf tag, `name`), building it
+    * with `build(path)` only on the first call in this application. The
+    * path passed to `build` is freshly deleted (a previous application
+    * with the same id is impossible, but a crashed build's partial output
+    * is not). */
+  def dir(s: SparkSession, dataDir: String, name: String)
+      (build: String => Unit): String = {
+    val tag = Sql.sfTag(dataDir)
+    val runTag = s.sparkContext.applicationId
+    val path = s"/tmp/graft_stream_stage/${tag}_$runTag/$name"
+    built.computeIfAbsent(path, _ => {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(hp)) fs.delete(hp, true)
+      // sweep stale same-sf siblings from FINISHED runs (each run only
+      // ever deletes its own tag otherwise, so /tmp would accumulate one
+      // dir per historical run). Age-gated so a genuinely concurrent
+      // same-sf run — the race the run tag exists to prevent — keeps its
+      // live stage.
+      val parent = hp.getParent.getParent
+      if (fs.exists(parent)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(parent).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(s"${tag}_") && n != s"${tag}_$runTag" &&
+              st.getModificationTime < cutoff)
+            fs.delete(st.getPath, true)
+        }
+      }
+      build(path)
+      path
+    })
+  }
+}

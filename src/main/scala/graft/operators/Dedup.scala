@@ -337,14 +337,24 @@ object MinHashDedup {
     // IS the global min match id, so expansion is only needed on the new
     // side. No explicit materialization — all consumers sit under one
     // action, so ReuseExchange computes each repeated exchange once.
+    // 64-bit token encoding (see [[SetSimJoin]]'s object doc): the md5
+    // content key is computed MAP-SIDE from the raw sorted shingles, then
+    // the arrays that actually shuffle -- through the copy-group
+    // aggregates, the candidate join, and the verification joins -- are
+    // pointwise-xxhash64 long arrays, never shingle strings. Sizes and
+    // intersection counts (all the verifier reads) are exact under
+    // injectivity on the realized vocabulary.
     val sortedSh = array_sort(shingles(col(textCol), k))
     val nrows = newDocs.select(col(idCol).as("_nid"), sortedSh.as("_nsh"))
       .withColumn("_nkey", md5(concat_ws("\u0000", col("_nsh"))))
+      .withColumn("_nsh", transform(col("_nsh"), t => xxhash64(t)))
     val ngroups = nrows.groupBy(col("_nkey"))
       .agg(min(col("_nid")).as("_ngid"), first(col("_nsh")).as("_nsh"))
     val ogroups = index.shingleSets
       .select(col(idCol).as("_oid"), array_sort(col("_sh")).as("_osh"))
-      .groupBy(md5(concat_ws("\u0000", col("_osh"))).as("_okey"))
+      .withColumn("_okey", md5(concat_ws("\u0000", col("_osh"))))
+      .withColumn("_osh", transform(col("_osh"), t => xxhash64(t)))
+      .groupBy(col("_okey"))
       .agg(min(col("_oid")).as("_ogid"), first(col("_osh")).as("_osh"))
     // verifier rounds half-up at e4, accepting true J ≥ t − 0.5e-4:
     // size the prefix one e4 ulp below t so boundary pairs that round up

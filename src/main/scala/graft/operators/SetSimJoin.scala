@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 
 /** EXACT Jaccard-threshold set-similarity join — the deterministic
   * complement to the LSH family: MinHash/SimHash trade recall for speed
@@ -24,8 +25,41 @@ import org.apache.spark.sql.functions._
   * window per set (key-partitioned), one equi-join on rare tokens with
   * length/positional pruning riding in the join condition, and
   * verification proportional to SURVIVING candidates (which is
-  * output-bound for any corpus that isn't mostly duplicates). */
+  * output-bound for any corpus that isn't mostly duplicates).
+  *
+  * TOKEN ENCODING: string tokens are mapped to 64-bit ids
+  * (xxhash64, Spark's fixed seed) BEFORE any shuffle — frequency count,
+  * prefix join, candidate join, and verification all move 8-byte longs
+  * instead of raw shingle strings (a word 3-shingle averages ~20 bytes +
+  * UnsafeRow string overhead per copy, and the old spelling shipped full
+  * string ARRAYS through the verification joins — measured as the widest
+  * shuffles of the whole dedup family). All set arithmetic (sizes,
+  * intersections, the pruning bounds) is preserved exactly whenever the
+  * hash is injective on the REALIZED vocabulary; we do NOT rely on the
+  * tempting quotient-monotonicity argument, which is false — a collision
+  * can lower apparent Jaccard (merge two tokens inside one set) as well
+  * as raise it. Collision risk is birthday-bounded at n²/2⁶⁵ for n
+  * distinct tokens (< 10⁻⁵ below 10⁸ tokens) and the hash is
+  * deterministic (fixed seed), so a collision is reproducible and caught
+  * by any oracle sweep at the deployment's scale rather than flickering.
+  * Corpora beyond ~10⁹ distinct shingles should pre-screen with one
+  * vocabulary-sized aggregate (group distinct tokens by hash, assert
+  * max multiplicity 1) before trusting the exactness claim. Sets whose
+  * elements are ALREADY integral pass through unencoded. */
 object SetSimJoin {
+
+  /** Element type of `df`'s array column `setCol` (errors on non-array). */
+  private def elemType(df: DataFrame, setCol: String): DataType =
+    df.schema(setCol).dataType match {
+      case ArrayType(et, _) => et
+      case t => throw new IllegalArgumentException(
+        s"$setCol must be an array column, got $t")
+    }
+
+  /** 64-bit-encode a string-element set column in place (order-preserving
+    * pointwise xxhash64); non-string sets pass through untouched. */
+  private def encoded(setC: Column, et: DataType): Column =
+    if (et == StringType) transform(setC, t => xxhash64(t)) else setC
 
   /** PPJoin-style pruning predicates (Xiao et al. 2008), applied INSIDE
     * the prefix equi-join on the integer metadata (set size `_n`, prefix
@@ -86,13 +120,22 @@ object SetSimJoin {
       s"minE4 must be in [1, 10000]: $minE4")
     require(leftId != rightId,
       "output columns are named after the id columns — alias one side")
+    // both sides must hash under the SAME encoding, or the prefix join
+    // would compare a hashed token against a raw one
+    require(elemType(left, leftSet) == elemType(right, rightSet),
+      s"set element types must match: ${elemType(left, leftSet)} vs " +
+        s"${elemType(right, rightSet)}")
     // _n as BIGINT from birth: every pruning/prefix formula multiplies
     // it by up to 10⁴+minE4, and an IntegerType size wraps silently past
-    // ~214k tokens under non-ANSI eval — flipping a completeness filter
+    // ~214k tokens under non-ANSI eval — flipping a completeness filter.
+    // Tokens 64-bit-encode BEFORE the explode (see object doc) so every
+    // downstream shuffle moves longs, never shingle strings.
     val le = left.select(col(leftId).as("_lid"),
-        size(col(leftSet)).cast("long").as("_n"), explode(col(leftSet)).as("_g"))
+        size(col(leftSet)).cast("long").as("_n"),
+        explode(encoded(col(leftSet), elemType(left, leftSet))).as("_g"))
     val re = right.select(col(rightId).as("_rid"),
-        size(col(rightSet)).cast("long").as("_n"), explode(col(rightSet)).as("_g"))
+        size(col(rightSet)).cast("long").as("_n"),
+        explode(encoded(col(rightSet), elemType(right, rightSet))).as("_g"))
     val gf = le.select(col("_g")).unionAll(re.select(col("_g")))
       .groupBy(col("_g")).agg(count(lit(1)).as("_f"))
     def prefix(e: DataFrame, id: String): DataFrame = {
@@ -138,7 +181,11 @@ object SetSimJoin {
     * with id_a < id_b and jaccard_e4 = floor(J·10⁴);
     * `keepPair(setA, setB, jaccardE4)` decides which verified pairs
     * survive (it must accept identical non-empty sets — intra-copy-group
-    * pairs are emitted directly at J = 1 without verification). `minE4`
+    * pairs are emitted directly at J = 1 without verification). For
+    * string-element inputs `keepPair` receives the 64-bit-ENCODED arrays
+    * (object doc): size/intersection predicates are exact under the
+    * injectivity contract, but predicates reading token CONTENT must not
+    * be used here. `minE4`
     * sizes the prefix: completeness holds for every pair with
     * J·10⁴ ≥ minE4, so callers whose `keepPair` rounds half-up at e4
     * must pass t·10⁴ − 1 (see [[jaccardCandidates]]).
@@ -165,11 +212,23 @@ object SetSimJoin {
       keepPair: (Column, Column, Column) => Column): DataFrame = {
     require(minE4 >= 1 && minE4 <= 10000,
       s"minE4 must be in [1, 10000]: $minE4")
-    // copy groups: group key = md5 over the sorted elements (NUL-joined;
-    // elements are tokens, never null), representative id = min member id
+    val et = elemType(df, setCol)
+    // copy groups: group key = md5 over the sorted ORIGINAL elements
+    // (NUL-joined; elements are tokens, never null), representative id =
+    // min member id. The key is computed MAP-SIDE from the raw tokens --
+    // two rows group together iff their true sets are identical, with no
+    // dependence on the 64-bit encoding -- and the raw array is dropped
+    // before the first shuffle: everything that moves from here on is the
+    // encoded long array (`keepPair` therefore sees ENCODED sets: sizes
+    // and intersections are those of the true sets under the injectivity
+    // contract in the object doc, but element CONTENT is hashed).
+    val keyArr =
+      if (et == StringType) col("_set")
+      else transform(col("_set"), e => e.cast("string"))
     val rows = df
       .select(col(idCol).as("_id"), array_sort(col(setCol)).as("_set"))
-      .withColumn("_key", md5(concat_ws("\u0000", col("_set"))))
+      .withColumn("_key", md5(concat_ws("\u0000", keyArr)))
+      .withColumn("_set", encoded(col("_set"), et))
     // _n as BIGINT (see [[jaccardCandidates]]): the pruning arithmetic
     // multiplies set sizes by up to 10⁴+minE4, past int range for long
     // documents

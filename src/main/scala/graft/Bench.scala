@@ -56,8 +56,16 @@ object Bench {
     // at 14 s). Queries past the retry threshold get a second run and keep
     // the MIN — re-measurement cost stays bounded by the outlier tail, and
     // the artifact self-describes ambient load via /proc/loadavg.
-    val retrySec =
-      sys.env.getOrElse("GRAFT_BENCH_RETRY_SEC", "2.5").toDouble
+    // The default threshold SCALES with the data: 2.5 s is right up to
+    // sf0.1, but at sf1 most gates legitimately exceed it and a fixed
+    // threshold degenerates into re-running a third of the suite (r9's
+    // sf1 artifact: retried 113/327, ~2× wall cost for no signal) — so
+    // the default is max(2.5, 25·sf) from the dir's sf tag, and
+    // GRAFT_BENCH_RETRY_SEC still overrides explicitly.
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).toDouble).getOrElse(0.1)
+    val retrySec = sys.env.get("GRAFT_BENCH_RETRY_SEC").map(_.toDouble)
+      .getOrElse(math.max(2.5, 25.0 * sfNum))
     var nRetried = 0
     val only = args.toSet // optional subset for local iteration
     // a typo'd gate name would otherwise run an EMPTY suite and still

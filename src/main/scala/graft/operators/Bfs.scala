@@ -41,86 +41,69 @@ object Bfs {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // SMALL-GRAPH FAST PATH (bounded-collect contract of
-      // Components.labels): the per-hop fixed cost (join + distinct +
+      // SMALL-GRAPH FAST PATH (shared bounded-collect contract: see
+      // [[SmallGraph]]): the per-hop fixed cost (join + distinct +
       // anti-join + lineage cut + isEmpty collect) dominates when the
       // link graph is small next to the corpus. When the DISTRIBUTED
       // counts say edges AND distinct seeds fit the driver, collect both
-      // and run the queue BFS; reached (id, hop) rows ride back as a
-      // settled frame — identical values (integer hop counts, edge-side
-      // id values) to the distributed loop, with the final one-row-per-
-      // vertex left join staying distributed (`vertices` is never
-      // collected). Collect is bounded BY CONSTRUCTION: counts checked
+      // through the harness and run the queue BFS; reached (id, hop) rows
+      // ride back as a settled frame -- identical values (integer hop
+      // counts, id values of the shared edge/seed type) to the
+      // distributed loop, with the final one-row-per-vertex left join
+      // staying distributed (`vertices` is never collected). Id-type
+      // gating lives in SmallGraph.collect: edge src, edge dst, and seed
+      // columns must share one integral-or-string type (BinaryType
+      // reference-equality and mixed-numeric coercion hazards fall
+      // through to the distributed loop, whose SQL joins compare by
+      // value). Collect is bounded BY CONSTRUCTION: counts checked
       // first, distributed path otherwise.
       val seedsD = seeds.select(col(idCol).as("_id")).distinct()
-      if (e.count() <= driverCutoff) {
-        val nSeeds = seedsD.count()
-        if (nSeeds <= driverCutoff) {
-          val eRows = e.collect()
-          val sRows = seedsD.collect()
-          val idx = new java.util.HashMap[Any, Integer](
-            eRows.length * 2 + sRows.length)
-          def id(x: Any): Int = {
-            val cur = idx.get(x)
-            if (cur eq null) { val n = idx.size(); idx.put(x, n); n }
-            else cur.intValue()
-          }
-          val us = new Array[Int](eRows.length)
-          val vs = new Array[Int](eRows.length)
-          var i = 0
-          while (i < eRows.length) {
-            us(i) = id(eRows(i).get(0)); vs(i) = id(eRows(i).get(1)); i += 1
-          }
-          val n0 = idx.size() // seeds beyond this index have no out-edges
-          val deg = new Array[Int](n0)
-          i = 0; while (i < eRows.length) { deg(us(i)) += 1; i += 1 }
-          val off = new Array[Int](n0 + 1)
-          i = 0; while (i < n0) { off(i + 1) = off(i) + deg(i); i += 1 }
-          val adj = new Array[Int](eRows.length)
-          val fill = java.util.Arrays.copyOf(off, n0)
-          i = 0
-          while (i < eRows.length) {
-            adj(fill(us(i))) = vs(i); fill(us(i)) += 1; i += 1
-          }
-          val n = idx.size() + sRows.length // upper bound before seed ids
-          val dist = new Array[Long](n)
-          java.util.Arrays.fill(dist, -1L)
-          val queue = new java.util.ArrayDeque[Integer]()
-          i = 0
-          while (i < sRows.length) {
-            val s = id(sRows(i).get(0))
-            if (dist(s) < 0) { dist(s) = 0L; queue.add(s) }
-            i += 1
-          }
-          while (!queue.isEmpty) {
-            val u = queue.poll().intValue()
-            if (dist(u) < maxHops && u < n0) {
-              var j = off(u)
-              while (j < off(u + 1)) {
-                val v = adj(j)
-                if (dist(v) < 0) { dist(v) = dist(u) + 1L; queue.add(v) }
-                j += 1
+      if (e.count() <= driverCutoff && seedsD.count() <= driverCutoff) {
+        SmallGraph.collect(e, Some(seedsD)) match {
+          case Some(m) =>
+            val n = m.n
+            val (off, adj) = SmallGraph.csr(m.us, m.vs, n)
+            val dist = new Array[Long](n)
+            java.util.Arrays.fill(dist, -1L)
+            val queue = new SmallGraph.IntQueue(m.extraIdx.length)
+            var i = 0
+            while (i < m.extraIdx.length) {
+              val s0 = m.extraIdx(i)
+              if (dist(s0) < 0) { dist(s0) = 0L; queue.add(s0) }
+              i += 1
+            }
+            while (!queue.isEmpty) {
+              val u = queue.poll()
+              if (dist(u) < maxHops) {
+                var j = off(u)
+                while (j < off(u + 1)) {
+                  val v = adj(j)
+                  if (dist(v) < 0) { dist(v) = dist(u) + 1L; queue.add(v) }
+                  j += 1
+                }
               }
             }
-          }
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[org.apache.spark.sql.Row]
-          idx.forEach { (key, at) =>
-            val d = dist(at.intValue())
-            if (d >= 0) { out += org.apache.spark.sql.Row(key, d); () }
-          }
-          val spark = vertices.sparkSession
-          val idType = e.schema.head.dataType
-          val schema = org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("_id", idType),
-            org.apache.spark.sql.types.StructField("_d",
-              org.apache.spark.sql.types.LongType)))
-          val settledDf = spark.createDataFrame(
-            spark.sparkContext.parallelize(out.toSeq,
-              math.max(1, out.length / 500000)), schema)
-          return vertices.select(col(idCol).as("_id"))
-            .join(settledDf, Seq("_id"), "left")
-            .select(col("_id").as(idCol), col("_d").as("dist"))
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[org.apache.spark.sql.Row]
+            i = 0
+            while (i < n) {
+              if (dist(i) >= 0) {
+                out += org.apache.spark.sql.Row(m.idValue(i), dist(i))
+                ()
+              }
+              i += 1
+            }
+            val schema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("_id",
+                e.schema.head.dataType),
+              org.apache.spark.sql.types.StructField("_d",
+                org.apache.spark.sql.types.LongType)))
+            val settledDf = SmallGraph.rideBack(vertices.sparkSession,
+              out.toSeq, schema)
+            return vertices.select(col(idCol).as("_id"))
+              .join(settledDf, Seq("_id"), "left")
+              .select(col("_id").as(idCol), col("_d").as("dist"))
+          case None => () // unsafe id types: distributed loop below
         }
       }
       var settled = Checkpoints.cut(

@@ -79,81 +79,63 @@ object Components {
     // in practice it is often tiny relative to the corpus (thousands of
     // dup pairs from millions of docs). Star contraction still pays ~8
     // rounds of fixed job overhead (2 aggregates + 2 joins + a lineage cut
-    // + a signature collect per round) no matter how small the graph is —
+    // + a signature collect per round) no matter how small the graph is --
     // measured as the larger half of fuzzy-dedup gate latency. When the
     // DISTRIBUTED count (already in the signature) says the normalized
-    // edge list fits the driver (<= driverCutoff edges; 2M edges = two
-    // long arrays + an int forest, ~50 MB), collect once and run
-    // union-find with min-root union + path compression — the label
-    // semantics (min reachable id) are identical, the result rides back
-    // as a broadcast-sized parent frame, and the collect is bounded BY
-    // CONSTRUCTION (count checked first, distributed path otherwise).
-    // Integral id types only: the dense remap sorts ids, and long ordering
-    // is the same ordering min() uses; other types take the general path.
-    val intTypes: Set[org.apache.spark.sql.types.DataType] = Set(
-      org.apache.spark.sql.types.ByteType,
-      org.apache.spark.sql.types.ShortType,
-      org.apache.spark.sql.types.IntegerType,
-      org.apache.spark.sql.types.LongType)
-    if (sig._1 <= driverCutoff && intTypes(cur.schema.head.dataType)) {
-      val idType = cur.schema.head.dataType
-      val pairs = cur
-        .select(col("_s").cast("long"), col("_t").cast("long"))
-        .collect()
-      // dense remap: sorted unique ids; index order == id order, so the
-      // min-index root IS the min-id label
-      val raw = new Array[Long](pairs.length * 2)
-      var i = 0
-      while (i < pairs.length) {
-        raw(2 * i) = pairs(i).getLong(0); raw(2 * i + 1) = pairs(i).getLong(1)
-        i += 1
+    // edge list fits the driver (<= driverCutoff edges), collect once via
+    // the shared [[SmallGraph]] harness and run union-find with min-root
+    // union + path compression -- the label semantics (min reachable id)
+    // are identical, the result rides back as a broadcast-sized parent
+    // frame, and the collect is bounded BY CONSTRUCTION (count checked
+    // first, distributed path otherwise). requireOrdered: the dense remap
+    // must sort ids so the min-INDEX root IS the min-ID label -- integral
+    // types only (long order == SQL min() order; string ids would need
+    // UTF8-binary order, which JVM String ordering does not match), and
+    // SmallGraph falls through to the general path for anything else.
+    if (sig._1 <= driverCutoff) {
+      SmallGraph.collect(cur.select(col("_s"), col("_t")), None,
+          requireOrdered = true) match {
+        case Some(m) =>
+          val parent = Array.tabulate(m.n)(identity)
+          def find(x0: Int): Int = {
+            var x = x0
+            while (parent(x) != x) x = parent(x)
+            var y = x0 // path compression
+            while (parent(y) != x) { val n = parent(y); parent(y) = x; y = n }
+            x
+          }
+          var i = 0
+          while (i < m.us.length) {
+            val a = find(m.us(i))
+            val b = find(m.vs(i))
+            if (a < b) parent(b) = a else if (b < a) parent(a) = b
+            i += 1
+          }
+          // non-root vertices -> their component's min id (roots fall
+          // through the left join's coalesce, exactly like the distributed
+          // parent)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.spark.sql.Row]
+          i = 0
+          while (i < m.n) {
+            val r = find(i)
+            if (r != i) {
+              out += org.apache.spark.sql.Row(m.idValue(i), m.idValue(r))
+              ()
+            }
+            i += 1
+          }
+          val idType = cur.schema.head.dataType
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("_s", idType),
+            org.apache.spark.sql.types.StructField("_m", idType)))
+          val parentDf = SmallGraph.rideBack(vertices.sparkSession,
+            out.toSeq, schema)
+          return vertices.select(col(idCol))
+            .join(broadcast(parentDf), col(idCol) === col("_s"), "left")
+            .select(col(idCol), coalesce(col("_m"), col(idCol)).as("cluster"))
+        case None => () // non-integral ids: general distributed loop
       }
-      java.util.Arrays.sort(raw)
-      val ids = new Array[Long](raw.length)
-      var nIds = 0
-      i = 0
-      while (i < raw.length) {
-        if (nIds == 0 || ids(nIds - 1) != raw(i)) { ids(nIds) = raw(i); nIds += 1 }
-        i += 1
-      }
-      val parent = Array.tabulate(nIds)(identity)
-      def find(x0: Int): Int = {
-        var x = x0
-        while (parent(x) != x) x = parent(x)
-        var y = x0 // path compression
-        while (parent(y) != x) { val n = parent(y); parent(y) = x; y = n }
-        x
-      }
-      i = 0
-      while (i < pairs.length) {
-        val a = find(java.util.Arrays.binarySearch(ids, 0, nIds, pairs(i).getLong(0)))
-        val b = find(java.util.Arrays.binarySearch(ids, 0, nIds, pairs(i).getLong(1)))
-        if (a < b) parent(b) = a else if (b < a) parent(a) = b
-        i += 1
-      }
-      // non-root vertices -> their component's min id (roots fall through
-      // the left join's coalesce, exactly like the distributed parent)
-      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-      i = 0
-      while (i < nIds) {
-        val r = find(i)
-        if (r != i) out += org.apache.spark.sql.Row(ids(i), ids(r))
-        i += 1
-      }
-      val spark = vertices.sparkSession
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("_s",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("_m",
-          org.apache.spark.sql.types.LongType)))
-      val parentDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(out.toSeq,
-            math.max(1, out.length / 500000)), schema)
-        .select(col("_s").cast(idType).as("_s"),
-          col("_m").cast(idType).as("_m"))
-      return vertices.select(col(idCol))
-        .join(broadcast(parentDf), col(idCol) === col("_s"), "left")
-        .select(col(idCol), coalesce(col("_m"), col(idCol)).as("cluster"))
     }
     var converged = false
     var i = 0

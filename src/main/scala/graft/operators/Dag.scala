@@ -38,98 +38,85 @@ object Dag {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // SMALL-GRAPH FAST PATH (bounded-collect contract of
-      // Components.labels): dependency graphs are depth-deep but usually
+      // SMALL-GRAPH FAST PATH (shared bounded-collect contract: see
+      // [[SmallGraph]]): dependency graphs are depth-deep but usually
       // edge-small, and each distributed wave costs a semi-join + an
       // anti-join + two counts regardless of size. When the DISTRIBUTED
       // count says the edge list fits the driver, restrict it to edges
       // whose SOURCE is a real vertex (the wave loop drops those via its
-      // remaining-semi-join; one distributed pass — `vertices` is never
-      // collected), collect, and run Kahn's algorithm: wave(v) =
-      // 1 + max(wave(pred)), unscheduled endpoints = on/downstream of a
-      // cycle. Endpoints ride back as a (id, level) frame; vertices that
-      // never touch an edge match nothing and take level 0 / in_cycle
-      // false via the final distributed join — EXACTLY the wave the
-      // distributed loop schedules them in (no incoming edges ⇒ frontier
-      // at round 0). Levels are exact integers, so results are
-      // row-identical. Collect is bounded BY CONSTRUCTION.
+      // remaining-semi-join; one distributed pass -- `vertices` is never
+      // collected), collect through the harness (primitive remap, no
+      // boxed-HashMap heap blow-up at the cutoff; BinaryType/mixed-type
+      // ids fall through to the distributed loop), and run Kahn's
+      // algorithm: wave(v) = 1 + max(wave(pred)), unscheduled endpoints =
+      // on/downstream of a cycle. Endpoints ride back as a (id, level)
+      // frame; vertices that never touch an edge match nothing and take
+      // level 0 / in_cycle false via the final distributed join --
+      // EXACTLY the wave the distributed loop schedules them in (no
+      // incoming edges => frontier at round 0). Levels are exact
+      // integers, so results are row-identical. Collect is bounded BY
+      // CONSTRUCTION.
       if (dep.count() <= driverCutoff) {
         val vset = vertices.select(col(idCol).as("_id")).distinct()
-        val rows = dep
+        val restricted = dep
           .join(vset, col("_u") === vset("_id"), "left_semi")
-          .collect()
-        val idx = new java.util.HashMap[Any, Integer](rows.length * 2)
-        def id(x: Any): Int = {
-          val cur = idx.get(x)
-          if (cur eq null) { val n = idx.size(); idx.put(x, n); n }
-          else cur.intValue()
-        }
-        val us = new Array[Int](rows.length)
-        val vs = new Array[Int](rows.length)
-        var i = 0
-        while (i < rows.length) {
-          us(i) = id(rows(i).get(0)); vs(i) = id(rows(i).get(1)); i += 1
-        }
-        val n = idx.size()
-        val outDeg = new Array[Int](n)
-        val inDeg = new Array[Int](n)
-        i = 0
-        while (i < rows.length) {
-          outDeg(us(i)) += 1; inDeg(vs(i)) += 1; i += 1
-        }
-        val off = new Array[Int](n + 1)
-        i = 0; while (i < n) { off(i + 1) = off(i) + outDeg(i); i += 1 }
-        val adj = new Array[Int](rows.length)
-        val fill = java.util.Arrays.copyOf(off, n)
-        i = 0
-        while (i < rows.length) {
-          adj(fill(us(i))) = vs(i); fill(us(i)) += 1; i += 1
-        }
-        val level = new Array[Long](n)
-        java.util.Arrays.fill(level, -1L)
-        val queue = new java.util.ArrayDeque[Integer]()
-        i = 0
-        while (i < n) { if (inDeg(i) == 0) { level(i) = 0L; queue.add(i) }
-          i += 1 }
-        var maxLevel = 0L
-        while (!queue.isEmpty) {
-          val u = queue.poll().intValue()
-          var j = off(u)
-          while (j < off(u + 1)) {
-            val v = adj(j)
-            if (level(v) < level(u) + 1) level(v) = level(u) + 1
-            inDeg(v) -= 1
-            if (inDeg(v) == 0) {
-              queue.add(v)
-              if (level(v) > maxLevel) maxLevel = level(v)
+        SmallGraph.collect(restricted, None) match {
+          case Some(m) =>
+            val n = m.n
+            val (off, adj) = SmallGraph.csr(m.us, m.vs, n)
+            val inDeg = new Array[Int](n)
+            var i = 0
+            while (i < m.vs.length) { inDeg(m.vs(i)) += 1; i += 1 }
+            val level = new Array[Long](n)
+            java.util.Arrays.fill(level, -1L)
+            val queue = new SmallGraph.IntQueue(n)
+            i = 0
+            while (i < n) {
+              if (inDeg(i) == 0) { level(i) = 0L; queue.add(i) }
+              i += 1
             }
-            j += 1
-          }
+            var maxLevel = 0L
+            while (!queue.isEmpty) {
+              val u = queue.poll()
+              var j = off(u)
+              while (j < off(u + 1)) {
+                val v = adj(j)
+                if (level(v) < level(u) + 1) level(v) = level(u) + 1
+                inDeg(v) -= 1
+                if (inDeg(v) == 0) {
+                  queue.add(v)
+                  if (level(v) > maxLevel) maxLevel = level(v)
+                }
+                j += 1
+              }
+            }
+            // vertices still carrying in-degree sit on (or downstream of)
+            // a cycle -- same -1/in_cycle contract as the stuck
+            // distributed loop
+            i = 0
+            while (i < n) { if (inDeg(i) > 0) level(i) = -1L; i += 1 }
+            require(maxLevel < maxRounds,
+              s"DAG deeper than $maxRounds levels -- raise maxRounds")
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[org.apache.spark.sql.Row]
+            i = 0
+            while (i < n) {
+              out += org.apache.spark.sql.Row(m.idValue(i), level(i))
+              i += 1
+            }
+            val schema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("_id",
+                dep.schema.head.dataType),
+              org.apache.spark.sql.types.StructField("level",
+                org.apache.spark.sql.types.LongType)))
+            val leveledDf = SmallGraph.rideBack(spark, out.toSeq, schema)
+            return vertices.select(col(idCol).as("_id")).distinct()
+              .join(leveledDf, Seq("_id"), "left")
+              .select(col("_id").as(idCol),
+                coalesce(col("level"), lit(0L)).as("level"),
+                (coalesce(col("level"), lit(0L)) === lit(-1L)).as("in_cycle"))
+          case None => () // unsafe id types: distributed loop below
         }
-        // vertices still carrying in-degree sit on (or downstream of) a
-        // cycle — same -1/in_cycle contract as the stuck distributed loop
-        i = 0
-        while (i < n) { if (inDeg(i) > 0) level(i) = -1L; i += 1 }
-        require(maxLevel < maxRounds,
-          s"DAG deeper than $maxRounds levels — raise maxRounds")
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[org.apache.spark.sql.Row]
-        idx.forEach { (key, at) =>
-          out += org.apache.spark.sql.Row(key, level(at.intValue())); ()
-        }
-        val idType = dep.schema.head.dataType
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("_id", idType),
-          org.apache.spark.sql.types.StructField("level",
-            org.apache.spark.sql.types.LongType)))
-        val leveledDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(out.toSeq,
-            math.max(1, out.length / 500000)), schema)
-        return vertices.select(col(idCol).as("_id")).distinct()
-          .join(leveledDf, Seq("_id"), "left")
-          .select(col("_id").as(idCol),
-            coalesce(col("level"), lit(0L)).as("level"),
-            (coalesce(col("level"), lit(0L)) === lit(-1L)).as("in_cycle"))
       }
       var remaining = Checkpoints.cut(
         vertices.select(col(idCol).as("_id")).distinct(), ckpt)

@@ -45,80 +45,88 @@ object KCore {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // SMALL-GRAPH FAST PATH (same bounded-collect contract as
-      // Components.labels): a similarity/interaction edge list is
+      // SMALL-GRAPH FAST PATH (shared bounded-collect contract: see
+      // [[SmallGraph]]): a similarity/interaction edge list is
       // output-bound and often tiny next to the corpus, yet peeling pays
       // per-round fixed job cost (2 semi-joins + an aggregate + a lineage
       // cut + a count collect) regardless of graph size. When the
       // DISTRIBUTED count says the symmetrized list fits the driver,
       // restrict it to `vertices` endpoints (one distributed semi-join
-      // pass — `vertices` itself is never collected), collect once, and
-      // peel with an in-memory queue. Simultaneous-round vs sequential
-      // peeling yields the SAME k-core (standard invariance), so the
-      // result is row-identical to the distributed loop. Collect is
-      // bounded BY CONSTRUCTION: count checked first, distributed path
-      // otherwise.
+      // pass -- `vertices` itself is never collected), collect once, and
+      // peel in WAVES (all currently-sub-k vertices drop together, new
+      // sub-k vertices wait for the next wave) -- exactly the
+      // simultaneous-round semantics of the distributed loop, so the same
+      // k-core comes back AND the wave count replays the loop's round
+      // count: the distributed path needs waves + 1 rounds (the final
+      // no-change round detects convergence), and the same maxRounds
+      // contract is enforced here for path parity. Id-type gating and the
+      // primitive remap live in SmallGraph.collect (BinaryType /
+      // mixed-type ids fall through to the distributed loop).
       val nSym = sym.count()
       if (nSym <= 2L * driverCutoff) {
         val vset = vertices.select(col(idCol).as("_id")).distinct()
-        val rows = sym
+        val restricted = sym
           .join(vset, col("_u") === vset("_id"), "left_semi")
           .join(vset, col("_v") === vset("_id"), "left_semi")
-          .collect()
-        val idx = new java.util.HashMap[Any, Integer](rows.length)
-        def id(x: Any): Int = {
-          val cur = idx.get(x)
-          if (cur eq null) { val n = idx.size(); idx.put(x, n); n }
-          else cur.intValue()
-        }
-        val us = new Array[Int](rows.length)
-        val vs = new Array[Int](rows.length)
-        var i = 0
-        while (i < rows.length) {
-          us(i) = id(rows(i).get(0)); vs(i) = id(rows(i).get(1)); i += 1
-        }
-        val n = idx.size()
-        // CSR adjacency over the directed (already symmetrized) pairs
-        val deg = new Array[Int](n)
-        i = 0; while (i < rows.length) { deg(us(i)) += 1; i += 1 }
-        val off = new Array[Int](n + 1)
-        i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
-        val adj = new Array[Int](rows.length)
-        val fill = java.util.Arrays.copyOf(off, n)
-        i = 0
-        while (i < rows.length) {
-          adj(fill(us(i))) = vs(i); fill(us(i)) += 1; i += 1
-        }
-        // queue-based peeling: degrees only decrease, each vertex enters
-        // the queue once — O(|E|) total
-        val live = new Array[Boolean](n)
-        java.util.Arrays.fill(live, true)
-        val queue = new java.util.ArrayDeque[Integer]()
-        i = 0; while (i < n) { if (deg(i) < k) queue.add(i); i += 1 }
-        while (!queue.isEmpty) {
-          val u = queue.poll().intValue()
-          if (live(u)) {
-            live(u) = false
-            var j = off(u)
-            while (j < off(u + 1)) {
-              val v = adj(j)
-              if (live(v)) { deg(v) -= 1; if (deg(v) < k) queue.add(v) }
-              j += 1
+        SmallGraph.collect(restricted, None) match {
+          case Some(m) =>
+            val n = m.n
+            val (off, adj) = SmallGraph.csr(m.us, m.vs, n)
+            val deg = new Array[Int](n)
+            var i = 0
+            while (i < n) { deg(i) = off(i + 1) - off(i); i += 1 }
+            val live = new Array[Boolean](n)
+            java.util.Arrays.fill(live, true)
+            var wave = new SmallGraph.IntQueue(n)
+            i = 0
+            while (i < n) { if (deg(i) < k) wave.add(i); i += 1 }
+            var waves = 0
+            while (!wave.isEmpty) {
+              waves += 1
+              val next = new SmallGraph.IntQueue(16)
+              while (!wave.isEmpty) {
+                val u = wave.poll()
+                if (live(u)) {
+                  live(u) = false
+                  var j = off(u)
+                  while (j < off(u + 1)) {
+                    val v = adj(j)
+                    if (live(v)) {
+                      deg(v) -= 1
+                      // first crossing below k only -- one enqueue per
+                      // vertex, next wave (simultaneous semantics)
+                      if (deg(v) == k - 1) next.add(v)
+                    }
+                    j += 1
+                  }
+                }
+              }
+              wave = next
             }
-          }
+            // contract parity with the distributed loop's maxRounds: that
+            // loop needs (wave count) + 1 rounds -- and its first round
+            // also drops vertices touching NO surviving edge (absent from
+            // the collected graph entirely), so their existence alone
+            // forces one peeling round. One count on the already-built
+            // vset frame decides it.
+            val distWaves =
+              if (vset.count() > m.n) math.max(waves, 1) else waves
+            require(distWaves + 1 <= maxRounds,
+              s"$k-core peeling did not converge in $maxRounds rounds")
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[org.apache.spark.sql.Row]
+            i = 0
+            while (i < n) {
+              if (live(i)) { out += org.apache.spark.sql.Row(m.idValue(i)); () }
+              i += 1
+            }
+            val schema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(idCol,
+                sym.schema.head.dataType)))
+            return SmallGraph.rideBack(vertices.sparkSession,
+              out.toSeq, schema)
+          case None => () // unsafe id types: distributed loop below
         }
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[org.apache.spark.sql.Row]
-        idx.forEach { (key, at) =>
-          if (live(at.intValue())) { out += org.apache.spark.sql.Row(key); () }
-        }
-        val spark = vertices.sparkSession
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(idCol,
-            sym.schema.head.dataType)))
-        return spark.createDataFrame(
-          spark.sparkContext.parallelize(out.toSeq,
-            math.max(1, out.length / 500000)), schema)
       }
       var alive = Checkpoints.cut(
         vertices.select(col(idCol).as("_id")).distinct(), ckpt)

@@ -32,12 +32,72 @@ object PageRank {
       iterations: Int = 3, unit: Long = 1000000L,
       dampNum: Long = 85L, dampDen: Long = 100L,
       redistributeDangling: Boolean = false,
-      mode: Checkpoints.Mode = Checkpoints.Local): DataFrame = {
+      mode: Checkpoints.Mode = Checkpoints.Local,
+      driverCutoff: Long = 2000000L): DataFrame = {
     require(iterations >= 1 && unit > 0 && dampNum > 0 && dampDen > dampNum,
       s"bad PageRank params: iterations=$iterations unit=$unit " +
         s"damping=$dampNum/$dampDen")
     val src = col(srcCol).as("id")
     val dst = col(dstCol).as("id")
+    // SMALL-GRAPH FAST PATH (bounded-collect contract of [[SmallGraph]]):
+    // UNLIKE the float-summation ops this family deliberately excludes,
+    // every step here is INTEGER arithmetic — floor divisions and long
+    // sums are order-independent, so a driver replay is value-identical
+    // to the distributed loop BY CONSTRUCTION, not by luck. Gated on the
+    // magnitude guard below as well: the distributed spelling floors a
+    // DOUBLE division, which agrees with long division only while
+    // rank·deg < 2^53 (misrounding needs error ≥ distance-to-integer,
+    // i.e. a·2⁻⁵³ ≥ 1/b) — the guard keeps both paths inside that range,
+    // and oversized units take the distributed loop unchanged.
+    if (unit <= 1000000000L && dampDen <= 1000000L &&
+        edges.count() <= driverCutoff) {
+      SmallGraph.collect(edges.select(col(srcCol), col(dstCol)), None)
+        match {
+        case Some(m) =>
+          val n = m.n // distinct endpoints == the distributed node count
+          val r0 = unit / n
+          val base = (unit * (dampDen - dampNum)) / (dampDen * n)
+          val deg = new Array[Long](n)
+          var i = 0
+          while (i < m.us.length) { deg(m.us(i)) += 1; i += 1 }
+          var rank = Array.fill(n)(r0)
+          var it = 0
+          while (it < iterations) {
+            var sink = 0L
+            if (redistributeDangling) {
+              i = 0
+              while (i < n) { if (deg(i) == 0) sink += rank(i); i += 1 }
+            }
+            val share = if (redistributeDangling) sink / n else 0L
+            val sums = new Array[Long](n)
+            i = 0
+            while (i < m.us.length) {
+              sums(m.vs(i)) += rank(m.us(i)) / deg(m.us(i)); i += 1
+            }
+            val nextR = new Array[Long](n)
+            i = 0
+            while (i < n) {
+              nextR(i) = base + dampNum * (sums(i) + share) / dampDen
+              i += 1
+            }
+            rank = nextR
+            it += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.spark.sql.Row]
+          i = 0
+          while (i < n) {
+            out += org.apache.spark.sql.Row(m.idValue(i), rank(i)); i += 1
+          }
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              edges.select(col(srcCol)).schema.head.dataType),
+            org.apache.spark.sql.types.StructField("rank",
+              org.apache.spark.sql.types.LongType)))
+          return SmallGraph.rideBack(edges.sparkSession, out.toSeq, schema)
+        case None => () // unsafe id types: distributed loop below
+      }
+    }
     val nodes = edges.select(src).union(edges.select(dst)).distinct()
     val deg = edges.groupBy(col(srcCol).as("id"))
       .agg(count(lit(1)).as("_deg"))
@@ -93,7 +153,8 @@ object PageRank {
       seeds: DataFrame, seedCol: String,
       iterations: Int = 3, unit: Long = 1000000L,
       dampNum: Long = 85L, dampDen: Long = 100L,
-      mode: Checkpoints.Mode = Checkpoints.Local): DataFrame = {
+      mode: Checkpoints.Mode = Checkpoints.Local,
+      driverCutoff: Long = 2000000L): DataFrame = {
     require(iterations >= 1 && unit > 0 && dampNum > 0 && dampDen > dampNum,
       s"bad TrustRank params: iterations=$iterations unit=$unit " +
         s"damping=$dampNum/$dampDen")
@@ -101,6 +162,86 @@ object PageRank {
     val dst = col(dstCol).as("id")
     val graphNodes = edges.select(src).union(edges.select(dst)).distinct()
     val seedIds = seeds.select(col(seedCol).as("id")).distinct()
+    // SMALL-GRAPH FAST PATH — same integer-exact replay argument and
+    // magnitude guard as [[run]]; seeds ride the collect as extras and
+    // ids outside the graph (extras that touch no edge) are excluded
+    // from the node set exactly like the distributed node table, which
+    // is built from edge endpoints only.
+    if (unit <= 1000000000L && dampDen <= 1000000L &&
+        edges.count() <= driverCutoff && seedIds.count() <= driverCutoff) {
+      SmallGraph.collect(edges.select(col(srcCol), col(dstCol)),
+          Some(seedIds)) match {
+        case Some(m) =>
+          val n = m.n
+          val inGraph = new Array[Boolean](n)
+          var i = 0
+          while (i < m.us.length) {
+            inGraph(m.us(i)) = true; inGraph(m.vs(i)) = true; i += 1
+          }
+          val isSeed = new Array[Boolean](n)
+          i = 0
+          while (i < m.extraIdx.length) {
+            isSeed(m.extraIdx(i)) = true; i += 1
+          }
+          var sN = 0L
+          i = 0
+          while (i < n) { if (inGraph(i) && isSeed(i)) sN += 1; i += 1 }
+          require(sN > 0,
+            "TrustRank needs at least one seed present in the graph")
+          val r0 = unit / sN
+          val baseSeed = (unit * (dampDen - dampNum)) / (dampDen * sN)
+          val deg = new Array[Long](n)
+          i = 0
+          while (i < m.us.length) { deg(m.us(i)) += 1; i += 1 }
+          var rank = new Array[Long](n)
+          i = 0
+          while (i < n) {
+            if (inGraph(i) && isSeed(i)) rank(i) = r0; i += 1
+          }
+          var it = 0
+          while (it < iterations) {
+            var sink = 0L
+            i = 0
+            while (i < n) {
+              if (inGraph(i) && deg(i) == 0) sink += rank(i); i += 1
+            }
+            val share = sink / sN
+            val sums = new Array[Long](n)
+            i = 0
+            while (i < m.us.length) {
+              sums(m.vs(i)) += rank(m.us(i)) / deg(m.us(i)); i += 1
+            }
+            val nextR = new Array[Long](n)
+            i = 0
+            while (i < n) {
+              if (inGraph(i)) {
+                val tele = if (isSeed(i)) baseSeed else 0L
+                val sh = if (isSeed(i)) share else 0L
+                nextR(i) = tele + dampNum * (sums(i) + sh) / dampDen
+              }
+              i += 1
+            }
+            rank = nextR
+            it += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.spark.sql.Row]
+          i = 0
+          while (i < n) {
+            if (inGraph(i)) {
+              out += org.apache.spark.sql.Row(m.idValue(i), rank(i)); ()
+            }
+            i += 1
+          }
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              edges.select(col(srcCol)).schema.head.dataType),
+            org.apache.spark.sql.types.StructField("rank",
+              org.apache.spark.sql.types.LongType)))
+          return SmallGraph.rideBack(edges.sparkSession, out.toSeq, schema)
+        case None => () // unsafe id types: distributed loop below
+      }
+    }
     val nodes = Checkpoints.cut(
       graphNodes.join(seedIds.select(col("id"), lit(true).as("_seed")),
           Seq("id"), "left")

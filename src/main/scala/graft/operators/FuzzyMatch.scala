@@ -27,53 +27,96 @@ object FuzzyMatch {
       s"transform(sequence(1, greatest(length($name) - ${q - 1}, 1)), " +
         s"i -> substring($name, i, $q))"))
 
-  /** Pairs (leftId, rightId, dist) with `levenshtein ≤ maxDist`, complete
-    * for strings with more than `maxDist·q` surviving q-grams. Column
+  /** All single-character-deletion variants of `v` (length-n array; one
+    * spurious "" for the empty string, which array_distinct + exact
+    * verification make harmless). */
+  private def delOnce(v: Column): Column = {
+    val n = length(v)
+    transform(sequence(lit(1), greatest(n, lit(1))),
+      i => concat(v.substr(lit(1), i - lit(1)), v.substr(i + lit(1), n)))
+  }
+
+  /** SymSpell keys: xxhash64 of every string obtainable from `s` by
+    * deleting at most `d` characters (d <= 2). Two strings within edit
+    * distance d ALWAYS share one: an edit script of <= d operations
+    * touches <= d positions in each string, and deleting exactly the
+    * touched positions from both sides leaves the same subsequence — so
+    * the join on these keys is a complete candidate generator, with no
+    * frequency table, no window, and no prefix-size tuning. Hashing the
+    * variants is unconditionally safe here (unlike the injectivity-wager
+    * encodings elsewhere): a collision can only ADD a candidate pair,
+    * and exact levenshtein verification removes it. */
+  private def delKeys(s: Column, d: Int): Column = {
+    val lvl0 = array(s)
+    val all =
+      if (d == 0) lvl0
+      else if (d == 1) concat(lvl0, delOnce(s))
+      else concat(lvl0, delOnce(s),
+        flatten(transform(delOnce(s), v => delOnce(v))))
+    transform(array_distinct(all), x => xxhash64(x))
+  }
+
+  /** Pairs (leftId, rightId, dist) with `levenshtein ≤ maxDist`. Column
     * names must be distinct across the two inputs.
     *
-    * Candidates come through PREFIX FILTERING (Chaudhuri et al.), not the
-    * naive every-shared-gram join: strings within distance `d` share at
-    * least `max(|A|,|B|) − d·q` distinct grams, so under a GLOBAL gram
-    * order (document frequency asc, gram asc) their `d·q + 1`-length
-    * prefixes must intersect. Blocking only on prefix grams keeps blocks
-    * rare-gram-sized — serial-number corpora where one gram ("000")
-    * appears in EVERY string would otherwise degenerate to the full cross
-    * product (observed: 25 s → sub-second on the supplier gate).
+    * For `maxDist ≤ 2` (the record-linkage regime) candidates come from a
+    * SYMMETRIC-DELETION join ([[delKeys]]): each side publishes the
+    * hashes of its ≤ maxDist-deletion variants and candidates share one —
+    * provably complete at the threshold for EVERY string (no
+    * short-string caveat), and immune to the failure mode that sank
+    * q-gram blocking on serial-number corpora: names drawn from a tiny
+    * alphabet share "rare" grams by the hundreds, and the measured
+    * prefix join admitted 25% of the full cross product (4.2M candidate
+    * pairs from 4k x 4k strings at 10x scale — candidate DEDUP was the
+    * whole gate cost), where deletion variants of the same corpus are
+    * near-unique and the block sizes collapse to the true-pair rate.
+    * Keys are 8-byte hashes; per-string key count is n+1 at d=1 (the
+    * same explode factor the gram spelling paid) and O(n²) at d=2 —
+    * fine for name/title/URL columns; for LONG text columns prefer the
+    * shingle-based [[SetSimJoin]] family.
     *
-    * DISTINCT-STRING PRE-PASS: candidate generation and levenshtein
-    * verification run over the DISTINCT strings of each side; id pairs are
-    * re-expanded through the copy groups afterwards. A duplicate-heavy
-    * corpus (the normal case for a web crawl — and exactly what a 10×
-    * row-copied scale probe synthesizes) would otherwise pay the exact
-    * verification once per COPY-pair: m copies of s₁ × n copies of s₂ is
-    * m·n levenshtein calls for one distinct comparison. The pre-pass makes
-    * verification proportional to distinct pairs and leaves only the
-    * output-sized expansion join to scale with multiplicity. Prefix
-    * completeness is order-agnostic (any global gram order works), so
-    * computing gram frequencies over distinct strings instead of rows
-    * changes block sizes, never the result. */
+    * For `maxDist ≥ 3` the q-gram PREFIX FILTER spelling is kept
+    * (deletion neighborhoods grow combinatorially): candidates share a
+    * gram among the `maxDist·q + 1` rarest under a global
+    * (document-frequency, gram) order — complete for strings with more
+    * than `maxDist·q` surviving q-grams.
+    *
+    * DISTINCT-STRING PRE-PASS (both regimes): candidate generation and
+    * levenshtein verification run over the DISTINCT strings of each side;
+    * id pairs re-expand through the copy groups afterwards. A
+    * duplicate-heavy corpus (the normal case for a web crawl — and
+    * exactly what a 10× row-copied scale probe synthesizes) would
+    * otherwise pay the exact verification once per COPY-pair. */
   def editDistanceJoin(left: DataFrame, right: DataFrame,
       leftId: String, leftCol: String, rightId: String, rightCol: String,
       maxDist: Int, q: Int = 3): DataFrame = {
     require(maxDist >= 0 && q >= 2, s"need maxDist >= 0, q >= 2: $maxDist, $q")
-    val prefixLen = maxDist * q + 1
     val ld = left.select(col(leftCol).as("_ls")).distinct()
     val rd = right.select(col(rightCol).as("_rs")).distinct()
-    val lg = ld.select(col("_ls"), explode(qgrams("_ls", q)).as("_g"))
-    val rg = rd.select(col("_rs"), explode(qgrams("_rs", q)).as("_g"))
-    // one global gram order shared by both sides: df over the union
-    val df = lg.select(col("_g")).unionByName(rg.select(col("_g")))
-      .groupBy(col("_g")).agg(count(lit(1)).as("_df"))
-    def prefix(grams: DataFrame, strC: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(strC)).orderBy(col("_df"), col("_g"))
-      grams.join(df, Seq("_g"))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") <= prefixLen)
-        .select(col(strC), col("_g"))
-    }
-    val strPairs = prefix(lg, "_ls").join(prefix(rg, "_rs"), Seq("_g"))
-      .select(col("_ls"), col("_rs"))
+    val strPairs = (if (maxDist <= 2) {
+      val lk = ld.select(col("_ls"),
+        explode(delKeys(col("_ls"), maxDist)).as("_k"))
+      val rk = rd.select(col("_rs"),
+        explode(delKeys(col("_rs"), maxDist)).as("_k"))
+      lk.join(rk, Seq("_k")).select(col("_ls"), col("_rs"))
+    } else {
+      val prefixLen = maxDist * q + 1
+      val lg = ld.select(col("_ls"), explode(qgrams("_ls", q)).as("_g"))
+      val rg = rd.select(col("_rs"), explode(qgrams("_rs", q)).as("_g"))
+      // one global gram order shared by both sides: df over the union
+      val df = lg.select(col("_g")).unionByName(rg.select(col("_g")))
+        .groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+      def prefix(grams: DataFrame, strC: String): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(strC)).orderBy(col("_df"), col("_g"))
+        grams.join(df, Seq("_g"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= prefixLen)
+          .select(col(strC), col("_g"))
+      }
+      prefix(lg, "_ls").join(prefix(rg, "_rs"), Seq("_g"))
+        .select(col("_ls"), col("_rs"))
+    })
       .distinct() // candidates: one row per DISTINCT string pair
       .withColumn("dist",
         levenshtein(col("_ls"), col("_rs")).cast(IntegerType))

@@ -60,9 +60,12 @@ object Bench {
     // sf0.1, but at sf1 most gates legitimately exceed it and a fixed
     // threshold degenerates into re-running a third of the suite (r9's
     // sf1 artifact: retried 113/327, ~2× wall cost for no signal) — so
-    // the default is max(2.5, 25·sf) from the dir's sf tag, and
-    // GRAFT_BENCH_RETRY_SEC still overrides explicitly.
-    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
+    // the default is max(2.5, 25·sf) from the dir's BASENAME sf tag
+    // (regex-scanning the whole path would mis-scale on any earlier
+    // segment containing "sf<digits>"), and GRAFT_BENCH_RETRY_SEC still
+    // overrides explicitly.
+    val sfNum = "^sf([0-9]+(?:\\.[0-9]+)?)$".r
+      .findFirstMatchIn(graft.entry.Sql.sfTag(sfDir))
       .map(_.group(1).toDouble).getOrElse(0.1)
     val retrySec = sys.env.get("GRAFT_BENCH_RETRY_SEC").map(_.toDouble)
       .getOrElse(math.max(2.5, 25.0 * sfNum))
@@ -77,25 +80,51 @@ object Bench {
       spark.stop()
       sys.exit(2)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val gates = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
-      System.err.println(s"[bench] start $name")
-      val first = timeOne(name, fn)
-      val dt =
-        if (first > retrySec) {
-          nRetried += 1
-          System.err.println(f"[bench] retry $name (first $first%.2f s)")
-          val second = timeOne(name, fn)
-          if (second >= 0) math.min(first, second) else first
-        } else first
-      name -> dt
+    // Single-shot sf1 numbers carry ±50% spread (documented postmortems:
+    // r9's 344 s twin, r10's 23.3-vs-15.2 s q_set_sim_join), so the
+    // committed comparator is min-of-runs. GRAFT_BENCH_PASSES=N sweeps
+    // the whole suite N times and keeps each gate's MIN (failed runs
+    // never overwrite a good measurement); the artifact reports both the
+    // min map ("queries" — cross-round comparable) and the UNtouched
+    // first-pass, first-attempt times ("queries_first" — the honest
+    // single-shot run), plus each pass's wall total.
+    val passes = math.max(1, sys.env.get("GRAFT_BENCH_PASSES")
+      .map(_.toInt).getOrElse(1))
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val firsts = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val passTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def keep(name: String, v: Double): Unit =
+      if (v >= 0 && best.getOrElse(name, Double.MaxValue) > v)
+        best(name) = v
+      else if (!best.contains(name)) best(name) = v
+    (1 to passes).foreach { pass =>
+      val passVals = gates.map { case (name, fn) =>
+        System.err.println(s"[bench] start $name (pass $pass/$passes)")
+        val first = timeOne(name, fn)
+        if (pass == 1) firsts(name) = first
+        val dt =
+          if (first > retrySec) {
+            nRetried += 1
+            System.err.println(f"[bench] retry $name (first $first%.2f s)")
+            val second = timeOne(name, fn)
+            if (second >= 0) math.min(first, second) else first
+          } else first
+        keep(name, dt)
+        dt
+      }
+      passTotals += passVals.filter(_ >= 0).sum
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    def jmap(m: scala.collection.Map[String, Double]): String =
+      gates.map(_._1).map(k => "\"" + k + "\":" + f"${m(k)}%.3f")
+        .mkString("{", ",", "}")
+    val qs = jmap(best)
+    val qsFirst = jmap(firsts)
+    val total = best.values.filter(_ >= 0).sum
+    val pt = passTotals.map(v => f"$v%.3f").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadavg","retried":$nRetried,"retry_threshold_sec":$retrySec%.1f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_first":$qsFirst,"passes":$passes,"pass_totals":$pt,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadavg","retried":$nRetried,"retry_threshold_sec":$retrySec%.1f}"""
     println(line)
     // stdout can be tail-truncated by the harness that captures it; also
     // persist the full per-query map so round-over-round regression diffs

@@ -61,6 +61,47 @@ object SetSimJoin {
   private def encoded(setC: Column, et: DataType): Column =
     if (et == StringType) transform(setC, t => xxhash64(t)) else setC
 
+  /** Vocabulary pre-screen for the 64-bit token-encoding wager (object
+    * doc): ONE vocabulary-sized aggregate proving the hash is injective
+    * on the REALIZED vocabulary — the runnable form of the ≳10⁹-token
+    * deployment recipe, instead of prose. Explodes `setCol`, reduces to
+    * distinct tokens (two-phase distinct, so the map side collapses
+    * duplicates before the only shuffle), groups them by hash and asserts
+    * max multiplicity 1. Returns the distinct-token count; throws naming
+    * a colliding hash (and two of its tokens) if the wager fails, so the
+    * caller never silently trusts a broken encoding. `hashCol` is
+    * injectable for tests — a genuine xxhash64 collision is not
+    * constructible on demand — and production callers use the default,
+    * the SAME pointwise hash [[encoded]] applies. Non-string element
+    * types are never encoded, so they pass trivially (vocab size still
+    * returned). Cost at 100 TB: corpus-sized explode that collapses
+    * map-side, then vocabulary-sized work only. */
+  def assertInjective(df: DataFrame, setCol: String,
+      hashCol: Column => Column = xxhash64(_)): Long = {
+    val toks = df.select(explode(col(setCol)).as("_t"))
+      .where(col("_t").isNotNull).distinct()
+    if (elemType(df, setCol) != StringType) return toks.count()
+    val byHash = toks.groupBy(hashCol(col("_t")).as("_h"))
+      .agg(count(lit(1)).as("_m"), max(col("_t")).as("_anyTok"))
+    val agg = byHash
+      .agg(count(lit(1)).as("_vocabHashes"), max(col("_m")).as("_maxm"),
+        sum(col("_m")).as("_vocab")).head()
+    if (agg.isNullAt(1)) return 0L // empty vocabulary
+    if (agg.getLong(1) > 1L) {
+      val ex = toks.groupBy(hashCol(col("_t")).as("_h"))
+        .agg(count(lit(1)).as("_m"),
+          sort_array(collect_set(col("_t"))).as("_ts"))
+        .filter(col("_m") > 1).limit(1).head()
+      val samples = ex.getSeq[String](2).take(2).mkString("\" / \"")
+      throw new IllegalStateException(
+        s"token encoding is NOT injective on this vocabulary: hash " +
+          s"${ex.get(0)} covers ${ex.getLong(1)} distinct tokens (e.g. " +
+          s""""$samples") — do not trust the 64-bit set-sim encoding """ +
+          "for this corpus")
+    }
+    agg.getLong(2)
+  }
+
   /** PPJoin-style pruning predicates (Xiao et al. 2008), applied INSIDE
     * the prefix equi-join on the integer metadata (set size `_n`, prefix
     * position `_r`) riding with each prefix token. The bare prefix join

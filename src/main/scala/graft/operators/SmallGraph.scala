@@ -84,6 +84,11 @@ private[operators] object SmallGraph {
       val xRows = extras.map { x =>
         x.select(col(x.columns(0)).cast("long")).collect()
       }.getOrElse(Array.empty[Row])
+      // null endpoints/seeds: the distributed loops silently ignore them
+      // (SQL join semantics) but getLong below would NPE — decline the
+      // fast path and let the distributed loop keep its semantics
+      if (eRows.exists(r => r.isNullAt(0) || r.isNullAt(1)) ||
+          xRows.exists(_.isNullAt(0))) return None
       // sorted-unique remap over PRIMITIVE longs: index order == id order
       // (what Components' min-root union-find relies on), ~50 MB retained
       // at the 2M-edge cutoff instead of a boxed HashMap's several hundred
@@ -122,6 +127,9 @@ private[operators] object SmallGraph {
     } else if (uniform && dt == StringType && !requireOrdered) {
       val eRows = edges2.collect()
       val xRows = extras.map(_.collect()).getOrElse(Array.empty[Row])
+      // same null contract as the integral branch: decline, don't crash
+      if (eRows.exists(r => r.isNullAt(0) || r.isNullAt(1)) ||
+          xRows.exists(_.isNullAt(0))) return None
       val idx = new java.util.HashMap[String, Integer](
         eRows.length * 2 + xRows.length)
       val rev = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -66,27 +66,65 @@ object QueryService {
     searched.distinct().orderBy(c).limit(limit)
   }
 
+  /** Exact per-column distinct counts as a (column_name, n_distinct) frame,
+    * WITHOUT Catalyst's multi-distinct Expand: N `countDistinct`s over
+    * different children in one aggregate make the planner expand every
+    * input row N ways into an N×-wide shuffle (measured super-linear —
+    * 2.6 s → 18.7 s under 10× rows on the profile gate). Instead, project
+    * each row to N narrow (column, value) pairs and run two THIN
+    * hash aggregations: map-side partial agg collapses duplicate values
+    * before the first exchange, so the shuffle carries roughly the
+    * distinct-value mass, not N copies of the table.
+    *
+    * Values compare as strings (one common struct type for the stacked
+    * array): Spark's casts are value-injective for the profiled types
+    * (shortest-round-trip doubles, microsecond timestamps), and ±0.0 —
+    * where the string split ("−0.0"/"0.0") diverges from SQL distinct
+    * semantics — is pre-normalized for float columns. Null values are
+    * excluded, matching `count(DISTINCT c)`. */
+  private def distinctCounts(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val pairs = columns.map { c =>
+      val cc = df.schema(c).dataType match {
+        // -0.0 and 0.0 are equal under SQL DISTINCT but not as strings
+        case DoubleType | FloatType =>
+          when(col(c) === lit(0.0), lit(0.0)).otherwise(col(c))
+        case _ => col(c)
+      }
+      struct(lit(c).as("column_name"), cc.cast(StringType).as("v"))
+    }
+    df.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.column_name").as("column_name"), col("p.v").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("column_name"), col("v")).agg(count(lit(1)).as("_n"))
+      .groupBy(col("column_name")).agg(count(lit(1)).as("n_distinct"))
+  }
+
   /** Per-column profile (`duckdb_service.py:115-253`): numeric min/max/mean/
-    * distinct count; returned as one row per column. A single aggregate pass
-    * over the table — one job regardless of column count. */
+    * distinct count; returned as one row per column. One aggregate pass for
+    * the moments plus one narrow two-phase pass for the exact distinct
+    * counts ([[distinctCounts]] — no Expand), regardless of column count. */
   def profileNumeric(df: DataFrame, columns: Seq[String]): DataFrame = {
     import graft.core.Semantics.{exactAvg => eavg}
     val aggs = columns.flatMap { c =>
       Seq(min(col(c)).cast(DoubleType).as(s"${c}__min"),
           max(col(c)).cast(DoubleType).as(s"${c}__max"),
-          eavg(col(c)).as(s"${c}__mean"),
-          countDistinct(col(c)).as(s"${c}__distinct"))
+          eavg(col(c)).as(s"${c}__mean"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot to (column, min, max, mean, n_distinct) — pure plan, no collect
-    val spark = df.sparkSession
+    // unpivot to (column, min, max, mean) — pure plan, no collect
     val stacked = columns.map { c =>
       wide.select(lit(c).as("column_name"),
         col(s"${c}__min").as("min_value"), col(s"${c}__max").as("max_value"),
-        col(s"${c}__mean").as("mean_value"),
-        col(s"${c}__distinct").as("n_distinct"))
+        col(s"${c}__mean").as("mean_value"))
     }
+    // n_distinct joins on: both sides are column-count-sized, so this is a
+    // broadcast join of tiny frames; an all-null column has no pair rows
+    // (countDistinct semantics → 0)
     stacked.reduce(_ unionByName _)
+      .join(broadcast(distinctCounts(df, columns)), Seq("column_name"), "left")
+      .select(col("column_name"), col("min_value"), col("max_value"),
+        col("mean_value"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
   }
 
   /** Full query-time table profile (`duckdb_service.py:115-253`): per column
@@ -96,15 +134,17 @@ object QueryService {
     * suggestion, and the sorted distinct values for small categorical
     * columns.
     *
-    * Plan shape: ONE wide aggregate pass computes every column's stats —
-    * column count widens the projection, never re-scans (same shape as
-    * `profileNumeric`). The tiny stats row comes back to the driver and is
-    * inlined as literals. Value lists for small-categorical columns
-    * (n_distinct already proven ≤ cap by the stats pass) come from ONE
-    * second aggregate holding a collect_set per qualifying column — each
-    * buffer bounded by the proven cardinality, never an unbounded
-    * high-card collect. Profiling a 50-column table costs exactly 2 scans
-    * total, not 2 jobs per column. */
+    * Plan shape: ONE wide aggregate pass computes every column's moments
+    * (nulls, min/max/mean — column count widens the projection, never
+    * re-scans), plus ONE narrow two-phase pass for the exact distinct
+    * counts ([[distinctCounts]] — kept out of the stats aggregate because
+    * N countDistincts there ride Catalyst's Expand, an N×-row shuffle).
+    * The tiny stats row comes back to the driver and is inlined as
+    * literals. Value lists for small-categorical columns (n_distinct
+    * already proven ≤ cap) come from ONE more aggregate holding a
+    * collect_set per qualifying column — each buffer bounded by the proven
+    * cardinality, never an unbounded high-card collect. Profiling a
+    * 50-column table costs exactly 3 scans total, not 2 jobs per column. */
   def profileTable(df: DataFrame, columns: Seq[String], sampleCap: Int = 20,
       highCardThreshold: Long = 100): DataFrame = {
     import graft.core.Semantics
@@ -121,7 +161,6 @@ object QueryService {
       val missing = Semantics.isMissing(cc)
       Seq(
         sum(when(missing, 1L).otherwise(0L)).as(s"${i.c}__nulls"),
-        countDistinct(cc).as(s"${i.c}__distinct"),
         (if (i.isNum) min(cc).cast(DoubleType)
          else lit(null).cast(DoubleType)).as(s"${i.c}__min"),
         (if (i.isNum) max(cc).cast(DoubleType)
@@ -137,14 +176,19 @@ object QueryService {
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head() // the one stats job
     val total = row.getAs[Long]("__total")
+    // exact distinct counts come from their own narrow two-phase pass
+    // ([[distinctCounts]]): keeping N countDistincts inside the stats
+    // aggregate rode Catalyst's Expand — every row duplicated N ways into
+    // an N×-wide shuffle, the worst super-linear growth in the suite
+    val ndByCol: Map[String, Long] = distinctCounts(df, columns).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     // Value lists for ALL small-categorical columns come from ONE second
     // scan: the stats pass already proved n_distinct ≤ cap for each, so a
     // collect_set per qualifying column is a bounded buffer (≤ cap values)
     // — never an unbounded high-cardinality collect. 2 jobs total for any
     // column count, instead of one narrow scan per categorical column.
     val sampled = infos.filter { i =>
-      !i.isNum && !i.isTs &&
-        row.getAs[Long](s"${i.c}__distinct") <= sampleCap
+      !i.isNum && !i.isTs && ndByCol.getOrElse(i.c, 0L) <= sampleCap
     }
     val sampleValues: Map[String, String] =
       if (sampled.isEmpty) Map.empty
@@ -160,7 +204,7 @@ object QueryService {
       }
     val rows = infos.map { i =>
       val nulls = row.getAs[Long](s"${i.c}__nulls")
-      val nd = row.getAs[Long](s"${i.c}__distinct")
+      val nd = ndByCol.getOrElse(i.c, 0L)
       def dLit(s: String): Column = Option(row.getAs[Any](s"${i.c}__$s"))
         .fold(lit(null).cast(DoubleType))(v => lit(v.toString.toDouble))
       def sLit(s: String): Column = Option(row.getAs[String](s"${i.c}__$s"))

@@ -881,20 +881,30 @@ object DocQueries {
       val batch = docs.select((col("doc_id") + 500000L).as("doc_id"),
         expr("substring(text, 1, cast((length(text) * " +
           "(75 + (doc_id % 11) * 2)) div 100 as int))").as("text"))
-      // shingle arrays 64-bit-encoded at birth (SetSimJoin object doc):
-      // candidate generation AND the verification joins below move long
-      // arrays, never shingle strings; jaccard_r4 reads only sizes and
-      // intersection counts, which the encoding preserves exactly under
-      // injectivity on the realized vocabulary
+      // shingle arrays 64-bit-encoded at birth AND numerically sorted
+      // (SetSimJoin object doc): candidate generation and the
+      // verification joins below move long arrays, never shingle strings,
+      // and verification is the allocation-free sorted merge count
+      // (SortedIntersectCount) — jaccard_r4's double arithmetic is
+      // unchanged (inter/union as ints cast to double, |A∪B| =
+      // |A|+|B|−|A∩B| on distinct sets), exact under injectivity on the
+      // realized vocabulary
       val osh = docs.select(col("doc_id").as("_oid"),
-        transform(TF.shingles(col("text"), 3), t => xxhash64(t)).as("_osh"))
+        array_sort(transform(TF.shingles(col("text"), 3),
+          t => xxhash64(t))).as("_osh"))
       val nsh = batch.select(col("doc_id").as("_nid"),
-        transform(TF.shingles(col("text"), 3), t => xxhash64(t)).as("_nsh"))
+        array_sort(transform(TF.shingles(col("text"), 3),
+          t => xxhash64(t))).as("_nsh"))
+      val inter = graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("_nsh"), col("_osh"))
+      val uni = size(col("_nsh")) + size(col("_osh")) - col("_i")
       SetSimJoin.jaccardCandidates(nsh, "_nid", "_nsh",
           osh, "_oid", "_osh", minE4 = 7999L)
         .join(nsh, Seq("_nid")).join(osh, Seq("_oid"))
+        .withColumn("_i", inter)
         .withColumn("jaccard_r4",
-          round(NgramJaccard.jaccard(col("_nsh"), col("_osh")), 4))
+          round(when(uni === 0, 0.0).otherwise(
+            col("_i").cast(DoubleType) / uni.cast(DoubleType)), 4))
         .filter(col("jaccard_r4") >= 0.8)
         .select(col("_nid").as("id_n"), col("_oid").as("id_o"),
           col("jaccard_r4"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The one place the engine drops below `functions._`: a custom Catalyst
@@ -172,6 +172,76 @@ case class DecimalDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "decimal_dot"
+}
+
+/** Exact intersection size of two SORTED long-array set columns as one
+  * codegen'd merge walk — the verification kernel of the exact set-sim
+  * join. `size(array_intersect(a, b))` builds a hash set of one side and
+  * MATERIALIZES the intersection array per candidate pair only to take its
+  * length; over the ~10×-output candidate volume a prefix join emits on a
+  * near-dup-heavy corpus, that per-pair allocation is the verification
+  * stage's cost. This kernel merge-walks the two sorted arrays instead —
+  * allocation-free, one pass, inside whole-stage codegen. Equal runs are
+  * advanced past on BOTH sides, so the count keeps array_intersect's SET
+  * semantics even if an encoding collision ever produced a duplicate
+  * element. CONTRACT: both arrays ascending-sorted with non-null elements
+  * (the set-sim join sorts at encode time); unsorted input gives an
+  * undercount, so callers own the ordering invariant. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  private def isLongArray(t: DataType) = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count needs two array<bigint>, got " +
+        s"${left.dataType}, ${right.dataType}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.count(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntersectCount.count($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_intersect_count"
+}
+
+object SortedIntersectCount {
+  /** Called from generated code — must stay a static-forwardable method. */
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) {
+        c += 1
+        while (i < na && a.getLong(i) == x) i += 1
+        while (j < nb && b.getLong(j) == x) j += 1
+      } else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Column form without a per-session registry round-trip (library path). */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(SortedIntersectCount(
+      org.apache.spark.sql.GraftColumnBridge.expression(a),
+      org.apache.spark.sql.GraftColumnBridge.expression(b)))
 }
 
 /** Distinct word k-gram shingles as one codegen'd pass — the shared front

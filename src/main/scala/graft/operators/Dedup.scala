@@ -290,8 +290,19 @@ object MinHashDedup {
     // which every threshold in (0, 1] accepts — the component structure
     // is exactly the all-pairs one.
     val minE4 = math.max(1L, math.floor(threshold * 10000).toLong - 1L)
+    // the verifier's DOUBLE arithmetic is unchanged from the array
+    // spelling (inter/union both cast to double, round half-up at e4 —
+    // exactly [[NgramJaccard.jaccard]] on distinct sets, where
+    // |A∪B| = |A|+|B|−|A∩B|); only the intersection COUNT now comes from
+    // the engine's sorted merge walk instead of a materialized
+    // array_intersect, so ties round bit-identically to the oracle replay
     val verified = SetSimJoin.selfJoinPairs(sh, idCol, "_sh", minE4,
-      (sa, sb, _) => round(NgramJaccard.jaccard(sa, sb), 4) >= threshold)
+      (i, na, nb, _) => {
+        val uni = na + nb - i
+        round(when(uni === 0, 0.0)
+          .otherwise(i.cast(DoubleType) / uni.cast(DoubleType)), 4) >=
+          threshold
+      })
       .select(col("id_a").as("_ca"), col("id_b").as("_cb"))
     Components.keepCanonical(df.select(col(idCol)), idCol,
       verified, "_ca", "_cb", maxIters)
@@ -344,16 +355,21 @@ object MinHashDedup {
     // pointwise-xxhash64 long arrays, never shingle strings. Sizes and
     // intersection counts (all the verifier reads) are exact under
     // injectivity on the realized vocabulary.
+    // numeric re-sort after the pointwise encode (the raw sort below
+    // orders by shingle TEXT for the md5 content key) so verification can
+    // run the allocation-free sorted merge count
+    def enc(c: Column): Column =
+      array_sort(transform(c, t => xxhash64(t)))
     val sortedSh = array_sort(shingles(col(textCol), k))
     val nrows = newDocs.select(col(idCol).as("_nid"), sortedSh.as("_nsh"))
       .withColumn("_nkey", md5(concat_ws("\u0000", col("_nsh"))))
-      .withColumn("_nsh", transform(col("_nsh"), t => xxhash64(t)))
+      .withColumn("_nsh", enc(col("_nsh")))
     val ngroups = nrows.groupBy(col("_nkey"))
       .agg(min(col("_nid")).as("_ngid"), first(col("_nsh")).as("_nsh"))
     val ogroups = index.shingleSets
       .select(col(idCol).as("_oid"), array_sort(col("_sh")).as("_osh"))
       .withColumn("_okey", md5(concat_ws("\u0000", col("_osh"))))
-      .withColumn("_osh", transform(col("_osh"), t => xxhash64(t)))
+      .withColumn("_osh", enc(col("_osh")))
       .groupBy(col("_okey"))
       .agg(min(col("_oid")).as("_ogid"), first(col("_osh")).as("_osh"))
     // verifier rounds half-up at e4, accepting true J ≥ t − 0.5e-4:
@@ -366,10 +382,18 @@ object MinHashDedup {
     val cand = SetSimJoin.jaccardCandidates(
       ngroups.select(col("_ngid"), col("_nsh")), "_ngid", "_nsh",
       ogroups.select(col("_ogid"), col("_osh")), "_ogid", "_osh", minE4)
+    // verifier: same double arithmetic as [[NgramJaccard.jaccard]] on
+    // distinct sets (|A∪B| = |A|+|B|−|A∩B|, ints cast to double), with the
+    // intersection COUNT from the allocation-free sorted merge walk
+    val gInter = graft.functions.SortedIntersectCount
+      .sorted_intersect_count(col("_nsh"), col("_osh"))
+    val gUni = size(col("_nsh")) + size(col("_osh")) - col("_i")
     val gmatches = cand
       .join(ngroups.select(col("_ngid"), col("_nsh")), Seq("_ngid"))
       .join(ogroups.select(col("_ogid"), col("_osh")), Seq("_ogid"))
-      .where(round(NgramJaccard.jaccard(col("_nsh"), col("_osh")), 4)
+      .withColumn("_i", gInter)
+      .where(round(when(gUni === 0, 0.0).otherwise(
+        col("_i").cast(DoubleType) / gUni.cast(DoubleType)), 4)
         >= threshold)
       .groupBy(col("_ngid")).agg(min(col("_ogid")).as("_mid"))
     // expand per-group matches back to every new doc through its copy group

@@ -15,9 +15,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
   * ⌊(1−t)·|A|⌋+1 rarest of A (else the overlap can't reach the bound) —
   * candidates come from an equi-join on prefix tokens, never a cross
   * product, and the degenerate shared-token case is engineered away by
-  * the rare-first order. Exact verification is one array_intersect per
-  * candidate in PURE INTEGER arithmetic (e4-floored Jaccard vs the
-  * e4-scaled threshold — no float ever decides a pair).
+  * the rare-first order. Exact verification is one allocation-free sorted
+  * merge count per candidate ([[graft.functions.SortedIntersectCount]]
+  * over the numerically-sorted encoded arrays) in PURE INTEGER arithmetic
+  * (e4-floored Jaccard vs the e4-scaled threshold — no float ever decides
+  * a pair).
   *
   * The same construction (in SQL) is the validated scale-safe oracle twin
   * for the brute-force Jaccard oracles — here it is the ENGINE operator.
@@ -212,7 +214,7 @@ object SetSimJoin {
     // tripping selfJoinPairs' minE4 ≥ 1 contract
     val tE4 = math.max(1L, math.floor(threshold * 10000).toLong)
     selfJoinPairs(df, idCol, setCol, tE4,
-      (_, _, jE4) => jE4 >= tE4)
+      (_, _, _, jE4) => jE4 >= tE4)
   }
 
   /** Shared self-join engine: distinct-set pre-pass → ONE exploded
@@ -220,14 +222,16 @@ object SetSimJoin {
     * prefix equi-join → exact verification once per distinct-set pair →
     * re-expansion through copy groups. Returns (id_a, id_b, jaccard_e4)
     * with id_a < id_b and jaccard_e4 = floor(J·10⁴);
-    * `keepPair(setA, setB, jaccardE4)` decides which verified pairs
-    * survive (it must accept identical non-empty sets — intra-copy-group
-    * pairs are emitted directly at J = 1 without verification). For
-    * string-element inputs `keepPair` receives the 64-bit-ENCODED arrays
-    * (object doc): size/intersection predicates are exact under the
-    * injectivity contract, but predicates reading token CONTENT must not
-    * be used here. `minE4`
-    * sizes the prefix: completeness holds for every pair with
+    * `keepPair(inter, na, nb, jaccardE4)` decides which verified pairs
+    * survive from the EXACT intersection count and the two set sizes —
+    * full arrays never reach the predicate (and the engine computes the
+    * intersection COUNT with one allocation-free sorted merge walk,
+    * [[graft.functions.SortedIntersectCount]], never materializing the
+    * intersection array). Intra-copy-group pairs are emitted directly at
+    * J = 1 without verification, so `keepPair` must accept
+    * (inter = n, n, n, 10000). Under the 64-bit encoding these counts are
+    * those of the TRUE sets per the injectivity contract (object doc).
+    * `minE4` sizes the prefix: completeness holds for every pair with
     * J·10⁴ ≥ minE4, so callers whose `keepPair` rounds half-up at e4
     * must pass t·10⁴ − 1 (see [[jaccardCandidates]]).
     *
@@ -250,7 +254,7 @@ object SetSimJoin {
     * sequential barriers). */
   private[graft] def selfJoinPairs(df: DataFrame, idCol: String,
       setCol: String, minE4: Long,
-      keepPair: (Column, Column, Column) => Column): DataFrame = {
+      keepPair: (Column, Column, Column, Column) => Column): DataFrame = {
     require(minE4 >= 1 && minE4 <= 10000,
       s"minE4 must be in [1, 10000]: $minE4")
     val et = elemType(df, setCol)
@@ -260,16 +264,21 @@ object SetSimJoin {
     // two rows group together iff their true sets are identical, with no
     // dependence on the 64-bit encoding -- and the raw array is dropped
     // before the first shuffle: everything that moves from here on is the
-    // encoded long array (`keepPair` therefore sees ENCODED sets: sizes
-    // and intersections are those of the true sets under the injectivity
-    // contract in the object doc, but element CONTENT is hashed).
+    // encoded long array, re-sorted NUMERICALLY after encoding (the text
+    // sort above orders by token string, not hash value) so verification's
+    // merge walk ([[graft.functions.SortedIntersectCount]]) gets its
+    // ascending-order contract; integral inputs skip the encode and the
+    // first sort IS their numeric sort. Sizes and intersection counts are
+    // those of the true sets under the injectivity contract (object doc).
     val keyArr =
       if (et == StringType) col("_set")
       else transform(col("_set"), e => e.cast("string"))
     val rows = df
       .select(col(idCol).as("_id"), array_sort(col(setCol)).as("_set"))
       .withColumn("_key", md5(concat_ws("\u0000", keyArr)))
-      .withColumn("_set", encoded(col("_set"), et))
+      .withColumn("_set",
+        if (et == StringType) array_sort(encoded(col("_set"), et))
+        else col("_set"))
     // _n as BIGINT (see [[jaccardCandidates]]): the pruning arithmetic
     // multiplies set sizes by up to 10⁴+minE4, past int range for long
     // documents
@@ -300,15 +309,23 @@ object SetSimJoin {
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
     val repPairs = cand
-      .join(reps.select(col("_id").as("id_a"), col("_set").as("_sa")), "id_a")
-      .join(reps.select(col("_id").as("id_b"), col("_set").as("_sb")), "id_b")
-      .withColumn("_inter", size(array_intersect(col("_sa"), col("_sb"))))
+      .join(reps.select(col("_id").as("id_a"), col("_set").as("_sa"),
+        col("_n").as("_na")), "id_a")
+      .join(reps.select(col("_id").as("id_b"), col("_set").as("_sb"),
+        col("_n").as("_nb")), "id_b")
+      // allocation-free sorted merge count — array_intersect built a hash
+      // set AND materialized the intersection array per candidate, just
+      // to take its length (measured as the verify stage's cost at the
+      // ~10×-output candidate volume a near-dup corpus emits)
+      .withColumn("_inter", graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("_sa"), col("_sb")))
       // any candidate shares ≥1 token, so the union is never 0
       .withColumn("jaccard_e4",
         floor(col("_inter") * lit(10000L) /
-          (size(col("_sa")) + size(col("_sb")) - col("_inter")))
+          (col("_na") + col("_nb") - col("_inter")))
           .cast("long"))
-      .filter(keepPair(col("_sa"), col("_sb"), col("jaccard_e4")))
+      .filter(keepPair(col("_inter"), col("_na"), col("_nb"),
+        col("jaccard_e4")))
       .select(col("id_a").as("_ga"), col("id_b").as("_gb"),
         col("jaccard_e4"))
     // re-expand: cross the member ids of each qualifying group pair

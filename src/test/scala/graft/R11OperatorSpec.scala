@@ -115,6 +115,58 @@ class R11OperatorSpec extends SparkSuite {
     assert(profNum == Map("k" -> 3L, "d" -> 3L, "allnull" -> 0L))
   }
 
+  test("SortedIntersectCount equals size(array_intersect) on sorted " +
+      "long sets, including duplicate runs, empties, and disjoint") {
+    import graft.functions.SortedIntersectCount.sorted_intersect_count
+    val rnd = new scala.util.Random(11)
+    val cases = (Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      // duplicate runs (an encoding collision could produce these):
+      // set semantics count the value once, like array_intersect
+      (Seq(1L, 1L, 2L, 5L), Seq(1L, 2L, 2L, 9L)),
+      (Seq(Long.MinValue, -7L, 0L, Long.MaxValue),
+        Seq(Long.MinValue, 0L, 3L, Long.MaxValue))) ++
+      Seq.fill(30)((
+        Seq.fill(rnd.nextInt(40))(rnd.nextLong() % 50).distinct.sorted,
+        Seq.fill(rnd.nextInt(40))(rnd.nextLong() % 50).distinct.sorted)))
+      .map { case (a, b) => (a.sorted, b.sorted) }
+    val df = cases.toDF("a", "b")
+    val got = df.select(
+        sorted_intersect_count(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"fast ${r.getInt(0)} != array_intersect ${r.getInt(1)}"))
+  }
+
+  test("fuzzyDedup and jaccardSelfJoin results are unchanged by the " +
+      "merge-count verification (counts-only keepPair)") {
+    // near-dup family straddling t=0.8 plus exact copies (intra-group
+    // path) and a singleton — covers verify, copy groups, and expansion
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy
+      (3L, "beta gamma delta epsilon zeta eta theta"),       // drop-first
+      (4L, "completely different words entirely here now")).toDF("id", "t")
+    val out = graft.operators.MinHashDedup.fuzzyDedup(docs, "id", "t", 0.8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    // {1,2,3} one cluster (survivor 1), 4 alone
+    assert(out(1L) == (1L, true) && out(2L) == (1L, false) &&
+      out(3L) == (1L, false) && out(4L) == (4L, true))
+    val sets = docs.select(col("id"),
+      graft.functions.TextFunctions.shingles(col("t"), 3).as("sh"))
+    val pairs = SetSimJoin.jaccardSelfJoin(sets, "id", "sh", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 1-2 identical (J=1 via the intra path); 1-3/2-3 share 5 of 6
+    // union shingles: floor(5/6*1e4) = 8333
+    assert(pairs == Set((1L, 2L, 10000L), (1L, 3L, 8333L),
+      (2L, 3L, 8333L)))
+  }
+
   test("profileTable still gates sample values on the distinct count " +
       "from the new pass") {
     val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "cat")

@@ -95,10 +95,15 @@ object Bench {
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val firsts = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val passTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def keep(name: String, v: Double): Unit =
-      if (v >= 0 && best.getOrElse(name, Double.MaxValue) > v)
+    // a stored failure (-1) is REPLACEABLE: comparing it as an ordinary
+    // min would let a pass-1 crash permanently block a later successful
+    // measurement (-1 > v is false for every real time)
+    def keep(name: String, v: Double): Unit = {
+      val cur = best.get(name)
+      if (v >= 0 && (cur.isEmpty || cur.get < 0 || cur.get > v))
         best(name) = v
-      else if (!best.contains(name)) best(name) = v
+      else if (cur.isEmpty) best(name) = v
+    }
     (1 to passes).foreach { pass =>
       val passVals = gates.map { case (name, fn) =>
         System.err.println(s"[bench] start $name (pass $pass/$passes)")

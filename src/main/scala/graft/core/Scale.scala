@@ -23,6 +23,30 @@ object Sessions {
       .getOrCreate()
 }
 
+/** Compute-dense stage rebalancing. A stage whose per-row COMPUTE dwarfs
+  * its scan bytes (model scoring, heavy per-document text kernels) must not
+  * inherit the scan's split granularity: parquet splits at ROW-GROUP
+  * boundaries, so a small-but-dense file (worst case: one row group) pins
+  * the whole kernel to one task no matter how many cores exist — the
+  * classic "tiny input, huge compute" shape, invisible to
+  * maxPartitionBytes/openCost tuning because a single row group is
+  * unsplittable. [[computeDense]] round-robins rows out to the session's
+  * default parallelism when (and only when) the incoming plan
+  * under-splits; on a 100 TB scan with thousands of splits it's a no-op,
+  * so the shuffle tax is paid exactly where it buys wall-clock. */
+object Rebalance {
+  /** Repartition to the session's core count iff the current plan has
+    * fewer than half that many partitions. The partition probe compiles
+    * the physical plan but runs no job. Streaming frames pass through
+    * untouched (no batch RDD to probe; micro-batch sizing is the
+    * trigger's job). */
+  def computeDense(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+}
+
 /** Skew tooling: when a group/join key is pathologically hot (the classic
   * null-key or whale-customer problem), AQE's skew-join split handles the
   * join side, but a skewed AGGREGATION still funnels one key's rows into

@@ -174,8 +174,9 @@ object DocQueries {
       val digit = length(regexp_replace(txt, "[^0-9]", ""))
       val nonWs = length(regexp_replace(txt, "[ \\t\\n\\r\\f]", ""))
       val ascii = length(regexp_replace(txt, "[^\\x00-\\x7f]", ""))
-      t(s, dir, "documents").select(col("doc_id"),
-        len.as("n_chars_txt"), latin.as("n_latin"), digit.as("n_digit"),
+      graft.core.Rebalance.computeDense(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          len.as("n_chars_txt"), latin.as("n_latin"), digit.as("n_digit"),
         (len - nonWs).as("n_ws"), (len - ascii).as("n_nonascii"),
         (nonWs - latin - digit - (len - ascii)).as("n_other_ascii"))
         .orderBy(col("doc_id"))
@@ -704,7 +705,7 @@ object DocQueries {
         lower(regexp_replace(col("c_name"), "[#0]", "")),
         lit("@mail.example, tel (555) 123-4567, SSN 123-45-6789, "),
         lit("card 4111 1111 1111 1111."))
-      t(s, dir, "customer")
+      graft.core.Rebalance.computeDense(t(s, dir, "customer"))
         .select(col("c_custkey"), raw.as("raw"))
         .select(col("c_custkey"),
           TF.redactPii(col("raw")).as("redacted"),
@@ -757,19 +758,31 @@ object DocQueries {
       // learned boundary from aux, and replays the decision bit-for-bit.
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // the FEATURE kernel (three regex normalizations + stopword filter
+      // per document) is the gate's dominant per-row cost and would
+      // otherwise run three times over the corpus slice family (training
+      // class-count aggregate, MLlib instance materialization, scoring) —
+      // featurize the full corpus ONCE and share the persisted frame;
+      // Verify/Bench clearCache releases it
+      val feats = graft.operators.QualityModel
+        .featurize(docs, "doc_id", "text").persist()
       // TRAINING runs on a deterministic 1-in-10 subsample (plus degraded
       // twins of the SAME slice): each LBFGS iteration is a full
       // treeAggregate pass over the training frame, so the subsample cuts
       // every pass 10× — and it is oracle-safe BY CONSTRUCTION, because
       // the oracle replays whatever boundary is materialized to aux, not
       // a reference fit. The two-class require in train still guards the
-      // slice; SCORING below stays over the full corpus, unchanged.
-      val seed = docs.filter(col("doc_id") % 10 === 0)
+      // slice; SCORING below stays over the full corpus, unchanged. The
+      // seed slice's features are a FILTER on the shared cache; only the
+      // degraded twins (different text → different features) featurize
+      // fresh, over 10% of the corpus.
+      val seedFeats = feats.filter(col("doc_id") % 10 === 0)
       // the corpus is clean → weak labels would be all-positive; degraded
       // twins (punctuation noise + truncation) supply the negative class
-      val degraded = seed.select((col("doc_id") + 200000L).as("doc_id"),
-        concat(lit("!!! ??? ;;; ,,, "), substring(col("text"), 1, 20))
-          .as("text"))
+      val degraded = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(lit("!!! ??? ;;; ,,, "), substring(col("text"), 1, 20))
+            .as("text"))
       // 5 LBFGS iterations at a loose tolerance: the planted classes
       // separate linearly, so the decision SIGN stabilizes in the first
       // few steps — each iteration is a full treeAggregate job and the
@@ -777,14 +790,15 @@ object DocQueries {
       // stopping trades nothing for most of the gate's job count
       // (sanity: the margin sign still classifies the planted classes,
       // asserted in OperatorSpec)
-      val boundary = graft.operators.QualityModel.train(
-        seed.unionByName(degraded), "doc_id", "text", maxIter = 5,
+      val boundary = graft.operators.QualityModel.trainFeaturized(
+        seedFeats.unionByName(graft.operators.QualityModel
+          .featurize(degraded, "doc_id", "text")), maxIter = 5,
         tol = 1e-4)
       val w = boundary.coefficients
       Aux.write(Seq((w(0), w(1), w(2), w(3), boundary.intercept))
         .toDF("w_punct", "w_stop", "w_mwl", "w_tok", "b"),
         s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/quality_lr_coef")
-      graft.operators.QualityModel.score(docs, "doc_id", "text", boundary)
+      graft.operators.QualityModel.scoreFeaturized(feats, boundary)
         .select(col("doc_id"),
           floor(col("margin") * lit(1000000.0) + lit(0.5))
             .cast(LongType).as("margin_x1e6"),
@@ -846,7 +860,7 @@ object DocQueries {
       val d0 = docs.unionByName(docs.select(
         (col("doc_id") + 100000L).as("doc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text")))
-      val sets = d0.select(col("doc_id"),
+      val sets = graft.core.Rebalance.computeDense(d0).select(col("doc_id"),
         graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
       graft.operators.SetSimJoin.jaccardSelfJoin(sets, "doc_id", "sh", 0.8)
         .orderBy(col("id_a"), col("id_b"))
@@ -889,10 +903,12 @@ object DocQueries {
       // unchanged (inter/union as ints cast to double, |A∪B| =
       // |A|+|B|−|A∩B| on distinct sets), exact under injectivity on the
       // realized vocabulary
-      val osh = docs.select(col("doc_id").as("_oid"),
+      val osh = graft.core.Rebalance.computeDense(docs)
+        .select(col("doc_id").as("_oid"),
         array_sort(transform(TF.shingles(col("text"), 3),
           t => xxhash64(t))).as("_osh"))
-      val nsh = batch.select(col("doc_id").as("_nid"),
+      val nsh = graft.core.Rebalance.computeDense(batch)
+        .select(col("doc_id").as("_nid"),
         array_sort(transform(TF.shingles(col("text"), 3),
           t => xxhash64(t))).as("_nsh"))
       val inter = graft.functions.SortedIntersectCount
@@ -1464,7 +1480,8 @@ object DocQueries {
       // count) — persist the scored frame so the quality kernel runs ONCE
       // over the corpus, not once per action (the suite-runner pattern:
       // Bench/Verify clearCache() after each gate releases it)
-      val scored = t(s, dir, "documents")
+      val scored = graft.core.Rebalance
+        .computeDense(t(s, dir, "documents"))
         .select(col("doc_id"), col("source"),
           TF.qualityScore(col("text")).as("q"))
         .persist()
@@ -1497,8 +1514,9 @@ object DocQueries {
       // text exactly (a dropped/duplicated/reordered symbol breaks it)
       val docs = t(s, dir, "documents")
       val merges = graft.functions.Bpe.train(docs, "text", numMerges = 6)
-      val base = docs.select(col("doc_id"), col("text"),
-        graft.functions.Bpe.encode(col("text"), merges).as("syms"))
+      val base = graft.core.Rebalance.computeDense(docs)
+        .select(col("doc_id"), col("text"),
+          graft.functions.Bpe.encode(col("text"), merges).as("syms"))
       // Verify persists so the aux dump and the n_syms output share one
       // encode pass; the bench path encodes once with no cache at all
       val encoded = if (Aux.enabled) base.persist() else base
@@ -1517,9 +1535,10 @@ object DocQueries {
       val docs = t(s, dir, "documents")
       val merges = graft.functions.Bpe.train(docs, "text", numMerges = 6)
       val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-      val enc = docs.select(col("doc_id"), col("lang"),
-        length(translate(norm, " ", "")).as("_nc"),
-        size(graft.functions.Bpe.encode(col("text"), merges)).as("_nt"))
+      val enc = graft.core.Rebalance.computeDense(docs)
+        .select(col("doc_id"), col("lang"),
+          length(translate(norm, " ", "")).as("_nc"),
+          size(graft.functions.Bpe.encode(col("text"), merges)).as("_nt"))
       val encP = if (Aux.enabled) enc.persist() else enc
       Aux.write(encP.select(col("doc_id"), col("_nt")),
         s"/tmp/graft_oracle_aux/${Sql.sfTag(dir)}/bpe_tokens")
@@ -1958,8 +1977,9 @@ object DocQueries {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val model = graft.functions.Unigram.train(docs, "text",
         vocabSize = 300, maxPieceLen = 6, emIters = 2)
-      val enc = docs.select(col("doc_id"), col("text"),
-        graft.functions.Unigram.encodeTokens(col("text"), model).as("toks"))
+      val enc = graft.core.Rebalance.computeDense(docs)
+        .select(col("doc_id"), col("text"),
+          graft.functions.Unigram.encodeTokens(col("text"), model).as("toks"))
         .persist()
       Aux.write(enc.select(col("doc_id"),
           posexplode(col("toks")).as(Seq("pos", "token"))),
@@ -1990,9 +2010,10 @@ object DocQueries {
       val model = graft.functions.Unigram.train(docs, "text",
         vocabSize = 300, maxPieceLen = 6, emIters = 2)
       val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-      val enc = docs.select(col("doc_id"), col("lang"),
-        length(translate(norm, " ", "")).as("_nc"),
-        size(graft.functions.Bpe.encode(col("text"), merges)).as("_nb"),
+      val enc = graft.core.Rebalance.computeDense(docs)
+        .select(col("doc_id"), col("lang"),
+          length(translate(norm, " ", "")).as("_nc"),
+          size(graft.functions.Bpe.encode(col("text"), merges)).as("_nb"),
         size(graft.functions.Unigram.encodeTokens(col("text"), model))
           .as("_nu"))
       val encP = if (Aux.enabled) enc.persist() else enc

@@ -1396,7 +1396,7 @@ object ExtraQueries {
     "q_session_baskets" -> ((s, dir) => {
       // sessionize per USER ONLY (an extra grouping key would split the
       // gap-merge), then explode the bounded per-session item set
-      val inc = t(s, dir, "events")
+      val inc = graft.core.Rebalance.computeDense(t(s, dir, "events"))
         .groupBy(col("user_id"),
           session_window(col("ts"), "30 minutes").as("sw"))
         .agg(collect_set(col("event_type")).as("_items"))
@@ -2777,14 +2777,18 @@ object ExtraQueries {
 
     "q_exact_kth" -> ((s, dir) => {
       // exact order statistics WITHOUT a global sort: iterative histogram
-      // narrowing (O(log) scans, <=256 driver rows per round) must return
-      // the exact rank-k values DuckDB finds by sorting
+      // narrowing must return the exact rank-k values DuckDB finds by
+      // sorting. bins=4096 (vs the old 256) keeps driver state trivial
+      // (<=4096 rows/round) while one shared histogram usually lands every
+      // rank's bucket under the direct cutoff — rounds, i.e. scans, are
+      // the gate's whole cost; bins only route, the selected VALUES are
+      // rank-exact either way
       val li = t(s, dir, "lineitem")
       val n = li.filter(col("l_extendedprice").isNotNull).count()
       val ks = Seq(1L, n / 4, n / 2, (3 * n) / 4, n).distinct.filter(_ >= 1)
       graft.operators.ExactQuantile
         .kthSmallestMulti(s, li, "l_extendedprice", ks,
-          bins = 256, directCutoff = 5000L)
+          bins = 4096, directCutoff = 5000L)
         .orderBy(col("k"))
     }),
 

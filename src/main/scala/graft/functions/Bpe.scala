@@ -28,7 +28,8 @@ object Bpe {
     * vocabulary-sized forever. Words are lowercased `\s+` tokens; symbols
     * start as single characters. */
   def typeTable(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(split(trim(regexp_replace(lower(col(textCol)),
+    graft.core.Rebalance.computeDense(df)
+      .select(explode(split(trim(regexp_replace(lower(col(textCol)),
         "\\s+", " ")), " ")).as("_word"))
       .filter(length(col("_word")) > 0)
       .groupBy(col("_word")).agg(count(lit(1)).as("_freq"))

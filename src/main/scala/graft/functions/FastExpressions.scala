@@ -68,6 +68,92 @@ object TokenCount {
       "fast_token_count", exprs => TokenCount(exprs.head), "built-in")
 
   def fast_token_count(c: Column): Column = call_function("fast_token_count", c)
+
+  /** Column form without a per-session registry round-trip (library path). */
+  def token_count(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(TokenCount(
+      org.apache.spark.sql.GraftColumnBridge.expression(c)))
+}
+
+/** Count of MAXIMAL RUNS of characters from an ASCII class — the codegen
+  * replacement for `size(regexp_extract_all(text, "[class]+", 0))` on the
+  * per-document hot paths (readability's sentence runs `[.!?]+` and
+  * vowel-group syllable proxy `[aeiouy]+`). The regex spelling walks the
+  * string through the regex engine AND materializes an array of every
+  * matched substring per row just to take its length; this kernel is one
+  * UTF-8 byte scan against a 128-slot membership table, allocation-free,
+  * fully inside whole-stage codegen.
+  *
+  * Byte-level membership is EXACTLY codepoint-level for ASCII-only
+  * classes: every byte of a multi-byte UTF-8 codepoint is >= 0x80, never a
+  * member, so non-ASCII codepoints break runs precisely like any
+  * non-member ASCII char does under the regex. Constructor rejects
+  * non-ASCII classes, so the equivalence is total. Parity with
+  * `size(regexp_extract_all(_, "[members]+", 0))` is spec-pinned and was
+  * validated corpus-wide (0 mismatches at sf1) for both readability
+  * patterns before the swap. */
+case class CharClassRuns(child: Expression, members: String)
+    extends UnaryExpression {
+  require(members.nonEmpty && members.forall(_ < 0x80),
+    s"char class must be non-empty ASCII, got: '$members'")
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_class_runs needs a string, got ${child.dataType}")
+
+  @transient private lazy val table: Array[Boolean] =
+    CharClassRuns.buildTable(members)
+
+  override def nullSafeEval(input: Any): Any =
+    CharClassRuns.countRuns(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the table rides as a reference object (a boolean[] literal can't be
+    // spelled inline in generated Java without a per-row rebuild)
+    val tbl = ctx.addReferenceObj("charClassTable", table, "boolean[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CharClassRuns.countRuns($c, $tbl)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharClassRuns = copy(child = newChild)
+
+  override def prettyName: String = "char_class_runs"
+}
+
+object CharClassRuns {
+  private[graft] def buildTable(members: String): Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    members.foreach(c => t(c.toInt) = true)
+    t
+  }
+
+  /** Called from generated code — must stay a static-forwardable method.
+    * Signed-byte trick: UTF-8 continuation/lead bytes are >= 0x80, i.e.
+    * negative as a JVM byte, so `b >= 0 && table(b)` is the full
+    * membership test with no masking. */
+  def countRuns(s: UTF8String, table: Array[Boolean]): Int = {
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val offset = s.getBaseOffset
+    var count = 0
+    var inRun = false
+    var i = 0
+    while (i < n) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, offset + i)
+      val member = b >= 0 && table(b)
+      if (member && !inRun) { count += 1; inRun = true }
+      else if (!member) inRun = false
+      i += 1
+    }
+    count
+  }
+
+  /** Column form without a per-session registry round-trip (library path). */
+  def char_class_runs(c: Column, members: String): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(CharClassRuns(
+      org.apache.spark.sql.GraftColumnBridge.expression(c), members))
 }
 
 /** Cosine similarity between two float-array columns as one codegen'd

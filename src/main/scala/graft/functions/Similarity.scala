@@ -675,7 +675,9 @@ object Similarity {
       val arr = array((0 until dim).map(j => lit(sign(j, o))): _*)
       DecimalDot.decimal_dot(col(vecCol), arr).as(s"_p$o")
     }
-    df.select(col(idCol) +: projs: _*)
+    // outDims decimal-exact dot products of `dim` floats PER ROW at the
+    // scan — compute-dense (Rebalance doc)
+    graft.core.Rebalance.computeDense(df).select(col(idCol) +: projs: _*)
       .select(col(idCol), posexplode(
         array((0 until outDims).map(o => col(s"_p$o")): _*))
         .as(Seq("o", "proj")))

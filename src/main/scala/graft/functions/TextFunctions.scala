@@ -137,7 +137,9 @@ object TextFunctions {
   def qualitySignalsTable(df: org.apache.spark.sql.DataFrame,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val text = col(textCol)
-    val staged = df
+    // three regex normalizations + a stopword filter per document --
+    // compute-dense scan (Rebalance doc); streaming inputs pass through
+    val staged = graft.core.Rebalance.computeDense(df)
       .withColumn("_qs_t", trim(text))
       .withColumn("_qs_norm", trim(regexp_replace(text, "\\s+", " ")))
       .withColumn("_qs_norml", trim(regexp_replace(lower(text), "\\s+", " ")))
@@ -360,7 +362,8 @@ object TextFunctions {
   def lineFilterTable(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, minWords: Int = 3, maxUpperRatio: Double = 0.6,
       boilerplate: Seq[String] = boilerplateLines): org.apache.spark.sql.DataFrame =
-    df.withColumn("_lines", split(col(textCol), "\n"))
+    graft.core.Rebalance.computeDense(df)
+      .withColumn("_lines", split(col(textCol), "\n"))
       .withColumn("_kept",
         filterLinesArr(col("_lines"), minWords, maxUpperRatio, boilerplate))
       .select(col(idCol),
@@ -385,8 +388,8 @@ object TextFunctions {
     * aggregate — partial aggregation map-side, then joined back. */
   def repetitionSignalsTable(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val staged = df.withColumn("_r_words",
-      split(trim(lower(col(textCol))), "\\s+"))
+    val staged = graft.core.Rebalance.computeDense(df)
+      .withColumn("_r_words", split(trim(lower(col(textCol))), "\\s+"))
     val words = col("_r_words")
     val n = size(words)
     val bigrams = filter(
@@ -636,7 +639,7 @@ object TextFunctions {
     * code unit; identical to codepoints for BMP text (all fixtures). */
   def charEntropyTable(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val cnt = df
+    val cnt = graft.core.Rebalance.computeDense(df)
       .select(col(idCol), length(col(textCol)).cast(DoubleType).as("_len"),
         explode(split(col(textCol), "")).as("_c"))
       .filter(col("_len") > 0)
@@ -771,16 +774,27 @@ object TextFunctions {
   /** Flesch-style readability signals: words, sentence runs ([.!?]+,
     * floored at 1 — streaming text often drops terminal punctuation),
     * vowel-group syllable proxy, and the classic
-    * `206.835 − 1.015·(w/s) − 84.6·(syl/w)` score. Pure per-row regex
-    * counts (integers) plus one double formula — zero shuffle,
-    * engine-replayable. Empty documents yield null. */
+    * `206.835 − 1.015·(w/s) − 84.6·(syl/w)` score. Pure per-row counts
+    * (integers) plus one double formula — zero shuffle, engine-replayable.
+    * Empty documents yield null.
+    *
+    * This is a corpus-wide per-document hot kernel, so all three counts
+    * run as codegen'd byte scans ([[graft.functions.TokenCount]],
+    * [[graft.functions.CharClassRuns]]) rather than regex spellings that
+    * materialize a match array per row just to take its length — identical
+    * values (run-count semantics are the same; parity spec-pinned and
+    * validated corpus-wide against `size(regexp_extract_all(...))`), at
+    * scan speed. The syllable scan stays over `lower(text)` — lowercasing
+    * in the KERNEL's table instead would diverge from the regex twin on
+    * exotic uppercase codepoints whose Unicode lowercase introduces an
+    * ASCII vowel (e.g. U+0130 → "i" + combining dot). */
   def readabilityTable(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val words = tokenCount(col(textCol))
+    import graft.functions.{CharClassRuns, TokenCount}
+    val words = TokenCount.token_count(col(textCol))
     val sents = greatest(
-      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))), lit(1))
-    val syl = size(regexp_extract_all(lower(col(textCol)),
-      lit("[aeiouy]+"), lit(0)))
+      CharClassRuns.char_class_runs(col(textCol), ".!?"), lit(1))
+    val syl = CharClassRuns.char_class_runs(lower(col(textCol)), "aeiouy")
     val score = lit(206.835) -
       lit(1.015) * (words.cast(DoubleType) / sents.cast(DoubleType)) -
       lit(84.6) * (syl.cast(DoubleType) / words.cast(DoubleType))
@@ -809,7 +823,10 @@ object TextFunctions {
     val p = phrases.select(col(phraseIdCol).as("_pid"),
       norm(col(phraseCol)).as("_p"))
       .withColumn("_k", size(split(col("_p"), " ")))
-    val d = docs.select(col(idCol), norm(col(textCol)).as("_t"))
+    // the docs side rolls window hashes per document at the scan —
+    // compute-dense (Rebalance doc)
+    val d = graft.core.Rebalance.computeDense(docs)
+      .select(col(idCol), norm(col(textCol)).as("_t"))
     val lengths = p.select(col("_k")).distinct().collect()
       .map(_.getInt(0)).filter(_ >= 1).sorted
     val verified = (k: org.apache.spark.sql.DataFrame) => k

@@ -67,13 +67,25 @@ object AnomalyDetector {
     * (≥2 then degenerates to AND) — documented fallback for frames with no
     * stable key. When the iForest runs, its per-row vote is kept as
     * `_meta_iforest_flag` so downstream audits (and the correctness oracle)
-    * can consume the deterministic flag without refitting. */
+    * can consume the deterministic flag without refitting.
+    *
+    * The input is rebalanced ([[graft.core.Rebalance.computeDense]]) —
+    * the stats percentiles and the forest scoring are compute-dense, and
+    * an under-split source (one-row-group parquet) would otherwise run
+    * them on one core — and, under `retainScored`, persisted, so the
+    * stats aggregate, the iForest fit's ordered driver sample, and the
+    * scoring/cutoff pass share one materialized scan instead of three
+    * source reads. Caller-owned caches (this one and the scored frame
+    * inside `detect`) — release via `spark.catalog.clearCache()`, the
+    * Verify-harness convention. */
   def combined(df: DataFrame, fields: Seq[String],
       zThreshold: Double = 3.0, iqrFactor: Double = 1.5,
       iforestOrderCol: Option[String] = None,
       contamination: Double = 0.1, numTrees: Int = 100,
       retainScored: Boolean = false): DataFrame = {
-    val stats = collectStats(df, fields) // ONE stats job serves both methods
+    val balanced = graft.core.Rebalance.computeDense(df)
+    val src = if (retainScored) balanced.persist() else balanced
+    val stats = collectStats(src, fields) // ONE stats job serves both methods
     val z = anyFieldFlag(fields, stats, zThreshold, "zscore")
     val i = anyFieldFlag(fields, stats, iqrFactor, "iqr")
     val (base, ifVote) = iforestOrderCol match {
@@ -82,13 +94,13 @@ object AnomalyDetector {
         // reuses it instead of running its own means aggregate;
         // retainScored passes through to detect (caller-owned cache —
         // release via catalog.clearCache, the Verify-harness convention)
-        val d = IsolationForest.detect(df, fields, oc, contamination, numTrees,
+        val d = IsolationForest.detect(src, fields, oc, contamination, numTrees,
           knownMeans = Some(fields.map(f => stats(f).mu).toArray),
           retainScored = retainScored)
           .withColumnRenamed("_meta_is_anomaly", "_meta_iforest_flag")
           .drop("_meta_anomaly_method", "_iforest_score")
         (d, col("_meta_iforest_flag").cast(IntegerType))
-      case None => (df, lit(0))
+      case None => (src, lit(0))
     }
     val withFlags = base
       .withColumn("_z", z).withColumn("_i", i)

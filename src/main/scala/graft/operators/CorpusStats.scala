@@ -29,7 +29,10 @@ object CorpusStats {
   def corpusCard(df: DataFrame, textCol: String,
       groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "corpusCard needs at least one group column")
-    val grouped = df
+    // the per-doc token/quality kernels evaluate in the partial aggregate
+    // ON the scan -- compute-dense (Rebalance doc); avg(quality) partials
+    // are exact quarters, so the repartition is order-proof
+    val grouped = graft.core.Rebalance.computeDense(df)
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_docs"),
@@ -164,7 +167,8 @@ object CorpusStats {
 
   def sourceOverlap(df: DataFrame, textCol: String, groupCol: String,
       k: Int = 3): DataFrame = {
-    val pairs = df.select(col(groupCol).as("_g"),
+    val pairs = graft.core.Rebalance.computeDense(df)
+      .select(col(groupCol).as("_g"),
         explode(graft.operators.MinHashDedup.shingles(col(textCol), k))
           .as("_sh"))
       .groupBy(xxhash64(col("_sh")).as("_h"))
@@ -201,7 +205,8 @@ object CorpusStats {
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    val sh = df.select(col(idCol).as("_id"),
+    val sh = graft.core.Rebalance.computeDense(df)
+      .select(col(idCol).as("_id"),
         explode(graft.operators.MinHashDedup.shingles(col(textCol), n))
           .as("_sh"))
       .distinct()

@@ -185,7 +185,9 @@ object MinHashDedup {
     // exploded corpus; now nothing shuffles until the band window. The
     // kernel's values are identical (min over windows = min over distinct
     // shingles; per-seed hash folds replayed exactly — FastExprAndIvfSpec).
-    val sig = df.select(col(idCol),
+    // numHashes seed-folds per document — compute-dense, so the kernel
+    // must not inherit an under-split scan's task count (Rebalance doc)
+    val sig = graft.core.Rebalance.computeDense(df).select(col(idCol),
       graft.functions.MinHashSig.minhash_sig(col(textCol), k, numHashes)
         .as("_sig"))
     val bandCols = (0 until bands).map { b =>
@@ -281,7 +283,8 @@ object MinHashDedup {
   def fuzzyDedup(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 3, numHashes: Int = 64,
       bands: Int = 16, maxIters: Int = 30): DataFrame = {
-    val sh = df.select(col(idCol), shingles(col(textCol), k).as("_sh"))
+    val sh = graft.core.Rebalance.computeDense(df)
+      .select(col(idCol), shingles(col(textCol), k).as("_sh"))
     // verifier rounds half-up at e4: prefix sized one ulp below t so
     // boundary pairs that round up remain provable candidates. The
     // verifier itself is UNCHANGED from the two-relation spelling (same
@@ -319,7 +322,8 @@ object MinHashDedup {
       k: Int = 3, numHashes: Int = 64, bands: Int = 16): NearDupIndex =
     NearDupIndex(
       bucketTable(df, idCol, textCol, k, numHashes, bands),
-      df.select(col(idCol), shingles(col(textCol), k).as("_sh")))
+      graft.core.Rebalance.computeDense(df)
+        .select(col(idCol), shingles(col(textCol), k).as("_sh")))
 
   /** Incremental fuzzy screen — the ingest-time question "is this new
     * document a near-dup of ANYTHING already in the corpus": candidates
@@ -361,7 +365,8 @@ object MinHashDedup {
     def enc(c: Column): Column =
       array_sort(transform(c, t => xxhash64(t)))
     val sortedSh = array_sort(shingles(col(textCol), k))
-    val nrows = newDocs.select(col(idCol).as("_nid"), sortedSh.as("_nsh"))
+    val nrows = graft.core.Rebalance.computeDense(newDocs)
+      .select(col(idCol).as("_nid"), sortedSh.as("_nsh"))
       .withColumn("_nkey", md5(concat_ws("\u0000", col("_nsh"))))
       .withColumn("_nsh", enc(col("_nsh")))
     val ngroups = nrows.groupBy(col("_nkey"))
@@ -450,7 +455,7 @@ object SimHash {
     * Returns (idCol, simhash). */
   def simhashTable(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, bits: Int = 64): DataFrame =
-    df.select(col(idCol),
+    graft.core.Rebalance.computeDense(df).select(col(idCol),
       graft.functions.SimHashSig.simhash_sig(col(textCol), k, bits)
         .as("simhash"))
 
@@ -458,7 +463,7 @@ object SimHash {
     * for the regression test). */
   private[graft] def simhashTableAggForm(df: DataFrame, idCol: String,
       textCol: String, k: Int = 3, bits: Int = 64): DataFrame = {
-    val ex = df
+    val ex = graft.core.Rebalance.computeDense(df)
       .select(col(idCol), explode_outer(MinHashDedup.shingles(col(textCol), k)).as("_sh"))
       .withColumn("_h", xxhash64(col("_sh"))) // hashed once, reused by all bits
     val votes = (0 until bits).map { b =>
@@ -652,7 +657,8 @@ object SubstrDedup {
     * materialize it as the oracle aux. */
   def windows(df: DataFrame, idCol: String, textCol: String,
       k: Int = 12): DataFrame =
-    df.select(col(idCol),
+    // per-word xxhash + O(n) roll per document — compute-dense scan
+    graft.core.Rebalance.computeDense(df).select(col(idCol),
       posexplode(graft.functions.TextFunctions.windowHashes(
         split(trim(regexp_replace(col(textCol), "\\s+", " ")), " "), k))
         .as(Seq("win_pos", "win_hash")))

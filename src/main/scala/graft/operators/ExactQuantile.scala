@@ -127,7 +127,13 @@ object ExactQuantile {
     require(k >= 1, s"k must be >= 1, got $k")
     require(bins >= 2, s"bins must be >= 2, got $bins")
     checkCutoff(directCutoff)
-    kthRec(cleanVals(df, valueCol), k, bins, directCutoff)
+    // single-column projection persisted across the narrowing rounds —
+    // same rationale as [[kthSmallestMulti]]; released before returning
+    // (kthRec is eager)
+    val vals = cleanVals(df, valueCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try kthRec(vals, k, bins, directCutoff)
+    finally vals.unpersist(blocking = false)
   }
 
   /** EXACT per-group quantile without per-group value maps: Spark's exact
@@ -365,25 +371,35 @@ object ExactQuantile {
     require(ks.nonEmpty, "ks must be non-empty")
     require(ks.forall(_ >= 1), s"all ranks must be >= 1, got $ks")
     checkCutoff(directCutoff)
+    // the VALUES PROJECTION is materialized once (MEMORY_AND_DISK — a
+    // single double column, so it spills rather than evicts): the shared
+    // stats pass, the shared histogram, and every rank's private
+    // narrowing rounds otherwise EACH re-read the source — at 100 TB,
+    // multi-rank selection over a wide table would re-scan the corpus
+    // O(ranks·log) times for one column. Results are computed eagerly
+    // below, so the cache is released before returning.
     val vals = cleanVals(df, valueCol)
-    val sorted = ks.distinct.sorted
-    val (n, lo, hi) = stats(vals)
-    require(sorted.last <= n, s"rank ${sorted.last} exceeds count $n")
-    val results: Seq[(Long, Double)] =
-      if (lo == hi) sorted.map(_ -> lo)
-      else if (n <= directCutoff) sorted.map(k => k -> direct(vals, k))
-      else {
-        val hist = histogram(vals, lo, hi, bins)
-        sorted.map(k => (k, locate(hist, k)))
-          .groupBy { case (_, (bucket, _)) => bucket }
-          .toSeq
-          .flatMap { case (bucket, group) =>
-            val narrowed = vals.filter(bucketOf(lo, hi, bins) === lit(bucket))
-            group.map { case (k, (_, below)) =>
-              k -> kthRec(narrowed, k - below, bins, directCutoff)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sorted = ks.distinct.sorted
+      val (n, lo, hi) = stats(vals)
+      require(sorted.last <= n, s"rank ${sorted.last} exceeds count $n")
+      val results: Seq[(Long, Double)] =
+        if (lo == hi) sorted.map(_ -> lo)
+        else if (n <= directCutoff) sorted.map(k => k -> direct(vals, k))
+        else {
+          val hist = histogram(vals, lo, hi, bins)
+          sorted.map(k => (k, locate(hist, k)))
+            .groupBy { case (_, (bucket, _)) => bucket }
+            .toSeq
+            .flatMap { case (bucket, group) =>
+              val narrowed = vals.filter(bucketOf(lo, hi, bins) === lit(bucket))
+              group.map { case (k, (_, below)) =>
+                k -> kthRec(narrowed, k - below, bins, directCutoff)
+              }
             }
-          }
-      }
-    results.sortBy(_._1).toDF("k", "value")
+        }
+      results.sortBy(_._1).toDF("k", "value")
+    } finally vals.unpersist(blocking = false)
   }
 }

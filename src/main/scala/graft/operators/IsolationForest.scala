@@ -208,7 +208,11 @@ object IsolationForest {
     val featureArr = array(fields.map(f => col(f).cast(DoubleType)): _*)
     val scoreCol = org.apache.spark.sql.GraftColumnBridge.column(ScoreExpr(
       org.apache.spark.sql.GraftColumnBridge.expression(featureArr), model))
-    val scoredPlain = df.withColumn("_iforest_score", scoreCol)
+    // scoring is numTrees tree-walks PER ROW — compute-dense, so it must
+    // not inherit an under-split scan's task count (a one-row-group
+    // parquet file would otherwise run the whole forest on one core)
+    val scoredPlain = graft.core.Rebalance.computeDense(df)
+      .withColumn("_iforest_score", scoreCol)
     val scored = if (retainScored) scoredPlain.persist() else scoredPlain
     val statsRow = scored.agg(
       expr(s"percentile(_iforest_score, ${1.0 - contamination})"),

@@ -45,7 +45,9 @@ object NgramLm {
       vocabSize: Long)
 
   def train(df: DataFrame, textCol: String): Model = {
-    val ws = df.select(words(col(textCol)).as("_ws"))
+    // word split + bigram build per doc at the scan -- compute-dense
+    val ws = graft.core.Rebalance.computeDense(df)
+      .select(words(col(textCol)).as("_ws"))
     val uni = ws.select(explode(col("_ws")).as("_w"))
       .groupBy(xxhash64(col("_w")).as("_h"))
       .agg(count(lit(1)).as("_cnt"))
@@ -61,7 +63,8 @@ object NgramLm {
   def score(df: DataFrame, idCol: String, textCol: String,
       model: Model): DataFrame = {
     val v = model.vocabSize.toDouble
-    val inst = df.select(col(idCol),
+    val inst = graft.core.Rebalance.computeDense(df)
+      .select(col(idCol),
         explode_outer(bigramsOf(words(col(textCol)))).as("_bg"))
       .withColumn("_bh", xxhash64(col("_bg")))
       .withColumn("_ph",

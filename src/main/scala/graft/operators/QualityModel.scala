@@ -32,7 +32,14 @@ object QualityModel {
   /** The learned linear decision boundary. */
   final case class Boundary(coefficients: Seq[Double], intercept: Double)
 
-  private def featurize(df: DataFrame, idCol: String,
+  /** The featurized frame: (id, features..., quality). PUBLIC so a caller
+    * scoring the corpus it also trains on can persist THIS frame once and
+    * feed both [[trainFeaturized]] and [[scoreFeaturized]] — the feature
+    * kernel (three regex normalizations + a stopword filter per document)
+    * is the gate's dominant per-row cost, and without sharing it runs once
+    * for the training aggregate, once for MLlib's instance materialization
+    * and once for scoring. */
+  def featurize(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     TF.qualitySignalsTable(df, textCol)
       .withColumn("n_tokens_d", TF.tokenCount(col(textCol)).cast(DoubleType))
@@ -48,8 +55,17 @@ object QualityModel {
     * partitioning). */
   def train(df: DataFrame, idCol: String, textCol: String,
       labelThreshold: Double = 0.75, maxIter: Int = 25,
-      regParam: Double = 0.01, tol: Double = 1e-6): Boundary = {
-    val labeled = featurize(df, idCol, textCol).withColumn("label",
+      regParam: Double = 0.01, tol: Double = 1e-6): Boundary =
+    trainFeaturized(featurize(df, idCol, textCol), labelThreshold, maxIter,
+      regParam, tol)
+
+  /** [[train]] over an ALREADY-featurized frame (see [[featurize]]) — the
+    * spelling for callers sharing one persisted feature pass between
+    * training and scoring. */
+  def trainFeaturized(features: DataFrame, labelThreshold: Double = 0.75,
+      maxIter: Int = 25, regParam: Double = 0.01,
+      tol: Double = 1e-6): Boundary = {
+    val labeled = features.withColumn("label",
       when(col("quality") >= labelThreshold, 1.0).otherwise(0.0))
     val classes = labeled.agg(
       sum(col("label")).as("pos"), count(lit(1)).as("n")).head()
@@ -83,11 +99,15 @@ object QualityModel {
   /** Score a corpus with a learned boundary: margin = w·f + b as an
     * explicit left-assoc chain, ml_keep = margin ≥ 0. */
   def score(df: DataFrame, idCol: String, textCol: String,
-      boundary: Boundary): DataFrame = {
+      boundary: Boundary): DataFrame =
+    scoreFeaturized(featurize(df, idCol, textCol), boundary)
+
+  /** [[score]] over an ALREADY-featurized frame (see [[featurize]]). */
+  def scoreFeaturized(features: DataFrame, boundary: Boundary): DataFrame = {
     val margin: Column = featureNames.zip(boundary.coefficients)
       .map { case (f, wi) => lit(wi) * col(f) }
       .reduceLeft(_ + _) + lit(boundary.intercept)
-    featurize(df, idCol, textCol)
+    features
       .withColumn("margin", margin)
       .withColumn("ml_keep", col("margin") >= 0.0)
   }

@@ -84,7 +84,7 @@ object SetSimJoin {
       .where(col("_t").isNotNull).distinct()
     if (elemType(df, setCol) != StringType) return toks.count()
     val byHash = toks.groupBy(hashCol(col("_t")).as("_h"))
-      .agg(count(lit(1)).as("_m"), max(col("_t")).as("_anyTok"))
+      .agg(count(lit(1)).as("_m"))
     val agg = byHash
       .agg(count(lit(1)).as("_vocabHashes"), max(col("_m")).as("_maxm"),
         sum(col("_m")).as("_vocab")).head()
@@ -273,8 +273,19 @@ object SetSimJoin {
     val keyArr =
       if (et == StringType) col("_set")
       else transform(col("_set"), e => e.cast("string"))
+    // integral sets strip null ELEMENTS up front: they skip the encode, so
+    // their raw array feeds [[graft.functions.SortedIntersectCount]]'s
+    // null-free getLong walk directly — array_sort puts nulls last and the
+    // kernel would read them as garbage longs. A null is not a token, so
+    // dropping it is set semantics, and the group key below then agrees
+    // with the verified sets. String sets are non-null by construction
+    // (shingle/tokenizer outputs declare containsNull = false) — no HOF
+    // pass spent on them.
+    val inSet =
+      if (et == StringType) col(setCol)
+      else filter(col(setCol), e => e.isNotNull)
     val rows = df
-      .select(col(idCol).as("_id"), array_sort(col(setCol)).as("_set"))
+      .select(col(idCol).as("_id"), array_sort(inSet).as("_set"))
       .withColumn("_key", md5(concat_ws("\u0000", keyArr)))
       .withColumn("_set",
         if (et == StringType) array_sort(encoded(col("_set"), et))

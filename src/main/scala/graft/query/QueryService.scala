@@ -77,13 +77,38 @@ object QueryService {
     * distinct-value mass, not N copies of the table.
     *
     * Values compare as strings (one common struct type for the stacked
-    * array): Spark's casts are value-injective for the profiled types
-    * (shortest-round-trip doubles, microsecond timestamps), and ±0.0 —
-    * where the string split ("−0.0"/"0.0") diverges from SQL distinct
-    * semantics — is pre-normalized for float columns. Null values are
-    * excluded, matching `count(DISTINCT c)`. */
-  private def distinctCounts(df: DataFrame, columns: Seq[String]): DataFrame = {
-    val pairs = columns.map { c =>
+    * array): Spark's casts are value-injective for the SCALAR profiled
+    * types (shortest-round-trip doubles, microsecond timestamps), and
+    * ±0.0 — where the string split ("−0.0"/"0.0") diverges from SQL
+    * distinct semantics — is pre-normalized for float columns. The cast
+    * is NOT injective for complex types (array<string> ["a, b"] and
+    * ["a","b"] both render "[a, b]"), so complex-typed columns take a
+    * separate exact `countDistinct` aggregate instead — Catalyst's Expand
+    * there fans rows only |complexCols| ways, and profiled tables are
+    * overwhelmingly scalar, so the stacked fast path keeps the hot cost.
+    * Null values are excluded, matching `count(DISTINCT c)`. */
+  private[graft] def distinctCounts(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val (scalarCols, complexCols) = columns.partition(c =>
+      df.schema(c).dataType match {
+        case _: ArrayType | _: MapType | _: StructType => false
+        case _ => true
+      })
+    val complexPart =
+      if (complexCols.isEmpty) None
+      else {
+        val aggs = complexCols.map(c =>
+          countDistinct(col(c)).as(s"${c}__nd"))
+        val row = df.agg(aggs.head, aggs.tail: _*)
+        Some(complexCols.map(c =>
+          row.select(lit(c).as("column_name"),
+            col(s"${c}__nd").as("n_distinct"))).reduce(_ unionByName _))
+      }
+    if (scalarCols.isEmpty)
+      return complexPart.getOrElse(
+        df.sparkSession.emptyDataFrame
+          .select(lit("").as("column_name"), lit(0L).as("n_distinct"))
+          .limit(0))
+    val pairs = scalarCols.map { c =>
       val cc = df.schema(c).dataType match {
         // -0.0 and 0.0 are equal under SQL DISTINCT but not as strings
         case DoubleType | FloatType =>
@@ -92,11 +117,12 @@ object QueryService {
       }
       struct(lit(c).as("column_name"), cc.cast(StringType).as("v"))
     }
-    df.select(explode(array(pairs: _*)).as("p"))
+    val scalarPart = df.select(explode(array(pairs: _*)).as("p"))
       .select(col("p.column_name").as("column_name"), col("p.v").as("v"))
       .where(col("v").isNotNull)
       .groupBy(col("column_name"), col("v")).agg(count(lit(1)).as("_n"))
       .groupBy(col("column_name")).agg(count(lit(1)).as("n_distinct"))
+    complexPart.fold(scalarPart)(scalarPart.unionByName(_))
   }
 
   /** Per-column profile (`duckdb_service.py:115-253`): numeric min/max/mean/

@@ -21,6 +21,58 @@ class FastExprAndIvfSpec extends SparkSuite {
     assert(got == Seq(0, 0, 1, 4))
   }
 
+  test("char_class_runs matches size(regexp_extract_all) on documents") {
+    import graft.functions.CharClassRuns.char_class_runs
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+    // both readability patterns, corpus-wide parity
+    val mismatches = docs.select(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).as("rs"),
+      char_class_runs(col("text"), ".!?").as("fs"),
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+        .as("rv"),
+      char_class_runs(lower(col("text")), "aeiouy").as("fv"))
+      .filter(col("rs") =!= col("fs") || col("rv") =!= col("fv")).count()
+    assert(mismatches == 0)
+    // edge cases incl. multi-byte codepoints breaking runs, leading/trailing
+    // runs, adjacent runs, and null text (null in, null out — like the regex)
+    val edge = Seq[(Integer, String)]((1, ""), (2, "!!!"), (3, "a!b?c."),
+      (4, "!.a?!"), (5, "aeiouéaeiou"), (6, "x中y!中!"),
+      (7, null)).toDF("id", "t")
+    val got = edge.select(col("id"),
+      char_class_runs(col("t"), ".!?").as("f"),
+      size(regexp_extract_all(col("t"), lit("[.!?]+"), lit(0))).as("r"))
+      .orderBy("id").collect()
+    got.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null mismatch: $r")
+      if (!r.isNullAt(1)) assert(r.getInt(1) == r.getInt(2), s"value: $r")
+    }
+    // vowel parity on the é case: 'é' is not an ASCII member, so it must
+    // SPLIT the aeiou runs exactly like the regex does (2 runs, not 1)
+    val eAcute = Seq("aeiouéaeiou").toDF("t")
+      .select(char_class_runs(col("t"), "aeiouy")).head().getInt(0)
+    assert(eAcute == 2)
+    intercept[IllegalArgumentException] {
+      graft.functions.CharClassRuns(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("t")), "é")
+    }
+  }
+
+  test("char_class_runs and library token_count are codegen'd in readabilityTable") {
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+    val plan = TF.readabilityTable(docs, "doc_id", "text")
+      .queryExecution.executedPlan
+    assert(plan.toString.contains("char_class_runs"))
+    assert(plan.toString.contains("fast_token_count"))
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty)
+    // the bridge Column form (no registry) agrees with the regex tokenCount
+    val tokMismatch = docs.select(TF.tokenCount(col("text")).as("slow"),
+      TokenCount.token_count(col("text")).as("fast"))
+      .filter(col("slow") =!= col("fast")).count()
+    assert(tokMismatch == 0)
+  }
+
   test("fast_token_count participates in whole-stage codegen") {
     TokenCount.register(spark)
     val docs = graft.core.Tables.table(spark, sfDir, "documents")

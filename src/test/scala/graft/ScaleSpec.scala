@@ -85,11 +85,13 @@ class ScaleSpec extends SparkSuite {
   test("kernel signature stages plan without a shuffle") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.table(spark, sfDir, "documents")
-    // simhashTable is a pure projection: zero exchanges anywhere
+    // simhashTable is a per-row kernel behind ONE compute-dense
+    // round-robin rebalance (r12) — never a hash shuffle
     val simPlan = graft.operators.SimHash
       .simhashTable(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
-    assert(!simPlan.contains("Exchange"), simPlan)
+    assert(!simPlan.contains("Exchange hashpartitioning"), simPlan)
+    assert(simPlan.split("Exchange").length - 1 <= 1, simPlan)
     // minhash clusters: the signature is projection-only, so each
     // propagation round shuffles exactly twice — band window + label
     // aggregation (the old explode+agg signature stage added a corpus-wide

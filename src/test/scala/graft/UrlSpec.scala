@@ -102,14 +102,19 @@ class UrlSpec extends SparkSuite {
     assert(q.select("id").as[Long].collect().toSet == naive)
   }
 
-  test("line ops plan: pure projection, zero shuffle") {
+  test("line ops plan: per-row kernels, no aggregation shuffle") {
     import graft.functions.{TextFunctions => TF}
     val docs = Seq((1L, "a\nb")).toDF("doc_id", "text")
-    for (q <- Seq(TF.lineFilterTable(docs, "doc_id", "text"),
-        docs.select(TF.dedupLines(col("text"))))) {
-      val plan = q.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange"), plan.take(500))
-    }
+    // lineFilterTable is a per-row kernel behind ONE compute-dense
+    // round-robin rebalance (r12, Rebalance doc) — never a hash shuffle
+    val lfPlan = TF.lineFilterTable(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!lfPlan.contains("Exchange hashpartitioning"), lfPlan.take(500))
+    assert(lfPlan.split("Exchange").length - 1 <= 1, lfPlan.take(500))
+    // the Column form stays a pure projection: zero exchanges
+    val dlPlan = docs.select(TF.dedupLines(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!dlPlan.contains("Exchange"), dlPlan.take(500))
   }
 
   test("domainStats: token shares sum to ~10000 and counts are exact") {

@@ -174,9 +174,11 @@ object DocQueries {
       val digit = length(regexp_replace(txt, "[^0-9]", ""))
       val nonWs = length(regexp_replace(txt, "[ \\t\\n\\r\\f]", ""))
       val ascii = length(regexp_replace(txt, "[^\\x00-\\x7f]", ""))
-      graft.core.Rebalance.computeDense(t(s, dir, "documents"))
-        .select(col("doc_id"),
-          len.as("n_chars_txt"), latin.as("n_latin"), digit.as("n_digit"),
+      // NOT rebalanced: the per-doc regex mass here (~4 core-s at sf1) is
+      // on par with single-task-serializing the raw text through an
+      // exchange, so computeDense measured net-negative on this gate
+      t(s, dir, "documents").select(col("doc_id"),
+        len.as("n_chars_txt"), latin.as("n_latin"), digit.as("n_digit"),
         (len - nonWs).as("n_ws"), (len - ascii).as("n_nonascii"),
         (nonWs - latin - digit - (len - ascii)).as("n_other_ascii"))
         .orderBy(col("doc_id"))
@@ -607,8 +609,12 @@ object DocQueries {
       // session-cached stage ([[StageOnce]]): retries reuse the files;
       // unconstrained write — the Complete-mode windowed agg downstream
       // is batch-count-proof, so no single-file (single-task) constraint
+      // rebalanced write: the file-stream batch parallelizes BY FILE, so a
+      // 2-file stage would pin the per-doc quality kernel to 2 tasks; the
+      // Complete-mode windowed agg is batch- and file-count-proof
       val stage = StageOnce.dir(s, dir, "quality_docs") { p =>
-        docs.write.mode("overwrite").parquet(p)
+        graft.core.Rebalance.computeDense(docs)
+          .write.mode("overwrite").parquet(p)
       }
       val out = graft.streaming.Streams.runToMemory(s, stage, "qmon_twin",
         df => graft.streaming.Streams.qualityMonitor(df, "ts", "text",

@@ -171,8 +171,10 @@ object ExtraQueries {
       // count, and the old per-run coalesce(1) rewrite of the FULL events
       // table was this gate's dominant cost at sf1 (a single serial task)
       val staged = StageOnce.dir(s, dir, "sw_events") { p =>
-        t(s, dir, "events")
-          .select(col("event_id"), col("user_id"), col("ts"))
+        // rebalanced: the file-stream batch parallelizes BY FILE — a
+        // 3-file stage pins the session_window partial agg to 3 tasks
+        graft.core.Rebalance.computeDense(t(s, dir, "events")
+            .select(col("event_id"), col("user_id"), col("ts")))
           .write.mode("overwrite").parquet(p)
       }
       val schema = s.read.parquet(staged).schema

@@ -205,8 +205,10 @@ object CorpusStats {
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    val sh = graft.core.Rebalance.computeDense(df)
-      .select(col(idCol).as("_id"),
+    // NOT rebalanced: the shingle explode feeds a distinct that shuffles
+    // the exploded relation anyway; pre-shuffling the raw text measured
+    // net-negative (kernel mass ~ text-serialize mass on this path)
+    val sh = df.select(col(idCol).as("_id"),
         explode(graft.operators.MinHashDedup.shingles(col(textCol), n))
           .as("_sh"))
       .distinct()

@@ -35,15 +35,66 @@ object Sessions {
   * under-splits; on a 100 TB scan with thousands of splits it's a no-op,
   * so the shuffle tax is paid exactly where it buys wall-clock. */
 object Rebalance {
+  import org.apache.spark.sql.catalyst.plans.logical._
+
+  /** True iff the optimized logical plan is a leaf plus NARROW operators
+    * only — exactly the shapes whose physical plan carries no Exchange.
+    * This is [[computeDense]]'s input contract made mechanical: probing
+    * partitioning via `df.rdd` is job-free ONLY for exchange-free plans.
+    * Under AQE, `Dataset.rdd` on a plan containing an exchange calls
+    * getFinalPhysicalPlan(), which eagerly EXECUTES the upstream shuffle/
+    * broadcast stages just to read a partition count — and that work runs
+    * AGAIN when the frame is later consumed (no stage reuse across
+    * separate executions). Leaves cover file scans, cached frames
+    * (InMemoryRelation), checkpointed state (LogicalRDD), and local/range
+    * relations; the narrow set covers every shape the operators feed in
+    * (projection/filter chains, generators, unions, coalesce). Anything
+    * else is conservatively NOT scan-side. */
+  private def scanSide(p: LogicalPlan): Boolean = p match {
+    case _: LeafNode => true
+    case r: Repartition => !r.shuffle && scanSide(r.child)
+    case _: Project | _: Filter | _: Generate | _: Union |
+         _: SubqueryAlias | _: Sample =>
+      p.children.forall(scanSide)
+    case _ => false
+  }
+
   /** Repartition to the session's core count iff the current plan has
-    * fewer than half that many partitions. The partition probe compiles
-    * the physical plan but runs no job. Streaming frames pass through
+    * fewer than half that many partitions. Scan-side (leaf + narrow)
+    * inputs only: a frame whose plan already contains an exchange passes
+    * through untouched — it exits its shuffle at
+    * `spark.sql.shuffle.partitions` anyway, and probing it via `df.rdd`
+    * would MATERIALIZE its upstream stages under AQE (see [[scanSide]]) —
+    * a silent double execution. For scan-side plans the probe compiles
+    * the physical plan but runs no job (spec-pinned with a job-start
+    * listener in R13OperatorSpec). Streaming frames pass through
     * untouched (no batch RDD to probe; micro-batch sizing is the
     * trigger's job). */
   def computeDense(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
+    val plan = df.queryExecution.optimizedPlan
+    if (!scanSide(plan)) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    val parts = df.rdd.getNumPartitions
+    if (parts * 2 < target) return df.repartition(target)
+    // Byte-range splits lie about parallelism on few-row-group files: a
+    // 105 MB single-file table splits into ~27 byte ranges, but with 6 row
+    // groups only 6 tasks carry rows — the partition count clears the
+    // threshold while the kernel still runs 6-wide (row-group boundaries
+    // are invisible without reading footers, which a 100 TB driver must
+    // not do). When the partition count is below target AND the input is
+    // small enough that every core could be fed within one
+    // maxPartitionBytes split (total ≤ target × maxPartitionBytes — i.e.
+    // Spark itself failed to find `target` splits only because the data
+    // is small or lumpy), the round-robin costs at most one small-table
+    // shuffle and guarantees the kernel its cores. A genuinely large scan
+    // fails the size test and keeps its layout.
+    if (parts < target) {
+      val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+      val bytes = plan.stats.sizeInBytes
+      if (bytes <= BigInt(maxSplit) * target) return df.repartition(target)
+    }
+    df
   }
 }
 

@@ -651,10 +651,19 @@ object DocQueries {
     }),
 
     "q_rrf" -> ((s, dir) => {
-      // hybrid ranking: quality-rank ∪ length-rank fused in rank space
+      // hybrid ranking: quality-rank ∪ length-rank fused in rank space.
+      // qualityScore is 4 regex passes per document — compute-dense, so
+      // the scan rebalances (Rebalance doc); and BOTH bounded ranks read
+      // the same scored frame, which has no exchange of its own for
+      // ReuseExchange to dedupe — persist it so the regex pass runs ONCE,
+      // not once per ranking (r12's featurize-once move; guide §5 persist
+      // rule: reused AND expensive to recompute)
       import graft.functions.Ranking
-      val scored = t(s, dir, "documents").select(col("doc_id"),
-        TF.qualityScore(col("text")).as("q"), col("n_chars"))
+      val scored = graft.core.Rebalance
+        .computeDense(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          TF.qualityScore(col("text")).as("q"), col("n_chars"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = Ranking.boundedRank(scored,
         Seq(col("q").desc, col("doc_id").asc), 100)
         .select(col("doc_id"), col("rank"))

@@ -1397,7 +1397,12 @@ object ExtraQueries {
 
     "q_session_baskets" -> ((s, dir) => {
       // sessionize per USER ONLY (an extra grouping key would split the
-      // gap-merge), then explode the bounded per-session item set
+      // gap-merge), then explode the bounded per-session item set.
+      // Persisted: pairRules reads its input FOUR ways (item counts,
+      // basket total, both self-join sides), and this input is a
+      // session_window aggregate over the events table — without the
+      // persist each consumer re-runs the sessionization (ReuseExchange
+      // dedupes the distinct's exchange, not the aggregate feeding it).
       val inc = graft.core.Rebalance.computeDense(t(s, dir, "events"))
         .groupBy(col("user_id"),
           session_window(col("ts"), "30 minutes").as("sw"))
@@ -1405,6 +1410,7 @@ object ExtraQueries {
         .select(concat(col("user_id"), lit("#"),
           date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss")).as("basket"),
           explode(col("_items")).as("item"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.operators.MarketBasket.pairRules(inc, "basket", "item")
     }),
 

@@ -698,30 +698,45 @@ object TextFunctions {
   /** Word co-occurrence with PMI over ±`window` positions — the classical
     * collocation/phrase-mining signal (and the count table word-vector
     * methods factorize). Ordered pairs (wa at pos, wb at pos+k, k ≤ window)
-    * via an equi-join on (doc, pos+k) — positional joins, never a string
-    * cross product; counts are exact integers, PMI's log ratio is a product
+    * come from zipping each document's word array against its k-shifted
+    * slice — each operand binds ONCE (the shingles trick), so pairs are a
+    * map-side explode and the former positional self-join (which shuffled
+    * the exploded corpus twice, once per join side) is gone. The tokenize
+    * runs once on a rebalanced scan and is persisted: unigram counts, pair
+    * counts, and the totals are aggregates over the cached arrays, and the
+    * totals are derived from the count tables (`nw = Σ cw`, `np = Σ cab` —
+    * identical integers to counting the exploded rows) instead of
+    * re-scanning. Counts are exact integers, PMI's log ratio is a product
     * of longs on each side of one double division. Top `topK` pairs by
     * (count desc, wa, wb) — a total order, so the cut is deterministic.
-    * Corpus cost is `window` × the explode — keep the window small (2-5);
-    * at 100 TB persist the positions frame if the planner rescans it. */
+    * Returns a lazy frame over internally persisted intermediates (same
+    * contract as the dedup family's materialized forms: release with
+    * `spark.catalog.clearCache()` when done). */
   def cooccurrencePmi(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, window: Int = 2,
       topK: Int = 100): org.apache.spark.sql.DataFrame = {
-    val words = df.select(col(idCol).as("_id"),
-      posexplode(split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")),
-        " ")).as(Seq("pos", "w")))
-    val nw = words.agg(count(lit(1)).as("nw"))
-    val uni = words.groupBy(col("w")).agg(count(lit(1)).as("cw"))
-    val pairs = words
-      .select(col("_id"), col("pos"), col("w").as("wa"))
-      .withColumn("_k", explode(array((1 to window).map(lit(_)): _*)))
-      .select(col("_id"), (col("pos") + col("_k")).as("_pos2"), col("wa"))
-      .join(words.select(col("_id"), col("pos").as("_pos2"),
-        col("w").as("wb")),
-        Seq("_id", "_pos2"))
-    val np = pairs.agg(count(lit(1)).as("np"))
-    val top = pairs.groupBy(col("wa"), col("wb"))
-      .agg(count(lit(1)).as("cab"))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val arrs = graft.core.Rebalance.computeDense(df)
+      .select(split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")),
+        " ").as("_ws"))
+      .persist(lvl)
+    val uni = arrs.select(explode(col("_ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .persist(lvl) // serves nw and both broadcast join sides
+    val nw = uni.agg(coalesce(sum(col("cw")), lit(0L)).as("nw"))
+    val pairCols = (1 to window).map { k =>
+      zip_with(col("_ws"),
+        slice(col("_ws"), lit(k + 1), greatest(size(col("_ws")) - k, lit(0))),
+        (a, b) => when(b.isNotNull, struct(a.as("wa"), b.as("wb"))))
+    }
+    val byPair = arrs
+      .select(explode(filter(flatten(array(pairCols: _*)), _.isNotNull))
+        .as("_p"))
+      .select(col("_p.wa").as("wa"), col("_p.wb").as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("cab"))
+      .persist(lvl) // serves np and the top-k cut
+    val np = byPair.agg(coalesce(sum(col("cab")), lit(0L)).as("np"))
+    val top = byPair
       .orderBy(col("cab").desc, col("wa").asc, col("wb").asc)
       .limit(topK)
     top

@@ -25,7 +25,15 @@ object Correlation {
   def matrix(df: DataFrame, cols: Seq[String], scale: Int = 4): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     require(cols.distinct.size == cols.size, "columns must be distinct")
-    val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    // k·(k+3)/2 Decimal(38,10) conversions + adds PER ROW make the moment
+    // pass compute-dense: project to just the requested columns (nothing
+    // else crosses the rebalance exchange — guide §2.3), then rebalance so
+    // an under-split scan can't pin the decimal arithmetic to a handful of
+    // tasks. Decimal accumulation is order-proof, so the repartition
+    // cannot change a single output bit.
+    val projected = graft.core.Rebalance.computeDense(
+      df.select(cols.map(col): _*))
+    val complete = projected.filter(cols.map(col(_).isNotNull).reduce(_ && _))
     def dsum(c: Column, name: String) =
       sum(c.cast(DecimalType(38, 10))).cast(DoubleType).as(name)
     val pairs = for {

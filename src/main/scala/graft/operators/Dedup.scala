@@ -743,7 +743,10 @@ object SubstrDedup {
         explode(sequence(col("win_pos"), col("win_pos") + lit(k - 1)))
           .as("pos"))
       .distinct()
-    val words = df.select(col(idCol),
+    // tokenize passes are compute-dense (regex normalize + split per doc)
+    // — rebalanced so an under-split scan can't serialize them (the
+    // windows() pass above already rebalances; these two re-read raw text)
+    val words = graft.core.Rebalance.computeDense(df).select(col(idCol),
         posexplode(split(trim(regexp_replace(col(textCol), "\\s+", " ")), " "))
           .as(Seq("pos", "w")))
     val kept = words.join(covered, Seq(idCol, "pos"), "left_anti")
@@ -753,7 +756,7 @@ object SubstrDedup {
           array_sort(collect_list(struct(col("pos"), col("w")))),
           s => s.getField("w"))).as("clean_text"),
         count(lit(1)).as("n_tokens_kept"))
-    df.select(col(idCol),
+    graft.core.Rebalance.computeDense(df).select(col(idCol),
         size(split(trim(regexp_replace(col(textCol), "\\s+", " ")), " "))
           .cast("long").as("_n_total"))
       .join(rebuilt, Seq(idCol), "left")

@@ -18,6 +18,12 @@ object MarketBasket {
 
   def pairRules(df: DataFrame, basketCol: String, itemCol: String,
       minPairCount: Long = 1L, scale: Int = 4): DataFrame = {
+    // NOT persisted here: `items` feeds four consumers, but for cheap
+    // inputs ReuseExchange dedupes the distinct's exchange well enough
+    // that a persist is pure tax (measured on q_assoc_rules at sf1:
+    // 1.15 → 2.55 s WITH an items persist; reverted). Callers whose
+    // upstream frame is expensive to recompute (q_session_baskets' gate
+    // feeds a session_window aggregate) persist THAT frame instead.
     val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
       .distinct()
     val itemCnt = items.groupBy(col("_i")).agg(count(lit(1)).as("_ci"))

@@ -96,12 +96,26 @@ object QueryService {
     val complexPart =
       if (complexCols.isEmpty) None
       else {
-        val aggs = complexCols.map(c =>
-          countDistinct(col(c)).as(s"${c}__nd"))
-        val row = df.agg(aggs.head, aggs.tail: _*)
-        Some(complexCols.map(c =>
-          row.select(lit(c).as("column_name"),
-            col(s"${c}__nd").as("n_distinct"))).reduce(_ unionByName _))
+        // ONE aggregate job, its single row collected and re-emitted as a
+        // local relation: unioning N single-column selects of the same agg
+        // frame is NOT deduped by Catalyst (identical aggregate subtrees
+        // re-plan per union branch), so N complex columns used to cost N
+        // full-table distinct aggregates. MapType is unorderable —
+        // countDistinct rejects it — so map columns report 0 instead of
+        // failing the whole profile pass.
+        val (countable, mapCols) = complexCols.partition(c =>
+          !df.schema(c).dataType.isInstanceOf[MapType])
+        val counted: Seq[(String, Long)] =
+          if (countable.isEmpty) Nil
+          else {
+            val aggs = countable.map(c => countDistinct(col(c)).as(s"${c}__nd"))
+            val row = df.agg(aggs.head, aggs.tail: _*).head()
+            countable.map(c => c -> row.getAs[Long](s"${c}__nd"))
+          }
+        val session = df.sparkSession
+        import session.implicits._
+        Some((counted ++ mapCols.map(_ -> 0L))
+          .toDF("column_name", "n_distinct"))
       }
     if (scalarCols.isEmpty)
       return complexPart.getOrElse(
@@ -182,6 +196,19 @@ object QueryService {
       Info(c, dt, dt.isInstanceOf[NumericType],
         dt == TimestampType || dt == TimestampNTZType || dt == DateType)
     }
+    // ONE projected, rebalanced, persisted frame serves all three passes
+    // (stats aggregate, distinct counts, categorical samples): the three
+    // passes are separate ACTIONS, so without this the table is decoded
+    // from parquet three times — and on an under-split scan (single-file /
+    // single-row-group input) each pass's map side runs on ONE task. The
+    // projection prunes unprofiled columns before the rebalance exchange
+    // (guide §2.3: project before the exchange); the cache is released
+    // before returning (the result frame is built purely from collected
+    // literals, so it never references `base`).
+    val shared = graft.core.Rebalance
+      .computeDense(df.select(columns.map(col): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val aggs = count(lit(1)).as("__total") +: infos.flatMap { i =>
       val cc = col(i.c)
       val missing = Semantics.isMissing(cc)
@@ -200,13 +227,13 @@ object QueryService {
          else if (!i.isNum) max(cc).cast(StringType)
          else lit(null).cast(StringType)).as(s"${i.c}__maxt"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).head() // the one stats job
+    val row = shared.agg(aggs.head, aggs.tail: _*).head() // the one stats job
     val total = row.getAs[Long]("__total")
     // exact distinct counts come from their own narrow two-phase pass
     // ([[distinctCounts]]): keeping N countDistincts inside the stats
     // aggregate rode Catalyst's Expand — every row duplicated N ways into
     // an N×-wide shuffle, the worst super-linear growth in the suite
-    val ndByCol: Map[String, Long] = distinctCounts(df, columns).collect()
+    val ndByCol: Map[String, Long] = distinctCounts(shared, columns).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // Value lists for ALL small-categorical columns come from ONE second
     // scan: the stats pass already proved n_distinct ≤ cap for each, so a
@@ -225,7 +252,7 @@ object QueryService {
             when(!Semantics.isMissing(cc), cc.cast(StringType)))), "|")
             .as(s"${i.c}__samples")
         }
-        val r = df.agg(sa.head, sa.tail: _*).head()
+        val r = shared.agg(sa.head, sa.tail: _*).head()
         sampled.map(i => i.c -> r.getAs[String](s"${i.c}__samples")).toMap
       }
     val rows = infos.map { i =>
@@ -258,5 +285,6 @@ object QueryService {
           .fold(lit(null).cast(StringType))(lit(_)))
     }
     rows.reduce(_ unionByName _)
+    } finally { shared.unpersist(); () }
   }
 }

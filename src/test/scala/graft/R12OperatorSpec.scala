@@ -12,7 +12,10 @@ class R12OperatorSpec extends SparkSuite {
   test("computeDense repartitions under-split frames and leaves wide ones") {
     val target = spark.sparkContext.defaultParallelism
     val thin = spark.range(1000).toDF("id").coalesce(1)
-    assert(Rebalance.computeDense(thin).rdd.getNumPartitions == target)
+    // expected count from the helper's own predicate: tiny test fixtures
+    // always pass the size guard, so any under-target frame rebalances
+    val expected = if (1 < target) target else 1
+    assert(Rebalance.computeDense(thin).rdd.getNumPartitions == expected)
     // a frame already at >= target/2 partitions passes through untouched
     // (same plan object — no exchange inserted)
     val wide = spark.range(1000).toDF("id").repartition(target)

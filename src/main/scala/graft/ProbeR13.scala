@@ -179,6 +179,24 @@ object ProbeR13 {
           SparkEntry.queries("q_doc_incremental_neardup")(spark, sfDir)
         }
       }),
+      "schema" -> (() => {
+        import org.apache.spark.sql.types.StringType
+        val df = tbl("events").select(
+          col("event_id").cast(StringType).as("id_str"),
+          col("event_type"),
+          col("value").cast(StringType).as("value_str"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day_str"))
+        val fields = Seq("id_str", "event_type", "value_str", "day_str")
+        tEager("schema: profile (current impl)") {
+          graft.operators.SchemaInferrer.profile(df, fields).collect()
+        }
+        tEager("schema: profile 2nd run") {
+          graft.operators.SchemaInferrer.profile(df, fields).collect()
+        }
+        t("schema: full gate") {
+          SparkEntry.queries("q_schema_infer")(spark, sfDir)
+        }
+      }),
       "stage" -> (() => {
         // would a StageOnce-shared shingle build pay for q_doc_fuzzy_keep /
         // q_doc_incremental_neardup? Cost of staging = write + read-back of

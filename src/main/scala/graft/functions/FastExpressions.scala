@@ -1039,3 +1039,111 @@ object AccentFold {
 
   def accent_fold(c: Column): Column = call_function("accent_fold", c)
 }
+
+/** Kept-lines filter as ONE codegen kernel — the replacement for the
+  * interpreted `filter(lines, l => ...)` HOF in
+  * [[TextFunctions.filterLinesArr]], whose per-line lambda ran FOUR regex
+  * passes (`\s+` collapse, space strip, `[^A-Z]` strip, `[^A-Za-z]` strip)
+  * through interpreted expression dispatch per line. This kernel makes one
+  * byte scan per line for the three counts and touches the boilerplate set
+  * only for lines that survive the cheap tests.
+  *
+  * Exact-equivalence argument, predicate by predicate (parity is
+  * spec-pinned against the HOF spelling in R13OperatorSpec):
+  *  - word count: `trim(regexp_replace(l, "\\s+", " "))` then
+  *    spaces+1 (0 when empty) ≡ the number of maximal non-`\s` runs —
+  *    counted exactly like [[TokenCount]] (same ASCII `\s` class; every
+  *    byte of a multi-byte codepoint is ≥ 0x80, never whitespace).
+  *  - upper/alpha counts: `length(regexp_replace(l, "[^A-Z]", ""))` counts
+  *    remaining CHARS; bytes in [A-Z] are exactly those chars (no UTF-8
+  *    continuation/lead byte falls in an ASCII letter range).
+  *  - the ratio test replays `up·10⁴ > alpha·upperScaledE4` in long
+  *    arithmetic (the Column spelling's int multiply would ANSI-overflow
+  *    first on a ≥215k-upper-char line; no real line is within 1000× of
+  *    that).
+  *  - boilerplate: `lower(trim(l)).isin(...)` ≡ set membership of
+  *    `l.trim().toLowerCase()` — the SAME UTF8String trim (0x20 only) and
+  *    full-Unicode lowercase the built-ins call.
+  * A null line element makes the HOF's predicate null, which `filter`
+  * drops; the kernel skips null slots identically. */
+case class KeptLines(child: Expression, minWords: Int, upperScaledE4: Int,
+    boilerplate: Seq[String]) extends UnaryExpression {
+  require(minWords >= 0 && upperScaledE4 >= 0, "bounds must be >= 0")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"kept_lines needs array<string>, got $t")
+  }
+
+  @transient private lazy val boilerSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    boilerplate.foreach(b => s.add(UTF8String.fromString(b)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    KeptLines.kept(input.asInstanceOf[ArrayData], minWords, upperScaledE4,
+      boilerSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val set = ctx.addReferenceObj("keptLinesBoiler", boilerSet,
+      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.KeptLines.kept($c, $minWords, $upperScaledE4, $set)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KeptLines =
+    copy(child = newChild)
+
+  override def prettyName: String = "kept_lines"
+}
+
+object KeptLines {
+  /** Called from generated code — must stay a static-forwardable method. */
+  def kept(lines: ArrayData, minWords: Int, upperScaledE4: Int,
+      boiler: java.util.HashSet[UTF8String]): ArrayData = {
+    val n = lines.numElements()
+    val out = new Array[Any](n)
+    var m = 0
+    var idx = 0
+    while (idx < n) {
+      if (!lines.isNullAt(idx)) {
+        val l = lines.getUTF8String(idx)
+        val nb = l.numBytes()
+        val base = l.getBaseObject
+        val off = l.getBaseOffset
+        var words = 0
+        var inTok = false
+        var up = 0L
+        var alpha = 0L
+        var i = 0
+        while (i < nb) {
+          val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+          val ws = b == ' ' || b == '\t' || b == '\n' || b == '\r' ||
+            b == '\f' || b == 0x0b
+          if (!ws && !inTok) { words += 1; inTok = true }
+          else if (ws) inTok = false
+          if (b >= 'A' && b <= 'Z') { up += 1; alpha += 1 }
+          else if (b >= 'a' && b <= 'z') alpha += 1
+          i += 1
+        }
+        val keep = words >= minWords &&
+          !(alpha > 0 && up * 10000L > alpha * upperScaledE4) &&
+          !boiler.contains(l.trim().toLowerCase())
+        if (keep) { out(m) = l; m += 1 }
+      }
+      idx += 1
+    }
+    val trimmed = if (m == n) out else java.util.Arrays.copyOf(
+      out.asInstanceOf[Array[AnyRef]], m).asInstanceOf[Array[Any]]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(trimmed)
+  }
+
+  /** Column form without a per-session registry round-trip (library path). */
+  def kept_lines(c: Column, minWords: Int, upperScaledE4: Int,
+      boilerplate: Seq[String]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(KeptLines(
+      org.apache.spark.sql.GraftColumnBridge.expression(c), minWords,
+      upperScaledE4, boilerplate))
+}

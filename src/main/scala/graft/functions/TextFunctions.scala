@@ -341,6 +341,18 @@ object TextFunctions {
     * the split once and derive kept + total counts from the same column). */
   def filterLinesArr(lines: Column, minWords: Int = 3,
       maxUpperRatio: Double = 0.6,
+      boilerplate: Seq[String] = boilerplateLines): Column =
+    // codegen kernel: one byte scan per line instead of the interpreted
+    // HOF lambda's four regex passes (values identical — see [[KeptLines]]
+    // equivalence notes; parity vs the HOF spelling spec-pinned
+    // corpus-wide in R13OperatorSpec)
+    KeptLines.kept_lines(lines, minWords,
+      math.round(maxUpperRatio * 10000).toInt, boilerplate)
+
+  /** The interpreted-HOF spelling [[filterLinesArr]] replaced (kept for
+    * the parity regression test). */
+  private[graft] def filterLinesArrTreeForm(lines: Column, minWords: Int = 3,
+      maxUpperRatio: Double = 0.6,
       boilerplate: Seq[String] = boilerplateLines): Column = {
     val upperScaled = math.round(maxUpperRatio * 10000).toInt
     filter(lines, l => {

@@ -102,6 +102,14 @@ object ExactQuantile {
 
   private def cleanVals(df: DataFrame, valueCol: String): DataFrame = {
     val v = col(valueCol).cast("double")
+    // NOT rebalanced (r13 negative probe): the narrowing loop re-executes
+    // this frame once per round in SEPARATE actions, so a round-robin
+    // exchange here is paid per round — re-scanning an under-split small
+    // file beats re-shuffling it every round (measured at sf1 min-of-2:
+    // q_exact_kth 5.6 → 11.3 s, q_equidepth 7.1 → 13.9 s WITH the
+    // rebalance; reverted). Rebalance pays only where the frame is
+    // persisted once and reused (profileTable) or feeds a compute-dense
+    // kernel under ONE action.
     finiteVals(df, v).select(v.as("_v"))
   }
 
@@ -181,6 +189,10 @@ object ExactQuantile {
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val gcols = groupCols.map(col)
     val vc = col(valueCol).cast("double")
+    // NOT rebalanced — same negative probe as cleanVals: counts, the
+    // light aggregate, and the heavy projection consume this frame in
+    // separate actions (q_group_median 7.0 → 12.1 s sf1 min-of-2 WITH a
+    // rebalance here; reverted)
     val vals = finiteVals(df, vc).select((gcols :+ vc.as("_v")): _*)
     val gSchema = vals.select(gcols: _*).limit(0).schema
     def keyOf(r: Row): Seq[Any] = groupCols.indices.map(r.get)

@@ -55,13 +55,57 @@ object SchemaInferrer {
         rate(s.rlike(patterns.toMap.apply("date_iso"))).as(s"${f}__date"),
         rate(s.rlike(patterns.toMap.apply("datetime_iso"))).as(s"${f}__datetime"),
         min(graft.core.Semantics.asNumeric(col(f))).as(s"${f}__min"),
-        max(graft.core.Semantics.asNumeric(col(f))).as(s"${f}__max"),
-        countDistinct(when(present, s)).as(s"${f}__distinct")) ++
+        max(graft.core.Semantics.asNumeric(col(f))).as(s"${f}__max")) ++
       patterns.map { case (pname, re) =>
         rate(s.rlike(re)).as(s"${f}__pat_$pname")
       }
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // ONE stats job + ONE stacked distinct job, then the per-field
+    // projections run over a LOCAL 1-row relation. Two traps, both
+    // measured on this operator:
+    //  - unioning per-field selects of a live aggregate frame re-plans —
+    //    and re-RUNS — the aggregate per union branch (column pruning per
+    //    branch made each copy one-field-sized, hiding the N× cost);
+    //  - putting N countDistincts INSIDE the stats aggregate rides
+    //    Catalyst's Expand — every row fans N+1 ways (the q_profile_table
+    //    lesson; a first single-aggregate rewrite here measured 5.2 →
+    //    14.5 s at sf1 from exactly that). Distinct counts instead take
+    //    the stacked (field, value) two-phase pass: map-side collapse,
+    //    shuffle carries the distinct mass only, no Expand.
+    // The profiled columns are projected first and the scan rebalanced
+    // (regex matching per row is compute-dense; Rebalance doc), persisted
+    // because the two jobs are separate actions.
+    val spark = df.sparkSession
+    val src = graft.core.Rebalance.computeDense(
+      df.select(fields.distinct.map(col): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (row, aggedSchema, ndByField) = try {
+      val agged = src.agg(aggs.head, aggs.tail: _*)
+      // distinct s (stringified, non-missing) per field — exactly the
+      // former countDistinct(when(present, s)) value: when() yields null
+      // for missing rows and the pair pass drops null values
+      val pairs = fields.distinct.map { f =>
+        val s = col(f).cast(StringType)
+        struct(lit(f).as("field"),
+          when(!isMissing(col(f)), s).as("v"))
+      }
+      val nd = src.select(explode(array(pairs: _*)).as("p"))
+        .select(col("p.field").as("field"), col("p.v").as("v"))
+        .where(col("v").isNotNull)
+        .groupBy(col("field"), col("v")).agg(count(lit(1)).as("_n"))
+        .groupBy(col("field")).agg(count(lit(1)).as("nd"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (agged.head(), agged.schema, nd)
+    } finally { src.unpersist(); () }
+    // the 1-row stats result as a LOCAL relation (+ the distinct counts as
+    // literal columns under the names the projections below expect) — the
+    // per-field union branches now cost nothing to re-reference
+    val wide = fields.distinct.foldLeft(
+      spark.createDataFrame(
+        java.util.Collections.singletonList(row), aggedSchema)) {
+      (acc, f) =>
+        acc.withColumn(s"${f}__distinct", lit(ndByField.getOrElse(f, 0L)))
+    }
 
     val rows = fields.map { f =>
       val present = (col(s"${f}__total") - col(s"${f}__nulls")).cast(DoubleType)

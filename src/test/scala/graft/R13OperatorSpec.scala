@@ -89,6 +89,53 @@ class R13OperatorSpec extends SparkSuite {
     } finally { cached.unpersist(); () }
   }
 
+  test("KeptLines kernel ≡ the interpreted HOF spelling, adversarial corpus") {
+    import graft.functions.{TextFunctions => TF}
+    val lines = Seq(
+      "a perfectly ordinary line of text",
+      "THIS LINE IS ENTIRELY SHOUTING AT YOU",
+      "Mixed CASE With Some UPPER words here",
+      "tiny",
+      "two words",
+      "",
+      "   ",
+      "\t\t\f\r",
+      "Click Here",                       // boilerplate, case-variant
+      "  accept cookies  ",               // boilerplate, padded
+      "privacy policy",                   // boilerplate, exact
+      "privacy policyX",                  // NOT boilerplate
+      "ÉÉÉ ÀÀÀ ÇÇÇ unicode uppercase is not ASCII upper",
+      "naïve café résumé with accents and enough words",
+      "123 456 789 000 111 (no alpha at all, ratio test unreachable)",
+      "A B C D E F G H",                  // every word uppercase single char
+      "word\tword\tword\ttabs as separators",
+      "ends with spaces      ",
+      "      starts with spaces",
+      "ALLCAPS lower ALLCAPS lower ALLCAPS")
+    // every contiguous 3-line window as one document, plus per-line docs
+    val texts = lines.map(l => l) ++
+      lines.sliding(3).map(_.mkString("\n")).toSeq ++
+      Seq(lines.mkString("\n"))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .withColumn("_lines", split(col("text"), "\n"))
+    val both = df.select(col("id"),
+      TF.filterLinesArr(col("_lines")).as("kernel"),
+      TF.filterLinesArrTreeForm(col("_lines")).as("spec"))
+    val bad = both.filter(!(col("kernel") <=> col("spec"))).collect()
+    assert(bad.isEmpty, s"kernel/spec divergence: ${bad.take(3).mkString}")
+    // and over the real fixture corpus, multiline-derived like the gate
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("_lines", split(
+        regexp_replace(col("text"), "((\\S+\\s+){7}\\S+)\\s", "$1\n"), "\n"))
+    val badDocs = docs.select(
+      TF.filterLinesArr(col("_lines")).as("kernel"),
+      TF.filterLinesArrTreeForm(col("_lines")).as("spec"))
+      .filter(!(col("kernel") <=> col("spec"))).count()
+    assert(badDocs == 0L)
+  }
+
   test("distinctCounts complex-typed columns: one aggregate, maps excluded") {
     val df = Seq(
       (1, Seq("a, b"), Seq(1), "x"),

@@ -131,6 +131,13 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_first":$qsFirst,"passes":$passes,"pass_totals":$pt,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadavg","retried":$nRetried,"retry_threshold_sec":$retrySec%.1f}"""
     println(line)
+    // truncation insurance (r12 postmortem: the harness keeps a bounded
+    // TAIL of stdout, and the one metric line lost its head and became
+    // unparseable). A short trailer line survives any tail-keeping cap and
+    // still carries the totals; it deliberately does NOT contain the
+    // "metric" key so a parser grepping for the real line can never pick
+    // it up instead of the full per-query artifact above.
+    println(f"""{"graft_bench_total_sec":$total%.3f,"pass_totals":$pt,"retried":$nRetried}""")
     // stdout can be tail-truncated by the harness that captures it; also
     // persist the full per-query map so round-over-round regression diffs
     // cover the whole suite, not the alphabetical tail. Defaults to an

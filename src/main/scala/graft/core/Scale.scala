@@ -92,7 +92,14 @@ object Rebalance {
     if (parts < target) {
       val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
       val bytes = plan.stats.sizeInBytes
-      if (bytes <= BigInt(maxSplit) * target) return df.repartition(target)
+      // absolute cap alongside the per-core formula: maxSplit × target
+      // scales linearly with core count (10k cores × 128 MB = 1.25 TB),
+      // which would let a terabyte "small-table" round-robin fire on a
+      // scan Spark already split reasonably — 8 GiB keeps the one-extra-
+      // shuffle promise honest at any cluster size (local[32] threshold,
+      // 32 × 128 MB = 4 GiB, is untouched)
+      val cap = BigInt(maxSplit) * target min BigInt(8L << 30)
+      if (bytes <= cap) return df.repartition(target)
     }
     df
   }

@@ -81,9 +81,18 @@ object Semantics {
 
   /** Exact, order-independent sum for oracle parity: decimal accumulation is
     * associative so Spark's partial aggregation order cannot change the
-    * result, then a fixed rounding before the double cast (SURVEY §7.4.3). */
+    * result, then a fixed rounding before the double cast (SURVEY §7.4.3).
+    *
+    * Spelled as [[graft.functions.Dec128]]'s two-long int128 kernel rather
+    * than `sum(cast(c as decimal(38,10)))`: bit-identical (spec-pinned in
+    * Dec128Spec, both eval modes) but ~an order of magnitude cheaper per
+    * row — the built-in pays Double.toString → BigDecimal parse → setScale
+    * → BigDecimal add PER ROW; the kernel parses the same shortest-repr
+    * digits into a scaled int128 and adds two longs in whole-stage codegen.
+    * Input must be double/float/integral (the kernel's domain — every graft
+    * call site); decimal/string inputs should keep the cast spelling. */
   def exactSum(c: Column, scale: Int = 4): Column =
-    round(sum(c.cast(DecimalType(38, 10))).cast(DoubleType), scale)
+    round(graft.functions.Dec128.sumExact(c).cast(DoubleType), scale)
 
   /** Cross-engine-deterministic rounding: FLOOR(x·10ˢ + 0.5)/10ˢ in pure
     * double arithmetic. Engines disagree on ROUND(double) at half-boundaries
@@ -95,7 +104,9 @@ object Semantics {
   }
 
   /** Deterministic average: exact decimal sum / non-null count, divided as
-    * doubles (identical operands → identical IEEE result in any engine). */
+    * doubles (identical operands → identical IEEE result in any engine).
+    * Same Dec128 kernel as [[exactSum]] — identical bits, cheaper rows. */
   def exactAvg(c: Column, scale: Int = 4): Column =
-    safeRound(sum(c.cast(DecimalType(38, 10))).cast(DoubleType) / count(c), scale)
+    safeRound(graft.functions.Dec128.sumExact(c).cast(DoubleType) / count(c),
+      scale)
 }

@@ -171,7 +171,7 @@ object CoreQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "lineitem")
         .withColumn("running_qty",
-          round(sum(col("l_quantity").cast(DecimalType(38, 10))).over(w)
+          round(graft.functions.Dec128.sumExact(col("l_quantity")).over(w)
             .cast(DoubleType), 4))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("running_qty"))
@@ -327,7 +327,7 @@ object CoreQueries {
           floor(lag(col("value"), 1).over(w) * lit(10000.0) + lit(0.5))
             .cast(LongType))
         .withColumn("ma3_x10k",
-          floor((sum(col("value").cast(DecimalType(38, 10))).over(w3)
+          floor((graft.functions.Dec128.sumExact(col("value")).over(w3)
               .cast(DoubleType) / count(col("value")).over(w3))
             * lit(10000.0) + lit(0.5)).cast(LongType))
         .select(col("user_id"), col("event_id"), col("prev_x10k"),

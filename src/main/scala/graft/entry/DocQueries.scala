@@ -91,15 +91,25 @@ object DocQueries {
       // rule of exact-dup (keep-first by id), too-short, low-quality —
       // every rule a kernel already gated elsewhere, composed with a
       // deterministic priority
+      // project BEFORE the window's hash-partition exchange (guide §2.3):
+      // the window only needs min(doc_id) per md5 group, so shuffle
+      // (doc_id, hash, n_chars, low-quality flag) — ~50 bytes/row — instead
+      // of the full document text. qualityScore moves ahead of the
+      // dup-check (it was behind it in the when-cascade) but is a
+      // deterministic pure function, so every row's reason is unchanged;
+      // the n_chars guard still skips the regexes for too-short docs.
       val docs = t(s, dir, "documents")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(md5(col("text")))
+      val pre = docs.select(col("doc_id"), md5(col("text")).as("_h"),
+        col("n_chars"),
+        (col("n_chars") >= 50 && TF.qualityScore(col("text")) < 0.5)
+          .as("_lowq"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
       val reason = when(col("doc_id") =!= min(col("doc_id")).over(w),
           lit("exact_dup"))
         .when(col("n_chars") < 50, lit("too_short"))
-        .when(TF.qualityScore(col("text")) < 0.5, lit("low_quality"))
+        .when(col("_lowq"), lit("low_quality"))
         .otherwise(lit("kept"))
-      docs.select(col("doc_id"), reason.as("reason")).orderBy(col("doc_id"))
+      pre.select(col("doc_id"), reason.as("reason")).orderBy(col("doc_id"))
     }),
 
     "q_curation_e2e" -> ((s, dir) => {
@@ -1100,10 +1110,13 @@ object DocQueries {
       val dots = e.join(broadcast(q), Seq("i"))
         .groupBy(col("vec_id"))
         .agg(
-          sum((col("ev") * col("qv")).cast(DecimalType(38, 18))).cast(DoubleType).as("dot"),
-          sum((col("ev") * col("ev")).cast(DecimalType(38, 18))).cast(DoubleType).as("nsq"))
+          graft.functions.Dec128.sumExact(col("ev") * col("qv"), 18)
+            .cast(DoubleType).as("dot"),
+          graft.functions.Dec128.sumExact(col("ev") * col("ev"), 18)
+            .cast(DoubleType).as("nsq"))
       val qn = q.agg(
-        sum((col("qv") * col("qv")).cast(DecimalType(38, 18))).cast(DoubleType).as("qsq"))
+        graft.functions.Dec128.sumExact(col("qv") * col("qv"), 18)
+          .cast(DoubleType).as("qsq"))
       dots.crossJoin(broadcast(qn))
         .select(col("vec_id"),
           round(col("dot") / (sqrt(col("nsq")) * sqrt(col("qsq"))), 4)

@@ -1917,8 +1917,8 @@ object ExtraQueries {
         .groupBy((substring(col("o_orderpriority"), 1, 1).cast(IntegerType)
           * 100).as("batch_size"))
         .agg(count(lit(1)).as("records"),
-          (sum(col("o_totalprice").cast(DecimalType(38, 10))).cast(DoubleType)
-            / 1000000.0).as("seconds"))
+          (graft.functions.Dec128.sumExact(col("o_totalprice"))
+            .cast(DoubleType) / 1000000.0).as("seconds"))
       // the decimal-accumulated aggregation is deterministic and parquet
       // preserves IEEE bits, so collecting the frame directly feeds the
       // tuner the same values the oracle reads back from the aux dump

@@ -52,10 +52,10 @@ object Featurize {
     val y = col(targetCol)
     val stats = df.filter(y.isNotNull).groupBy(col(catCol).as("_c"))
       .agg(count(lit(1)).as("_n"),
-        sum(y.cast(DecimalType(38, 10))).cast(DoubleType).as("_s"))
+        Dec128.sumExact(y).cast(DoubleType).as("_s"))
     val g = df.filter(y.isNotNull)
       .agg(count(lit(1)).as("_gn"),
-        sum(y.cast(DecimalType(38, 10))).cast(DoubleType).as("_gs"))
+        Dec128.sumExact(y).cast(DoubleType).as("_gs"))
     val mu = col("_gs") / col("_gn")
     df.join(broadcast(stats), col(catCol) === col("_c"), "left")
       .crossJoin(broadcast(g))

@@ -488,7 +488,7 @@ object TextFunctions {
           (col("_tf") +
             lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl"))))
     scored.groupBy(col(idCol))
-      .agg(round(sum(col("_s").cast(DecimalType(38, 18))).cast(DoubleType), 4)
+      .agg(round(Dec128.sumExact(col("_s"), 18).cast(DoubleType), 4)
         .as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(topN)
@@ -659,8 +659,9 @@ object TextFunctions {
       .agg(count(lit(1)).cast(DoubleType).as("_n"))
     val scored = cnt.groupBy(col(idCol))
       .agg(round(
-        (-sum((col("_n") / col("_len") * log2(col("_n") / col("_len")))
-          .cast(DecimalType(38, 18)))).cast(DoubleType), 4)
+        (-Dec128.sumExact(
+          col("_n") / col("_len") * log2(col("_n") / col("_len")), 18))
+          .cast(DoubleType), 4)
         .as("char_entropy"))
     df.select(col(idCol)).join(scored, Seq(idCol), "left")
   }
@@ -751,7 +752,7 @@ object TextFunctions {
     val top = byPair
       .orderBy(col("cab").desc, col("wa").asc, col("wb").asc)
       .limit(topK)
-    top
+    val scored = top
       .join(broadcast(uni.select(col("w").as("wa"), col("cw").as("ca"))),
         Seq("wa"))
       .join(broadcast(uni.select(col("w").as("wb"), col("cw").as("cb"))),
@@ -763,6 +764,18 @@ object TextFunctions {
             (col("np") * col("ca") * col("cb")).cast(DoubleType)), 4)
           .as("pmi"))
       .orderBy(col("cab").desc, col("wa").asc, col("wb").asc)
+    // ≤ topK rows: materialize eagerly and release the three internal
+    // persists HERE, so no caller-side clearCache contract is needed (a
+    // long-lived service caller would otherwise leak three cached frames
+    // per invocation). Row order survives the local relation, and every
+    // value is already exact/rounded upstream.
+    val localRows = scored.collect()
+    val schema = scored.schema
+    arrs.unpersist()
+    uni.unpersist()
+    byPair.unpersist()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(localRows: _*), schema)
   }
 
   /** Structured entity extraction: every match of every named pattern as

@@ -39,10 +39,10 @@ object Aggregator {
       // decimal accumulation: associative → partial-agg order can't change
       // the result (cross-engine deterministic, SURVEY §7.4.3)
       case "sum" =>
-        coalesce(sum(num.cast(DecimalType(38, 10))).cast(DoubleType), lit(0.0))
-          .as(spec.out)
+        coalesce(graft.functions.Dec128.sumExact(num).cast(DoubleType),
+          lit(0.0)).as(spec.out)
       case "avg" =>
-        (sum(num.cast(DecimalType(38, 10))).cast(DoubleType) / count(num))
+        (graft.functions.Dec128.sumExact(num).cast(DoubleType) / count(num))
           .as(spec.out)
       case "min" => min(num).as(spec.out)
       case "max" => max(num).as(spec.out)

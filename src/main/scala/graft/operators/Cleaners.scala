@@ -224,8 +224,8 @@ object GroupNormalizer {
     val v = col(valueCol)
     val stats = df.groupBy(col(groupCol)).agg(
       count(v).cast(DoubleType).as("_zn"),
-      sum(v.cast(DecimalType(38, 10))).cast(DoubleType).as("_zs"),
-      sum((v * v).cast(DecimalType(38, 10))).cast(DoubleType).as("_zq"))
+      graft.functions.Dec128.sumExact(v).cast(DoubleType).as("_zs"),
+      graft.functions.Dec128.sumExact(v * v).cast(DoubleType).as("_zq"))
     val sigma = sqrt(col("_zn") * col("_zq") - col("_zs") * col("_zs")) /
       col("_zn")
     df.join(broadcast(stats), Seq(groupCol))

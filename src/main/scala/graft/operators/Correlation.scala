@@ -34,8 +34,13 @@ object Correlation {
     val projected = graft.core.Rebalance.computeDense(
       df.select(cols.map(col): _*))
     val complete = projected.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    // the Dec128 int128 kernel replaces sum(cast(c as decimal(38,10))):
+    // bit-identical sums (Dec128Spec) without the per-row Double.toString →
+    // BigDecimal parse → setScale → BigDecimal-add machinery that made this
+    // moment pass allocation-bound (r13 floor analysis: double sums were
+    // 13× faster; the kernel keeps exactness AND the codegen-path speed)
     def dsum(c: Column, name: String) =
-      sum(c.cast(DecimalType(38, 10))).cast(DoubleType).as(name)
+      graft.functions.Dec128.sumExact(c).cast(DoubleType).as(name)
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (i, j)

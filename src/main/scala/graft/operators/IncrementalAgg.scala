@@ -21,7 +21,7 @@ object IncrementalAgg {
     require(keyCols.nonEmpty, "need at least one key column")
     val partial = batch.groupBy(keyCols.map(col): _*)
       .agg(count(col(valueCol)).as("n"),
-        sum(col(valueCol).cast(DecimalType(38, 10))).as("total"))
+        graft.functions.Dec128.sumExact(col(valueCol)).as("total"))
     state match {
       case None => partial
       case Some(st) =>

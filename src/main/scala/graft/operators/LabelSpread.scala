@@ -17,8 +17,16 @@ object LabelSpread {
 
   def vote(df: DataFrame, idCol: String, labelCol: String,
       pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val sym = pairs.select(col(aCol).as("_u"), col(bCol).as("_v"))
-      .unionByName(pairs.select(col(bCol).as("_u"), col(aCol).as("_v")))
+    // symmetrize with ONE map-side explode, not a self-union: the union
+    // spelling references `pairs` twice, and when pairs is an expensive
+    // pipeline (the shingle candidate join behind q_label_spread) its
+    // post-shuffle tail re-executes once per branch — ReuseExchange dedupes
+    // only the exchanges underneath. Identical output multiset: each pair
+    // row emits exactly its (a,b) and (b,a) orientations either way.
+    val sym = pairs.select(explode(array(
+        struct(col(aCol).as("_u"), col(bCol).as("_v")),
+        struct(col(bCol).as("_u"), col(aCol).as("_v")))).as("_e"))
+      .select(col("_e._u").as("_u"), col("_e._v").as("_v"))
     val unlabeled = df.filter(col(labelCol).isNull)
       .select(col(idCol).as("_u"))
     val labeled = df.filter(col(labelCol).isNotNull)

@@ -29,9 +29,22 @@ object MarketBasket {
     val itemCnt = items.groupBy(col("_i")).agg(count(lit(1)).as("_ci"))
     val nBaskets = items.select(col("_b")).distinct()
       .agg(count(lit(1)).as("_nb"))
-    val pairs = items.join(
-      items.select(col("_b"), col("_i").as("_j")), Seq("_b"))
-      .filter(col("_i") < col("_j"))
+    // pair generation is map-side (guide §2.3/§3, the q_word_pmi zip_with
+    // move): one collect_set per basket, then every a<b pair explodes from
+    // the sorted in-row array — replaces the items⋈items self-join that
+    // shuffled the full incidence table TWICE (both join sides hash by _b)
+    // and materialized the per-basket fanout through a join. Semantics are
+    // identical: items is already distinct per (basket, item), sort_array
+    // uses the same type ordering as the old `_i < _j` filter, and null
+    // items produced no pairs before (null < x is null) exactly as
+    // collect_set's null-dropping produces none now.
+    val pairsOfBasket = flatten(transform(col("_arr"), (x, i) =>
+      transform(slice(col("_arr"), i + lit(2), size(col("_arr"))),
+        y => struct(x.as("a"), y.as("b")))))
+    val pairs = items.groupBy(col("_b"))
+      .agg(sort_array(collect_set(col("_i"))).as("_arr"))
+      .select(explode(pairsOfBasket).as("_p"))
+      .select(col("_p.a").as("_i"), col("_p.b").as("_j"))
       .groupBy(col("_i"), col("_j")).agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minPairCount)
     pairs

@@ -83,7 +83,7 @@ object NgramLm {
         sum(when(col("_bg").isNotNull && col("_cbg").isNull, 1L)
           .otherwise(0L)).as("n_oov"),
         when(count(col("_bg")) > 0,
-          round((-sum(col("_term").cast(DecimalType(38, 18))))
+          round((-graft.functions.Dec128.sumExact(col("_term"), 18))
             .cast(DoubleType) / count(col("_bg")), 4))
           .as("avg_nll"))
   }

@@ -37,10 +37,13 @@ object TimeSeries {
       .agg(count(lit(1)).cast(DoubleType).as("_n"),
         sum(col("_x")).cast(DoubleType).as("_sx"),
         // per-row x² fits a long; the SUM may not — decimal accumulation
-        sum((col("_x") * col("_x")).cast(DecimalType(38, 0)))
+        // (Dec128 int128 kernel: bit-identical to the cast spelling,
+        // spec-pinned, without the per-row BigDecimal machinery)
+        graft.functions.Dec128.sumExact(col("_x") * col("_x"), 0)
           .cast(DoubleType).as("_sxx"),
-        sum(col("_y").cast(DecimalType(38, 10))).cast(DoubleType).as("_sy"),
-        sum((col("_x") * col("_y")).cast(DecimalType(38, 10)))
+        graft.functions.Dec128.sumExact(col("_y"))
+          .cast(DoubleType).as("_sy"),
+        graft.functions.Dec128.sumExact(col("_x") * col("_y"))
           .cast(DoubleType).as("_sxy"))
     val den = col("_n") * col("_sxx") - col("_sx") * col("_sx")
     val slope = (col("_n") * col("_sxy") - col("_sx") * col("_sy")) / den
@@ -188,13 +191,13 @@ object TimeSeries {
       col(valueCol).cast(LongType).as("_x"))
     val stats = base.groupBy(col(keyCol))
       .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s"),
-        sum((col("_x") * col("_x")).cast(DecimalType(38, 0))).as("_sxx"))
+        graft.functions.Dec128.sumExact(col("_x") * col("_x"), 0).as("_sxx"))
     val lagged = (1 to maxLag).map { k =>
       base.select(col(keyCol), col("_x"),
         lag(col("_x"), k).over(w).as("_xl"))
         .filter(col("_xl").isNotNull)
         .groupBy(col(keyCol))
-        .agg(sum((col("_x") * col("_xl")).cast(DecimalType(38, 0)))
+        .agg(graft.functions.Dec128.sumExact(col("_x") * col("_xl"), 0)
             .as("_sxy"),
           sum(col("_x")).as("_sh"), sum(col("_xl")).as("_st"))
         .withColumn("lag", lit(k))

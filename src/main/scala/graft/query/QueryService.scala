@@ -114,7 +114,11 @@ object QueryService {
           }
         val session = df.sparkSession
         import session.implicits._
-        Some((counted ++ mapCols.map(_ -> 0L))
+        // map columns emit NULL, not 0: "uncountable" must stay
+        // distinguishable from "zero distinct values" for every consumer
+        // (a 0 propagates silently where the old countDistinct failed loudly)
+        Some((counted.map { case (c, n) => (c, Option(n)) } ++
+            mapCols.map(_ -> Option.empty[Long]))
           .toDF("column_name", "n_distinct"))
       }
     if (scalarCols.isEmpty)
@@ -233,15 +237,22 @@ object QueryService {
     // ([[distinctCounts]]): keeping N countDistincts inside the stats
     // aggregate rode Catalyst's Expand — every row duplicated N ways into
     // an N×-wide shuffle, the worst super-linear growth in the suite
+    // null n_distinct = uncountable (MapType): absent from the map, so the
+    // sample/role guards below can never treat it as proven-small
     val ndByCol: Map[String, Long] = distinctCounts(shared, columns).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .flatMap(r => if (r.isNullAt(1)) None
+        else Some(r.getString(0) -> r.getLong(1))).toMap
     // Value lists for ALL small-categorical columns come from ONE second
     // scan: the stats pass already proved n_distinct ≤ cap for each, so a
     // collect_set per qualifying column is a bounded buffer (≤ cap values)
     // — never an unbounded high-cardinality collect. 2 jobs total for any
     // column count, instead of one narrow scan per categorical column.
+    // `.get.exists`, not getOrElse(0): a column with NO proven count (a
+    // MapType reports null from distinctCounts) must not slip into the
+    // bounded-buffer collect_set below — the "n_distinct already proven
+    // ≤ cap" invariant is what bounds that buffer
     val sampled = infos.filter { i =>
-      !i.isNum && !i.isTs && ndByCol.getOrElse(i.c, 0L) <= sampleCap
+      !i.isNum && !i.isTs && ndByCol.get(i.c).exists(_ <= sampleCap)
     }
     val sampleValues: Map[String, String] =
       if (sampled.isEmpty) Map.empty

@@ -146,11 +146,13 @@ class R13OperatorSpec extends SparkSuite {
       .withColumn("m", map(col("s"), col("id")))
     val got = graft.query.QueryService
       .distinctCounts(df, Seq("id", "arr", "arr2", "s", "m"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     // arr: ["a, b"] vs ["a","b"] are distinct (2); arr2: 3 distinct;
     // m: MapType is unorderable — countDistinct would throw, so the
-    // profile reports 0 rather than failing the whole pass
-    assert(got == Map("id" -> 4L, "arr" -> 2L, "arr2" -> 3L, "s" -> 2L,
-      "m" -> 0L))
+    // profile reports NULL (uncountable ≠ zero distinct values; a 0 would
+    // slip past profileTable's "proven ≤ cap" sample guard)
+    assert(got == Map("id" -> Some(4L), "arr" -> Some(2L),
+      "arr2" -> Some(3L), "s" -> Some(2L), "m" -> None))
   }
 }

@@ -39,8 +39,12 @@ object KCore {
     import graft.core.Checkpoints
     require(k >= 1, "k must be >= 1")
     require(maxRounds >= 1, "maxRounds must be >= 1")
-    val sym = edges.select(col(srcCol).as("_u"), col(dstCol).as("_v"))
-      .unionByName(edges.select(col(dstCol).as("_u"), col(srcCol).as("_v")))
+    // symmetrize with one map-side explode: the union spelling scanned the
+    // edge source twice (once per orientation); identical output multiset
+    val sym = edges.select(explode(array(
+        struct(col(srcCol).as("_u"), col(dstCol).as("_v")),
+        struct(col(dstCol).as("_u"), col(srcCol).as("_v")))).as("_e"))
+      .select(col("_e._u").as("_u"), col("_e._v").as("_v"))
       .where(col("_u") =!= col("_v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -98,7 +98,14 @@ object DocQueries {
       // dup-check (it was behind it in the when-cascade) but is a
       // deterministic pure function, so every row's reason is unchanged;
       // the n_chars guard still skips the regexes for too-short docs.
-      val docs = t(s, dir, "documents")
+      // rebalance first (q_rrf's lesson): the 4 regexes are compute-dense
+      // and the raw scan's byte-range splits under-parallelize them —
+      // without this the projection pinned to a handful of scan tasks and
+      // ran 2.4× SLOWER than the post-shuffle spelling it replaced
+      // (measured 3.6 → 8.8 s sf1; with the rebalance see the A/B table)
+      val docs = graft.core.Rebalance.computeDense(
+        t(s, dir, "documents").select(col("doc_id"), col("text"),
+          col("n_chars")))
       val pre = docs.select(col("doc_id"), md5(col("text")).as("_h"),
         col("n_chars"),
         (col("n_chars") >= 50 && TF.qualityScore(col("text")) < 0.5)

@@ -1397,21 +1397,21 @@ object ExtraQueries {
 
     "q_session_baskets" -> ((s, dir) => {
       // sessionize per USER ONLY (an extra grouping key would split the
-      // gap-merge), then explode the bounded per-session item set.
-      // Persisted: pairRules reads its input FOUR ways (item counts,
-      // basket total, both self-join sides), and this input is a
-      // session_window aggregate over the events table — without the
-      // persist each consumer re-runs the sessionization (ReuseExchange
-      // dedupes the distinct's exchange, not the aggregate feeding it).
+      // gap-merge); the per-session item set stays WHOLE — session_window
+      // + collect_set already produce exactly the one-row-per-basket set
+      // form pairRulesFromSets consumes, so the old explode → distinct →
+      // re-collect_set round trip (two full shuffles of the exploded
+      // incidence) is gone and the persisted frame is one row per session.
+      // Persisted: three consumers (item counts, basket total, pairs) over
+      // a session_window aggregate — without the persist each consumer
+      // re-runs the sessionization.
       val inc = graft.core.Rebalance.computeDense(t(s, dir, "events"))
         .groupBy(col("user_id"),
           session_window(col("ts"), "30 minutes").as("sw"))
         .agg(collect_set(col("event_type")).as("_items"))
-        .select(concat(col("user_id"), lit("#"),
-          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss")).as("basket"),
-          explode(col("_items")).as("item"))
+        .select(col("_items"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.operators.MarketBasket.pairRules(inc, "basket", "item")
+      graft.operators.MarketBasket.pairRulesFromSets(inc, "_items")
     }),
 
     "q_share_parent" -> ((s, dir) => {

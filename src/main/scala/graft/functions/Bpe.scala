@@ -239,6 +239,17 @@ object Bpe {
     * call, inside one projection (no shuffle — the encoder is a pure scan
     * at any corpus size). */
   def encode(text: Column, merges: Seq[Merge]): Column =
+    // fused split+merge kernel: the char-level split materialized one
+    // UTF8String per character before r14 — BpeSegments walks byte
+    // boundaries in place and slices tokens straight from the input
+    // (equivalence spec-pinned against the split+bpe_apply spelling)
+    BpeSegments.bpe_segments(
+      trim(regexp_replace(lower(text), "\\s+", " ")),
+      merges.map(m => (m.left, m.right)))
+
+  /** The split + [[BpeApply]] spelling [[encode]] fused away in r14 —
+    * kept as the equivalence regression twin. */
+  private[graft] def encodeSplitForm(text: Column, merges: Seq[Merge]): Column =
     BpeApply.bpe_apply(
       split(trim(regexp_replace(lower(text), "\\s+", " ")), ""),
       merges.map(m => (m.left, m.right)))

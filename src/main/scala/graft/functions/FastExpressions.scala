@@ -899,8 +899,130 @@ object WindowHashes {
       org.apache.spark.sql.GraftColumnBridge.expression(words), k))
 }
 
+/** Fused `split(text, "") → bpe merge passes → token array` in ONE kernel —
+  * the r14 replacement for the split + [[BpeApply]] pipeline under
+  * `Bpe.encode`. The two-step spelling materializes one UTF8String PER
+  * CHARACTER (the split), converts each to a java String, walks the merge
+  * passes over String equality, then re-encodes every surviving token.
+  * This kernel never materializes the character array: BPE merges only
+  * ever concatenate ADJACENT tokens, so every token is a contiguous byte
+  * range of the input — the whole computation is a boundary-offset array
+  * walked in place, and output tokens are byte SLICES of the input.
+  *
+  * Equivalence to split+BpeApply (spec-pinned in R14OperatorSpec on
+  * multibyte/emoji/empty/adversarial-merge corpora):
+  *  - the initial boundaries replay `UTF8String.split`'s empty-pattern
+  *    fast path verbatim (n = numChars tokens, each sized by
+  *    numBytesForFirstByte, the LAST token absorbing any remaining bytes;
+  *    empty input → [""], the regex path's behavior — both read from the
+  *    4.1.2 bytecode and pinned empirically);
+  *  - each merge pass is the same greedy left-to-right (a,b)→ab scan,
+  *    with token equality as UTF-8 byte equality — identical to String
+  *    equality on valid UTF-8 (byte-faithful on invalid sequences, where
+  *    the old path degraded them to replacement characters; no table in
+  *    this engine stores invalid UTF-8).
+  */
+case class BpeSegments(child: Expression, merges: Array[Array[String]])
+    extends UnaryExpression {
+  // same element type the replaced BpeApply subtree exposed downstream
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_segments needs a string, got $t")
+  }
+
+  // merge symbols as UTF-8 bytes, once per expression: slot 2m = left,
+  // 2m+1 = right
+  private lazy val mergeBytes: Array[Array[Byte]] = {
+    val out = new Array[Array[Byte]](merges.length * 2)
+    var m = 0
+    while (m < merges.length) {
+      out(2 * m) = merges(m)(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out(2 * m + 1) = merges(m)(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      m += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BpeSegments.segments(input.asInstanceOf[UTF8String], mergeBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMergeBytes", mergeBytes, "byte[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeSegments.segments($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSegments =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_segments"
+}
+
+object BpeSegments {
+  /** Called from generated code — static-forwardable, not named `apply`
+    * (see BpeApply.doGenCode for why). */
+  def segments(str: UTF8String, mergeBytes: Array[Array[Byte]]):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val total = str.numBytes()
+    if (total == 0) // split("", "") == [""] (regex path, pinned empirically)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](UTF8String.EMPTY_UTF8))
+    val bytes = str.getBytes()
+    // initial boundaries: UTF8String.split's empty-pattern walk — token i
+    // of n-1 sized by its first byte, the last token takes the remainder
+    var n = str.numChars()
+    val starts = new Array[Int](n + 1)
+    var i = 0
+    while (i < n - 1) {
+      starts(i + 1) = starts(i) +
+        UTF8String.numBytesForFirstByte(bytes(starts(i)))
+      i += 1
+    }
+    starts(n) = total
+    @inline def tokEq(t: Int, sym: Array[Byte]): Boolean = {
+      val s = starts(t)
+      if (starts(t + 1) - s != sym.length) false
+      else {
+        var k = 0
+        while (k < sym.length && bytes(s + k) == sym(k)) k += 1
+        k == sym.length
+      }
+    }
+    var m = 0
+    while (m < mergeBytes.length) {
+      val a = mergeBytes(m); val b = mergeBytes(m + 1)
+      var r = 0; var w = 0
+      while (r < n) {
+        starts(w) = starts(r) // w <= r: reads at r/r+1/r+2 stay intact
+        if (r + 1 < n && tokEq(r, a) && tokEq(r + 1, b)) r += 2 else r += 1
+        w += 1
+      }
+      starts(w) = total
+      n = w
+      m += 2
+    }
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = UTF8String.fromBytes(bytes, starts(i), starts(i + 1) - starts(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def bpe_segments(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(BpeSegments(
+      org.apache.spark.sql.GraftColumnBridge.expression(text),
+      merges.map(p => Array(p._1, p._2)).toArray))
+}
+
 /** All BPE merge passes over a symbol array in one call — the scan kernel
-  * behind `Bpe.encode`. The Column spelling (M chained `aggregate` folds,
+  * behind `Bpe.encode` until r14 (now the fused [[BpeSegments]] runs the
+  * split and the merge walk in one pass; this array form remains the
+  * regression twin and the entry for callers that already hold a symbol
+  * array). The Column spelling (M chained `aggregate` folds,
   * each rebuilding the accumulator array per element) is O(M·n²)
   * interpreted work per document; this walks a String array M times with
   * in-place writes — O(M·n), no per-element array copies. Pass-for-pass

@@ -69,6 +69,38 @@ class R14OperatorSpec extends SparkSuite {
     assert(a.columns.toSeq == b.columns.toSeq)
   }
 
+  test("BpeSegments fused kernel == split + bpe_apply on adversarial corpora") {
+    val merges = Seq(("e", " "), ("t", "h"), ("th", "e "), ("a", "a"),
+      ("aa", "a"), ("é", "s"), ("😀", "😀"), ("l", "l"))
+    val texts = Seq(
+      "the theme of the day", "  leading and   trailing  ", "",
+      " ", "a", "aaaa", "aaaaaaa", "ééés és 😀😀😀 héllo",
+      "MiXeD CaSe THE", "tab\tand\nnewline", "llll", "e e e e",
+      "日本語のテキスト and ascii", "🎉🎊 👪 family", null,
+      "x" * 500, ("ab " * 200).trim)
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+    val fused = df.select(col("i"),
+      graft.functions.Bpe.encode(col("t"),
+        merges.zipWithIndex.map { case ((a, b), r) =>
+          graft.functions.Bpe.Merge(r, a, b, 0L) }).as("syms"))
+    val twin = df.select(col("i"),
+      graft.functions.Bpe.encodeSplitForm(col("t"),
+        merges.zipWithIndex.map { case ((a, b), r) =>
+          graft.functions.Bpe.Merge(r, a, b, 0L) }).as("syms"))
+    val a = fused.orderBy("i").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getSeq[String](1))
+    val b = twin.orderBy("i").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getSeq[String](1))
+    a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(x == y, s"row $i (${texts(i)}): $x vs $y") }
+    // the three gate consumptions agree too: join-back and token count
+    val fj = fused.select(col("i"), array_join(col("syms"), "").as("j"),
+      size(col("syms")).as("n")).orderBy("i").collect()
+    val tj = twin.select(col("i"), array_join(col("syms"), "").as("j"),
+      size(col("syms")).as("n")).orderBy("i").collect()
+    fj.zip(tj).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
+  }
+
   test("LabelSpread.vote explode symmetrization == the union spelling") {
     val docs = Seq(
       (1L, "en"), (2L, "en"), (3L, null), (4L, "de"), (5L, null),
